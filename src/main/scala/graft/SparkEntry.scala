@@ -1,13 +1,73 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TopK
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every oracle-checked capability has a `queries` entry and a DuckDB
+  * `oracleSql` entry with IDENTICAL column names; ordered outputs carry
+  * a total deterministic order (tie-break on a unique key).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Flagship: the reference's hashtag top-10 re-expressed over
+    * documents.text (tokens play the hashtags role). Runs on sf0.001;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_top10_tokens")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 #3-5: explode → count → top-k (reference App.java:98-101)
+    "q_top10_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("toks"))
+      TopK.topKeys(docs, "toks", 10)
+        .filter(col("token") =!= "")
+    }),
+
+    // §2.2 #11: multi-key aggregation (TPC-H Q1 shape)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_base_price"),
+          round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")), 2)
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_top10_tokens" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY cnt DESC, token ASC
+        |LIMIT 10""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  )
 }
