@@ -1,20 +1,46 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.TopK
+import graft.functions.{TextAnalysis, Vectors}
+import graft.operators.{Ann, Sessionize, TopK}
+import graft.sources.TimeWindow
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
   * Every oracle-checked capability has a `queries` entry and a DuckDB
   * `oracleSql` entry with IDENTICAL column names; ordered outputs carry
   * a total deterministic order (tie-break on a unique key).
+  *
+  * Cross-engine determinism rules (SURVEY.md §4):
+  *  - money/double aggregates go through decimal(18,2) sums, round(2),
+  *    cast double — exact on both engines, order-independent;
+  *  - pure scalar double expressions share the exact expression tree
+  *    with the oracle SQL (bit-identical IEEE evaluation), no rounding;
+  *  - timestamps surface as epoch-second bigints;
+  *  - ANN outputs integer ids + ranks, never similarity floats.
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    Tables.load(spark, dir, name)
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** decimal(18,2) sum → round(2) → double: the order-independent
+    * money-aggregate pattern. */
+  private def dsum(c: Column): Column =
+    round(sum(c.cast("decimal(18,2)")), 2).cast("double")
+
+  /** sum of extendedprice*(1-discount) in exact decimal → double. */
+  private def revenue(price: Column, discount: Column): Column =
+    round(sum((price.cast("decimal(18,2)") *
+      (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+        discount.cast("decimal(18,2)"))).cast("decimal(28,4)")), 2)
+      .cast("double")
+
+  private val RevenueSql =
+    "CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))), 2) AS DOUBLE)"
 
   /** Flagship: the reference's hashtag top-10 re-expressed over
     * documents.text (tokens play the hashtags role). Runs on sf0.001;
@@ -22,52 +48,491 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_top10_tokens")(spark, "/root/testdata/sf0.001")
 
+  /** TPC-H Q3 shape, shared verbatim between spark.sql and DuckDB —
+    * the SQL-interface capability is "one ANSI text, two engines". */
+  private val SqlInterfaceQuery =
+    """SELECT l_orderkey,
+      |  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue,
+      |  CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------------
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // §2.1 #3-5: explode → count → top-k (reference App.java:98-101)
+
+    // ===== §2.1 reference surface =====
+
+    // #3-5: explode → count → top-k (reference App.java:98-101)
     "q_top10_tokens" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .select(split(col("text"), " ").as("toks"))
+        .select(TextAnalysis.tokens(col("text")).as("toks"))
       TopK.topKeys(docs, "toks", 10)
-        .filter(col("token") =!= "")
     }),
 
-    // §2.2 #11: multi-key aggregation (TPC-H Q1 shape)
-    "q1_agg" -> ((s, dir) => {
+    // #3: array explode → flat rows
+    "q_token_explode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      TopK.explodeArray(docs, "toks", "token")
+    }),
+
+    // #4: full hash-agg count per key (no limit)
+    "q_hashtag_count" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(TextAnalysis.tokens(col("text")).as("toks"))
+      TopK.countByKey(TopK.explodeArray(docs, "toks", "token"), "token")
+    }),
+
+    // #6: global sort (deterministic: unique tie-break) + limit
+    "q_sort" -> ((s, dir) =>
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(100)),
+
+    // #1: time-window scan; predicate pushes to the parquet scan
+    "q_time_window_scan" -> ((s, dir) => {
+      val w = TimeWindow.day(2024, 1, 15)
+      t(s, dir, "events")
+        .filter(w.predicate(col("ts")))
+        .select("event_id", "user_id", "event_type")
+    }),
+
+    // ===== §2.2 core relational =====
+
+    // #10: filter + projection pushdown (verify via .explain: PushedFilters)
+    "q_filter_pushdown" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48 &&
+          col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+
+    // #11: multi-key aggregation (TPC-H Q1 shape)
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity").cast("decimal(18,2)")), 2)
-            .cast("double").as("sum_qty"),
-          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
-            .cast("double").as("sum_base_price"),
-          round(sum((col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
-              col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")), 2)
-            .cast("double").as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // #12: broadcast dim join
+    "q_join_broadcast" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_acctbal"))),
+
+    // #13: star join — fact shuffles on keys, dims broadcast
+    "q_star_join" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("rev"),
+          count(lit(1)).as("n_items"))),
+
+    // #14: left outer join
+    "q_left_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("order_cnt"))),
+
+    // #15: semi join (EXISTS)
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))),
+
+    // #16: anti join (NOT EXISTS)
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")),
+
+    // #17: distinct
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()),
+
+    // #18: union all then re-aggregate
+    "q_union" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey").as("key"))
+        .unionAll(t(s, dir, "customer").select(col("c_custkey").as("key")))
+        .groupBy(col("key")).agg(count(lit(1)).as("cnt"))),
+
+    // #19: window functions: row_number + lag on one window, rank on another
+    "q_window_rank" -> ((s, dir) => {
+      val byDate = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byPrice = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(byDate).as("rn"),
+        lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+        rank().over(byPrice).as("price_rank"))
     }),
+
+    // #20: rollup grouping sets
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))),
+
+    // #21: exact interpolated percentiles (quarter fractions of
+    // integer-valued quantities → exactly representable doubles)
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"))),
+
+    // #22: exact count-distinct (HLL approx variant exercised in ScalaTest)
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("n_rows"))),
+
+    // #23: JSON extraction from events.props
+    "q_json_extract" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sum(k).as("sum_k"), count(when(k >= 50, 1)).as("n_high"))
+    }),
+
+    // #24: event-time hour bucketing
+    "q_time_bucket" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))),
+
+    // #25: pivot event_type → columns (explicit value list keeps the
+    // plan a single pass; coalesce because pivot emits null for absent
+    // combos where conditional agg emits 0)
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_s"))
+        .pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("day_s") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    }),
+
+    // #26: conditional aggregation / CASE WHEN
+    "q_case_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          round(sum(when(col("o_totalprice") > 100000,
+            col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(18,2)"))), 2)
+            .cast("double").as("high_rev"))),
+
+    // #27: correlated scalar subquery (per-nation average)
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey FROM customer c
+          |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+    }),
+
+    // #28: gap-based sessionization (30-minute gap)
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.sessions(t(s, dir, "events"), "user_id", "ts", "event_id", 1800.0)),
+
+    // #29: top-N per group (deterministic tie-break on unique key)
+    "q_topn_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+    }),
+
+    // #30: SQL interface — same ANSI text runs on Spark and DuckDB
+    "q_sql_interface" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SqlInterfaceQuery)
+    }),
+
+    // ===== §2.3 LLM training-data ops (oracle-checked subset) =====
+
+    // #31: exact dedup on normalized-text hash, keep-first
+    "q_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
+        .select("keep_id", "dups")),
+
+    // #36: brute-force cosine top-k (ids + ranks only, never floats)
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select("q_id", "rn", "n_id")
+    }),
+
+    // #39: language ID heuristic (engine-equivalence check)
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // #40: quality scoring — identical expression tree to the oracle SQL
+    "q_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    // #41: token counting, whitespace + BPE-ish regex
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"))),
   )
+
+  // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
     "q_top10_tokens" ->
       """SELECT token, count(*) AS cnt
-        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |WHERE token <> ''
+        |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents)
         |GROUP BY token
         |ORDER BY cnt DESC, token ASC
         |LIMIT 10""".stripMargin,
 
+    "q_token_explode" ->
+      """SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |FROM documents""".stripMargin,
+
+    "q_hashtag_count" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents)
+        |GROUP BY token""".stripMargin,
+
+    "q_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_time_window_scan" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' AND ts < TIMESTAMP '2024-01-16 00:00:00'""".stripMargin,
+
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_quantity >= 48 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
-        |  CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_disc_price,
+        |  $RevenueSql AS sum_disc_price,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_star_join" ->
+      s"""SELECT r_name, n_name, $RevenueSql AS rev, COUNT(*) AS n_items
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q_left_join" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q_union" ->
+      """SELECT key, COUNT(*) AS cnt FROM (
+        |  SELECT o_custkey AS key FROM orders
+        |  UNION ALL
+        |  SELECT c_custkey AS key FROM customer) GROUP BY key""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+        |  LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank
+        |FROM orders""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_part,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 END) AS n_high
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_time_bucket" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_s,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_case_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  CAST(ROUND(SUM(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS high_rev
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch(ts) AS sec,
+        |    CASE WHEN lag(epoch(ts)) OVER w IS NULL
+        |           OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, sec,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM x
+        |)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  CAST(FLOOR(MIN(sec)) AS BIGINT) AS start_s,
+        |  CAST(FLOOR(MAX(sec)) AS BIGINT) AS end_s
+        |FROM y GROUP BY user_id, session_seq""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_sql_interface" -> SqlInterfaceQuery,
+
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups
+        |FROM (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        |      FROM documents)
+        |GROUP BY h""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qe, ne) AS sim
+        |      FROM q, c WHERE n_id <> q_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |      FROM s)
+        |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS en,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','y','que'))) AS es,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS de,
+        |  len(list_filter(toks, x -> x IN ('le','les','et','des','une'))) AS fr
+        |  FROM b)
+        |SELECT doc_id,
+        |  CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |       WHEN de >= fr AND de > 0 THEN 'de'
+        |       WHEN fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS lang_pred
+        |FROM sc""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH b AS (SELECT doc_id, text AS t,
+        |  CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS n,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  LEAST(CAST(LENGTH(t) AS DOUBLE) / 500.0, 1.0) * 0.25
+        |  + (CAST(LENGTH(REGEXP_REPLACE(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n) * 0.35
+        |  + (1.0 - CAST(LENGTH(REGEXP_REPLACE(t, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / n) * 0.2
+        |  + LEAST((CASE WHEN len(toks) = 0 THEN 0.0
+        |           ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with','as','at','by','it','that'))) AS DOUBLE)
+        |                / CAST(len(toks) AS DOUBLE) END) * 4.0, 1.0) * 0.2 AS quality
+        |FROM b""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents""".stripMargin,
   )
 }

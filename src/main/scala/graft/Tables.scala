@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -14,8 +16,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    // default; read it as a nanos long, then rebuild a (micro) timestamp
+    // with integer division — `ts div 1000`, NOT `/ 1000` which would go
+    // through double and lose precision above 2^53 nanos.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (df.schema.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 
   /** Register all tables as temp views so `spark.sql` queries and the
     * DuckDB oracle share one table namespace. */

@@ -7,9 +7,19 @@ import org.apache.spark.sql.functions._
   *
   * All are compositions of built-in (codegen'd) functions — no Scala
   * UDFs — so they stay inside whole-stage codegen and push down through
-  * Catalyst.
+  * Catalyst. Every regex here is deliberately restricted to syntax with
+  * identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+  * no lookarounds, explicit ASCII classes instead of \p{...}.
   */
 object TextAnalysis {
+
+  /** ASCII punctuation as an explicit range class (== POSIX [:punct:])
+    * so Spark (Java regex) and the DuckDB oracle (RE2) agree. */
+  val PunctClass = "[!-/:-@\\[-`{-~]"
+
+  /** BPE-ish token pattern: letter runs, digit runs, single
+    * punctuation/symbol chars — a cheap proxy for BPE pre-tokenization. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Whitespace tokens, empties removed. */
   def tokens(text: Column): Column =
@@ -18,21 +28,18 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish token count: split on word/non-word boundaries so
-    * punctuation and words count separately (a cheap proxy for a BPE
-    * tokenizer's behavior on ASCII text). */
+  /** BPE-ish token count (regex-match count, no lookarounds). */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "(?<=\\W)(?=\\w)|(?<=\\w)(?=\\W)"),
-      t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
   /** Alphabetic character ratio. */
   def alphaRatio(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
-  /** Punctuation ratio. */
+  /** ASCII punctuation ratio. */
   def punctRatio(text: Column): Column =
-    length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+    length(regexp_replace(text, s"[^!-/:-@\\[-`{-~]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
 
   /** Mean token length. */
@@ -41,25 +48,48 @@ object TextAnalysis {
       aggregate(transform(tokens(text), t => length(t).cast("double")),
         lit(0.0), (acc, x) => acc + x) / tokenCount(text).cast("double"))
 
-  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+  val StopwordsEn = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "on", "for", "with", "as", "at", "by", "it", "that")
 
   /** Fraction of tokens that are English stopwords. */
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(lower(text))
     when(size(toks) === 0, lit(0.0)).otherwise(
-      size(filter(toks, t => t.isin(stopwords: _*))).cast("double") /
+      size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double") /
         size(toks).cast("double"))
   }
 
   /** Composite quality score in [0,1]: balanced length, alpha-heavy,
-    * some stopwords, low punctuation. Deterministic and
-    * SQL-expressible for the oracle. */
+    * some stopwords, low punctuation. NOT rounded: the whole expression
+    * tree is identical to the oracle SQL's, so the doubles match bit
+    * for bit; a final round would only add divergence risk. */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
-    val q = lenScore * lit(0.25) + alphaRatio(text) * lit(0.35) +
+    lenScore * lit(0.25) + alphaRatio(text) * lit(0.35) +
       (lit(1.0) - punctRatio(text)) * lit(0.2) +
       least(stopwordRatio(text) * lit(4.0), lit(1.0)) * lit(0.2)
-    round(q, 4)
+  }
+
+  /** Stopword marker lists per language for the n-gram/stopword
+    * language-ID heuristic. Deterministic, SQL-expressible. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  /** Language ID: argmax of per-language marker-token hit counts with a
+    * fixed priority order (en > es > de > fr) on ties, 'unknown' when
+    * no marker hits at all. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    def score(ws: Seq[String]): Column =
+      size(filter(toks, t => t.isin(ws: _*)))
+    val Seq(en, es, de, fr) = LangMarkers.map { case (_, ws) => score(ws) }
+    when(en >= es && en >= de && en >= fr && en > 0, lit("en"))
+      .when(es >= de && es >= fr && es > 0, lit("es"))
+      .when(de >= fr && de > 0, lit("de"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("unknown"))
   }
 }
