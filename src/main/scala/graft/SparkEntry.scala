@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, Vectors}
-import graft.operators.{Ann, Sessionize, TopK}
+import graft.operators.{Ann, AnnIvf, AnnLsh, Dedup, Fingerprint, Multimodal, Sessionize, TopK}
 import graft.sources.TimeWindow
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -312,6 +312,54 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_ws"),
           TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"))),
+
+    // #32: MinHash-LSH near-dups, exact-Jaccard verified (oracle:
+    // LSH miss probability ≈ 4e-8 at the planted pairs' jaccard ≥ 0.9)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+
+    // #33: SimHash near-dups via pigeonhole chunk join (rows-only)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", 7)
+        .select("i", "j", "ham")),
+
+    // #34: exact n-gram Jaccard verify pass over a bounded id range
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 40)),
+
+    // #35: embedding cosine near-dup, LSH-bucketed (rows-only: LSH
+    // recall at these moderate cosines is probabilistic by design)
+    "q_dedup_embedding" -> ((s, dir) =>
+      AnnLsh.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .select("i", "j")),
+
+    // #37: LSH-bucketed ANN (rows-only; recall vs brute force in ScalaTest)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnLsh.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select("q_id", "rn", "n_id")
+    }),
+
+    // #38: IVF-style ANN (rows-only; recall vs brute force in ScalaTest)
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      AnnIvf.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select("q_id", "rn", "n_id")
+    }),
+
+    // #42: winnowing fingerprints (rows-only; overlap semantics in ScalaTest)
+    "q_fingerprint" -> ((s, dir) =>
+      Fingerprint.fingerprintDf(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), size(col("fps")).as("n_fp"))),
+
+    // #43: multimodal lake-table shape — binary payload + typed meta
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.fromDocuments(t(s, dir, "documents"))
+        .select(col("mediaId").as("media_id"), col("kind"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("checksum"),
+          col("meta.widthPx").as("width_px"),
+          col("meta.durationMs").as("duration_ms"))),
   )
 
   // ---------------------------------------------------------------------------
@@ -533,6 +581,42 @@ object SparkEntry {
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 40),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text' AS kind,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CAST((doc_id * 37) % 1024 + 64 AS INT) AS width_px,
+        |  CAST(length(text) * 40 AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
   )
 }

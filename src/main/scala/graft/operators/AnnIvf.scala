@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** IVF-style ANN: a k-means-lite coarse quantizer partitions the corpus
+  * into nlist cells; queries probe only the nprobe nearest cells.
+  *
+  * Scale shape: fit is a few Lloyd passes (each one scan + one shuffle
+  * on cluster id); the centroid table is tiny and always broadcast.
+  * Search touches nprobe/nlist of the corpus instead of all of it —
+  * that fraction is the recall/cost dial. Assignments would be written
+  * bucketed-by-cell at 100 TB so a probe is a partition-pruned read.
+  */
+object AnnIvf {
+
+  /** Deterministic init: every ⌈n/k⌉-th vector by id order. */
+  private def initCentroids(df: DataFrame, idCol: String, vecCol: String,
+                            k: Int): DataFrame = {
+    val n = df.count()
+    val stride = math.max(n / k, 1L)
+    df.filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol)).limit(k)
+      .select(monotonically_increasing_id().as("cid"),
+        col(vecCol).cast("array<double>").as("centroid"))
+  }
+
+  /** Assign each vector to its max-cosine centroid (centroids broadcast;
+    * max_by keeps the argmax without a second shuffle). */
+  def assign(df: DataFrame, centroids: DataFrame, idCol: String,
+             vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("cid"),
+        Vectors.cosine(col("vec"), col("centroid")).as("sim"))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
+        first(col("vec")).as("vec"))
+
+  /** Lloyd update: elementwise mean per cell via posexplode + regroup
+    * (array_sort on (pos, mean) structs keeps element order exact). */
+  private def recenter(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("vec").cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** Fit nlist centroids with `iters` Lloyd passes. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+          iters: Int = 2): DataFrame = {
+    var centroids = initCentroids(df, idCol, vecCol, nlist)
+    for (_ <- 0 until iters)
+      centroids = recenter(assign(df, centroids, idCol, vecCol))
+    centroids
+  }
+
+  /** Probe the nprobe max-cosine cells per query, exact-rank inside. */
+  def search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeW = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("q_vec"), col("cid"),
+        Vectors.cosine(col("q_vec"), col("centroid")).as("csim"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "q_vec", "cid")
+    val rankW = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    probes.join(assigned.select(col("id").as("n_id"), col("vec").as("n_vec"),
+        col("cid")), Seq("cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Vectors.cosine(col("q_vec"), col("n_vec")).as("sim"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "sim")
+  }
+
+  /** Convenience: fit + assign + search in one call (test/bench path). */
+  def annTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = fit(df, idCol, vecCol, nlist)
+    val assigned = assign(df, centroids, idCol, vecCol)
+    search(assigned, centroids, queries, idCol, vecCol, k, nprobe)
+  }
+}

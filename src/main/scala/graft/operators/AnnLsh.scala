@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Random-hyperplane (sign-bit) LSH for approximate nearest neighbor
+  * and embedding near-dup over `array<float>` columns.
+  *
+  * Scale shape: one scan computes a small bucket key per vector per
+  * table; joins are equi-joins on (table, bucket), so the pairwise
+  * work is per-bucket. More tables buy recall linearly in cost;
+  * brute force (Ann.bruteForceTopK) is the exactness baseline.
+  */
+object AnnLsh {
+
+  /** Deterministic seeded Gaussian hyperplanes. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit bucket key: bit i = [v · planeᵢ > 0]. */
+  def bucketKey(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(Vectors.dot(vec, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (id, table, bucket) exploded across `tables` independent LSH
+    * tables (different seeds). */
+  def bucketed(df: DataFrame, idCol: String, vecCol: String,
+               numPlanes: Int, tables: Int, dim: Int, seed: Long): DataFrame = {
+    val keys = (0 until tables).map(t =>
+      bucketKey(col(vecCol), hyperplanes(numPlanes, dim, seed + t)))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(array(keys: _*)).as(Seq("table", "bucket")))
+  }
+
+  /** Approximate top-k cosine neighbors: candidates = corpus vectors
+    * sharing any table bucket with the query, then exact cosine + rank
+    * on candidates only. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int = 6, tables: Int = 8,
+              dim: Int = 64, seed: Long = 0xA11): DataFrame = {
+    val cb = bucketed(corpus, idCol, vecCol, numPlanes, tables, dim, seed)
+      .select(col("id").as("n_id"), col("vec").as("n_vec"), col("table"), col("bucket"))
+    val qb = bucketed(queries, idCol, vecCol, numPlanes, tables, dim, seed)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"), col("table"), col("bucket"))
+    val cands = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_vec", "n_id", "n_vec")
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
+    cands.select(col("q_id"), col("n_id"),
+      Vectors.cosine(col("q_vec"), col("n_vec")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "n_id", "sim")
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ theta, candidates from shared
+    * LSH buckets, exact cosine verify. */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     theta: Double, numPlanes: Int = 6, tables: Int = 8,
+                     dim: Int = 64, seed: Long = 0xA11): DataFrame = {
+    val b = bucketed(df, idCol, vecCol, numPlanes, tables, dim, seed)
+    b.as("a").join(b.as("b"),
+      col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        col("a.vec").as("vi"), col("b.vec").as("vj"))
+      .dropDuplicates("i", "j")
+      .select(col("i"), col("j"), Vectors.cosine(col("vi"), col("vj")).as("sim"))
+      .filter(col("sim") >= theta)
+  }
+}

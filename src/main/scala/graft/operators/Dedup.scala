@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Near-duplicate detection for LLM training-data pipelines.
+  *
+  * Scale shape: every method is (1) one scan computing a fixed-width
+  * signature per doc, (2) a self-join restricted to small candidate
+  * buckets (LSH bands / simhash chunks), (3) an exact verify on the
+  * candidates only. The full n² cross-product never materializes; the
+  * candidate join shuffles on band keys, so skewed bands are handled by
+  * AQE skew-join splitting. All column math is built-in functions — no
+  * UDFs.
+  *
+  * IMPORTANT evaluation-shape rule (learned the hard way): an
+  * expression captured inside a higher-order-function lambda is
+  * re-evaluated PER ARRAY ELEMENT. Token/shingle/hash arrays are
+  * therefore staged through separate projections so every lambda
+  * captures a cheap attribute, never a subtree — otherwise shingling
+  * degenerates to O(tokens²) regex splits per row (observed: 600+ s
+  * for 50 rows interpreted, vs milliseconds staged).
+  */
+object Dedup {
+
+  // -------------------------------------------------------------- shingles
+
+  /** (id, sh): distinct word n-gram shingles, space-joined, staged so
+    * the token array is an attribute inside the shingling lambda.
+    * Matches the oracle's list_transform construction token for token. */
+  def shingleDf(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("id"),
+        when(size(col("tk")) >= n,
+          array_distinct(transform(sequence(lit(1), size(col("tk")) - lit(n - 1)),
+            i => concat_ws(" ", slice(col("tk"), i, lit(n))))))
+          .otherwise(array().cast("array<string>")).as("sh"))
+
+  /** Exact Jaccard between two pre-distinct shingle arrays — integer
+    * set-size division, bit-identical across engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  // -------------------------------------------------------------- minhash
+
+  /** (id, sig): MinHash signature (array<long> length numHashes). One
+    * xxhash64 per shingle, then numHashes seeded rehashes xxhash64(h,
+    * i, seed) with array_min — no wrapping arithmetic (ANSI-safe),
+    * O(shingles × numHashes) per row with all arrays staged. */
+  def signatureDf(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, numHashes: Int = 64,
+                  seed: Long = 0x5EED): DataFrame =
+    shingleDf(docs, idCol, textCol, shingleN)
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => array_min(transform(col("hs"), h => xxhash64(h, i, lit(seed)))))
+          .as("sig"))
+
+  /** (id, band, bhash): LSH banding — signature split into `bands`
+    * groups of numHashes/bands, each group hashed. Docs sharing any
+    * (band, bhash) become candidate pairs. */
+  def bandDf(docs: DataFrame, idCol: String, textCol: String,
+             shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+             seed: Long = 0x5EED): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    signatureDf(docs, idCol, textCol, shingleN, numHashes, seed)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1,
+            lit(rowsPerBand))))).as(Seq("band", "bhash")))
+  }
+
+  /** Candidate pairs (i < j) from MinHash-LSH banding. The self-join is
+    * per (band index, band hash) bucket — candidate count is O(sum of
+    * bucket²), not O(n²). */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 64,
+                     bands: Int = 16): DataFrame = {
+    val banded = bandDf(docs, idCol, textCol, shingleN, numHashes, bands)
+    banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-Jaccard verified: LSH proposes,
+    * a shingle-set join over ONLY the candidates confirms. At jaccard
+    * ≥ 0.8 with 16 bands × 4 rows the per-pair miss probability is
+    * (1 − 0.8⁴)¹⁶ ≈ 2.6e-4, and ≈ 4e-8 at the 0.9+ the planted dups
+    * sit at — effectively exact. */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      theta: Double = 0.8, shingleN: Int = 3,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val pairs = candidatePairs(docs, idCol, textCol, shingleN, numHashes, bands)
+    val sh = shingleDf(docs, idCol, textCol, shingleN)
+    pairs
+      .join(sh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
+      .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")
+      .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jac"))
+      .filter(col("jac") >= theta)
+  }
+
+  /** All-pairs exact n-gram Jaccard over a bounded id range — the
+    * verify-pass primitive, oracle-checkable. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, maxId: Long): DataFrame = {
+    val sh = shingleDf(docs.filter(col(idCol) < maxId), idCol, textCol, shingleN)
+    sh.select(col("id").as("i"), col("sh").as("sh_i")).join(
+      sh.select(col("id").as("j"), col("sh").as("sh_j")),
+      col("i") < col("j"))
+      .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jac"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)
+
+  /** (id, sig): 64-bit SimHash over lowercase whitespace tokens —
+    * per-bit weighted vote of token xxhash64 bits packed into one long.
+    * Token-hash array staged; the 64-bit loop then only touches the
+    * staged attribute. functions.SimHashAgg is the one-pass codegen
+    * upgrade path for hot pipelines. */
+  def simHashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val masks = typedlit(BitMasks)
+    docs
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("tk"))
+      .select(col("id"), transform(col("tk"), t => xxhash64(t)).as("hs"))
+      .select(col("id"),
+        aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) => {
+          val mask = element_at(masks, j + 1)
+          val vote = aggregate(col("hs"), lit(0L),
+            (a, h) => a + when(h.bitwiseAND(mask) =!= 0L, lit(1L)).otherwise(lit(-1L)))
+          acc + when(vote > 0, mask).otherwise(lit(0L))
+        }).as("sig"))
+  }
+
+  /** Hamming distance between two packed 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, found by the
+    * pigeonhole chunk trick: split 64 bits into (maxHamming + 1)
+    * chunks — any pair within the radius agrees on ≥ 1 whole chunk, so
+    * an equi-join per chunk finds all of them without an n² compare. */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 7): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val chunkMask = (1L << bitsPer) - 1
+    val chunked = simHashDf(docs, idCol, textCol)
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit(chunkMask))): _*))
+          .as(Seq("chunk", "cval")))
+    chunked.as("a").join(chunked.as("b"),
+      col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"),
+        hamming(col("a.sig"), col("b.sig")).as("ham"))
+      .distinct()
+      .filter(col("ham") <= maxHamming)
+  }
+}
