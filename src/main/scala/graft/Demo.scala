@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.TopK
+import graft.sources._
+import graft.streaming.StoreSink
+
+/** End-to-end example of the reference pipeline on graft's public API:
+  * land events in the partitioned hour layout → partition-pruned
+  * window scan → tokenize/count/top-10 → CSV sink → publish to the
+  * serving store with window-retire semantics. Run:
+  *
+  *   sbt "runMain graft.Demo /root/testdata/sf0.001 /tmp/graft-demo"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 1. land the event stream in the hive-partitioned hour layout
+    val events = Tables.load(spark, sfDir, "events")
+    Sinks.partitionedByHour(events, "ts", s"$outDir/hours")
+
+    // 2. partition-pruned scan of one day
+    val win = TimeWindow.day(2024, 1, 15)
+    val scanned = PartitionedSource.readWindow(spark, s"$outDir/hours", win)
+    println(s"demo: window rows = ${scanned.count()}")
+    scanned.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .foreach(l => println("demo: " +
+        l.substring(l.indexOf("PartitionFilters")).take(220)))
+
+    // 3. the flagship: tokenize -> count -> top 10
+    val docs = Tables.load(spark, sfDir, "documents")
+    val top = TopK.topKeys(
+      docs.select(TextAnalysis.tokens(col("text")).as("toks")), "toks", 10)
+
+    // 4. reference sinks: header'd CSV + serving store publish
+    Sinks.csv(top, s"$outDir/top10")
+    val store = new ParquetResultStore(spark, s"$outDir/results", "token", "published_at")
+    StoreSink.publishWindow(store,
+      top.withColumn("published_at", lit("2024-01-15 00:00:00").cast("timestamp")),
+      win.start, win.end)
+    println(s"demo: store rows = ${store.read().count()}")
+    println(s"demo: top10 = " + top.collect()
+      .map(r => r.getString(0) + ":" + r.getLong(1)).mkString(", "))
+    spark.stop()
+  }
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Batch sinks, generalizing the reference's CSV writer
+  * (`write.mode(Overwrite).format("csv").option("header","true")`,
+  * reference App.java:135).
+  */
+object Sinks {
+
+  /** Header'd CSV, overwrite — the reference's result sink. Top-k
+    * results are tiny, so coalesce(1) mirrors its single-file output
+    * without a meaningful scale cost. */
+  def csv(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** Parquet with optional hive partitioning — the lake-native sink.
+    * Partition columns become directory keys, enabling partition-pruned
+    * reads downstream. */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+              mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Write an event table into the hive-partitioned hour layout
+    * (year=/month=/day=/hour=) that PartitionedSource reads back —
+    * the reference's /topics/tweets/... layout re-expressed as
+    * partition columns instead of hand-built path strings. */
+  def partitionedByHour(df: DataFrame, tsCol: String, path: String,
+                        mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+      .withColumn("hour", hour(col(tsCol)))
+      .write.mode(mode)
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(path)
+}

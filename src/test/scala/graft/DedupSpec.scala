@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Fingerprint}
+
+class DedupSpec extends SparkSpec {
+
+  lazy val docs = table("documents")
+
+  test("minhash-LSH finds exactly the exact-jaccard near-dup pairs") {
+    val lsh = Dedup.minHashNearDups(docs, "doc_id", "text", theta = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, Long.MaxValue)
+      .filter(col("jac") >= 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical text → hamming 0; near-dups beat random pairs") {
+    import SparkSpec.spark.implicits._
+    val twice = Seq((1L, "the same text exactly"), (2L, "the same text exactly"))
+      .toDF("doc_id", "text")
+    val ts = Dedup.simHashDf(twice, "doc_id", "text")
+      .select("sig").collect().map(_.getLong(0))
+    assert(ts(0) === ts(1))
+
+    val sigs = Dedup.simHashDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(i: Long, j: Long) = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+    // doc 285/301 are a planted near-dup pair (jaccard 0.989). This
+    // corpus's tiny shared vocab makes many bit-votes near-tied, so
+    // simhash distances run high — the near-dup must still sit well
+    // below the ~32-bit expectation for unrelated docs.
+    assert(ham(285L, 301L) < 20)
+    val unrelated = Seq((0L, 7L), (3L, 11L), (20L, 90L), (40L, 200L))
+      .map { case (i, j) => ham(i, j) }
+    assert(ham(285L, 301L) < unrelated.min)
+  }
+
+  test("pigeonhole candidate join finds every pair within the radius") {
+    // ground truth: all-pairs hamming over collected signatures
+    val sigs = Dedup.simHashDf(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (i, si) <- sigs; (j, sj) <- sigs
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= 7
+    } yield (i, j)).toSet
+    val found = Dedup.simHashNearDups(docs, "doc_id", "text", 7)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === truth)
+  }
+
+  test("winnowing fingerprint overlap flags copied text") {
+    val overlaps = Fingerprint.overlapPairs(docs, "doc_id", "text", minShared = 10)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the jaccard-0.989 planted pair must share many fingerprints
+    assert(overlaps.contains((285L, 301L)))
+  }
+
+  test("winnow selects a sparse subset of kgram hashes") {
+    val row = Fingerprint.fingerprintDf(docs, "doc_id", "text").head()
+    val nFps = row.getSeq[Long](1).size
+    assert(nFps > 0)
+    val textLen = docs.filter(col("doc_id") === row.getLong(0))
+      .select(length(col("text"))).head().getInt(0)
+    assert(nFps < textLen) // density ~2/(w+1), far below 1 per position
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (one JVM-wide session keeps the
+  * suite fast; tests must not mutate global conf). */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val Sf = "/root/testdata/sf0.001"
+}
+
+trait SparkSpec extends AnyFunSuite {
+  def spark: SparkSession = SparkSpec.spark
+  def sf: String = SparkSpec.Sf
+  def table(name: String) = Tables.load(spark, sf, name)
+  def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+}

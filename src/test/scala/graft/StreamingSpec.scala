@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.ParquetResultStore
+import graft.streaming._
+
+class StreamingSpec extends SparkSpec {
+
+  import SparkSpec.spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed token counts with watermark over a memory stream") {
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = StreamingTopK.windowedCounts(
+      in.toDF().toDF("ts", "token"), "ts", "token", "1 hour", "10 minutes")
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:05:00"), "spark"),
+        (ts("2024-01-01 00:10:00"), "spark"),
+        (ts("2024-01-01 00:20:00"), "flink"),
+        (ts("2024-01-01 01:05:00"), "spark"))
+      q.processAllAvailable()
+      val out = spark.table("wc").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(2), r.getLong(3))).toSet
+      assert(out === Set(
+        ("2024-01-01 00:00:00.0", "spark", 2L),
+        ("2024-01-01 00:00:00.0", "flink", 1L),
+        ("2024-01-01 01:00:00.0", "spark", 1L)))
+    } finally q.stop()
+  }
+
+  test("topKPerWindow ranks within each window deterministically") {
+    val counts = Seq(
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), "a", 5L),
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), "b", 5L),
+      (ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), "c", 1L))
+      .toDF("win_start", "win_end", "token", "cnt")
+    val top2 = StreamingTopK.topKPerWindow(counts, 2)
+      .select("token").as[String].collect().toSeq
+    assert(top2 === Seq("a", "b")) // tie broken by token asc
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap and timeout") {
+    val in = MemoryStream[(Long, Timestamp)]
+    val events = in.toDF().toDF("userId", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[StreamSessionize.Event]
+    val sessions = StreamSessionize.sessionize(events, gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two events in one session, then a gap > 30min => new session
+      in.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      in.addData((1L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      // advance the watermark far enough to time out the open session
+      in.addData((2L, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      in.addData((2L, ts("2024-01-01 23:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("sess").as[StreamSessionize.Session].collect()
+        .filter(_.userId == 1L).sortBy(_.startMs)
+      assert(out.length === 2)
+      assert(out(0).nEvents === 2)
+      assert(out(0).startMs === ts("2024-01-01 00:00:00").getTime)
+      assert(out(0).endMs === ts("2024-01-01 00:10:00").getTime)
+      assert(out(1).nEvents === 1)
+    } finally q.stop()
+  }
+
+  test("StoreSink: streaming upserts by key; batch publish retires the window") {
+    val dir = tmpDir("streamstore")
+    val store = new ParquetResultStore(spark, s"$dir/results", "k", "win_start")
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = StreamingTopK.windowedCounts(
+      in.toDF().toDF("ts", "token"), "ts", "token", "1 hour", "10 minutes")
+      .withColumn("k", concat_ws("|", col("win_start").cast("long"), col("token")))
+    in.addData(
+      (ts("2024-01-01 00:05:00"), "spark"),
+      (ts("2024-01-01 00:06:00"), "spark"),
+      (ts("2024-01-01 00:07:00"), "storm"))
+    val q1 = StoreSink.start(counts, store, s"$dir/ckpt")
+    q1.awaitTermination()
+    val r1 = store.read().collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[Long]("cnt"))).toMap
+    assert(r1.values.toSeq.sorted === Seq(1L, 2L))
+
+    // update-mode batch re-emits only changed keys: spark re-upserted
+    // to 3, the untouched storm row must survive
+    in.addData((ts("2024-01-01 00:08:00"), "spark"))
+    val q2 = StoreSink.start(counts, store, s"$dir/ckpt")
+    q2.awaitTermination()
+    val r2 = store.read().collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[Long]("cnt"))).toMap
+    assert(r2.size === 2)
+    assert(r2.exists { case (k, v) => k.endsWith("|spark") && v === 3L })
+    assert(r2.exists { case (k, v) => k.endsWith("|storm") && v === 1L })
+
+    // batch layer: authoritative recompute replaces the whole window
+    val authoritative = Seq((ts("2024-01-01 00:00:00"), "spark", 4L))
+      .toDF("win_start", "token", "cnt")
+      .withColumn("k", concat_ws("|", col("win_start").cast("long"), col("token")))
+    StoreSink.publishWindow(store, authoritative,
+      java.time.Instant.parse("2024-01-01T00:00:00Z"),
+      java.time.Instant.parse("2024-01-01T01:00:00Z"))
+    val r3 = store.read().collect().map(r =>
+      (r.getAs[String]("k"), r.getAs[Long]("cnt"))).toMap
+    assert(r3.size === 1) // storm retired by the range delete
+    assert(r3.values.toSeq === Seq(4L))
+  }
+
+  test("FileStream discovers files in the partitioned hour layout") {
+    val dir = tmpDir("filestream")
+    val events = table("events")
+    graft.sources.Sinks.partitionedByHour(events, "ts", dir)
+    val schema = org.apache.spark.sql.types.StructType(
+      events.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("year", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("month", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("hour", org.apache.spark.sql.types.IntegerType)))
+    val stream = FileStream.parquet(spark, dir, schema)
+    assert(stream.isStreaming)
+    val q = stream.groupBy().count()
+      .writeStream.format("memory").queryName("fs").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("fs").head().getLong(0) === events.count())
+  }
+}
