@@ -1,0 +1,13 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.GraftFunctions
+
+/** SparkSessionExtensions injector: enable with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` to get the
+  * graft_* SQL functions in every session out of the box. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

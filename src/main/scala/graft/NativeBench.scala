@@ -1,0 +1,30 @@
+package graft
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+import graft.operators.Dedup
+object NativeBench {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val emb = Tables.load(spark, d, "embeddings").cache(); emb.count()
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"bench: $label%-28s ${(System.nanoTime()-t0)/1e9}%7.2fs rows=$n")
+    }
+    val docs = Tables.load(spark, d, "documents").cache(); docs.count()
+    // full self-join cosine scan (the ANN hot loop)
+    val a = emb.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    time("cosine native full-join") { a.join(b, col("i") < col("j"))
+      .select(Vectors.cosine(col("va"), col("vb")).as("c")).filter(col("c") > 2).count() }
+    time("cosine HOF full-join") { a.join(b, col("i") < col("j"))
+      .select(Vectors.cosineHof(col("va"), col("vb")).as("c")).filter(col("c") > 2).count() }
+    time("minhash native") { Dedup.signatureDf(docs, "doc_id", "text").agg(count(lit(1))).head(); docs.count() }
+    time("minhash HOF") { Dedup.signatureDfHof(docs, "doc_id", "text").agg(count(lit(1))).head(); docs.count() }
+    time("simhash native") { Dedup.simHashDf(docs, "doc_id", "text").agg(bit_xor(col("sig"))).head(); docs.count() }
+    time("simhash HOF") { Dedup.simHashDfHof(docs, "doc_id", "text").agg(bit_xor(col("sig"))).head(); docs.count() }
+    spark.stop()
+  }
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import NativeExpressions._
+
+/** SQL-name registration for the native expressions, so `spark.sql`
+  * users get them too: graft_cosine, graft_hamming, graft_minhash,
+  * graft_simhash64. Wire at session build time via
+  * `spark.sql.extensions=graft.GraftExtensions`, or post-hoc with
+  * `GraftFunctions.register(spark)`.
+  */
+object GraftFunctions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    (FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDist].getName, "graft_hamming"),
+      (es: Seq[Expression]) => HammingDist(es(0), es(1))),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (es: Seq[Expression]) => es match {
+        case Seq(c) => MinHashSig(c, 64, 0x5EED)
+        case Seq(c, n) => MinHashSig(c, litInt(n, "numHashes"), 0x5EED)
+        case Seq(c, n, s) => MinHashSig(c, litInt(n, "numHashes"), litLong(s, "seed"))
+        case _ => throw new IllegalArgumentException("graft_minhash(arr[, numHashes[, seed]])")
+      }),
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

@@ -1,0 +1,223 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, BinaryExpression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (SURVEY.md §2.5 #48-50) replacing the
+  * higher-order-function compositions on hot paths. HOFs don't
+  * participate in whole-stage codegen and re-enter the interpreter per
+  * element; these generate a single fused Java loop per row via
+  * doGenCode, with an interpreted eval kept for parity/fallback.
+  *
+  * Hash parity: all hashing calls the same XxHash64Function the builtin
+  * `xxhash64` uses, so native and HOF pipelines produce IDENTICAL
+  * signatures (asserted in NativeExprSpec).
+  */
+object NativeExpressions {
+
+  private val XXF = "org.apache.spark.sql.catalyst.expressions.XxHash64Function"
+  private val DTS = "org.apache.spark.sql.types.DataTypes"
+
+  /** Cosine similarity over two numeric-array columns, one fused loop
+    * (float arrays arrive via an implicit array cast). */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getDouble(i)
+        val yi = y.getDouble(i)
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val n = ctx.freshName("n")
+        s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double x = $a.getDouble($i);
+          double y = $b.getDouble($i);
+          $dot += x * y; $na += x * x; $nb += y * y;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        """
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Hamming distance between two packed 64-bit signatures. */
+  case class HammingDist(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_hamming"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** MinHash signature over a shingle array: one pass per row — hash
+    * each shingle once, run all numHashes permutation mins in a local
+    * long[] (reference semantics: Dedup.signatureDf's HOF pipeline,
+    * xxhash64(xxhash64(s), i, seed), reproduced hash-for-hash). */
+  case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(numHashes > 0)
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var s = 0
+      val n = arr.numElements()
+      while (s < n) {
+        val base = XxHash64Function.hash(arr.getUTF8String(s), StringType, 42L)
+        var i = 0
+        while (i < numHashes) {
+          val h1 = XxHash64Function.hash(base, LongType, 42L)
+          val h2 = XxHash64Function.hash(i, IntegerType, h1)
+          val v = XxHash64Function.hash(seed, LongType, h2)
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        s += 1
+      }
+      // empty input → null signature elements are wrong; mirror the HOF
+      // pipeline which yields nulls via array_min(empty) — emit nulls as
+      // Long.MaxValue sentinel is NOT equal, so return null for empty.
+      if (n == 0) null else new GenericArrayData(sig)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val sig = ctx.freshName("sig")
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
+        val base = ctx.freshName("base")
+        val v = ctx.freshName("v")
+        val n = ctx.freshName("n")
+        s"""
+        int $n = $a.numElements();
+        if ($n == 0) { ${ev.isNull} = true; } else {
+          long[] $sig = new long[$numHashes];
+          java.util.Arrays.fill($sig, Long.MAX_VALUE);
+          for (int $s = 0; $s < $n; $s++) {
+            long $base = $XXF.hash($a.getUTF8String($s), $DTS.StringType, 42L);
+            for (int $i = 0; $i < $numHashes; $i++) {
+              long $v = $XXF.hash(java.lang.Long.valueOf($base), $DTS.LongType, 42L);
+              $v = $XXF.hash(java.lang.Integer.valueOf($i), $DTS.IntegerType, $v);
+              $v = $XXF.hash(java.lang.Long.valueOf(${seed}L), $DTS.LongType, $v);
+              if ($v < $sig[$i]) $sig[$i] = $v;
+            }
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+        }
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** One-pass 64-bit SimHash over a token array (same bit votes as
+    * Dedup.simHashDf's 64-iteration HOF pipeline). */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var t = 0
+      val n = arr.numElements()
+      while (t < n) {
+        val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        t += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val votes = ctx.freshName("votes")
+        val t = ctx.freshName("t")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val sig = ctx.freshName("sig")
+        s"""
+        int[] $votes = new int[64];
+        for (int $t = 0; $t < $a.numElements(); $t++) {
+          long $h = $XXF.hash($a.getUTF8String($t), $DTS.StringType, 42L);
+          for (int $j = 0; $j < 64; $j++) {
+            if ((($h >>> $j) & 1L) != 0L) $votes[$j]++; else $votes[$j]--;
+          }
+        }
+        long $sig = 0L;
+        for (int $j = 0; $j < 64; $j++) if ($votes[$j] > 0) $sig |= (1L << $j);
+        ${ev.value} = $sig;
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  // ----------------------------------------------------------- Column API
+
+  private def e(c: Column): Expression = GraftBridge.expression(c)
+
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(e(a), e(b)))
+
+  def hamming(a: Column, b: Column): Column =
+    GraftBridge.column(HammingDist(e(a), e(b)))
+
+  def minHashSig(shingles: Column, numHashes: Int, seed: Long = 0x5EED): Column =
+    GraftBridge.column(MinHashSig(e(shingles), numHashes, seed))
+
+  def simHash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(e(tokens)))
+}

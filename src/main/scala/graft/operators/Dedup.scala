@@ -47,13 +47,23 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** (id, sig): MinHash signature (array<long> length numHashes). One
-    * xxhash64 per shingle, then numHashes seeded rehashes xxhash64(h,
-    * i, seed) with array_min — no wrapping arithmetic (ANSI-safe),
-    * O(shingles × numHashes) per row with all arrays staged. */
+  /** (id, sig): MinHash signature (array<long> length numHashes) via
+    * the one-pass codegen'd native expression (hash-identical to
+    * signatureDfHof, asserted in NativeExprSpec). */
   def signatureDf(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int = 3, numHashes: Int = 64,
                   seed: Long = 0x5EED): DataFrame =
+    shingleDf(docs, idCol, textCol, shingleN)
+      .select(col("id"),
+        graft.functions.NativeExpressions.minHashSig(col("sh"), numHashes, seed).as("sig"))
+
+  /** HOF reference implementation of signatureDf: one builtin xxhash64
+    * per shingle, then numHashes seeded rehashes xxhash64(h, i, seed)
+    * with array_min — ANSI-safe, arrays staged, but interpreted. Kept
+    * as the parity oracle for the native expression. */
+  def signatureDfHof(docs: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 3, numHashes: Int = 64,
+                     seed: Long = 0x5EED): DataFrame =
     shingleDf(docs, idCol, textCol, shingleN)
       .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
       .select(col("id"),
@@ -121,12 +131,20 @@ object Dedup {
 
   private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)
 
-  /** (id, sig): 64-bit SimHash over lowercase whitespace tokens —
-    * per-bit weighted vote of token xxhash64 bits packed into one long.
-    * Token-hash array staged; the 64-bit loop then only touches the
-    * staged attribute. functions.SimHashAgg is the one-pass codegen
-    * upgrade path for hot pipelines. */
-  def simHashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** (id, sig): 64-bit SimHash over lowercase whitespace tokens via the
+    * one-pass codegen'd native expression (bit-identical to
+    * simHashDfHof, asserted in NativeExprSpec). */
+  def simHashDf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("tk"))
+      .select(col("id"),
+        graft.functions.NativeExpressions.simHash64(col("tk")).as("sig"))
+
+  /** HOF reference implementation of simHashDf — per-bit weighted vote
+    * of token xxhash64 bits packed into one long, 64 interpreted passes
+    * over the staged hash array. Kept as the parity oracle. */
+  def simHashDfHof(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val masks = typedlit(BitMasks)
     docs
       .select(col(idCol).as("id"),

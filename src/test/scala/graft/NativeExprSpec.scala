@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, NativeExpressions, TextAnalysis, Vectors}
+import graft.operators.Dedup
+
+class NativeExprSpec extends SparkSpec {
+
+  lazy val docs = table("documents")
+  lazy val emb = table("embeddings")
+
+  test("native cosine is value-identical to the HOF composition") {
+    val pairs = emb.select(col("vec_id").as("i"), col("embedding").as("va"))
+      .join(emb.select(col("vec_id").as("j"), col("embedding").as("vb")),
+        col("i") === col("j") - 250)
+    val diffs = pairs.select(
+      (Vectors.cosine(col("va"), col("vb")) -
+        Vectors.cosineHof(col("va"), col("vb"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diffs === 0.0)
+  }
+
+  test("native minhash signature is hash-identical to the HOF pipeline") {
+    val native = Dedup.signatureDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = Dedup.signatureDfHof(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet === hof.keySet)
+    native.foreach { case (id, sig) => assert(sig === hof(id), s"doc $id") }
+  }
+
+  test("native simhash is bit-identical to the HOF pipeline") {
+    val native = Dedup.simHashDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hof = Dedup.simHashDfHof(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === hof)
+  }
+
+  test("native hamming equals bit_count(xor)") {
+    val sigs = Dedup.simHashDf(docs, "doc_id", "text").limit(50)
+    val a = sigs.select(col("id").as("i"), col("sig").as("sa"))
+    val b = sigs.select(col("id").as("j"), col("sig").as("sb"))
+    val joined = a.join(b, col("i") < col("j"))
+    val bad = joined.select(
+      (NativeExpressions.hamming(col("sa"), col("sb")) -
+        bit_count(col("sa").bitwiseXOR(col("sb")))).as("d"))
+      .filter(col("d") =!= 0).count()
+    assert(bad === 0L)
+  }
+
+  test("expressions run inside whole-stage codegen") {
+    // the `*(n)` prefix marks operators fused into a codegen stage
+    val plan = emb.select(Vectors.cosine(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.trim.matches("""\*\(\d+\) Project.*graft_cosine.*""")), plan)
+  }
+
+  test("SQL registration: graft_* callable from spark.sql") {
+    GraftFunctions.register(spark)
+    Tables.registerAll(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT graft_hamming(graft_simhash64(array('a','b')),
+        |                     graft_simhash64(array('a','c'))) AS h""".stripMargin)
+      .head().getInt(0)
+    assert(viaSql >= 0)
+    val minhash = spark.sql(
+      "SELECT graft_minhash(array('x y z'), 8) AS sig").head().getSeq[Long](0)
+    assert(minhash.length === 8)
+    val cos = spark.sql(
+      """SELECT graft_cosine(CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>),
+        |                    CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>)) AS c""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+}
