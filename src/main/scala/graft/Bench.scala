@@ -1,24 +1,45 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-run benchmark: one JSON line on stdout.
+  *
+  * Every query materializes fully through the noop sink — a count()
+  * would let column pruning skip the actual computed columns (a
+  * quality-score "benchmark" that never scores anything). The headline
+  * value is the flagship top-10-tokens time — the apples-to-apples
+  * comparison with the reference's single hashtag-count job; the
+  * queries map carries every per-query time plus _total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // warmup: absorb JVM/codegen/scan-listing cost outside the timings
+    run(SparkEntry.queries("q_top10_tokens")(spark, sfDir))
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val flagship = results.toMap.getOrElse("q_top10_tokens", -1.0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val qs = (results :+ ("_total" -> total))
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"flagship_top10_tokens","value":$flagship,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape audits: the properties that decide whether these queries
+  * survive a 100 TB scale-up — pushdown reaching the scan, dims
+  * broadcast, top-k never global-sorting. Asserting them here keeps a
+  * future refactor from silently trading a broadcast join for a 100 TB
+  * shuffle. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_filter_pushdown: filters and projection reach the parquet scan") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThanOrEqual(l_quantity"), p)
+    // column pruning: scan must read only the 5 referenced columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_returnflag"), read)
+  }
+
+  test("q_join_broadcast and q_star_join broadcast their dims") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    val star = plan("q_star_join")
+    assert(star.contains("BroadcastHashJoin"), star)
+  }
+
+  test("top-k queries use TakeOrderedAndProject, never a global Sort") {
+    val p = plan("q_top10_tokens")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort [cnt"), p)
+    assert(plan("q_sort").contains("TakeOrderedAndProject"))
+  }
+
+  test("q1_agg does partial (map-side) aggregation before the shuffle") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q_time_window_scan pushes the window predicate to the scan") {
+    val p = plan("q_time_window_scan")
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(ts") || p.contains("IsNotNull(ts")), p)
+  }
+
+  test("q_semi_join and q_anti_join plan as join types, not subquery loops") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+}
