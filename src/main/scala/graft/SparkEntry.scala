@@ -63,6 +63,14 @@ object SparkEntry {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Grouping sets, shared verbatim between spark.sql and DuckDB. */
+  private val GroupingSetsQuery =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+      |  COALESCE(l_linestatus, 'ALL') AS status,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
   // ---------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -160,10 +168,12 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"))),
 
-    // #16: anti join (NOT EXISTS)
+    // #16: anti join (NOT EXISTS) — filtered right side so the result
+    // is non-trivial (every customer has SOME order in this data)
     "q_anti_join" -> ((s, dir) =>
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey")),
 
     // #17: distinct
@@ -197,6 +207,21 @@ object SparkEntry {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("n"), col("sum_qty"))),
+
+    // #20b: cube grouping sets (all 4 combinations)
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("sum_price"))),
+
+    // #20c: explicit grouping sets via SQL (shared ANSI text)
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(GroupingSetsQuery)
+    }),
 
     // #21: exact interpolated percentiles (quarter fractions of
     // integer-valued quantities → exactly representable doubles)
@@ -431,7 +456,8 @@ object SparkEntry {
 
     "q_anti_join" ->
       """SELECT c_custkey FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
 
     "q_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
@@ -454,6 +480,14 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS prio, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_grouping_sets" -> GroupingSetsQuery,
 
     "q_percentile" ->
       """SELECT l_returnflag,

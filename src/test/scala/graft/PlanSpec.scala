@@ -49,4 +49,24 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_semi_join").contains("LeftSemi"))
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
+
+  test("bucketed tables co-locate a fact join: zero shuffle exchanges") {
+    val orders = table("orders")
+    val customer = table("customer")
+    orders.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    customer.write.mode("overwrite")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() === orders.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
