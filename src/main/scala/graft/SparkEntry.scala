@@ -63,6 +63,13 @@ object SparkEntry {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** IN-subquery, shared verbatim between spark.sql and DuckDB. */
+  private val InSubqueryQuery =
+    """SELECT o_orderkey FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'MACHINERY')
+      |  AND o_totalprice > 400000""".stripMargin
+
   /** Grouping sets, shared verbatim between spark.sql and DuckDB. */
   private val GroupingSetsQuery =
     """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
@@ -208,6 +215,30 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("n"), col("sum_qty"))),
 
+    // #19b: ntile + moving aggregate over an explicit rows frame
+    "q_ntile_frames" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame = w.rowsBetween(-3, Window.currentRow)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).over(frame), 2)
+          .cast("double").as("mov_sum"),
+        count(lit(1)).over(frame).as("mov_n"))
+    }),
+
+    // #19c: first/last value over an unbounded frame
+    "q_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"))
+    }),
+
     // #20b: cube grouping sets (all 4 combinations)
     "q_cube" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -264,6 +295,42 @@ object SparkEntry {
         .groupBy(unix_timestamp(date_trunc("day", col("ts"))).as("day_s"))
         .pivot("event_type", types).agg(count(lit(1)))
       p.select(col("day_s") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+    }),
+
+    // #25b: string functions + LIKE pushdown
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").like("%a%"))
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("pfx"),
+          length(col("p_name")).as("n"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("bt"),
+          lpad(col("p_size").cast("string"), 4, "0").as("sz"))),
+
+    // #25c: date/time arithmetic
+    "q_date_arith" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"),
+        date_add(col("o_orderdate"), 30).as("due_date"))),
+
+    // #25d: array functions over the token column
+    "q_array_funcs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(array_distinct(col("tk"))).as("n_uniq"),
+          array_contains(col("tk"), "spark").as("has_spark"),
+          size(slice(col("tk"), 1, 5)).as("first5"),
+          element_at(col("tk"), 1).as("first_tok"))),
+
+    // #27b: IN subquery (shared ANSI text)
+    "q_in_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(InSubqueryQuery)
     }),
 
     // #26: conditional aggregation / CASE WHEN
@@ -480,6 +547,50 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_ntile_frames" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  NTILE(4) OVER w AS quartile,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS mov_sum,
+        |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+        |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 8)) AS pfx, LENGTH(p_name) AS n,
+        |  p_brand || '-' || p_type AS bt,
+        |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS sz
+        |FROM part WHERE p_name LIKE '%a%'""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS d,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date
+        |FROM orders""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents)
+        |SELECT doc_id, len(list_distinct(tk)) AS n_uniq,
+        |  list_contains(tk, 'spark') AS has_spark,
+        |  len(tk[1:5]) AS first5, tk[1] AS first_tok
+        |FROM b""".stripMargin,
+
+    "q_in_subquery" -> InSubqueryQuery,
 
     "q_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
