@@ -254,6 +254,11 @@ object SparkEntry {
       s.sql(GroupingSetsQuery)
     }),
 
+    // #22b: exact salted two-stage count-distinct (skew pattern)
+    "q_skew_count_distinct" -> ((s, dir) =>
+      graft.operators.SkewAgg.countDistinctSalted(
+        t(s, dir, "lineitem"), "l_returnflag", "l_partkey", 16, "n_part")),
+
     // #21: exact interpolated percentiles (quarter fractions of
     // integer-valued quantities → exactly representable doubles)
     "q_percentile" -> ((s, dir) =>
@@ -599,6 +604,10 @@ object SparkEntry {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q_grouping_sets" -> GroupingSetsQuery,
+
+    "q_skew_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,

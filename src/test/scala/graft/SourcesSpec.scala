@@ -61,6 +61,20 @@ class SourcesSpec extends SparkSpec {
     assert(!pf.matches(".*PartitionFilters: \\[\\s*\\].*"))
   }
 
+  test("BatchJob: window scan -> top10 -> csv + store publish (reference contract)") {
+    val dir = tmpDir("batchjob")
+    Sinks.partitionedByHour(table("events"), "ts", s"$dir/hours")
+    BatchJob.run(spark, s"$dir/hours", s"$dir/out", TimeWindow.day(2024, 1, 15))
+    val csv = new java.io.File(s"$dir/out/top10")
+      .listFiles.filter(_.getName.endsWith(".csv"))
+    assert(csv.length === 1)
+    val lines = scala.io.Source.fromFile(csv.head).getLines().toSeq
+    assert(lines.head === "token,cnt")
+    assert(lines.size > 1)
+    val store = new ParquetResultStore(spark, s"$dir/out/results", "token", "win_start")
+    assert(store.read().count() === lines.size - 1)
+  }
+
   test("ParquetResultStore range-delete + upsert semantics") {
     val dir = tmpDir("store") + "/results"
     val store = new ParquetResultStore(spark, dir, "k", "ts")
