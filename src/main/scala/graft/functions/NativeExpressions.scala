@@ -205,6 +205,76 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** All random-hyperplane LSH bucket keys for one vector in a single
+    * fused loop: planes(t)(p) is hyperplane p of table t; output element
+    * t is a long whose bit p = [v · planes(t)(p) > 0]. Replaces
+    * tables × planes interpreted HOF dot products per row with one
+    * codegen'd pass (plane matrix shipped as a reference object). */
+  case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(planes.nonEmpty && planes.forall(_.nonEmpty))
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_lsh_buckets"
+
+    @transient private lazy val nTables = planes.length
+    @transient private lazy val nPlanes = planes(0).length
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val keys = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var key = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val plane = planes(t)(p)
+          val n = math.min(v.numElements(), plane.length)
+          var dot = 0.0
+          var i = 0
+          while (i < n) { dot += v.getDouble(i) * plane(i); i += 1 }
+          if (dot > 0) key |= (1L << p)
+          p += 1
+        }
+        keys(t) = key
+        t += 1
+      }
+      new GenericArrayData(keys)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val keys = ctx.freshName("keys")
+        val t = ctx.freshName("t")
+        val p = ctx.freshName("p")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val key = ctx.freshName("key")
+        val plane = ctx.freshName("plane")
+        val n = ctx.freshName("n")
+        s"""
+        long[] $keys = new long[${nTables}];
+        for (int $t = 0; $t < ${nTables}; $t++) {
+          long $key = 0L;
+          for (int $p = 0; $p < ${nPlanes}; $p++) {
+            double[] $plane = $planesRef[$t][$p];
+            int $n = java.lang.Math.min($a.numElements(), $plane.length);
+            double $dot = 0.0;
+            for (int $i = 0; $i < $n; $i++) $dot += $a.getDouble($i) * $plane[$i];
+            if ($dot > 0) $key |= (1L << $p);
+          }
+          $keys[$t] = $key;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ----------------------------------------------------------- Column API
 
   private def e(c: Column): Expression = GraftBridge.expression(c)
@@ -220,4 +290,8 @@ object NativeExpressions {
 
   def simHash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(e(tokens)))
+
+  def hyperplaneBuckets(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    GraftBridge.column(HyperplaneBuckets(e(vec),
+      planes.map(_.map(_.toArray).toArray).toArray))
 }

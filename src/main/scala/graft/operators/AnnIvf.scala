@@ -51,12 +51,28 @@ object AnnIvf {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
 
-  /** Fit nlist centroids with `iters` Lloyd passes. */
+  /** Materialize a centroid DataFrame to a driver-local copy. The
+    * centroid table is nlist × dim doubles (broadcast-sized by
+    * construction) — landing it on the driver between Lloyd passes is
+    * the standard k-means shape (MLlib does the same) and truncates the
+    * plan lineage, which otherwise re-embeds and RE-EXECUTES every
+    * previous iteration inside each new one (observed: 30 s and
+    * super-linear growth per extra iteration at sf0.1). */
+  private def localized(spark: SparkSession, centroids: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = centroids.select(col("cid"), col("centroid")).collect().toSeq
+    spark.createDataFrame(rows.asJava, centroids.select("cid", "centroid").schema)
+  }
+
+  /** Fit nlist centroids with `iters` Lloyd passes. Each pass is one
+    * scan + one shuffle; the tiny centroid result is localized so pass
+    * i+1's plan does not contain pass i's. */
   def fit(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
           iters: Int = 2): DataFrame = {
-    var centroids = initCentroids(df, idCol, vecCol, nlist)
+    var centroids = localized(df.sparkSession, initCentroids(df, idCol, vecCol, nlist))
     for (_ <- 0 until iters)
-      centroids = recenter(assign(df, centroids, idCol, vecCol))
+      centroids = localized(df.sparkSession,
+        recenter(assign(df, centroids, idCol, vecCol)))
     centroids
   }
 

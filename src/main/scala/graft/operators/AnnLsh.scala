@@ -22,20 +22,24 @@ object AnnLsh {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit bucket key: bit i = [v · planeᵢ > 0]. */
+  /** Sign-bit bucket key: bit i = [v · planeᵢ > 0]. HOF reference
+    * implementation, kept as the parity oracle for the native
+    * expression used by `bucketed`. */
   def bucketKey(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(Vectors.dot(vec, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** (id, table, bucket) exploded across `tables` independent LSH
-    * tables (different seeds). */
+    * tables (different seeds). All tables' bucket keys come from one
+    * fused codegen'd pass over the vector (NativeExpressions
+    * .HyperplaneBuckets), not tables × planes interpreted HOF dots. */
   def bucketed(df: DataFrame, idCol: String, vecCol: String,
                numPlanes: Int, tables: Int, dim: Int, seed: Long): DataFrame = {
-    val keys = (0 until tables).map(t =>
-      bucketKey(col(vecCol), hyperplanes(numPlanes, dim, seed + t)))
+    val planes = (0 until tables).map(t => hyperplanes(numPlanes, dim, seed + t))
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      posexplode(array(keys: _*)).as(Seq("table", "bucket")))
+      posexplode(graft.functions.NativeExpressions.hyperplaneBuckets(
+        col(vecCol).cast("array<double>"), planes)).as(Seq("table", "bucket")))
   }
 
   /** Approximate top-k cosine neighbors: candidates = corpus vectors
@@ -48,13 +52,16 @@ object AnnLsh {
       .select(col("id").as("n_id"), col("vec").as("n_vec"), col("table"), col("bucket"))
     val qb = bucketed(queries, idCol, vecCol, numPlanes, tables, dim, seed)
       .select(col("id").as("q_id"), col("vec").as("q_vec"), col("table"), col("bucket"))
+    // cosine BEFORE the (q_id, n_id) dedup: sim is functionally
+    // dependent on the pair, so dedup carries 3 scalars through the
+    // shuffle instead of two dim-wide vectors.
     val cands = qb.join(cb, Seq("table", "bucket"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "q_vec", "n_id", "n_vec")
+      .select(col("q_id"), col("n_id"),
+        Vectors.cosine(col("q_vec"), col("n_vec")).as("sim"))
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    cands.select(col("q_id"), col("n_id"),
-      Vectors.cosine(col("q_vec"), col("n_vec")).as("sim"))
+    cands
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("q_id", "rn", "n_id", "sim")
@@ -66,13 +73,15 @@ object AnnLsh {
                      theta: Double, numPlanes: Int = 6, tables: Int = 8,
                      dim: Int = 64, seed: Long = 0xA11): DataFrame = {
     val b = bucketed(df, idCol, vecCol, numPlanes, tables, dim, seed)
+    // cosine + theta filter BEFORE the (i, j) dedup — the shuffle for
+    // dropDuplicates then carries only the surviving scalar triples,
+    // never the dim-wide vectors.
     b.as("a").join(b.as("b"),
       col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"),
-        col("a.vec").as("vi"), col("b.vec").as("vj"))
-      .dropDuplicates("i", "j")
-      .select(col("i"), col("j"), Vectors.cosine(col("vi"), col("vj")).as("sim"))
+        Vectors.cosine(col("a.vec"), col("b.vec")).as("sim"))
       .filter(col("sim") >= theta)
+      .dropDuplicates("i", "j")
   }
 }

@@ -50,6 +50,20 @@ class NativeExprSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("native hyperplane buckets are bit-identical to the HOF bucketKey") {
+    import graft.operators.AnnLsh
+    val tables = 4; val numPlanes = 6; val dim = 64; val seed = 0xA11L
+    val planes = (0 until tables).map(t => AnnLsh.hyperplanes(numPlanes, dim, seed + t))
+    val native = emb.select(col("vec_id"),
+      NativeExpressions.hyperplaneBuckets(
+        col("embedding").cast("array<double>"), planes).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = emb.select(col("vec_id"),
+      array(planes.map(p => AnnLsh.bucketKey(col("embedding"), p)): _*).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native === hof)
+  }
+
   test("expressions run inside whole-stage codegen") {
     // the `*(n)` prefix marks operators fused into a codegen stage
     val plan = emb.select(Vectors.cosine(col("embedding"), col("embedding")))
