@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, Vectors}
-import graft.operators.{Ann, AnnIvf, AnnLsh, Dedup, Fingerprint, Multimodal, Sessionize, TopK}
+import graft.operators.{Ann, AnnIvf, AnnLsh, AsOfJoin, Dedup, DedupCluster, Fingerprint, Multimodal, RangeJoin, Sampling, Sessionize, Tfidf, TopK}
 import graft.sources.TimeWindow
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -457,6 +457,77 @@ object SparkEntry {
           md5(col("payload")).as("checksum"),
           col("meta.widthPx").as("width_px"),
           col("meta.durationMs").as("duration_ms"))),
+
+    // ===== §2.6 time-series joins, clustering, curation =====
+
+    // #52: as-of join — each click matched to the user's latest view at
+    // or before it (union + one window pass, no join; see AsOfJoin)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      AsOfJoin.asOf(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", "ts", "event_id", "view_id")
+        .select(col("event_id").as("click_id"), col("view_id"))
+    }),
+
+    // #53: interval×point range join via coarse binning (equi-shuffle
+    // on bin id + exact range filter; never a nested-loop join)
+    "q_range_join" -> ((s, dir) => {
+      val iv = t(s, dir, "orders").filter(col("o_orderkey") % 1000 === 0)
+      RangeJoin.pointInInterval(iv, t(s, dir, "lineitem"),
+        "o_orderdate", 7, "l_shipdate")
+        .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+    }),
+
+    // #54: near-dup clustering — connected components over the
+    // MinHash-LSH pair list; every doc labeled with its component min id
+    "q_dedup_cluster" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+        .select(col("i"), col("j"))
+      DedupCluster.components(docs, "doc_id", edges)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    // #55: deterministic content-hash sampling (reproducible split,
+    // engine/run/cluster-size independent; pure pushed-down filter)
+    "q_sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), "text", "1999")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))),
+
+    // #55b: stratified per-source rates (drop/downsample/keep strata)
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(t(s, dir, "documents"), "text", "source",
+        Map("src0" -> "ffff", "src1" -> "8000", "src2" -> "1999"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))),
+
+    // #56: df-weighted term relevance (TF-IDF family), top-3 per doc
+    "q_tfidf" -> ((s, dir) =>
+      Tfidf.topTerms(t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", 3)),
+
+    // #57: PII redaction pass (emails/phones -> typed placeholders) on
+    // a synthesized contact line (corpus text carries no PII)
+    "q_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("contact", concat(lit("user"), col("doc_id").cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.redactPii(col("contact")).as("redacted"))),
+
+    // #58: corpus bigram counts (raw occurrences, the LM-counts shape);
+    // token array staged so the shingling lambda captures an attribute
+    "q_bigrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .select(explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat_ws(" ", slice(col("tk"), i, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc).limit(50)),
   )
 
   // ---------------------------------------------------------------------------
@@ -772,5 +843,85 @@ object SparkEntry {
         |  CAST((doc_id * 37) % 1024 + 64 AS INT) AS width_px,
         |  CAST(length(text) * 40 AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    // per-user event gaps are >> 1 µs, so Spark's µs timestamps and
+    // DuckDB's native ns timestamps order identically here
+    "q_asof_join" ->
+      """SELECT c.event_id AS click_id, arg_max(v.event_id, v.ts) AS view_id
+        |FROM events c LEFT JOIN events v
+        |  ON v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n
+        |FROM orders JOIN lineitem
+        |  ON CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)
+        | AND CAST(l_shipdate AS DATE) < CAST(o_orderdate AS DATE) + INTERVAL 7 DAY
+        |WHERE o_orderkey % 1000 = 0
+        |GROUP BY o_orderkey""".stripMargin,
+
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8),
+        |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+        |reach(s, d) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a),
+        |comp AS (SELECT s AS id, min(d) AS mn FROM reach GROUP BY s)
+        |SELECT doc.doc_id, CAST(COALESCE(LEAST(c.mn, doc.doc_id), doc.doc_id) AS BIGINT) AS cluster_id
+        |FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT source, count(*) AS n_sampled FROM documents
+        |WHERE substr(md5(text), 1, 4) < '1999'
+        |GROUP BY source""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT source, count(*) AS n_sampled FROM documents
+        |WHERE substr(md5(text), 1, 4) <
+        |  CASE source WHEN 'src0' THEN 'ffff' WHEN 'src1' THEN '8000'
+        |              WHEN 'src2' THEN '1999' END
+        |GROUP BY source""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents WHERE doc_id < 200),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT doc_id, term, rnk FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfq.df AS DOUBLE) DESC,
+        |               tf.term ASC) AS rnk
+        |  FROM tf JOIN dfq USING (term))
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    'user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9-]{7,}', '<PHONE>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    "q_bigrams" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM t WHERE len(tk) >= 2)
+        |SELECT bigram, count(*) AS cnt FROM bg
+        |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin,
   )
 }

@@ -78,6 +78,22 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "les", "et", "des", "une"))
 
+  /** Email pattern — RE2-safe (no lookarounds), same semantics in Java
+    * regex and the DuckDB oracle. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
+  /** Phone-ish pattern: optional +, then 8+ digits/dashes starting with
+    * a digit. */
+  val PhonePattern = "\\+?[0-9][0-9-]{7,}"
+
+  /** PII redaction: emails then phones replaced by typed placeholders —
+    * the standard pre-training scrub pass. Order matters: the email
+    * rule must run first or its digit runs would be half-eaten by the
+    * phone rule. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Language ID: argmax of per-language marker-token hit counts with a
     * fixed priority order (en > es > de > fr) on ties, 'unknown' when
     * no marker hits at all. */

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate clustering: connected components over a candidate-pair
+  * edge list, so an entire dup *group* ({A,B,C} found as A-B and B-C)
+  * collapses to one canonical keeper — pairwise dedup alone would keep
+  * B twice. The standard last stage of a MinHash/SimHash pipeline.
+  *
+  * Algorithm: iterative min-label propagation. Each pass joins current
+  * labels across the (symmetrized) edge list and takes the min seen per
+  * node; convergence in O(component diameter) passes. Near-dup
+  * components are small and star-like (diameter ≤ ~3), so a handful of
+  * passes suffice — for adversarial long-chain graphs the same loop
+  * with the large-star/small-star pairing (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond") drops to O(log n) rounds; the
+  * per-pass plan here (shuffle on node id, map-side min combine) is
+  * identical either way. The per-pass convergence check is one count()
+  * of changed labels — labels are (id, label) pairs, never collected.
+  */
+object DedupCluster {
+
+  /** (id, cluster_id): every node labeled with the min node id in its
+    * connected component. `nodes` supplies the universe (singletons keep
+    * their own id); `edges` columns `i`, `j`. */
+  def components(nodes: DataFrame, idCol: String, edges: DataFrame,
+                 maxIters: Int = 12): DataFrame = {
+    val spark = nodes.sparkSession
+    val sym = edges.select(col("i").as("a"), col("j").as("b"))
+      .union(edges.select(col("j").as("a"), col("i").as("b")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label")).persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // min over self-label and all neighbors' labels, one shuffle
+      val next = labels.join(sym, labels("id") === sym("a"), "left")
+        .select(col("id"), col("label"), col("b"))
+        .join(labels.select(col("id").as("b2"), col("label").as("nl")),
+          col("b") === col("b2"), "left")
+        .groupBy(col("id"))
+        .agg(least(min(col("label")), coalesce(min(col("nl")), min(col("label"))))
+          .as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+}

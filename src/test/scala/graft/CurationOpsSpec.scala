@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, DedupCluster, RangeJoin, Sampling}
+
+/** Edge-semantics tests for the time-series / clustering / curation
+  * operators — cases the row-set oracle can't isolate. */
+class CurationOpsSpec extends SparkSpec {
+
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  test("asOf: latest at-or-before right row wins; no prior row -> null") {
+    val left = Seq((1L, 100L, "l1"), (1L, 205L, "l2"), (2L, 50L, "l3"))
+      .toDF("k", "ts", "name")
+    val right = Seq((1L, 100L, 10L), (1L, 200L, 20L), (1L, 300L, 30L),
+      (2L, 60L, 40L)).toDF("k", "ts", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "ts", "v", "asof_v")
+      .select("name", "asof_v").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(out("l1") === 10L)   // equal-ts right row matches (ts >= semantics)
+    assert(out("l2") === 20L)   // 205 -> latest is 200, not 300
+    assert(out("l3") === null)  // right at 60 > left 50: no prior row
+  }
+
+  test("asOf: equal right timestamps pick the max value deterministically") {
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 90L, 5L), (1L, 90L, 9L), (1L, 90L, 7L)).toDF("k", "ts", "v")
+    val v = AsOfJoin.asOf(left, right, "k", "ts", "ts", "v", "av")
+      .select("av").head().getLong(0)
+    assert(v === 9L)
+  }
+
+  test("range join: [start, start+span) boundaries are half-open") {
+    val iv = Seq((1L, java.sql.Date.valueOf("2024-01-10"))).toDF("ivid", "start")
+    val pts = Seq(
+      (100L, java.sql.Date.valueOf("2024-01-09")),  // before: out
+      (101L, java.sql.Date.valueOf("2024-01-10")),  // start: in
+      (102L, java.sql.Date.valueOf("2024-01-16")),  // last day: in
+      (103L, java.sql.Date.valueOf("2024-01-17"))   // end: out (half-open)
+    ).toDF("pid", "d")
+    val got = RangeJoin.pointInInterval(iv, pts, "start", 7, "d", binDays = 7)
+      .select("pid").as[Long].collect().sorted
+    assert(got === Array(101L, 102L))
+  }
+
+  test("range join: no duplicate candidates across bins") {
+    val iv = Seq((1L, java.sql.Date.valueOf("2024-01-10"))).toDF("ivid", "start")
+    val pts = (0 until 30).map(i =>
+      (i.toLong, java.sql.Date.valueOf(s"2024-01-${1 + i % 28}"))).toDF("pid", "d")
+    val out = RangeJoin.pointInInterval(iv, pts, "start", 7, "d", binDays = 3)
+    assert(out.count() === out.dropDuplicates("ivid", "pid").count())
+  }
+
+  test("components: chain A-B-C collapses to one cluster; singletons keep their id") {
+    val nodes = (0L to 6L).toDF("id")
+    // 0-1-2-3 a path (diameter 3), 4-5 a pair, 6 a singleton
+    val edges = Seq((1L, 0L), (1L, 2L), (3L, 2L), (4L, 5L)).toDF("i", "j")
+    val got = DedupCluster.components(nodes, "id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("hash sampling is deterministic and close to the nominal rate") {
+    val docs = table("documents")
+    val a = Sampling.hashSample(docs, "text", "1999").select("doc_id")
+      .as[Long].collect().sorted
+    val b = Sampling.hashSample(docs, "text", "1999").select("doc_id")
+      .as[Long].collect().sorted
+    assert(a === b)
+    val rate = a.length.toDouble / docs.count()
+    assert(rate > 0.02 && rate < 0.30, s"rate $rate")  // nominal ~10%, n=50
+  }
+}
