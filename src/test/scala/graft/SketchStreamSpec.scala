@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+import graft.streaming.StreamOps
+
+/** Approximate-sketch error bounds and the incremental (streaming)
+  * join/dedup operators. */
+class SketchStreamSpec extends SparkSpec {
+
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("approx_count_distinct lands within 3x rsd of exact") {
+    val li = table("lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = Sketches.approxDistinct(li, Nil, "l_partkey", rsd = 0.05)
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"exact $exact approx $approx")
+  }
+
+  test("datasketches HLL sketches merge across groups to the global estimate") {
+    val li = table("lineitem")
+    val perGroup = Sketches.hllSketches(li, Seq("l_returnflag"), "l_partkey")
+    val merged = perGroup.agg(
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("nd"))
+      .head().getLong(0)
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"exact $exact merged-estimate $merged")
+  }
+
+  test("approx percentiles bracket the exact median") {
+    val li = table("lineitem")
+    val exact = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0).head
+    val approx = Sketches.approxPercentiles(li, Nil, "l_extendedprice",
+      Seq(0.25, 0.5, 0.75)).head().getSeq[Double](0)
+    assert(approx.length === 3 && approx(0) <= approx(1) && approx(1) <= approx(2))
+    assert(math.abs(approx(1) - exact) / exact < 0.05,
+      s"exact-median $exact approx ${approx(1)}")
+  }
+
+  test("stream-stream time-bounded join matches only within the bound") {
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val c = clicks.toDF.toDF("uid", "cts")
+    val v = views.toDF.toDF("vuid", "vts").withColumnRenamed("vuid", "uid")
+    val joined = StreamOps.timeBoundedJoin(c, v, "uid", "cts", "vts",
+      before = "interval 5 minutes", after = "interval 0 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(10)), (2L, ts(10)))
+      views.addData((1L, ts(7)),   // within 5 min before: match
+        (2L, ts(2)),               // 8 min before: out of bound
+        (1L, ts(12)))              // after the click: out of bound
+      q.processAllAvailable()
+      val rows = ss.sql("SELECT uid, cts, vts FROM ssj")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2)))
+      assert(rows.toSeq === Seq((1L, ts(7))))
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark drops repeats, keeps state bounded") {
+    val in = MemoryStream[(Long, Timestamp)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val deduped = StreamOps.dedupWithinWatermark(
+      in.toDF.toDF("k", "ts"), "ts", Seq("k"), watermark = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("sdd")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(1)))  // dup of key 1
+      q.processAllAvailable()
+      in.addData((1L, ts(2)), (2L, ts(3)))               // still within horizon
+      q.processAllAvailable()
+      assert(ss.sql("SELECT k FROM sdd").as[Long].collect().sorted
+        === Array(1L, 2L))
+    } finally q.stop()
+  }
+}
