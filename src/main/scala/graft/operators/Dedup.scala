@@ -107,8 +107,26 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       theta: Double = 0.8, shingleN: Int = 3,
                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val pairs = candidatePairs(docs, idCol, textCol, shingleN, numHashes, bands)
+    // One plan uses the shingle table three times (banding + both
+    // verify sides); without a persist each use re-tokenizes and
+    // re-shingles the corpus. MEMORY_AND_DISK is the scale posture
+    // too: a 100 TB pipeline materializes shingles/signatures once
+    // and spills rather than recomputing the scan per use.
     val sh = shingleDf(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowsPerBand = numHashes / bands
+    val banded = sh
+      .select(col("id"),
+        graft.functions.NativeExpressions.minHashSig(col("sh"), numHashes, 0x5EED).as("sig"))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1,
+            lit(rowsPerBand))))).as(Seq("band", "bhash")))
+    val pairs = banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
     pairs
       .join(sh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
       .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")

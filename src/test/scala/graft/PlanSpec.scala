@@ -50,6 +50,26 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("q_asof_join plans one data shuffle, not a range join") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // union + window: exactly one exchange, on the key
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n$p")
+  }
+
+  test("q_range_join is an equi-join on bins, never a nested-loop join") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
+  test("hash sampling stays a narrow pushed filter (no shuffle before agg)") {
+    val df = graft.operators.Sampling.hashSample(table("documents"), "text", "1999")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("bucketed tables co-locate a fact join: zero shuffle exchanges") {
     val orders = table("orders")
     val customer = table("customer")
