@@ -458,6 +458,84 @@ object SparkEntry {
           col("meta.widthPx").as("width_px"),
           col("meta.durationMs").as("duration_ms"))),
 
+    // ===== §2.2 continued: set ops, join family, exact stats =====
+
+    // #59: EXCEPT / INTERSECT set operators — customers who ordered in
+    // 1995 but not 1996, and in both (Spark except/intersect = shuffle
+    // dedup set ops; distinct semantics match ANSI)
+    "q_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def custs(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+        .select(col("o_custkey"))
+      custs(1995).except(custs(1996)).withColumn("grp", lit("only_1995"))
+        .unionByName(custs(1995).intersect(custs(1996))
+          .withColumn("grp", lit("both")))
+        .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    }),
+
+    // #60: full outer join — both null sides materialize (customers
+    // without big orders; big orders outside the BUILDING segment)
+    "q_full_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_custkey")).as("n_left"),
+          count(col("o_orderkey")).as("n_right"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_left_only"),
+          sum(when(col("c_custkey").isNull, 1).otherwise(0)).as("n_right_only"))
+    }),
+
+    // #61: cross join (dim x dim lattice)
+    "q_cross_join" -> ((s, dir) => {
+      val r = t(s, dir, "region").select(col("r_name"))
+      val n = t(s, dir, "nation").select(col("n_name"))
+      r.crossJoin(n).groupBy(col("r_name")).agg(count(lit(1)).as("n"))
+    }),
+
+    // #62: exact sample variance / correlation from decimal sums — the
+    // naive per-partition float accumulation is order-dependent, so
+    // both engines compute the moment sums in exact decimal and share
+    // one double expression tree (SURVEY §4 determinism rule)
+    "q_stats_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val d28 = "decimal(28,4)"
+      val g = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("nd"),
+          sum(col("l_quantity").cast("decimal(18,2)").cast(d28)).cast("double").as("sx"),
+          sum((col("l_quantity").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)")).cast(d28)).cast("double").as("sx2"),
+          sum(col("l_extendedprice").cast("decimal(18,2)").cast(d28)).cast("double").as("sy"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_extendedprice").cast("decimal(18,2)")).cast(d28)).cast("double").as("sy2"),
+          sum((col("l_quantity").cast("decimal(18,2)") *
+            col("l_extendedprice").cast("decimal(18,2)")).cast(d28)).cast("double").as("sxy"))
+      g.select(col("l_returnflag"),
+        ((col("nd") * col("sx2") - col("sx") * col("sx")) /
+          (col("nd") * (col("nd") - lit(1.0)))).as("var_qty"),
+        ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("nd") * col("sx2") - col("sx") * col("sx")) *
+            (col("nd") * col("sy2") - col("sy") * col("sy")))).as("corr_qty_price"))
+    }),
+
+    // #63: arg-min/arg-max (max_by/min_by) with struct tie-break
+    "q_arg_minmax" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("max_order"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("min_order"))
+        .filter(col("o_custkey") < 50)),
+
+    // #64: string aggregation to a deterministic ordered list
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "nation").join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))),
+
     // ===== §2.6 time-series joins, clustering, curation =====
 
     // #52: as-of join — each click matched to the user's latest view at
@@ -843,6 +921,62 @@ object SparkEntry {
         |  CAST((doc_id * 37) % 1024 + 64 AS INT) AS width_px,
         |  CAST(length(text) * 40 AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |labeled AS (
+        |  SELECT 'only_1995' AS grp, o_custkey FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+        |  UNION ALL
+        |  SELECT 'both' AS grp, o_custkey FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96))
+        |SELECT grp, count(*) AS n FROM labeled GROUP BY grp""".stripMargin,
+
+    "q_full_outer_join" ->
+      """SELECT count(*) AS n_rows,
+        |  count(c_custkey) AS n_left, count(o_orderkey) AS n_right,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only
+        |FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        |  ON c_custkey = o_custkey""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT r_name, count(*) AS n
+        |FROM (SELECT r_name FROM region) CROSS JOIN (SELECT n_name FROM nation)
+        |GROUP BY r_name""".stripMargin,
+
+    "q_stats_agg" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sy2,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (nd * sx2 - sx * sx) / (nd * (nd - 1.0)) AS var_qty,
+        |  (nd * sxy - sx * sy) /
+        |    sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)) AS corr_qty_price
+        |FROM g""".stripMargin,
+
+    "q_arg_minmax" ->
+      """SELECT o_custkey,
+        |  max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS max_order,
+        |  max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS min_order
+        |FROM (SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+        |  FROM orders)
+        |WHERE o_custkey < 50
+        |GROUP BY o_custkey""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
 
     // per-user event gaps are >> 1 µs, so Spark's µs timestamps and
     // DuckDB's native ns timestamps order identically here
