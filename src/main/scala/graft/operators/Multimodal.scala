@@ -68,6 +68,42 @@ object Multimodal {
         (pmod(col("doc_id") * 53, lit(768)) + 64).cast("int").as("heightPx"),
         (length(col("text")) * 40L).cast("long").as("durationMs")).as("meta"))
 
+  case class Frame(mediaId: Long, frameIdx: Int, frameBytes: Array[Byte])
+
+  /** Frame sampling: each media row explodes into every `everyK`-th
+    * fixed-size frame of its payload — the video-to-training-frames
+    * shape. One row fans out to many, but frames are emitted through
+    * the iterator, so per-task memory is one payload + one frame, never
+    * the whole fan-out. A real implementation swaps the byte-slicing
+    * for a container demuxer; the distribution shape is identical. */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+                   everyK: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (frame, idx) if idx % everyK == 0 => Frame(r.mediaId, idx, frame)
+      }
+    }
+  }
+
+  /** Resize stub: metadata updated to the target box; the payload is
+    * deterministically resampled (byte stride) in place of a real
+    * pixel-domain scaler. Aspect-preserving fit into (maxW, maxH). */
+  def resize(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / r.meta.widthPx, maxH.toDouble / r.meta.heightPx))
+      val w = math.max(1, (r.meta.widthPx * scale).toInt)
+      val h = math.max(1, (r.meta.heightPx * scale).toInt)
+      val keep = math.max(1, (r.payload.length * scale * scale).toInt)
+      val stride = math.max(1.0, r.payload.length.toDouble / keep)
+      val out = Array.tabulate(math.min(keep, r.payload.length))(i =>
+        r.payload((i * stride).toInt.min(r.payload.length - 1)))
+      r.copy(payload = out, meta = r.meta.copy(widthPx = w, heightPx = h))
+    }
+  }
+
   /** Batched per-partition feature extraction over the typed Dataset.
     * `batchSize` bounds live decoded rows per task; the iterator shape
     * keeps Spark's spill/stream machinery in charge of everything else. */

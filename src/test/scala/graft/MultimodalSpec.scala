@@ -41,4 +41,40 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.RealDecoder.decode(Array[Byte](1), null)
     }
   }
+
+  test("frame sampling explodes every k-th fixed-size frame, streaming shape") {
+    import SparkSpec.spark.implicits._
+    val ds = media.as[MediaRecord].filter(_.mediaId < 20)
+    val frames = Multimodal.sampleFrames(ds, frameBytes = 16, everyK = 3).collect()
+    val byId = frames.groupBy(_.mediaId)
+    ds.collect().foreach { r =>
+      val total = (r.payload.length + 15) / 16
+      val expected = (0 until total).count(_ % 3 == 0)
+      assert(byId(r.mediaId).length === expected, s"media ${r.mediaId}")
+      assert(byId(r.mediaId).map(_.frameIdx).sorted.toSeq
+        === (0 until total).filter(_ % 3 == 0))
+    }
+    // every sampled frame except a tail frame is exactly frameBytes long
+    frames.filter(f => f.frameIdx < (byId(f.mediaId).map(_.frameIdx).max))
+      .foreach(f => assert(f.frameBytes.length === 16))
+  }
+
+  test("resize fits meta into the box and shrinks payload deterministically") {
+    import SparkSpec.spark.implicits._
+    val ds = media.as[MediaRecord].filter(_.mediaId < 20)
+    val out1 = Multimodal.resize(ds, 128, 128).collect().sortBy(_.mediaId)
+    val out2 = Multimodal.resize(ds, 128, 128).collect().sortBy(_.mediaId)
+    out1.zip(out2).foreach { case (a, b) =>
+      assert(a.meta === b.meta && a.payload.toSeq === b.payload.toSeq)
+    }
+    out1.foreach { r =>
+      assert(r.meta.widthPx <= 128 && r.meta.heightPx <= 128)
+      assert(r.payload.nonEmpty)
+    }
+    // already-small media pass through unscaled
+    val orig = ds.collect().map(r => r.mediaId -> r).toMap
+    out1.filter(r => orig(r.mediaId).meta.widthPx <= 128 &&
+        orig(r.mediaId).meta.heightPx <= 128)
+      .foreach(r => assert(r.meta === orig(r.mediaId).meta))
+  }
 }
