@@ -536,6 +536,22 @@ object SparkEntry {
         .groupBy(col("r_name"))
         .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))),
 
+    // #65: salted shuffle join — row-identical to the plain join (the
+    // oracle IS the unsalted join), hot keys spread over 8 reducers
+    "q_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewAgg.saltedJoin(li, o, "l_orderkey", "o_orderkey",
+          buckets = 8, saltSource = col("l_linenumber"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // #66: exactly-k-per-stratum deterministic sample (eval-set cut)
+    "q_sample_topk_stratum" -> ((s, dir) =>
+      Sampling.topKPerStratum(t(s, dir, "documents"), "doc_id", "source", 5)
+        .select(col("source"), col("doc_id"))),
+
     // ===== §2.6 time-series joins, clustering, curation =====
 
     // #52: as-of join — each click matched to the user's latest view at
@@ -977,6 +993,21 @@ object SparkEntry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    // deliberately the UNSALTED join: salting must be row-invisible
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_sample_topk_stratum" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5""".stripMargin,
 
     // per-user event gaps are >> 1 µs, so Spark's µs timestamps and
     // DuckDB's native ns timestamps order identically here

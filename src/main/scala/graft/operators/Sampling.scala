@@ -24,6 +24,20 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, thresholdHex4: String): DataFrame =
     df.filter(hashFilter(col(keyCol), thresholdHex4))
 
+  /** Exactly-k-per-stratum deterministic sample: rank rows inside each
+    * stratum by md5(key) — a uniform, content-stable order — and keep
+    * the first k. The fixed-size counterpart of `hashSample` (reservoir
+    * sampling without the nondeterminism), the standard way to cut
+    * per-source eval sets. One shuffle on the stratum; rank is a
+    * per-group top-k, never a global sort. */
+  def topKPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+                     k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
+  }
+
   /** Per-stratum deterministic rates: stratum -> 4-hex-digit threshold,
     * e.g. downsample an over-represented source while keeping all of a
     * rare one. Unlisted strata are dropped. */

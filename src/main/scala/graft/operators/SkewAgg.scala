@@ -29,4 +29,27 @@ object SkewAgg {
       .agg(countDistinct(col(value)).as("_partial"))
       .groupBy(col(key))
       .agg(sum(col("_partial")).as(outCol))
+
+  /** Salted shuffle join for a skewed fact key against a small-but-not-
+    * broadcastable build side: the fact takes a deterministic salt from
+    * a row-content hash (never rand() — re-runs and task retries must
+    * route a row identically), the build side replicates `buckets`
+    * times, and the join key becomes (key, salt) — a hot fact key now
+    * spreads over `buckets` reducers instead of one. Result is
+    * row-identical to the unsalted join (inner, and every build row
+    * exists under every salt). AQE's skew-split handles moderate skew
+    * on its own; explicit salting is for the pathological key that
+    * exceeds a single task even after AQE splits, or when the skew is
+    * known ahead of time and re-planning costs matter. */
+  def saltedJoin(fact: DataFrame, build: DataFrame, factKey: String,
+                 buildKey: String, buckets: Int,
+                 saltSource: Column): DataFrame = {
+    val salted = fact.withColumn("_salt", pmod(xxhash64(saltSource), lit(buckets)))
+    val replicated = build
+      .withColumn("_salt", explode(sequence(lit(0L), lit(buckets - 1L))))
+    salted.join(replicated,
+      salted(factKey) === replicated(buildKey) &&
+        salted("_salt") === replicated("_salt"))
+      .drop("_salt")
+  }
 }
