@@ -42,7 +42,23 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
-      (es: Seq[Expression]) => SimHash64(es(0))))
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    // graft_lsh_buckets(vec, tables, planes, seed): all random-
+    // hyperplane bucket keys in one pass (planes derived from the seed
+    // exactly as AnnLsh.hyperplanes does, dim fixed at 64 for SQL use)
+    (FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_lsh_buckets"),
+      (es: Seq[Expression]) => es match {
+        case Seq(c, tbl, pl, sd) =>
+          val tables = litInt(tbl, "tables")
+          val planes = litInt(pl, "planes")
+          val seed = litLong(sd, "seed")
+          HyperplaneBuckets(c, (0 until tables).map(t =>
+            graft.operators.AnnLsh.hyperplanes(planes, 64, seed + t)
+              .map(_.toArray).toArray).toArray)
+        case _ => throw new IllegalArgumentException(
+          "graft_lsh_buckets(vec, tables, planes, seed)")
+      }))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (id, info, builder) =>

@@ -88,5 +88,9 @@ class NativeExprSpec extends SparkSpec {
         |                    CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>)) AS c""".stripMargin)
       .head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
+    val buckets = spark.sql(
+      """SELECT graft_lsh_buckets(CAST(embedding AS ARRAY<DOUBLE>), 8, 6, 2577)
+        |  AS ks FROM embeddings LIMIT 1""".stripMargin).head().getSeq[Long](0)
+    assert(buckets.length === 8 && buckets.forall(k => k >= 0 && k < 64))
   }
 }
