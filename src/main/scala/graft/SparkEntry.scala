@@ -27,6 +27,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** loadParallel: for queries whose per-row compute (hashing,
+    * shingling, vector math) dominates the scan — see Tables. */
+  private def tp(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.loadParallel(s, dir, name)
+
   /** decimal(18,2) sum → round(2) → double: the order-independent
     * money-aggregate pattern. */
   private def dsum(c: Column): Column =
@@ -413,11 +418,11 @@ object SparkEntry {
     // #32: MinHash-LSH near-dups, exact-Jaccard verified (oracle:
     // LSH miss probability ≈ 4e-8 at the planted pairs' jaccard ≥ 0.9)
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text", 0.8)),
+      Dedup.minHashNearDups(tp(s, dir, "documents"), "doc_id", "text", 0.8)),
 
     // #33: SimHash near-dups via pigeonhole chunk join (rows-only)
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", 7)
+      Dedup.simHashNearDups(tp(s, dir, "documents"), "doc_id", "text", 7)
         .select("i", "j", "ham")),
 
     // #34: exact n-gram Jaccard verify pass over a bounded id range
@@ -427,26 +432,26 @@ object SparkEntry {
     // #35: embedding cosine near-dup, LSH-bucketed (rows-only: LSH
     // recall at these moderate cosines is probabilistic by design)
     "q_dedup_embedding" -> ((s, dir) =>
-      AnnLsh.cosineNearDups(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      AnnLsh.cosineNearDups(tp(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .select("i", "j")),
 
     // #37: LSH-bucketed ANN (rows-only; recall vs brute force in ScalaTest)
     "q_ann_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = tp(s, dir, "embeddings")
       AnnLsh.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .select("q_id", "rn", "n_id")
     }),
 
     // #38: IVF-style ANN (rows-only; recall vs brute force in ScalaTest)
     "q_ann_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = tp(s, dir, "embeddings")
       AnnIvf.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .select("q_id", "rn", "n_id")
     }),
 
     // #42: winnowing fingerprints (rows-only; overlap semantics in ScalaTest)
     "q_fingerprint" -> ((s, dir) =>
-      Fingerprint.fingerprintDf(t(s, dir, "documents"), "doc_id", "text")
+      Fingerprint.fingerprintDf(tp(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), size(col("fps")).as("n_fp"))),
 
     // #43: multimodal lake-table shape — binary payload + typed meta
@@ -577,7 +582,7 @@ object SparkEntry {
     // #54: near-dup clustering — connected components over the
     // MinHash-LSH pair list; every doc labeled with its component min id
     "q_dedup_cluster" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
       val edges = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
         .select(col("i"), col("j"))
       DedupCluster.components(docs, "doc_id", edges)
@@ -598,7 +603,7 @@ object SparkEntry {
 
     // #56: df-weighted term relevance (TF-IDF family), top-3 per doc
     "q_tfidf" -> ((s, dir) =>
-      Tfidf.topTerms(t(s, dir, "documents").filter(col("doc_id") < 200),
+      Tfidf.topTerms(tp(s, dir, "documents").filter(col("doc_id") < 200),
         "doc_id", "text", 3)),
 
     // #57: PII redaction pass (emails/phones -> typed placeholders) on

@@ -28,6 +28,36 @@ object Tables {
     else df
   }
 
+  /** `load` + scan rebalance, for operators whose per-row compute
+    * dominates the scan (hashing, shingling, vector math). */
+  def loadParallel(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    rebalanceScan(spark, load(spark, sfDir, name), s"$sfDir/$name.parquet")
+
+  /** The harness testdata is single-file single-ROW-GROUP parquet — an
+    * indivisible scan unit, so every scan stage (filters, per-row
+    * hashing, partial aggregation) would run on ONE task no matter the
+    * core count. Production 100 TB layouts arrive in thousands of
+    * splits, so this rebalance is a no-op there (splits >= cores and it
+    * does nothing); here it pays one exchange of the table's bytes to
+    * restore the parallelism a real layout gives the compute above the
+    * scan. Tiny dim tables (< 256 KB) are left alone — nothing above them
+    * is compute-bound. Catalyst still pushes filters/pruning through
+    * the repartition into the scan (asserted in PlanSpec). Expected
+    * split count comes from file bytes / maxPartitionBytes (never a
+    * `.rdd` materialization — physical-planning per load measurably
+    * taxes every query), which matches parquet's actual behavior for
+    * single-row-group files and is a no-op estimate at real scale. */
+  private def rebalanceScan(spark: SparkSession, df: DataFrame,
+                            path: String): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val bytes = new java.io.File(path).length()
+    val maxPart = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+      .stripSuffix("b").toLong
+    val expectedSplits = math.max(1L, bytes / maxPart)
+    if (bytes < (256 << 10) || expectedSplits >= cores) df
+    else df.repartition(cores)
+  }
+
   /** Register all tables as temp views so `spark.sql` queries and the
     * DuckDB oracle share one table namespace. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

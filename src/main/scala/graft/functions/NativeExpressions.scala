@@ -275,6 +275,77 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** One-pass winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash
+    * all character k-grams (the same xxhash64(substr) the HOF pipeline
+    * uses — hash-identical, asserted in NativeExprSpec), slide a window
+    * of w hashes with a monotonic deque (O(n), vs the HOF's O(n·w)
+    * slice-per-window), emit the distinct sorted window minima. */
+  case class Winnow(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(k > 0 && w > 0)
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_winnow"
+
+    override def nullSafeEval(input: Any): Any =
+      Winnow.winnow(input.asInstanceOf[UTF8String], k, w)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""${ev.value} = graft.functions.NativeExpressions.Winnow.winnow($a, $k, $w);"""
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  object Winnow {
+    /** Static helper shared by eval and generated code. */
+    def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+      val n = s.numChars()
+      if (n < k) return new GenericArrayData(Array.empty[Long])
+      val m = n - k + 1
+      val h = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        h(i) = XxHash64Function.hash(s.substringSQL(i + 1, k), StringType, 42L)
+        i += 1
+      }
+      val mins: Array[Long] =
+        if (m < w) h
+        else {
+          // monotonic deque of indices; head is the current window min
+          val out = new Array[Long](m - w + 1)
+          val dq = new Array[Int](m)
+          var head = 0; var tail = 0 // [head, tail)
+          var j = 0
+          while (j < m) {
+            while (tail > head && h(dq(tail - 1)) >= h(j)) tail -= 1
+            dq(tail) = j; tail += 1
+            if (dq(head) <= j - w) head += 1
+            if (j >= w - 1) out(j - w + 1) = h(dq(head))
+            j += 1
+          }
+          out
+        }
+      val sorted = mins.clone()
+      java.util.Arrays.sort(sorted)
+      var cnt = 0
+      var p = 0
+      while (p < sorted.length) {
+        if (p == 0 || sorted(p) != sorted(p - 1)) cnt += 1
+        p += 1
+      }
+      val dedup = new Array[Long](cnt)
+      var q = 0; p = 0
+      while (p < sorted.length) {
+        if (p == 0 || sorted(p) != sorted(p - 1)) { dedup(q) = sorted(p); q += 1 }
+        p += 1
+      }
+      new GenericArrayData(dedup)
+    }
+  }
+
   // ----------------------------------------------------------- Column API
 
   private def e(c: Column): Expression = GraftBridge.expression(c)
@@ -294,4 +365,7 @@ object NativeExpressions {
   def hyperplaneBuckets(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
     GraftBridge.column(HyperplaneBuckets(e(vec),
       planes.map(_.map(_.toArray).toArray).toArray))
+
+  def winnow(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(Winnow(e(text), k, w))
 }

@@ -15,9 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Fingerprint {
 
-  /** (id, fps): winnowed fingerprint set, distinct + sorted. */
+  /** (id, fps): winnowed fingerprint set, distinct + sorted, via the
+    * one-pass native expression (hash-identical to fingerprintDfHof,
+    * asserted in NativeExprSpec). */
   def fingerprintDf(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.NativeExpressions.winnow(col(textCol), k, w).as("fps"))
+
+  /** HOF reference implementation, kept as the parity oracle for the
+    * native expression. */
+  def fingerprintDfHof(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, w: Int = 4): DataFrame =
     docs
       .select(col(idCol).as("id"), col(textCol).as("t"))
       .select(col("id"),

@@ -64,6 +64,16 @@ class NativeExprSpec extends SparkSpec {
     assert(native === hof)
   }
 
+  test("native winnow is hash-identical to the HOF fingerprint pipeline") {
+    import graft.operators.Fingerprint
+    val native = Fingerprint.fingerprintDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = Fingerprint.fingerprintDfHof(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet === hof.keySet)
+    native.foreach { case (id, fps) => assert(fps === hof(id), s"doc $id") }
+  }
+
   test("expressions run inside whole-stage codegen") {
     // the `*(n)` prefix marks operators fused into a codegen stage
     val plan = emb.select(Vectors.cosine(col("embedding"), col("embedding")))

@@ -70,6 +70,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("scan rebalance keeps pushdown and restores scan-stage parallelism") {
+    // sf0.1 lineitem is big enough to trigger the rebalance
+    val df = Tables.loadParallel(spark, "/root/testdata/sf0.1", "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") >= 48)
+      .select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange RoundRobinPartitioning"), p)
+    // filters still reach the scan THROUGH the repartition
+    assert(p.contains("PushedFilters: [IsNotNull("), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_returnflag"), read)
+    assert(df.rdd.getNumPartitions > 1)
+  }
+
   test("bucketed tables co-locate a fact join: zero shuffle exchanges") {
     val orders = table("orders")
     val customer = table("customer")
