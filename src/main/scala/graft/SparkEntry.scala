@@ -541,6 +541,19 @@ object SparkEntry {
         .groupBy(col("r_name"))
         .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))),
 
+    // #30p: percent_rank / cume_dist / nth_value over a total per-group
+    // order (rank ratios are exact int divisions — engine-identical)
+    "q_window_extras" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+    }),
+
     // #65: salted shuffle join — row-identical to the plain join (the
     // oracle IS the unsalted join), hot keys spread over 8 reducers
     "q_salted_join" -> ((s, dir) => {
@@ -998,6 +1011,16 @@ object SparkEntry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "q_window_extras" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
 
     // deliberately the UNSALTED join: salting must be row-invisible
     "q_salted_join" ->

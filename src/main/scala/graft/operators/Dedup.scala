@@ -145,6 +145,46 @@ object Dedup {
       .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jac"))
   }
 
+  /** Incremental (cross-batch) near-dup detection — the production
+    * shape: an `incoming` batch is checked against the already-ingested
+    * `existing` corpus AND against itself, without re-pairing existing
+    * docs with each other (their pairs were found when THEY were
+    * ingested). Output pairs always have the redundant doc on `j`
+    * (j ∈ incoming); keep the novel subset with an anti-join on j.
+    * At scale `existing`'s shingles/signatures would be read from the
+    * materialized signature table rather than recomputed — the join
+    * shape is identical. */
+  def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String,
+                          theta: Double = 0.8, shingleN: Int = 3,
+                          numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val all = existing.select(col(idCol), col(textCol)).withColumn("origin", lit(0))
+      .unionByName(incoming.select(col(idCol), col(textCol)).withColumn("origin", lit(1)))
+    val sh = shingleDf(all, idCol, textCol, shingleN)
+      .join(all.select(col(idCol).as("id"), col("origin")), "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowsPerBand = numHashes / bands
+    val banded = sh
+      .select(col("id"), col("origin"),
+        graft.functions.NativeExpressions.minHashSig(col("sh"), numHashes, 0x5EED).as("sig"))
+      .select(col("id"), col("origin"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1,
+            lit(rowsPerBand))))).as(Seq("band", "bhash")))
+    val pairs = banded.as("a").join(banded.as("b"),
+      col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+        (col("a.origin") < col("b.origin") ||
+          (col("a.origin") === 1 && col("b.origin") === 1 &&
+            col("a.id") < col("b.id"))))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    pairs
+      .join(sh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
+      .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")
+      .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jac"))
+      .filter(col("jac") >= theta)
+  }
+
   // -------------------------------------------------------------- simhash
 
   private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)

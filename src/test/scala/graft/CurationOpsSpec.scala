@@ -74,4 +74,39 @@ class CurationOpsSpec extends SparkSpec {
     val rate = a.length.toDouble / docs.count()
     assert(rate > 0.02 && rate < 0.30, s"rate $rate")  // nominal ~10%, n=50
   }
+
+  test("incremental near-dups = batch pairs with the redundant doc in the incoming batch") {
+    import org.apache.spark.sql.functions.col
+    val docs = table("documents")
+    val existing = docs.filter(col("doc_id") < 25)
+    val incoming = docs.filter(col("doc_id") >= 25)
+    val inc = graft.operators.Dedup
+      .incrementalNearDups(existing, incoming, "doc_id", "text", 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup
+      .minHashNearDups(docs, "doc_id", "text", 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch pairs whose redundant (larger-id) member is incoming
+    val expected = batch.filter { case (_, j) => j >= 25 }
+    assert(inc === expected)
+    // no existing-existing pairs ever re-reported
+    assert(inc.forall { case (_, j) => j >= 25 })
+  }
+
+  test("bloom-pruned join is row-identical to the plain join and actually prunes") {
+    import org.apache.spark.sql.functions.col
+    val li = table("lineitem")
+    val dim = table("orders").filter(col("o_orderkey") % 100 === 0)
+      .select("o_orderkey", "o_orderpriority")
+    val plain = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+    val bloomed = graft.operators.BloomPrune
+      .prunedJoin(li, dim, "l_orderkey", "o_orderkey")
+    assert(bloomed.count() === plain.count())
+    // the pre-join filter keeps a superset of matches but far fewer
+    // rows than the full fact (1% of keys + false positives)
+    val kept = graft.operators.BloomPrune
+      .pruned(li, dim, "l_orderkey", "o_orderkey").count()
+    assert(kept >= plain.count())
+    assert(kept < li.count() / 2, s"kept $kept of ${li.count()}")
+  }
 }
