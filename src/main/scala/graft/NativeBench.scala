@@ -25,6 +25,22 @@ object NativeBench {
     time("minhash HOF") { Dedup.signatureDfHof(docs, "doc_id", "text").agg(count(lit(1))).head(); docs.count() }
     time("simhash native") { Dedup.simHashDf(docs, "doc_id", "text").agg(bit_xor(col("sig"))).head(); docs.count() }
     time("simhash HOF") { Dedup.simHashDfHof(docs, "doc_id", "text").agg(bit_xor(col("sig"))).head(); docs.count() }
+    // winnowing fingerprints (k-gram hash + sliding min)
+    import graft.operators.Fingerprint
+    time("winnow native") { Fingerprint.fingerprintDf(docs, "doc_id", "text")
+      .agg(sum(size(col("fps")))).head(); docs.count() }
+    time("winnow HOF") { Fingerprint.fingerprintDfHof(docs, "doc_id", "text")
+      .agg(sum(size(col("fps")))).head(); docs.count() }
+    // all-tables LSH bucket keys per vector
+    import graft.operators.AnnLsh
+    val planes = (0 until 8).map(t => AnnLsh.hyperplanes(6, 64, 0xA11L + t))
+    time("lsh buckets native") { emb.select(
+      graft.functions.NativeExpressions.hyperplaneBuckets(
+        col("embedding").cast("array<double>"), planes).as("ks"))
+      .agg(sum(size(col("ks")))).head(); emb.count() }
+    time("lsh buckets HOF") { emb.select(
+      array(planes.map(p => AnnLsh.bucketKey(col("embedding"), p)): _*).as("ks"))
+      .agg(sum(size(col("ks")))).head(); emb.count() }
     spark.stop()
   }
 }
