@@ -555,12 +555,12 @@ object SparkEntry {
     }),
 
     // #65: salted shuffle join — row-identical to the plain join (the
-    // oracle IS the unsalted join), hot keys spread over 8 reducers
+    // oracle IS the unsalted join), hot keys spread over 4 reducers
     "q_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
       graft.operators.SkewAgg.saltedJoin(li, o, "l_orderkey", "o_orderkey",
-          buckets = 8, saltSource = col("l_linenumber"))
+          buckets = 4, saltSource = col("l_linenumber"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
     }),
