@@ -541,6 +541,27 @@ object SparkEntry {
         .groupBy(col("r_name"))
         .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))),
 
+    // #30q: unpivot (melt) measures to rows — the inverse of q_pivot
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(dsum(col("val")).as("total"), count(lit(1)).as("n"))),
+
+    // #30r: null-safe equality (<=>) join on a nullable key
+    "q_null_safe" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .withColumn("k", nullif(col("o_orderstatus"), lit("P")))
+      val d = Seq((Option("F"), "finished"), (Option("O"), "open"),
+        (Option.empty[String], "pending")).toDF("k2", "label")
+      o.join(broadcast(d), col("k") <=> col("k2"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    }),
+
     // #30p: percent_rank / cume_dist / nth_value over a total per-group
     // order (rank ratios are exact int divisions — engine-identical)
     "q_window_extras" -> ((s, dir) => {
@@ -1011,6 +1032,24 @@ object SparkEntry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT measure,
+        |  CAST(ROUND(SUM(CAST(val AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY measure""".stripMargin,
+
+    "q_null_safe" ->
+      """SELECT label, count(*) AS n
+        |FROM (SELECT nullif(o_orderstatus, 'P') AS k FROM orders) o
+        |JOIN (VALUES ('F', 'finished'), ('O', 'open'), (NULL, 'pending'))
+        |  AS d(k2, label)
+        |ON o.k IS NOT DISTINCT FROM d.k2
+        |GROUP BY label""".stripMargin,
 
     "q_window_extras" ->
       """SELECT o_custkey, o_orderkey,

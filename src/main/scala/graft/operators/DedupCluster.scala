@@ -23,14 +23,30 @@ object DedupCluster {
 
   /** (id, cluster_id): every node labeled with the min node id in its
     * connected component. `nodes` supplies the universe (singletons keep
-    * their own id); `edges` columns `i`, `j`. */
+    * their own id); `edges` columns `i`, `j`.
+    *
+    * Only edge-touched nodes iterate: a near-dup graph over a corpus
+    * touches a small fraction of it, so the propagation loop runs on
+    * |V(edges)| rows, not |corpus| rows — every untouched doc is a
+    * singleton and joins the result at the end without ever entering
+    * the loop. At 100 TB that is the difference between iterating over
+    * megabytes and iterating over the corpus. */
   def components(nodes: DataFrame, idCol: String, edges: DataFrame,
                  maxIters: Int = 12): DataFrame = {
-    val spark = nodes.sparkSession
+    val touched = components(edges, maxIters)
+    nodes.select(col(idCol).as("id"))
+      .join(touched.withColumnRenamed("id", "tid"),
+        col("id") === col("tid"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** Components over ONLY the nodes present in the edge list. */
+  def components(edges: DataFrame, maxIters: Int): DataFrame = {
     val sym = edges.select(col("i").as("a"), col("j").as("b"))
       .union(edges.select(col("j").as("a"), col("i").as("b")))
       .persist()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label")).persist()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
