@@ -84,4 +84,41 @@ class SketchStreamSpec extends SparkSpec {
         === Array(1L, 2L))
     } finally q.stop()
   }
+
+  test("stream-static join enriches the stream without stream-side state") {
+    val in = MemoryStream[(Long, Timestamp)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("uid", "tier")
+    val joined = in.toDF.toDF("uid", "ts")
+      .join(broadcast(dim), Seq("uid"), "left")
+    val q = joined.writeStream.format("memory").queryName("ssd")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0)), (2L, ts(1)), (3L, ts(2)))
+      q.processAllAvailable()
+      val rows = ss.sql("SELECT uid, tier FROM ssd").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(rows === Map(1L -> "gold", 2L -> "basic", 3L -> null))
+    } finally q.stop()
+  }
+
+  test("session_window aggregation closes sessions on the gap") {
+    val in = MemoryStream[(Long, Timestamp)]
+    def ts(m: Int, sec: Int = 0) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$sec%02d")
+    val sessions = in.toDF.toDF("uid", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("uid"), session_window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("uid"), col("session_window.start").as("s"), col("n"))
+    val q = sessions.writeStream.format("memory").queryName("sw")
+      .outputMode("complete").start()
+    try {
+      // two bursts for uid 1 separated by > 5 min -> two sessions
+      in.addData((1L, ts(0)), (1L, ts(2)), (1L, ts(20)), (2L, ts(1)))
+      q.processAllAvailable()
+      val got = ss.sql("SELECT uid, n FROM sw ORDER BY uid, s").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
 }
