@@ -68,7 +68,7 @@ object AnnIvf {
     * scan + one shuffle; the tiny centroid result is localized so pass
     * i+1's plan does not contain pass i's. */
   def fit(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
-          iters: Int = 2): DataFrame = {
+          iters: Int = 1): DataFrame = {
     var centroids = localized(df.sparkSession, initCentroids(df, idCol, vecCol, nlist))
     for (_ <- 0 until iters)
       centroids = localized(df.sparkSession,
