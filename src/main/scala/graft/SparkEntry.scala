@@ -591,6 +591,29 @@ object SparkEntry {
       Sampling.topKPerStratum(t(s, dir, "documents"), "doc_id", "source", 5)
         .select(col("source"), col("doc_id"))),
 
+    // #70: repetition filter (Gopher/C4-style): duplicate-token ratio
+    // per doc — 1 - distinct/total, exact int division both engines
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .select(col("doc_id"),
+          (lit(1.0) - size(array_distinct(col("tk"))).cast("double") /
+            size(col("tk")).cast("double")).as("dup_ratio"))
+        .filter(col("dup_ratio") > 0.5)),
+
+    // #71: benchmark decontamination — drop training docs sharing any
+    // word 5-gram with the benchmark set (docs 0-9 stand in); the
+    // shingle semi-join is the standard contamination check, and it
+    // shuffles on the shingle hash, never doc x doc
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val trainSh = Dedup.shingleDf(docs.filter(col("doc_id") >= 10),
+        "doc_id", "text", 5).select(col("id"), explode(col("sh")).as("g"))
+      val benchSh = Dedup.shingleDf(docs.filter(col("doc_id") < 10),
+        "doc_id", "text", 5).select(explode(col("sh")).as("g")).distinct()
+      trainSh.join(benchSh, "g").select(col("id").as("doc_id")).distinct()
+    }),
+
     // ===== §2.6 time-series joins, clustering, curation =====
 
     // #52: as-of join — each click matched to the user's latest view at
@@ -1032,6 +1055,27 @@ object SparkEntry {
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "q_repetition" ->
+      """SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+        |    AS dup_ratio
+        |FROM (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |WHERE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) > 0.5""".stripMargin,
+
+    "q_contamination" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 3),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
+        |  FROM t WHERE len(tk) >= 5),
+        |train AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id >= 10),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 10)
+        |SELECT DISTINCT train.doc_id
+        |FROM train JOIN bench ON train.g = bench.g""".stripMargin,
 
     "q_unpivot" ->
       """SELECT measure,
