@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** The composed training-data curation flow — the end-to-end shape a
+  * 100 TB pipeline runs, built entirely from this library's operators:
+  *
+  *   1. exact dedup (normalized-text hash, keep first)
+  *   2. near-dup clustering (MinHash-LSH pairs → connected components,
+  *      keep each cluster's min id)
+  *   3. benchmark decontamination (word 5-gram overlap semi-join)
+  *   4. quality gates (composite score, repetition ratio, token count)
+  *   5. deterministic content-hash sampling to the target rate
+  *
+  * Every stage is a narrow filter or a bucket-bounded join — nothing
+  * materializes doc × doc, nothing collects to the driver, and the
+  * whole flow is one lazy plan per stage boundary.
+  */
+object CurationPipeline {
+
+  case class Config(minHashTheta: Double = 0.8,
+                    minQuality: Double = 0.4,
+                    maxDupRatio: Double = 0.8,
+                    minTokens: Int = 5,
+                    sampleHex4: Option[String] = None)
+
+  /** Curate `docs` (columns idCol, textCol) against an optional
+    * benchmark set. Returns the surviving docs with their quality
+    * stats attached. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             benchmark: Option[DataFrame] = None,
+             config: Config = Config()): DataFrame = {
+    val id = col(idCol)
+
+    // 1. exact dedup: keep the min id per normalized-text hash
+    val keepExact = docs
+      .groupBy(md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("h"))
+      .agg(min(id).as("keep_id"))
+      .select(col("keep_id").as(idCol))
+    val exact = docs.join(keepExact, idCol)
+
+    // 2. near-dup clusters: keep each component's min id
+    val pairs = Dedup.minHashNearDups(exact, idCol, textCol, config.minHashTheta)
+      .select(col("i"), col("j"))
+    val keepers = DedupCluster.components(exact, idCol, pairs)
+      .filter(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    val deduped = exact.join(keepers, idCol)
+
+    // 3. decontamination: drop docs sharing any 5-gram with the benchmark
+    val clean = benchmark match {
+      case Some(bench) =>
+        val benchSh = Dedup.shingleDf(bench, idCol, textCol, 5)
+          .select(explode(col("sh")).as("g")).distinct()
+        val contaminated = Dedup.shingleDf(deduped, idCol, textCol, 5)
+          .select(col("id"), explode(col("sh")).as("g"))
+          .join(benchSh, "g").select(col("id").as(idCol)).distinct()
+        deduped.join(contaminated, Seq(idCol), "left_anti")
+      case None => deduped
+    }
+
+    // 4. quality gates (all narrow, codegen'd column math)
+    val tk = TextAnalysis.tokens(lower(col(textCol)))
+    val gated = clean
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("dup_ratio",
+        lit(1.0) - size(array_distinct(tk)).cast("double") /
+          greatest(size(tk), lit(1)).cast("double"))
+      .filter(col("quality") >= config.minQuality &&
+        col("dup_ratio") <= config.maxDupRatio &&
+        col("n_tokens") >= config.minTokens)
+
+    // 5. optional deterministic subsample
+    config.sampleHex4 match {
+      case Some(hex) => gated.filter(Sampling.hashFilter(col(textCol), hex))
+      case None => gated
+    }
+  }
+}

@@ -109,4 +109,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept >= plain.count())
     assert(kept < li.count() / 2, s"kept $kept of ${li.count()}")
   }
+
+  test("curation pipeline: dedup + decontaminate + gate + sample compose") {
+    import org.apache.spark.sql.functions.col
+    val docs = table("documents")
+    val bench = docs.filter(col("doc_id") < 5)
+    val train = docs.filter(col("doc_id") >= 5)
+    val curated = graft.operators.CurationPipeline.curate(
+      train, "doc_id", "text", benchmark = Some(bench))
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < train.count())
+    // no survivor shares a 5-gram with the benchmark set
+    val overlap = graft.operators.Dedup.shingleDf(
+        curated, "doc_id", "text", 5)
+      .select(col("id"), org.apache.spark.sql.functions.explode(col("sh")).as("g"))
+      .join(graft.operators.Dedup.shingleDf(bench, "doc_id", "text", 5)
+        .select(org.apache.spark.sql.functions.explode(col("sh")).as("g")).distinct(), "g")
+      .count()
+    assert(overlap === 0L)
+    // no two survivors are exact duplicates after normalization
+    val n = curated.count()
+    val distinctNorm = curated.select(
+      org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.trim(
+            org.apache.spark.sql.functions.lower(col("text"))), "\\s+", " ")))
+      .distinct().count()
+    assert(n === distinctNorm)
+    // deterministic: same inputs, same survivors
+    val ids2 = graft.operators.CurationPipeline.curate(
+      train, "doc_id", "text", benchmark = Some(bench))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === ids2)
+  }
 }
