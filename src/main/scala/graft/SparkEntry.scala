@@ -516,12 +516,16 @@ object SparkEntry {
             col("l_extendedprice").cast("decimal(18,2)")).cast(d28)).cast("double").as("sy2"),
           sum((col("l_quantity").cast("decimal(18,2)") *
             col("l_extendedprice").cast("decimal(18,2)")).cast(d28)).cast("double").as("sxy"))
+      // round(9): DuckDB's compiled arithmetic may contract a*b - c*d
+      // into FMA, shifting the last ULP vs the JVM (observed at
+      // sf0.001); 9 decimals is far above ULP noise and far below any
+      // statistical meaning
       g.select(col("l_returnflag"),
-        ((col("nd") * col("sx2") - col("sx") * col("sx")) /
-          (col("nd") * (col("nd") - lit(1.0)))).as("var_qty"),
-        ((col("nd") * col("sxy") - col("sx") * col("sy")) /
+        round((col("nd") * col("sx2") - col("sx") * col("sx")) /
+          (col("nd") * (col("nd") - lit(1.0))), 9).as("var_qty"),
+        round((col("nd") * col("sxy") - col("sx") * col("sy")) /
           sqrt((col("nd") * col("sx2") - col("sx") * col("sx")) *
-            (col("nd") * col("sy2") - col("sy") * col("sy")))).as("corr_qty_price"))
+            (col("nd") * col("sy2") - col("sy") * col("sy"))), 9).as("corr_qty_price"))
     }),
 
     // #63: arg-min/arg-max (max_by/min_by) with struct tie-break
@@ -1033,9 +1037,9 @@ object SparkEntry {
         |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
-        |  (nd * sx2 - sx * sx) / (nd * (nd - 1.0)) AS var_qty,
-        |  (nd * sxy - sx * sy) /
-        |    sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)) AS corr_qty_price
+        |  ROUND((nd * sx2 - sx * sx) / (nd * (nd - 1.0)), 9) AS var_qty,
+        |  ROUND((nd * sxy - sx * sy) /
+        |    sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS corr_qty_price
         |FROM g""".stripMargin,
 
     "q_arg_minmax" ->
