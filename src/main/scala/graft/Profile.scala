@@ -20,6 +20,7 @@ object Profile {
       val t0 = System.nanoTime()
       run(SparkEntry.queries(n)(spark, sfDir))
       println(f"[profile] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -596,13 +596,15 @@ object SparkEntry {
         .select(col("source"), col("doc_id"))),
 
     // #70: repetition filter (Gopher/C4-style): duplicate-token ratio
-    // per doc — 1 - distinct/total, exact int division both engines
+    // per doc — 1 - distinct/total, exact int division both engines.
+    // greatest(.,1) guards 0/0 for empty docs: Spark's NULL vs DuckDB's
+    // NaN would otherwise diverge on whether the doc passes the filter.
     "q_repetition" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("tk"))
         .select(col("doc_id"),
           (lit(1.0) - size(array_distinct(col("tk"))).cast("double") /
-            size(col("tk")).cast("double")).as("dup_ratio"))
+            greatest(size(col("tk")), lit(1)).cast("double")).as("dup_ratio"))
         .filter(col("dup_ratio") > 0.5)),
 
     // #71: benchmark decontamination — drop training docs sharing any
@@ -854,7 +856,7 @@ object SparkEntry {
 
     "q_json_extract" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 THEN 1 END) AS n_high
         |FROM events GROUP BY event_type""".stripMargin,
 
@@ -898,7 +900,7 @@ object SparkEntry {
         |                      ROWS UNBOUNDED PRECEDING) AS session_seq
         |  FROM x
         |)
-        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
         |  CAST(FLOOR(MIN(sec)) AS BIGINT) AS start_s,
         |  CAST(FLOOR(MAX(sec)) AS BIGINT) AS end_s
         |FROM y GROUP BY user_id, session_seq""".stripMargin,
@@ -1062,12 +1064,12 @@ object SparkEntry {
 
     "q_repetition" ->
       """SELECT doc_id,
-        |  1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+        |  1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE)
         |    AS dup_ratio
         |FROM (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
         |  FROM documents)
-        |WHERE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) > 0.5""".stripMargin,
+        |WHERE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE) > 0.5""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (SELECT doc_id,

@@ -51,8 +51,9 @@ object Tables {
                             path: String): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
     val bytes = new java.io.File(path).length()
-    val maxPart = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-      .stripSuffix("b").toLong
+    // conf may be human-readable ("128m", "128MB") — parse like Spark does
+    val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     val expectedSplits = math.max(1L, bytes / maxPart)
     if (bytes < (256 << 10) || expectedSplits >= cores) df
     else df.repartition(cores)

@@ -24,6 +24,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // dedup operators persist intermediates (shingle tables, CC labels)
+      // that outlive their query; running all of them in one session
+      // would otherwise accumulate cached blocks
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -112,6 +112,11 @@ object Dedup {
     // re-shingles the corpus. MEMORY_AND_DISK is the scale posture
     // too: a 100 TB pipeline materializes shingles/signatures once
     // and spills rather than recomputing the scan per use.
+    // Cache lifetime is the CALLER's: the returned plan references the
+    // persisted table, so unpersist (or spark.catalog.clearCache())
+    // only after consuming the result — long-lived sessions that skip
+    // this accumulate cached blocks. Same contract for
+    // incrementalNearDups and DedupCluster.components.
     val sh = shingleDf(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = numHashes / bands

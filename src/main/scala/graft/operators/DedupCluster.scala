@@ -51,13 +51,21 @@ object DedupCluster {
     var it = 0
     while (!converged && it < maxIters) {
       // min over self-label and all neighbors' labels, one shuffle
-      val next = labels.join(sym, labels("id") === sym("a"), "left")
+      val prop = labels.join(sym, labels("id") === sym("a"), "left")
         .select(col("id"), col("label"), col("b"))
         .join(labels.select(col("id").as("b2"), col("label").as("nl")),
           col("b") === col("b2"), "left")
         .groupBy(col("id"))
         .agg(least(min(col("label")), coalesce(min(col("nl")), min(col("label"))))
           .as("label"))
+      // pointer-jumping shortcut: label := label(label). Labels form a
+      // forest with label(id) <= id, so composing halves path lengths —
+      // neighbor-min alone needs O(diameter) passes (a chain-shaped dup
+      // graph defeats any fixed cap); with this the loop is O(log d).
+      val next = prop.join(
+          prop.select(col("id").as("lid"), col("label").as("ll")),
+          prop("label") === col("lid"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
         .persist()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
@@ -67,6 +75,12 @@ object DedupCluster {
       it += 1
     }
     sym.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"DedupCluster.components did not converge in $maxIters passes; " +
+          "raise maxIters (convergence is O(log diameter) with shortcutting)")
+    }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 }

@@ -44,7 +44,10 @@ object SkewAgg {
   def saltedJoin(fact: DataFrame, build: DataFrame, factKey: String,
                  buildKey: String, buckets: Int,
                  saltSource: Column): DataFrame = {
-    val salted = fact.withColumn("_salt", pmod(xxhash64(saltSource), lit(buckets)))
+    // coalesce: a NULL saltSource must still route to a bucket (a NULL
+    // salt would silently drop the row from the join)
+    val salted = fact.withColumn("_salt",
+      coalesce(pmod(xxhash64(saltSource), lit(buckets)), lit(0L)))
     val replicated = build
       .withColumn("_salt", explode(sequence(lit(0L), lit(buckets - 1L))))
     salted.join(replicated,
