@@ -612,12 +612,14 @@ object SparkEntry {
     // shingle semi-join is the standard contamination check, and it
     // shuffles on the shingle hash, never doc x doc
     "q_contamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tp(s, dir, "documents") // shingling is per-row compute
       val trainSh = Dedup.shingleDf(docs.filter(col("doc_id") >= 10),
         "doc_id", "text", 5).select(col("id"), explode(col("sh")).as("g"))
+      // holdout set is tiny by construction — its distinct shingles
+      // broadcast, so the corpus side never shuffles
       val benchSh = Dedup.shingleDf(docs.filter(col("doc_id") < 10),
         "doc_id", "text", 5).select(explode(col("sh")).as("g")).distinct()
-      trainSh.join(benchSh, "g").select(col("id").as("doc_id")).distinct()
+      trainSh.join(broadcast(benchSh), "g").select(col("id").as("doc_id")).distinct()
     }),
 
     // ===== §2.6 time-series joins, clustering, curation =====

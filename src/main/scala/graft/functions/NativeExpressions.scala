@@ -288,20 +288,23 @@ object NativeExpressions {
     override def prettyName: String = "graft_winnow"
 
     override def nullSafeEval(input: Any): Any =
-      Winnow.winnow(input.asInstanceOf[UTF8String], k, w)
+      WinnowImpl.winnow(input.asInstanceOf[UTF8String], k, w)
 
+    // WinnowImpl is a TOP-LEVEL object: Scala emits Java static
+    // forwarders for those, so Janino resolves this call. (A nested
+    // object would be NativeExpressions$Winnow$.MODULE$ — referencing
+    // it as a dotted path made codegen fail and silently fall back to
+    // interpreted eval.)
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
-        s"""${ev.value} = graft.functions.NativeExpressions.Winnow.winnow($a, $k, $w);"""
+        s"""${ev.value} = graft.functions.WinnowImpl.winnow($a, $k, $w);"""
       })
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
 
-  object Winnow {
-    /** Static helper shared by eval and generated code. */
-    def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+  private[functions] def winnowBody(s: UTF8String, k: Int, w: Int): ArrayData = {
       val n = s.numChars()
       if (n < k) return new GenericArrayData(Array.empty[Long])
       val m = n - k + 1
@@ -343,7 +346,6 @@ object NativeExpressions {
         p += 1
       }
       new GenericArrayData(dedup)
-    }
   }
 
   // ----------------------------------------------------------- Column API
@@ -368,4 +370,12 @@ object NativeExpressions {
 
   def winnow(text: Column, k: Int, w: Int): Column =
     GraftBridge.column(Winnow(e(text), k, w))
+}
+
+/** Winnowing kernel entry point. TOP-LEVEL object so Scala emits Java
+  * static forwarders — generated code calls
+  * `graft.functions.WinnowImpl.winnow(...)` as a plain static method. */
+object WinnowImpl {
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData =
+    NativeExpressions.winnowBody(s, k, w)
 }
