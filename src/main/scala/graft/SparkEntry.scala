@@ -692,6 +692,106 @@ object SparkEntry {
           .otherwise(array().cast("array<string>"))).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc).limit(50)),
+
+    // #73: sequence packing — docs concatenated per source shard in
+    // doc_id order, cut into 512-token bins (packed-sample training
+    // layout); one shuffle + one window pass per shard
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = tp(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).as("nt"))
+      operators.Packing.binStats(d, "source", "doc_id", "nt", 512)
+        .withColumn("tok_sum", col("tok_sum").cast("long"))
+    }),
+
+    // #74: deterministic training-order shuffle — md5-keyed global
+    // order; top-100 prefix goes through TakeOrderedAndProject, the
+    // row_number runs on 100 rows only (never a full global sort)
+    "q_shuffle_order" -> ((s, dir) => {
+      val h = md5(concat(lit("seed42:"), col("doc_id").cast("string")))
+      t(s, dir, "documents").select(col("doc_id"), h.as("h"))
+        .orderBy(col("h"), col("doc_id")).limit(100)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("h"), col("doc_id"))).as("rnk"))
+    }),
+
+    // #75: doc-length histogram (64-char buckets, integer-exact)
+    "q_len_histogram" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(expr("n_chars div 64").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_c"),
+          max(col("n_chars")).as("max_c"))),
+
+    // #76: most-frequent token per source (deterministic mode-per-group:
+    // count + row_number with count-desc/token-asc tie-break)
+    "q_vocab_top_per_source" -> ((s, dir) => {
+      val counts = tp(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+      counts.select(col("source"), col("token"), col("cnt"),
+          row_number().over(Window.partitionBy("source")
+            .orderBy(col("cnt").desc, col("token").asc)).as("rn"))
+        .filter(col("rn") === 1).drop("rn")
+    }),
+
+    // #77: skewness/kurtosis from exact decimal moment sums (order-
+    // independent; derived doubles share the oracle's expression tree,
+    // round(9) absorbs FMA-contraction ULPs — q_stats_agg pattern)
+    "q_skew_kurt" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(9,2)")
+      val x2 = (x * x).cast("decimal(18,4)")
+      val g = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("nd"),
+          sum(x.cast("decimal(28,4)")).cast("double").as("sx"),
+          sum(x2.cast("decimal(28,4)")).cast("double").as("sx2"),
+          sum((x2 * x).cast("decimal(28,6)")).cast("double").as("sx3"),
+          sum((x2 * x2).cast("decimal(38,8)")).cast("double").as("sx4"))
+      val m = col("sx") / col("nd")
+      val v = col("sx2") / col("nd") - m * m
+      g.select(col("l_returnflag"),
+        round((col("sx3") / col("nd") - lit(3.0) * m * (col("sx2") / col("nd")) +
+          lit(2.0) * m * m * m) / (v * sqrt(v)), 9).as("skew_qty"),
+        round((col("sx4") / col("nd") - lit(4.0) * m * (col("sx3") / col("nd")) +
+          lit(6.0) * m * m * (col("sx2") / col("nd")) -
+          lit(3.0) * m * m * m * m) / (v * v) - lit(3.0), 9).as("kurt_qty"))
+    }),
+
+    // #78: character trigram counts (charset/script profiling shape);
+    // n >= 3 guard BEFORE sequence() — a start>stop sequence would step
+    // backwards, not return empty
+    "q_char_ngrams" -> ((s, dir) =>
+      tp(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(lower(col("text")).as("tx"))
+        .select(col("tx"), length(col("tx")).as("n"))
+        .filter(col("n") >= 3)
+        .select(explode(transform(sequence(lit(1), col("n") - 2),
+          i => col("tx").substr(i, lit(3)))).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram").asc).limit(50)),
+
+    // #79: ratio-to-total window — each event's share of its user's
+    // exact decimal total (one window pass, no self-join)
+    "q_ratio_window" -> ((s, dir) => {
+      val usum = sum(col("value").cast("decimal(18,2)"))
+        .over(Window.partitionBy("user_id")).cast("double")
+      t(s, dir, "events").filter(col("user_id") < 3)
+        .select(col("user_id"), col("event_id"),
+          round(col("value").cast("decimal(18,2)").cast("double") / usum, 9)
+            .as("share"))
+    }),
+
+    // #80: fixed-size token chunking (context windows for embedding/
+    // indexing): chunk ids from an integer sequence — no array slicing,
+    // so the shuffle never carries token arrays
+    "q_token_chunks" -> ((s, dir) =>
+      tp(s, dir, "documents")
+        .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("nt"))
+        .filter(col("nt") > 0)
+        .select(col("doc_id"), col("nt"),
+          explode(sequence(lit(0), expr("(nt + 31) div 32") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(32), col("nt") - col("chunk_idx") * 32).as("chunk_tok"))),
   )
 
   // ---------------------------------------------------------------------------
@@ -1207,5 +1307,75 @@ object SparkEntry {
         |  FROM t WHERE len(tk) >= 2)
         |SELECT bigram, count(*) AS cnt FROM bg
         |GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
+        |  FROM documents),
+        |p AS (SELECT source, nt,
+        |    CAST((SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) - nt) // 512 AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS tok_sum
+        |FROM p GROUP BY source, bin""".stripMargin,
+
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |FROM documents ORDER BY rnk LIMIT 100""".stripMargin,
+
+    "q_len_histogram" ->
+      """SELECT n_chars // 64 AS bucket, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_c, MAX(n_chars) AS max_c
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_vocab_top_per_source" ->
+      """WITH c AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |g AS (SELECT source, token, COUNT(*) AS cnt FROM c GROUP BY source, token),
+        |r AS (SELECT source, token, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, token ASC) AS rn
+        |  FROM g)
+        |SELECT source, token, cnt FROM r WHERE rn = 1""".stripMargin,
+
+    "q_skew_kurt" ->
+      """WITH g AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(18,4)) AS DECIMAL(28,4))) AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(28,6))) AS DOUBLE) AS sx3,
+        |    CAST(sum(CAST(CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(18,4)) * CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sx4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  ROUND((sx3 / nd - 3.0 * (sx / nd) * (sx2 / nd) + 2.0 * (sx / nd) * (sx / nd) * (sx / nd)) /
+        |    ((sx2 / nd - (sx / nd) * (sx / nd)) * sqrt(sx2 / nd - (sx / nd) * (sx / nd))), 9) AS skew_qty,
+        |  ROUND((sx4 / nd - 4.0 * (sx / nd) * (sx3 / nd) + 6.0 * (sx / nd) * (sx / nd) * (sx2 / nd) -
+        |    3.0 * (sx / nd) * (sx / nd) * (sx / nd) * (sx / nd)) /
+        |    ((sx2 / nd - (sx / nd) * (sx / nd)) * (sx2 / nd - (sx / nd) * (sx / nd))) - 3.0, 9) AS kurt_qty
+        |FROM g""".stripMargin,
+
+    "q_char_ngrams" ->
+      """WITH t AS (SELECT lower(text) AS tx FROM documents WHERE doc_id < 100),
+        |g AS (SELECT unnest(list_transform(range(1, len(tx) - 1),
+        |    i -> substring(tx, i, 3))) AS gram
+        |  FROM t WHERE len(tx) >= 3)
+        |SELECT gram, count(*) AS cnt FROM g
+        |GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT 50""".stripMargin,
+
+    "q_ratio_window" ->
+      """SELECT user_id, event_id,
+        |  ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) /
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE), 9) AS share
+        |FROM events WHERE user_id < 3""".stripMargin,
+
+    "q_token_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
+        |  FROM documents),
+        |c AS (SELECT doc_id, nt, unnest(range(0, (nt + 31) // 32)) AS chunk_idx
+        |  FROM t WHERE nt > 0)
+        |SELECT doc_id, chunk_idx, least(32, nt - chunk_idx * 32) AS chunk_tok
+        |FROM c""".stripMargin,
   )
 }
