@@ -8,6 +8,8 @@ import graft.functions.GraftFunctions
   * `--conf spark.sql.extensions=graft.GraftExtensions` to get the
   * graft_* SQL functions in every session out of the box. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupTopK.Strategy)
+  }
 }

@@ -781,6 +781,17 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // #81: grouped top-k via the custom Catalyst operator (partial
+    // per-partition heaps → shuffle survivors only → final merge;
+    // row-identical to the window row_number plan that shuffles
+    // everything — see plans.GroupTopK)
+    "q_group_topk" -> ((s, dir) =>
+      plans.GroupTopK.topKPerGroup(
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        3, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))),
+
     // #80: fixed-size token chunking (context windows for embedding/
     // indexing): chunk ids from an integer sequence — no array slicing,
     // so the shuffle never carries token arrays
@@ -1368,6 +1379,14 @@ object SparkEntry {
         |  ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) /
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE), 9) AS share
         |FROM events WHERE user_id < 3""".stripMargin,
+
+    "q_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
 
     "q_token_chunks" ->
       """WITH t AS (SELECT doc_id,

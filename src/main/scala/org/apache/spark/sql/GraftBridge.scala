@@ -9,4 +9,24 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a (resolved) logical plan as a DataFrame — how custom logical
+    * operators re-enter the public Dataset API. */
+  def dataFrame(spark: SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (stable attribute ids —
+    * what custom operator builders should compose over). */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Idempotently register an extra planner strategy on a session (the
+    * programmatic equivalent of spark.sql.extensions injection). */
+  def addStrategy(spark: SparkSession,
+                  s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+  }
 }
