@@ -41,6 +41,18 @@ object NativeBench {
     time("lsh buckets HOF") { emb.select(
       array(planes.map(p => AnnLsh.bucketKey(col("embedding"), p)): _*).as("ks"))
       .agg(sum(size(col("ks")))).head(); emb.count() }
+    // grouped top-k: custom two-phase operator vs window row_number
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, d, "events")
+      .select(col("user_id"), col("event_id"), col("value")).cache(); ev.count()
+    time("group-topk custom") {
+      graft.plans.GroupTopK.topKPerGroup(ev, 3, Seq(col("user_id")),
+        Seq(col("value").desc, col("event_id").asc)).count() }
+    time("group-topk window") {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id").asc)
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn").count() }
     spark.stop()
   }
 }

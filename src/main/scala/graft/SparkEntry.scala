@@ -53,6 +53,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_top10_tokens")(spark, "/root/testdata/sf0.001")
 
+  /** NOT IN with a nullable probe side (NULLIF), shared verbatim: rows
+    * whose probe value is NULL are dropped by three-valued logic, which
+    * only a null-aware anti join honors. */
+  private val NotInNullAwareQuery =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders
+      |WHERE NULLIF(o_custkey, 997) NOT IN
+      |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** TPC-H Q3 shape, shared verbatim between spark.sql and DuckDB —
     * the SQL-interface capability is "one ANSI text, two engines". */
   private val SqlInterfaceQuery =
@@ -781,6 +791,37 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // #82: time-range window frame — trailing 1-hour sum per user
+    // (RANGE frame keyed on epoch seconds: tie-order independent,
+    // exact decimal sum; one shuffle + one sort, same as any
+    // per-user windowing)
+    "q_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3599L, Window.currentRow)
+      t(s, dir, "events").filter(col("user_id") < 3)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value").cast("decimal(18,2)")).over(w), 2)
+            .cast("double").as("trail_sum"))
+    }),
+
+    // #83: regex extraction over text (regexp_extract_all → explode →
+    // count; the scan stays the only full-data pass)
+    "q_regex_extract" -> ((s, dir) =>
+      tp(s, dir, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z]{5,}"), lit(0))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc).limit(20)),
+
+    // #84: null-aware NOT IN anti join — NULLIF makes the probe side
+    // nullable, exercising SQL's three-valued NOT IN semantics (Spark
+    // plans a null-aware anti join, not a plain one); shared ANSI text
+    "q_notin_nullaware" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(NotInNullAwareQuery)
+    }),
+
     // #81: grouped top-k via the custom Catalyst operator (partial
     // per-partition heaps → shuffle survivors only → final merge;
     // row-identical to the window row_number plan that shuffles
@@ -1379,6 +1420,21 @@ object SparkEntry {
         |  ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) /
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE), 9) AS share
         |FROM events WHERE user_id < 3""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trail_sum
+        |FROM events WHERE user_id < 3""".stripMargin,
+
+    "q_regex_extract" ->
+      """SELECT w, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]{5,}')) AS w
+        |      FROM documents)
+        |GROUP BY w ORDER BY cnt DESC, w ASC LIMIT 20""".stripMargin,
+
+    "q_notin_nullaware" -> NotInNullAwareQuery,
 
     "q_group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
