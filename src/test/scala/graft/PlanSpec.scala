@@ -84,6 +84,26 @@ class PlanSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions > 1)
   }
 
+  test("q_pack_sequences: one data shuffle (window + agg share the shard key)") {
+    val p = plan("q_pack_sequences")
+    // window partitions by source; the groupBy(source, bin) reuses that
+    // partitioning — a second hashpartitioning exchange would mean the
+    // rollup re-shuffles what the window pass already clustered
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("q_shuffle_order: prefix via TakeOrderedAndProject, not global sort") {
+    val p = plan("q_shuffle_order")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_notin_nullaware plans a null-aware anti join") {
+    val p = plan("q_notin_nullaware")
+    // trailing `true` on the anti join is isNullAwareAntiJoin
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+  }
+
   test("bucketed tables co-locate a fact join: zero shuffle exchanges") {
     val orders = table("orders")
     val customer = table("customer")
