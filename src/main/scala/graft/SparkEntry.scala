@@ -791,6 +791,12 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // #85: one-pass table profiling (null + exact distinct counts per
+    // column; Expand-based multi-NDV — swap to HLL per column at scale)
+    "q_profile" -> ((s, dir) =>
+      operators.TableProfile.profile(t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"))),
+
     // #82: time-range window frame — trailing 1-hour sum per user
     // (RANGE frame keyed on epoch seconds: tie-order independent,
     // exact decimal sum; one shuffle + one sort, same as any
@@ -1420,6 +1426,17 @@ object SparkEntry {
         |  ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) /
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE), 9) AS share
         |FROM events WHERE user_id < 3""".stripMargin,
+
+    "q_profile" ->
+      """SELECT 'o_custkey' AS col_name,
+        |  COUNT(*) - COUNT(o_custkey) AS n_nulls,
+        |  COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+        |  COUNT(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+        |  COUNT(DISTINCT o_orderpriority) FROM orders""".stripMargin,
 
     "q_range_frame" ->
       """SELECT user_id, event_id,
