@@ -791,6 +791,17 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // #86: Misra-Gries frequent-items native aggregate. k=64 exceeds
+    // event_type's cardinality, so no counter ever evicts and the
+    // mergeable sketch's lower bounds ARE the exact counts — which is
+    // what makes this oracle-checkable; the approximation regime is
+    // pinned down by FreqItemsSpec instead
+    "q_freq_sketch" -> ((s, dir) =>
+      t(s, dir, "events")
+        .agg(graft.functions.FreqItems.freqItems(col("event_type"), 64).as("fi"))
+        .select(explode(col("fi")).as("e"))
+        .select(col("e.item").as("item"), col("e.lb").as("cnt"))),
+
     // #85: one-pass table profiling (null + exact distinct counts per
     // column; Expand-based multi-NDV — swap to HLL per column at scale)
     "q_profile" -> ((s, dir) =>
@@ -1426,6 +1437,10 @@ object SparkEntry {
         |  ROUND(CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) /
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE), 9) AS share
         |FROM events WHERE user_id < 3""".stripMargin,
+
+    "q_freq_sketch" ->
+      """SELECT event_type AS item, COUNT(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q_profile" ->
       """SELECT 'o_custkey' AS col_name,
