@@ -39,9 +39,10 @@ object Bench {
     }
     val flagship = results.toMap.getOrElse("q_top10_tokens", -1.0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // 3-decimal rounding keeps the whole line under ~1.8 KB so it
-    // survives tail-buffer capture by the harness that parses it.
-    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // 2-decimal rounding keeps the whole line under ~2 KB (tail-buffer
+    // capture by the harness that parses it); timing noise on this
+    // machine is far above 10 ms anyway.
+    def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = (results :+ ("_total" -> total))
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"top10","value":${fmt(flagship)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
