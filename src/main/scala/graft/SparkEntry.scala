@@ -63,6 +63,29 @@ object SparkEntry {
       |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Sequential funnel, shared verbatim: per-user first 'view', first
+    * 'click' strictly after it, first 'purchase' strictly after that.
+    * Timestamps compare natively within each engine; only counts
+    * surface. */
+  private val FunnelQuery =
+    """WITH a AS (
+      |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      |  FROM events GROUP BY user_id),
+      |b AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_click
+      |  FROM events e JOIN a ON e.user_id = a.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > a.t_view
+      |  GROUP BY e.user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+      |  FROM events e JOIN b ON e.user_id = b.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > b.t_click
+      |  GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT COUNT(*) FROM a WHERE t_view IS NOT NULL) AS n_view,
+      |  (SELECT COUNT(*) FROM b) AS n_click,
+      |  (SELECT COUNT(*) FROM c) AS n_purchase""".stripMargin
+
   /** TPC-H Q3 shape, shared verbatim between spark.sql and DuckDB —
     * the SQL-interface capability is "one ANSI text, two engines". */
   private val SqlInterfaceQuery =
@@ -791,6 +814,31 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // #87: chunk-level exact dedup — 32-token chunks hashed (md5 of the
+    // space-joined slice), repeated chunks counted across the corpus;
+    // the paragraph-dedup shape of C4-style cleaning. Shuffle carries
+    // 16-byte hashes, never chunk text.
+    "q_chunk_dedup" -> ((s, dir) => {
+      val d = tp(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"), size(col("tk")).as("nt"))
+        .filter(col("nt") >= 32)
+      d.select(explode(transform(sequence(lit(0), expr("nt div 32") - 1),
+          i => md5(concat_ws(" ", slice(col("tk"), i * 32 + 1, lit(32)))))).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") >= 2)
+        .agg(count(lit(1)).as("dup_chunks"),
+          coalesce(sum(col("n_copies")), lit(0L)).as("copies_total"))
+    }),
+
+    // #88: sequential conversion funnel (view -> click -> purchase with
+    // strictly increasing times per user): three chained aggregations,
+    // one ANSI text on both engines; each stage is one shuffle on user
+    "q_funnel" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(FunnelQuery)
+    }),
+
     // #86: Misra-Gries frequent-items native aggregate. k=64 exceeds
     // event_type's cardinality, so no counter ever evicts and the
     // mergeable sketch's lower bounds ARE the exact counts — which is
@@ -1441,6 +1489,20 @@ object SparkEntry {
     "q_freq_sketch" ->
       """SELECT event_type AS item, COUNT(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |s AS (SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) >= 32),
+        |hh AS (SELECT unnest(list_transform(range(0, nt // 32),
+        |    i -> md5(list_aggregate(tk[(i*32+1):(i*32+32)], 'string_agg', ' ')))) AS h
+        |  FROM s),
+        |g AS (SELECT h, COUNT(*) AS n_copies FROM hh GROUP BY h HAVING COUNT(*) >= 2)
+        |SELECT COUNT(*) AS dup_chunks,
+        |  COALESCE(CAST(SUM(n_copies) AS BIGINT), 0) AS copies_total FROM g""".stripMargin,
+
+    "q_funnel" -> FunnelQuery,
 
     "q_profile" ->
       """SELECT 'o_custkey' AS col_name,
