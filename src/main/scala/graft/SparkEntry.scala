@@ -814,6 +814,21 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // #89: corpus vocabulary overlap — distinct-token set sizes and
+    // intersection between two sources (integer-exact set similarity;
+    // one shuffle on token, presence flags instead of a self-join)
+    "q_vocab_overlap" -> ((s, dir) => {
+      val d = tp(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      d.groupBy(col("token"))
+        .agg(max(when(col("source") === "src0", 1).otherwise(0)).as("a"),
+          max(when(col("source") === "src1", 1).otherwise(0)).as("b"))
+        .agg(sum(col("a")).cast("long").as("n_a"),
+          sum(col("b")).cast("long").as("n_b"),
+          sum(col("a") * col("b")).cast("long").as("n_common"))
+    }),
+
     // #87: chunk-level exact dedup — 32-token chunks hashed (md5 of the
     // space-joined slice), repeated chunks counted across the corpus;
     // the paragraph-dedup shape of C4-style cleaning. Shuffle carries
@@ -1489,6 +1504,17 @@ object SparkEntry {
     "q_freq_sketch" ->
       """SELECT event_type AS item, COUNT(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_vocab_overlap" ->
+      """WITH d AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |g AS (SELECT token,
+        |    MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+        |  FROM d GROUP BY token)
+        |SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+        |  CAST(SUM(a * b) AS BIGINT) AS n_common FROM g""".stripMargin,
 
     "q_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,
