@@ -814,6 +814,26 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // #90: token co-occurrence within a 5-token sliding window (PMI
+    // numerator counts): pairs ordered (lesser, greater) so A-B and B-A
+    // collapse; pair strings are built BEFORE the explode so the
+    // generate emits flat strings, and counts top-20. O(n·w) pairs per
+    // doc, never doc×doc.
+    "q_cooccur" -> ((s, dir) => {
+      val d = tp(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .select(col("tk"), size(col("tk")).as("n"))
+        .filter(col("n") >= 2)
+      d.select(explode(flatten(transform(sequence(lit(1), col("n") - 1),
+          i => transform(sequence(i + 1, least(i + 4, col("n"))),
+            j => concat_ws(" ",
+              least(element_at(col("tk"), i), element_at(col("tk"), j)),
+              greatest(element_at(col("tk"), i), element_at(col("tk"), j))))))
+        ).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(20)
+    }),
+
     // #89: corpus vocabulary overlap — distinct-token set sizes and
     // intersection between two sources (integer-exact set similarity;
     // one shuffle on token, presence flags instead of a self-join)
@@ -1504,6 +1524,17 @@ object SparkEntry {
     "q_freq_sketch" ->
       """SELECT event_type AS item, COUNT(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (SELECT tk, len(tk) AS n FROM t WHERE len(tk) >= 2),
+        |p AS (SELECT unnest(flatten(list_transform(range(1, n),
+        |    i -> list_transform(range(i + 1, least(i + 4, n) + 1),
+        |      j -> least(tk[i], tk[j]) || ' ' || greatest(tk[i], tk[j]))))) AS pair
+        |  FROM s)
+        |SELECT pair, count(*) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
 
     "q_vocab_overlap" ->
       """WITH d AS (SELECT source,
