@@ -39,11 +39,16 @@ object Bench {
     }
     val flagship = results.toMap.getOrElse("q_top10_tokens", -1.0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // 2-decimal rounding keeps the whole line under ~2 KB (tail-buffer
-    // capture by the harness that parses it); timing noise on this
-    // machine is far above 10 ms anyway.
+    val failed = results.filter(_._2 < 0).map(_._1)
+    // The harness captures this line from a ~2 KB stdout tail buffer:
+    // at 90+ queries the full per-query map no longer fits, so emit the
+    // 40 slowest (the ones that matter for perf grading) plus _total /
+    // _n / any failures; CORRECTNESS_r{N}.json carries the full query
+    // inventory. 2-decimal rounding — timing noise is far above 10 ms.
     def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = (results :+ ("_total" -> total))
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(40).sortBy(_._1)
+    val qs = (slowest ++ failed.map(_ -> -1.0)
+        :+ ("_total" -> total) :+ ("_n" -> results.size.toDouble))
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"top10","value":${fmt(flagship)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

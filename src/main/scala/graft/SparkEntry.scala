@@ -116,6 +116,48 @@ object SparkEntry {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 customers
+    * per nation), shared verbatim: Spark decorrelates it into a
+    * ranked-window join, DuckDB executes it natively — same rows. */
+  private val LateralQuery =
+    """SELECT n_name, c.c_custkey, c.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin
+
+  /** Recursive CTE (Spark 4's UnionLoop), shared verbatim: walks each
+    * customer's orders in date order carrying an exact decimal running
+    * total; surfaces chain length + final total per customer. Recursion
+    * depth = max orders per customer (~20), so the loop is bounded by a
+    * per-key sequence length, not table size — each iteration is one
+    * hash join on (custkey, position). The window formulation is the
+    * flat-scale path (q_window_rank); this row exercises iterative
+    * plans for genuinely recursive workloads (BOM/graph walks). The
+    * custkey bound keeps the demo honest about the cost model: Spark
+    * re-evaluates the static `ord` side on every loop iteration (no
+    * cross-iteration materialization yet), so the walked set — not the
+    * corpus — must bound each step. */
+  private val RecursiveChainQuery =
+    """WITH RECURSIVE ord AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders WHERE o_custkey < 300),
+      |chain AS (
+      |  SELECT o_custkey, rn, CAST(o_totalprice AS DECIMAL(18,2)) AS run_tot,
+      |    1 AS depth
+      |  FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.o_custkey, o.rn,
+      |    CAST(c.run_tot + CAST(o.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(18,2)),
+      |    c.depth + 1
+      |  FROM ord o JOIN chain c ON o.o_custkey = c.o_custkey AND o.rn = c.rn + 1
+      |  WHERE o.rn <= 8)
+      |SELECT o_custkey, max(depth) AS chain_len,
+      |  CAST(max_by(run_tot, depth) AS DOUBLE) AS total
+      |FROM chain GROUP BY o_custkey""".stripMargin
+
   // ---------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -944,6 +986,80 @@ object SparkEntry {
           explode(sequence(lit(0), expr("(nt + 31) div 32") - 1)).as("chunk_idx"))
         .select(col("doc_id"), col("chunk_idx"),
           least(lit(32), col("nt") - col("chunk_idx") * 32).as("chunk_tok"))),
+
+    // ===== round 3: lateral/recursive SQL, exact cosine pairs, =====
+    // ===== corpus-statistics scoring, cluster-size histogram   =====
+
+    // #91: correlated LATERAL subquery with ORDER BY+LIMIT — Spark
+    // decorrelates into a broadcast join + per-nation rank, no
+    // per-row re-execution; shared ANSI text
+    "q_lateral" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(LateralQuery)
+    }),
+
+    // #92: recursive CTE (UnionLoop): per-customer order chains with an
+    // exact decimal running total; shared ANSI text
+    "q_recursive_cte" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(RecursiveChainQuery)
+    }),
+
+    // #93: exact all-pairs cosine threshold join over a bounded id
+    // range — the ground-truth contract the LSH variant (#35/q_dedup_
+    // embedding) approximates, oracle-checked end to end. The id bound
+    // keeps the O(n²) explicit and constant-size; the unbounded scale
+    // path is the LSH bucketing. Margin audit: nearest cosines to the
+    // 0.4 threshold are ±1e-4 away (sf0.01 and sf0.1), ~8 orders above
+    // any float-vs-double summation divergence, so the >= cut is
+    // engine-stable with no rounding needed; output is integer ids only.
+    "q_cosine_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
+      a.join(b, col("i") < col("j"))
+        .filter(Vectors.cosine(col("ea"), col("eb")) >= 0.4)
+        .select(col("i"), col("j"))
+    }),
+
+    // #94: character-entropy quality signal (Shannon bits/char per doc
+    // from exact char counts): one explode + two shuffles, counts stay
+    // integer until the final per-doc log. round(6), NOT the house
+    // round(9): log2 is not correctly-rounded, so Java vs libm can
+    // differ in the last ulps — error ~1e-12 against a 5e-7 rounding
+    // boundary leaves ~1e-6/doc boundary risk, vs ~1e-3 at round(9).
+    "q_entropy" -> ((s, dir) =>
+      operators.TextStats.charEntropy(tp(s, dir, "documents"), "doc_id", "text")),
+
+    // #95: corpus-unigram surprisal per doc (mean -log2 p(token), the
+    // cheap LM-quality proxy): global token counts are a vocab-sized
+    // table joined back to the exploded corpus — vocab ≪ corpus, so
+    // the join broadcasts/AQE-shuffles on token, never doc×doc.
+    // round(6): see q_entropy.
+    "q_unigram_logprob" -> ((s, dir) =>
+      operators.TextStats.unigramSurprisal(tp(s, dir, "documents"), "doc_id", "text")),
+
+    // #96: PMI collocations from the 5-token co-occurrence window
+    // (q_cooccur's counts promoted to scores): pair and unigram counts
+    // are integer-exact; the single log2 per surviving pair is rounded
+    // to 6 (see q_entropy) and the ordering uses the rounded value, so
+    // rank is engine-stable. cnt >= 5 floors the variance.
+    "q_pmi" -> ((s, dir) =>
+      operators.TextStats.pmiPairs(
+        tp(s, dir, "documents").filter(col("doc_id") < 200), "text")),
+
+    // #97: near-dup cluster-size histogram — the curation dashboard
+    // number (how much of the corpus is duplicated, at what group
+    // sizes). Same component labels as q_dedup_cluster, then two tiny
+    // integer aggregations.
+    "q_cluster_sizes" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents")
+      val edges = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+        .select(col("i"), col("j"))
+      DedupCluster.components(docs, "doc_id", edges)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -1603,5 +1719,86 @@ object SparkEntry {
         |  FROM t WHERE nt > 0)
         |SELECT doc_id, chunk_idx, least(32, nt - chunk_idx * 32) AS chunk_tok
         |FROM c""".stripMargin,
+
+    "q_lateral" -> LateralQuery,
+
+    "q_recursive_cte" -> RecursiveChainQuery,
+
+    "q_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS i, b.vec_id AS j
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.emb, b.emb) >= 0.4""".stripMargin,
+
+    "q_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch
+        |  WHERE ch <> '' GROUP BY doc_id, ch)
+        |SELECT doc_id,
+        |  round(log2(CAST(sum(c) AS DOUBLE)) -
+        |    sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) /
+        |      CAST(sum(c) AS DOUBLE), 6) AS entropy
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM c)
+        |SELECT doc_id, round(avg(log2(tot / CAST(c AS DOUBLE))), 6) AS surprisal
+        |FROM tk JOIN c USING (token), tot
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_pmi" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (SELECT tk, len(tk) AS n FROM t),
+        |p AS (SELECT unnest(flatten(list_transform(range(1, n),
+        |    i -> list_transform(range(i + 1, least(i + 4, n) + 1),
+        |      j -> least(tk[i], tk[j]) || ' ' || greatest(tk[i], tk[j]))))) AS pair
+        |  FROM s WHERE n >= 2),
+        |pc AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair),
+        |tok AS (SELECT unnest(tk) AS token FROM s),
+        |tcc AS (SELECT token, count(*) AS tc FROM tok GROUP BY token),
+        |tt AS (SELECT CAST(sum(tc) AS DOUBLE) AS t_tot FROM tcc),
+        |pt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS p_tot FROM pc)
+        |SELECT q.pair, q.cnt,
+        |  round(log2((CAST(q.cnt AS DOUBLE) / pt.p_tot) /
+        |    ((CAST(a.tc AS DOUBLE) / tt.t_tot) *
+        |      (CAST(b.tc AS DOUBLE) / tt.t_tot))), 6) AS pmi
+        |FROM (SELECT pair, cnt,
+        |        string_split(pair, ' ')[1] AS t1, string_split(pair, ' ')[2] AS t2
+        |      FROM pc WHERE cnt >= 5) q
+        |  JOIN tcc a ON q.t1 = a.token
+        |  JOIN tcc b ON q.t2 = b.token, tt, pt
+        |ORDER BY pmi DESC, pair ASC LIMIT 20""".stripMargin,
+
+    "q_cluster_sizes" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8),
+        |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+        |reach(s, d) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a),
+        |comp AS (SELECT s AS id, min(d) AS mn FROM reach GROUP BY s),
+        |labels AS (SELECT doc.doc_id,
+        |    CAST(COALESCE(LEAST(c.mn, doc.doc_id), doc.doc_id) AS BIGINT) AS cluster_id
+        |  FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id),
+        |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM labels
+        |  GROUP BY cluster_id)
+        |SELECT cluster_size, count(*) AS n_clusters FROM sz
+        |GROUP BY cluster_size""".stripMargin,
   )
 }

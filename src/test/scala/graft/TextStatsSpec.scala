@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.operators.TextStats
+
+/** TextStats (entropy / surprisal / PMI) + the round-3 SQL-surface
+  * queries (lateral, recursive CTE, exact cosine pairs). */
+class TextStatsSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("charEntropy: uniform and single-symbol hand cases") {
+    val df = Seq((1L, "ab"), (2L, "aaaa"), (3L, "aabb"), (4L, "abcd"))
+      .toDF("doc_id", "text")
+    val m = TextStats.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) === 1.0)     // two symbols, equal counts
+    assert(m(2L) === 0.0)     // one symbol
+    assert(m(3L) === 1.0)     // 2+2
+    assert(m(4L) === 2.0)     // four distinct
+  }
+
+  test("charEntropy ignores nothing: n = text length (ascii corpus)") {
+    val docs = table("documents").limit(50)
+    val n = TextStats.charEntropy(docs, "doc_id", "text").count()
+    assert(n === 50)
+  }
+
+  test("unigramSurprisal: uniform vocab gives log2(V) for every doc") {
+    // 4 docs, each one distinct token once -> p = 1/4, surprisal = 2 bits
+    val df = Seq((1L, "aa"), (2L, "bb"), (3L, "cc"), (4L, "dd"))
+      .toDF("doc_id", "text")
+    val rows = TextStats.unigramSurprisal(df, "doc_id", "text").collect()
+    assert(rows.length === 4)
+    rows.foreach(r => assert(r.getDouble(1) === 2.0))
+  }
+
+  test("unigramSurprisal: rarer tokens score higher") {
+    val df = Seq((1L, "x x x x x x x x"), (2L, "rare words here"))
+      .toDF("doc_id", "text")
+    val m = TextStats.unigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(2L) > m(1L))
+  }
+
+  test("pmiPairs: planted collocation tops the ranking") {
+    // "ping pong" always adjacent; fillers unique per doc, so no other
+    // pair reaches minCount
+    val docs = (0 until 40).map(i =>
+      s"ping pong a$i b$i c$i d$i")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val top = TextStats.pmiPairs(df, "text", minCount = 5, k = 5).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getString(0) === "ping pong")
+    assert(top.head.getLong(1) === 40L)
+  }
+
+  test("q_cosine_pairs: every pair verified >= 0.4 by the HOF reference, and complete") {
+    val e = Tables.load(spark, sf, "embeddings").filter(col("vec_id") < 300)
+    val got = SparkEntry.queries("q_cosine_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("eb"))
+    val want = a.join(b, col("i") < col("j"))
+      .filter(Vectors.cosineHof(col("ea"), col("eb")) >= 0.4)
+      .select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("q_recursive_cte: chain agrees with the window formulation") {
+    val rec = SparkEntry.queries("q_recursive_cte")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    // flat (non-iterative) reference: first 8 orders per customer
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val flat = table("orders").filter(col("o_custkey") < 300)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 8)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("rn")).cast("int").as("chain_len"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(rec === flat)
+  }
+
+  test("q_lateral: exactly the window top-2 per nation") {
+    val lat = SparkEntry.queries("q_lateral")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val want = table("customer").withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .join(table("nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(lat === want)
+  }
+
+  test("q_cluster_sizes: histogram mass equals corpus size") {
+    val rows = SparkEntry.queries("q_cluster_sizes")(spark, sf).collect()
+    val mass = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(mass === table("documents").count())
+    // at least one non-singleton cluster exists in the planted corpus
+    assert(rows.exists(r => r.getLong(0) >= 2))
+  }
+}
