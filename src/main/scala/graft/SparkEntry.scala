@@ -1060,6 +1060,40 @@ object SparkEntry {
         .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
     }),
+
+    // #98: frequency-ranked vocabulary (dense token ids, deterministic
+    // tie-break) — the global rank runs over the DISTINCT-token table,
+    // never the corpus; see operators.Vocab
+    "q_vocab_ids" -> ((s, dir) =>
+      operators.Vocab.build(tp(s, dir, "documents"), "text", 2L)
+        .filter(col("tok_id") <= 100)),
+
+    // #99: document encoding to vocab-id sequences (OOV → 0; the
+    // tokenize→ids step feeding sequence packing). Output as a CSV
+    // string: integer-exact and engine-comparable, while the library
+    // API (Vocab.encode) returns the real array<long> column.
+    "q_encode_docs" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents")
+      val vocab = operators.Vocab.build(docs, "text", 2L)
+        .filter(col("tok_id") <= 1000)
+      operators.Vocab.encode(docs.filter(col("doc_id") < 100), "doc_id", "text",
+        broadcast(vocab))
+        .select(col("doc_id"),
+          array_join(col("ids").cast("array<string>"), ",").as("ids_csv"))
+    }),
+
+    // #100: event inter-arrival histogram (per-user gap distribution,
+    // minutes capped at 60) — one window pass on (user, time), integer
+    // seconds throughout
+    "q_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("es", unix_timestamp(col("ts")))
+        .withColumn("gap", col("es") - lag(col("es"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(least(expr("gap div 60"), lit(60L)).as("gap_min"))
+        .agg(count(lit(1)).as("n"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -1800,5 +1834,42 @@ object SparkEntry {
         |  GROUP BY cluster_id)
         |SELECT cluster_size, count(*) AS n_clusters FROM sz
         |GROUP BY cluster_size""".stripMargin,
+
+    "q_vocab_ids" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token
+        |  HAVING count(*) >= 2)
+        |SELECT token, cnt, tok_id FROM (
+        |  SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token ASC) AS tok_id FROM c)
+        |WHERE tok_id <= 100""".stripMargin,
+
+    "q_encode_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |alltk AS (SELECT unnest(tk) AS token FROM t),
+        |c AS (SELECT token, count(*) AS cnt FROM alltk GROUP BY token
+        |  HAVING count(*) >= 2),
+        |v AS (SELECT token, tok_id FROM (
+        |    SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS tok_id
+        |    FROM c)
+        |  WHERE tok_id <= 1000),
+        |e AS (SELECT doc_id, unnest(tk) AS token, generate_subscripts(tk, 1) AS pos
+        |  FROM t WHERE doc_id < 100),
+        |j AS (SELECT e.doc_id, e.pos, COALESCE(v.tok_id, 0) AS tid
+        |  FROM e LEFT JOIN v ON e.token = v.token)
+        |SELECT doc_id, array_to_string(list(tid ORDER BY pos), ',') AS ids_csv
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, ts FROM events),
+        |g AS (SELECT es - lag(es) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS gap FROM e)
+        |SELECT least(gap // 60, 60) AS gap_min, count(*) AS n
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY gap_min""".stripMargin,
   )
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Vocabulary building and document encoding — the tokenize→ids step a
+  * training pipeline runs after curation (the id arrays are what gets
+  * packed into training sequences; see Packing).
+  *
+  * Scale shape: the only corpus-wide work is the token count (one
+  * shuffle with map-side combine). The rank window is global but runs
+  * over the DISTINCT-token table — millions of rows at 100 TB text, not
+  * corpus-sized — and `minCount` prunes the hapax tail before the
+  * single-partition sort. Encoding joins that same vocab-sized table
+  * back to the exploded corpus (broadcast at typical vocab sizes; AQE
+  * shuffles on token if a giant vocab is forced).
+  */
+object Vocab {
+
+  /** Frequency-ranked dense token ids: tok_id 1 = most frequent, ties
+    * broken lexicographically — deterministic across runs, engines and
+    * cluster sizes. */
+  def build(docs: DataFrame, textCol: String, minCount: Long = 1L): DataFrame = {
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    counts.select(col("token"), col("cnt"),
+      row_number().over(w).cast("long").as("tok_id"))
+  }
+
+  /** Encode each document as its vocab-id sequence (column `ids`,
+    * OOV → 0). Token order is restored from the explode position via an
+    * array_sort on (pos, id) structs, so the sequence is exact no
+    * matter how the groupBy shuffles rows. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocab: DataFrame): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(lower(col(textCol)))).as(Seq("pos", "token")))
+      .join(vocab.select(col("token"), col("tok_id")), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("tok_id"), lit(0L)).as("tid")))),
+        p => p.getField("tid")).as("ids"))
+}

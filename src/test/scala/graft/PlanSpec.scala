@@ -123,4 +123,21 @@ class PlanSpec extends SparkSpec {
       assert(joined.count() === orders.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q_lateral decorrelates: no per-row re-execution, no cartesian") {
+    val p = plan("q_lateral")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ORDER BY/LIMIT subquery becomes a ranked window, not a loop
+    assert(p.contains("Window") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_encode_docs: the vocab join back to the corpus broadcasts") {
+    val p = plan("q_encode_docs")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_unigram_logprob: corpus-sized side never nested-loops") {
+    val p = plan("q_unigram_logprob")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

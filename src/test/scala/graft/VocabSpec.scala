@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Vocab
+
+class VocabSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("build: ids are frequency-ranked with lexicographic tie-break") {
+    val df = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    // counts: a=3 b=3 c=1 d=1 -> a,b tie at 3 (a first), c,d tie at 1
+    val v = Vocab.build(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(v === Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+  }
+
+  test("build: minCount prunes the tail before ranking") {
+    val df = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val v = Vocab.build(df, "text", minCount = 2L).collect()
+    assert(v.map(_.getString(0)).toSeq === Seq("x"))
+    assert(v.head.getLong(2) === 1L)
+  }
+
+  test("encode: exact sequence order with OOV as 0") {
+    val corpus = Seq((1L, "the cat sat"), (2L, "the the dog")).toDF("doc_id", "text")
+    // counts: the=3, cat=1 dog=1 sat=1 -> the=1, cat=2, dog=3, sat=4
+    val vocab = Vocab.build(corpus, "text").filter(col("tok_id") <= 2) // the, cat
+    val enc = Vocab.encode(corpus, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc(1L) === Seq(1L, 2L, 0L)) // the cat <sat=OOV>
+    assert(enc(2L) === Seq(1L, 1L, 0L)) // the the <dog=OOV>
+  }
+
+  test("encode on corpus: token count preserved per doc") {
+    val docs = table("documents").limit(30)
+    val vocab = Vocab.build(docs, "text")
+    val enc = Vocab.encode(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"), size(col("ids")).as("n_ids"))
+    val want = docs.select(col("doc_id"),
+      size(graft.functions.TextAnalysis.tokens(lower(col("text")))).as("n_tok"))
+    val joined = enc.join(want, "doc_id")
+      .filter(col("n_ids") =!= col("n_tok")).count()
+    assert(joined === 0)
+  }
+
+  test("q_interarrival: histogram mass = events minus one per user") {
+    val rows = SparkEntry.queries("q_interarrival")(spark, sf).collect()
+    val mass = rows.map(_.getLong(1)).sum
+    val ev = table("events")
+    val want = ev.count() - ev.select(col("user_id")).distinct().count()
+    assert(mass === want)
+  }
+}
