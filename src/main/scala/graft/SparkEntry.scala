@@ -1094,6 +1094,46 @@ object SparkEntry {
         .groupBy(least(expr("gap div 60"), lit(60L)).as("gap_min"))
         .agg(count(lit(1)).as("n"))
     }),
+
+    // #101: cross-source 3-gram overlap (corpus-diversity / provenance
+    // matrix): distinct grams per source as presence flags on one
+    // shuffle — n-gram-level vocab_overlap generalized to all source
+    // pairs, integer-exact
+    "q_source_ngrams" -> ((s, dir) => {
+      val g = tp(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .select(col("source"), col("tk"), size(col("tk")).as("n"))
+        .filter(col("n") >= 3)
+        .select(col("source"), explode(transform(sequence(lit(1), col("n") - 2),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
+          .as("gram"))
+      def f(src: String) = max(when(col("source") === src, 1).otherwise(0))
+      g.groupBy(col("gram"))
+        .agg(f("src0").as("s0"), f("src1").as("s1"), f("src2").as("s2"))
+        .agg(sum(col("s0")).cast("long").as("n0"),
+          sum(col("s1")).cast("long").as("n1"),
+          sum(col("s2")).cast("long").as("n2"),
+          sum(col("s0") * col("s1")).cast("long").as("c01"),
+          sum(col("s0") * col("s2")).cast("long").as("c02"),
+          sum(col("s1") * col("s2")).cast("long").as("c12"))
+    }),
+
+    // #102: canonical-doc selection per near-dup cluster — keep-BEST
+    // (longest, tie → min id) rather than CurationPipeline's keep-first;
+    // the per-cluster argmax is one max_by, no self-join. Bounded id
+    // range keeps the all-pairs oracle tractable at any sf.
+    "q_canonical_docs" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents").filter(col("doc_id") < 300)
+      val edges = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+        .select(col("i"), col("j"))
+      DedupCluster.components(docs, "doc_id", edges)
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+        .groupBy(col("cluster_id"))
+        .agg(max_by(col("id"), struct(col("n_chars"), -col("id"))).as("keep_id"),
+          count(lit(1)).as("n_members"))
+        .filter(col("n_members") >= 2)
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -1871,5 +1911,53 @@ object SparkEntry {
         |SELECT least(gap // 60, 60) AS gap_min, count(*) AS n
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY gap_min""".stripMargin,
+
+    "q_source_ngrams" ->
+      """WITH t AS (SELECT source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (SELECT source, unnest(list_transform(range(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        |  FROM t WHERE len(tk) >= 3),
+        |fl AS (SELECT gram,
+        |    MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS s0,
+        |    MAX(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS s1,
+        |    MAX(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS s2
+        |  FROM g GROUP BY gram)
+        |SELECT CAST(SUM(s0) AS BIGINT) AS n0, CAST(SUM(s1) AS BIGINT) AS n1,
+        |  CAST(SUM(s2) AS BIGINT) AS n2,
+        |  CAST(SUM(s0 * s1) AS BIGINT) AS c01,
+        |  CAST(SUM(s0 * s2) AS BIGINT) AS c02,
+        |  CAST(SUM(s1 * s2) AS BIGINT) AS c12
+        |FROM fl""".stripMargin,
+
+    "q_canonical_docs" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, text, n_chars FROM documents
+        |  WHERE doc_id < 300),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM d),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8),
+        |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+        |reach(s, dd) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.dd = e.a),
+        |comp AS (SELECT s AS id, min(dd) AS mn FROM reach GROUP BY s),
+        |labels AS (SELECT d.doc_id AS id, d.n_chars,
+        |    CAST(COALESCE(LEAST(c.mn, d.doc_id), d.doc_id) AS BIGINT) AS cluster_id
+        |  FROM d LEFT JOIN comp c ON c.id = d.doc_id),
+        |rk AS (SELECT cluster_id, id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM labels)
+        |SELECT cluster_id, id AS keep_id, n_members
+        |FROM rk WHERE rn = 1 AND n_members >= 2""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,4 +48,18 @@ object Vocab {
         array_sort(collect_list(struct(col("pos"),
           coalesce(col("tok_id"), lit(0L)).as("tid")))),
         p => p.getField("tid")).as("ids"))
+
+  /** Stateless encoder for streaming / map-only contexts: the vocab is
+    * captured as a literal map (shipped to every task like a broadcast
+    * var), so encoding is a pure projection — append-mode streamable
+    * with no shuffle and no state, unlike `encode`'s explode+regroup.
+    * Fits whenever the vocab is driver-collectable (the same bound any
+    * broadcast join already assumes). */
+  def encoderFor(vocab: DataFrame): Column => Column = {
+    val m = vocab.select(col("token"), col("tok_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mapCol = typedLit(m)
+    text => transform(TextAnalysis.tokens(lower(text)),
+      t => coalesce(element_at(mapCol, t), lit(0L)))
+  }
 }

@@ -44,6 +44,43 @@ class VocabSpec extends SparkSpec {
     assert(joined === 0)
   }
 
+  test("encoderFor: literal-map encoder matches the join-based encode") {
+    val corpus = Seq((1L, "the cat sat"), (2L, "the the dog")).toDF("doc_id", "text")
+    val vocab = Vocab.build(corpus, "text").filter(col("tok_id") <= 2)
+    val enc = Vocab.encoderFor(vocab)
+    val viaMap = corpus.select(col("doc_id"), enc(col("text")).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaJoin = Vocab.encode(corpus, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaMap === viaJoin)
+  }
+
+  test("encoderFor streams: stateless append-mode encode over a memory stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = table("documents").limit(100)
+    val vocab = Vocab.build(corpus, "text")
+    val enc = Vocab.encoderFor(vocab)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), enc(col("text")).as("ids"))
+      .writeStream.format("memory").queryName("enc_stream")
+      .outputMode("append").start()
+    try {
+      val sample = corpus.select("doc_id", "text").limit(5)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      in.addData(sample.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("enc_stream")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val batch = Vocab.encode(
+          corpus.filter(col("doc_id").isin(sample.map(_._1): _*)),
+          "doc_id", "text", vocab)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("q_interarrival: histogram mass = events minus one per user") {
     val rows = SparkEntry.queries("q_interarrival")(spark, sf).collect()
     val mass = rows.map(_.getLong(1)).sum
