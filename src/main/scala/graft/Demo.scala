@@ -11,7 +11,9 @@ import graft.streaming.StoreSink
 /** End-to-end example of the reference pipeline on graft's public API:
   * land events in the partitioned hour layout → partition-pruned
   * window scan → tokenize/count/top-10 → CSV sink → publish to the
-  * serving store with window-retire semantics. Run:
+  * serving store with window-retire semantics — then the training-data
+  * pipeline: curate (dedup/cluster/gates/sample) → vocab → encode →
+  * pack to sharded parquet. Run:
   *
   *   sbt "runMain graft.Demo /root/testdata/sf0.001 /tmp/graft-demo"
   */
@@ -53,6 +55,23 @@ object Demo {
     println(s"demo: store rows = ${store.read().count()}")
     println(s"demo: top10 = " + top.collect()
       .map(r => r.getString(0) + ":" + r.getLong(1)).mkString(", "))
+
+    // 5. the training-data pipeline: curate → vocab → encode → pack →
+    // sharded parquet (what a tokenizer-writer job would ship)
+    val curated = operators.CurationPipeline.curate(docs, "doc_id", "text")
+    val vocab = operators.Vocab.build(curated, "text", 2L)
+    val encoded = operators.Vocab
+      .encode(curated, "doc_id", "text", broadcast(vocab))
+      .withColumn("n_tok", size(col("ids")))
+      .withColumn("shard", pmod(col("doc_id"), lit(4)))
+    val packed = operators.Packing
+      .packGreedy(encoded, "shard", "doc_id", "n_tok", 512)
+    packed.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/shards")
+    val bins = packed.select(col("shard"), col("bin")).distinct().count()
+    println(s"demo: curated ${curated.count()} of ${docs.count()} docs, " +
+      s"vocab ${vocab.count()} tokens, packed into $bins bins of 512 tokens " +
+      s"across 4 shards")
     spark.stop()
   }
 }
