@@ -1134,6 +1134,41 @@ object SparkEntry {
           count(lit(1)).as("n_members"))
         .filter(col("n_members") >= 2)
     }),
+
+    // #104: hopping (sliding) windows in batch — Spark's window() with
+    // a slide emits every covering slot per event (W/S assignments, here
+    // 2), then a plain hash agg; win_start surfaces as epoch seconds
+    "q_hopping_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"))),
+
+    // #105: native session_window aggregation in BATCH (the streaming
+    // gap-close operator reused on static data) — same shape as
+    // q_sessionize but via the built-in, with its [start, start+gap)
+    // overlap semantics (new session at diff >= gap, vs sessionize's >)
+    "q_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("sess_start"),
+          col("n_events"))),
+
+    // #106: Levenshtein fuzzy matching over a bounded candidate set —
+    // the title/name near-match shape (edit distance ≤ 3, excluding
+    // exact equals); integer-exact on both engines
+    "q_levenshtein" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), col("p_name"))
+      val a = p.select(col("p_partkey").as("i"), col("p_name").as("na"))
+      val b = p.select(col("p_partkey").as("j"), col("p_name").as("nb"))
+      a.join(b, col("i") < col("j"))
+        .select(col("i"), col("j"), levenshtein(col("na"), col("nb")).as("dist"))
+        .filter(col("dist").between(1, 3))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -1959,5 +1994,39 @@ object SparkEntry {
         |  FROM labels)
         |SELECT cluster_id, id AS keep_id, n_members
         |FROM rk WHERE rn = 1 AND n_members >= 2""".stripMargin,
+
+    "q_hopping_window" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+        |w AS (SELECT event_type, (es // 1800) * 1800 - k * 1800 AS win_start
+        |  FROM e, unnest([0, 1]) AS u(k))
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM w GROUP BY win_start, event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch(ts) AS sec, event_id,
+        |    CASE WHEN lag(epoch(ts)) OVER w IS NULL
+        |           OR epoch(ts) - lag(epoch(ts)) OVER w >= 1800.0
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, sec,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM x
+        |)
+        |SELECT user_id, CAST(FLOOR(MIN(sec)) AS BIGINT) AS sess_start,
+        |  COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, session_seq""".stripMargin,
+
+    "q_levenshtein" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200)
+        |SELECT a.p_partkey AS i, b.p_partkey AS j,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM p a, p b
+        |WHERE a.p_partkey < b.p_partkey
+        |  AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3""".stripMargin,
   )
 }
