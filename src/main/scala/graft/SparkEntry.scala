@@ -495,38 +495,49 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minHashNearDups(tp(s, dir, "documents"), "doc_id", "text", 0.8)),
 
-    // #33: SimHash near-dups via pigeonhole chunk join (rows-only)
+    // #33: SimHash near-dups via pigeonhole chunk join. md5-prefix
+    // token hash so the oracle can rebuild the signatures and verify
+    // the pair set with an all-pairs hamming scan — the chunk join is
+    // exact (any pair within radius 7 agrees on one of 8 chunks), so
+    // the two formulations must match row-for-row.
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashNearDups(tp(s, dir, "documents"), "doc_id", "text", 7)
+      Dedup.simHashNearDupsMd5(tp(s, dir, "documents"), "doc_id", "text", 7)
         .select("i", "j", "ham")),
 
     // #34: exact n-gram Jaccard verify pass over a bounded id range
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 40)),
 
-    // #35: embedding cosine near-dup, LSH-bucketed (rows-only: LSH
-    // recall at these moderate cosines is probabilistic by design)
+    // #35: embedding cosine near-dup, LSH-bucketed. md5-parity ±1
+    // planes over 1e-6-quantized vectors make the bucket bits exact
+    // integer arithmetic — the oracle rebuilds the same buckets, so
+    // the candidate set (and thus the verified pair set) is identical.
     "q_dedup_embedding" -> ((s, dir) =>
-      AnnLsh.cosineNearDups(tp(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      AnnLsh.cosineNearDupsExact(tp(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .select("i", "j")),
 
-    // #37: LSH-bucketed ANN (rows-only; recall vs brute force in ScalaTest)
+    // #37: LSH-bucketed ANN, deterministic md5-parity planes (recall vs
+    // brute force additionally asserted in ScalaTest)
     "q_ann_lsh" -> ((s, dir) => {
       val e = tp(s, dir, "embeddings")
-      AnnLsh.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      AnnLsh.annTopKExact(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
         .select("q_id", "rn", "n_id")
     }),
 
-    // #38: IVF-style ANN (rows-only; recall vs brute force in ScalaTest)
+    // #38: IVF ANN with deterministic stride-init centroids, zero Lloyd
+    // passes (no float averaging → oracle-reproducible); the k-means
+    // refinement path is covered by ScalaTest recall assertions
     "q_ann_ivf" -> ((s, dir) => {
       val e = tp(s, dir, "embeddings")
-      AnnIvf.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+      AnnIvf.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 4, iters = 0)
         .select("q_id", "rn", "n_id")
     }),
 
-    // #42: winnowing fingerprints (rows-only; overlap semantics in ScalaTest)
+    // #42: winnowing fingerprints, md5-prefix k-gram hash so the oracle
+    // can replay the winnow (grams → sliding min → distinct count)
     "q_fingerprint" -> ((s, dir) =>
-      Fingerprint.fingerprintDf(tp(s, dir, "documents"), "doc_id", "text")
+      Fingerprint.fingerprintMd5Df(tp(s, dir, "documents"), "doc_id", "text")
         .select(col("id").as("doc_id"), size(col("fps")).as("n_fp"))),
 
     // #43: multimodal lake-table shape — binary payload + typed meta
@@ -1406,6 +1417,142 @@ object SparkEntry {
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
         |s AS (SELECT q_id, n_id, list_cosine_similarity(qe, ne) AS sim
         |      FROM q, c WHERE n_id <> q_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |      FROM s)
+        |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin,
+
+    // SimHash rebuilt from scratch: md5-prefix 60-bit token hash, per-bit
+    // majority vote, then an ALL-PAIRS hamming scan — the Spark side's
+    // pigeonhole chunk join must find exactly these pairs (it is exact,
+    // not probabilistic). Docs with zero tokens would be absent here but
+    // present (sig 0) in Spark; the corpus has none.
+    "q_dedup_simhash" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tk)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN bit = 1 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS sig
+        |  FROM (
+        |    SELECT doc_id, b,
+        |      CASE WHEN SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |           THEN 1 ELSE 0 END AS bit
+        |    FROM th, range(60) AS rb(b)
+        |    GROUP BY doc_id, b)
+        |  GROUP BY doc_id)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS ham
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 7""".stripMargin,
+
+    // Winnowing replayed literally: md5-prefix hash of every char 8-gram,
+    // sliding min over windows of 4, distinct count.
+    "q_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 8 THEN
+        |      list_transform(range(1, length(text) - 6),
+        |        i -> ('0x' || substring(md5(substring(text, i, 8)), 1, 15))::BIGINT)
+        |    ELSE CAST([] AS BIGINT[]) END AS h
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(h) >= 4 THEN
+        |      list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3]))
+        |    ELSE h END AS mins
+        |  FROM g)
+        |SELECT doc_id, CAST(len(list_distinct(mins)) AS INT) AS n_fp FROM f""".stripMargin,
+
+    // LSH buckets rebuilt from scratch: ±1 plane components from
+    // md5("t,p,d") nibble parity, vectors quantized to floor(x·1e6) so
+    // every dot is exact integer arithmetic (order-independent) — the
+    // candidate sets must therefore match Spark's bit-for-bit; the
+    // exact-cosine verify keeps only pairs ≥ θ.
+    "q_dedup_embedding" ->
+      """WITH w AS (
+        |  SELECT t, p, list(CASE WHEN instr('13579bdf', substring(md5(
+        |      CAST(t AS VARCHAR) || ',' || CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)
+        |    ), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS wv
+        |  FROM range(8) tt(t), range(6) pp(p), range(64) dd(d)
+        |  GROUP BY t, p),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(ve, x -> floor(x * 1000000.0)) AS qv FROM e),
+        |dots AS (
+        |  SELECT q.vec_id, w.t, w.p,
+        |    list_sum(list_transform(range(1, 65), i -> qv[i] * wv[i])) AS dt
+        |  FROM q CROSS JOIN w),
+        |bk AS (
+        |  SELECT vec_id, t,
+        |    CAST(SUM(CASE WHEN dt > 0 THEN CAST(1 AS BIGINT) << p
+        |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT i, j
+        |FROM cand JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j
+        |WHERE list_cosine_similarity(ea.ve, eb.ve) >= 0.4""".stripMargin,
+
+    "q_ann_lsh" ->
+      """WITH w AS (
+        |  SELECT t, p, list(CASE WHEN instr('13579bdf', substring(md5(
+        |      CAST(t AS VARCHAR) || ',' || CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)
+        |    ), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS wv
+        |  FROM range(8) tt(t), range(6) pp(p), range(64) dd(d)
+        |  GROUP BY t, p),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(ve, x -> floor(x * 1000000.0)) AS qv FROM e),
+        |dots AS (
+        |  SELECT q.vec_id, w.t, w.p,
+        |    list_sum(list_transform(range(1, 65), i -> qv[i] * wv[i])) AS dt
+        |  FROM q CROSS JOIN w),
+        |bk AS (
+        |  SELECT vec_id, t,
+        |    CAST(SUM(CASE WHEN dt > 0 THEN CAST(1 AS BIGINT) << p
+        |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+        |  FROM bk qb JOIN bk cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+        |  WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
+        |s AS (
+        |  SELECT q_id, n_id, list_cosine_similarity(eq.ve, en.ve) AS sim
+        |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |      FROM s)
+        |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin,
+
+    // IVF replayed: stride-init centroids (no Lloyd refinement → no
+    // float averaging), argmax-cosine assignment, top-4 probed cells,
+    // exact rank within the probed union.
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+        |c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
+        |      FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+        |a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rr
+        |    FROM e CROSS JOIN c) WHERE rr = 1),
+        |p AS (
+        |  SELECT q_id, cid FROM (
+        |    SELECT e.vec_id AS q_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rr
+        |    FROM e CROSS JOIN c WHERE e.vec_id < 5) WHERE rr <= 4),
+        |s AS (
+        |  SELECT p.q_id, a.vec_id AS n_id, list_cosine_similarity(eq.ve, en.ve) AS sim
+        |  FROM p JOIN a ON a.cid = p.cid
+        |    JOIN e eq ON eq.vec_id = p.q_id JOIN e en ON en.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.q_id),
         |r AS (SELECT q_id, n_id,
         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
         |      FROM s)

@@ -205,6 +205,62 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** One-pass 64-bit SimHash over a token array using the md5-prefix
+    * 60-bit token hash (Md5Impl.hash60) instead of xxhash64 — the hash
+    * an external SQL engine can reproduce (`('0x' || substring(md5(t),
+    * 1, 15))::BIGINT` in DuckDB), making the whole simhash pipeline
+    * oracle-checkable. Bits 60-63 never vote positive and stay 0. */
+  case class SimHash64Md5(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash64_md5"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var t = 0
+      val n = arr.numElements()
+      while (t < n) {
+        val h = Md5Impl.hash60(arr.getUTF8String(t))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) != 0L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        t += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val votes = ctx.freshName("votes")
+        val t = ctx.freshName("t")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val sig = ctx.freshName("sig")
+        s"""
+        int[] $votes = new int[64];
+        for (int $t = 0; $t < $a.numElements(); $t++) {
+          long $h = graft.functions.Md5Impl.hash60($a.getUTF8String($t));
+          for (int $j = 0; $j < 64; $j++) {
+            if ((($h >>> $j) & 1L) != 0L) $votes[$j]++; else $votes[$j]--;
+          }
+        }
+        long $sig = 0L;
+        for (int $j = 0; $j < 64; $j++) if ($votes[$j] > 0) $sig |= (1L << $j);
+        ${ev.value} = $sig;
+        """
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** All random-hyperplane LSH bucket keys for one vector in a single
     * fused loop: planes(t)(p) is hyperplane p of table t; output element
     * t is a long whose bit p = [v · planes(t)(p) > 0]. Replaces
@@ -280,7 +336,7 @@ object NativeExpressions {
     * uses — hash-identical, asserted in NativeExprSpec), slide a window
     * of w hashes with a monotonic deque (O(n), vs the HOF's O(n·w)
     * slice-per-window), emit the distinct sorted window minima. */
-  case class Winnow(child: Expression, k: Int, w: Int)
+  case class Winnow(child: Expression, k: Int, w: Int, md5: Boolean = false)
       extends UnaryExpression with ImplicitCastInputTypes {
     require(k > 0 && w > 0)
     override def inputTypes: Seq[DataType] = Seq(StringType)
@@ -288,7 +344,7 @@ object NativeExpressions {
     override def prettyName: String = "graft_winnow"
 
     override def nullSafeEval(input: Any): Any =
-      WinnowImpl.winnow(input.asInstanceOf[UTF8String], k, w)
+      WinnowImpl.winnow(input.asInstanceOf[UTF8String], k, w, md5)
 
     // WinnowImpl is a TOP-LEVEL object: Scala emits Java static
     // forwarders for those, so Janino resolves this call. (A nested
@@ -297,21 +353,24 @@ object NativeExpressions {
     // interpreted eval.)
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a => {
-        s"""${ev.value} = graft.functions.WinnowImpl.winnow($a, $k, $w);"""
+        s"""${ev.value} = graft.functions.WinnowImpl.winnow($a, $k, $w, $md5);"""
       })
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
 
-  private[functions] def winnowBody(s: UTF8String, k: Int, w: Int): ArrayData = {
+  private[functions] def winnowBody(s: UTF8String, k: Int, w: Int,
+                                    md5: Boolean): ArrayData = {
       val n = s.numChars()
       if (n < k) return new GenericArrayData(Array.empty[Long])
       val m = n - k + 1
       val h = new Array[Long](m)
       var i = 0
       while (i < m) {
-        h(i) = XxHash64Function.hash(s.substringSQL(i + 1, k), StringType, 42L)
+        val gram = s.substringSQL(i + 1, k)
+        h(i) = if (md5) Md5Impl.hash60(gram)
+               else XxHash64Function.hash(gram, StringType, 42L)
         i += 1
       }
       val mins: Array[Long] =
@@ -364,18 +423,43 @@ object NativeExpressions {
   def simHash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(e(tokens)))
 
+  def simHash64Md5(tokens: Column): Column =
+    GraftBridge.column(SimHash64Md5(e(tokens)))
+
   def hyperplaneBuckets(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
     GraftBridge.column(HyperplaneBuckets(e(vec),
       planes.map(_.map(_.toArray).toArray).toArray))
 
-  def winnow(text: Column, k: Int, w: Int): Column =
-    GraftBridge.column(Winnow(e(text), k, w))
+  def winnow(text: Column, k: Int, w: Int, md5: Boolean = false): Column =
+    GraftBridge.column(Winnow(e(text), k, w, md5))
 }
 
 /** Winnowing kernel entry point. TOP-LEVEL object so Scala emits Java
   * static forwarders — generated code calls
   * `graft.functions.WinnowImpl.winnow(...)` as a plain static method. */
 object WinnowImpl {
-  def winnow(s: UTF8String, k: Int, w: Int): ArrayData =
-    NativeExpressions.winnowBody(s, k, w)
+  def winnow(s: UTF8String, k: Int, w: Int, md5: Boolean): ArrayData =
+    NativeExpressions.winnowBody(s, k, w, md5)
+}
+
+/** md5-prefix 60-bit hash: the value of the first 15 hex chars of
+  * md5(utf8-bytes), i.e. the first 8 digest bytes big-endian >>> 4.
+  * Chosen because an external ANSI/DuckDB oracle can compute the same
+  * value as `('0x' || substring(md5(s), 1, 15))::BIGINT`, which xxhash64
+  * (Spark-only) cannot. TOP-LEVEL object for Janino static-forwarder
+  * resolution from generated code. */
+object Md5Impl {
+  private val mdTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def hash60(s: UTF8String): Long = {
+    val md = mdTL.get()
+    md.reset()
+    val dig = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
 }

@@ -21,9 +21,13 @@ object AnnIvf {
                             k: Int): DataFrame = {
     val n = df.count()
     val stride = math.max(n / k, 1L)
+    // cid from a row_number in id order — monotonically_increasing_id
+    // depends on the physical partitioning and is not reproducible in
+    // an external oracle; the window runs on ≤ k rows post-limit.
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
     df.filter(pmod(col(idCol), lit(stride)) === 0)
       .orderBy(col(idCol)).limit(k)
-      .select(monotonically_increasing_id().as("cid"),
+      .select((row_number().over(w) - 1).cast("long").as("cid"),
         col(vecCol).cast("array<double>").as("centroid"))
   }
 
@@ -100,10 +104,14 @@ object AnnIvf {
       .select("q_id", "rn", "n_id", "sim")
   }
 
-  /** Convenience: fit + assign + search in one call (test/bench path). */
+  /** Convenience: fit + assign + search in one call (test/bench path).
+    * iters = 0 keeps the deterministic stride-init centroids with no
+    * Lloyd refinement — still a real IVF index (probe-pruned search),
+    * but with zero floating-point averaging, so the whole result is
+    * reproducible in an external SQL oracle. */
   def annTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = fit(df, idCol, vecCol, nlist)
+              k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 1): DataFrame = {
+    val centroids = fit(df, idCol, vecCol, nlist, iters)
     val assigned = assign(df, centroids, idCol, vecCol)
     search(assigned, centroids, queries, idCol, vecCol, k, nprobe)
   }

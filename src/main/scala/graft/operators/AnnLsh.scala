@@ -22,6 +22,40 @@ object AnnLsh {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Rademacher (±1) hyperplanes with each sign drawn from the parity
+    * of md5("t,p,d")'s first hex nibble — sign-random-projection with
+    * ±1 components is a standard LSH family (Achlioptas-style sparse
+    * projections), and this derivation is reproducible inside an ANSI
+    * SQL oracle (`instr('13579bdf', substring(md5(...), 1, 1))`), so
+    * bucket assignments can be cross-checked engine-to-engine. */
+  def md5SignPlanes(tables: Int, numPlanes: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until tables).map(t => (0 until numPlanes).map(p => (0 until dim).map { d =>
+      val dig = md.digest(s"$t,$p,$d".getBytes("UTF-8"))
+      if (((dig(0) >> 4) & 1) == 1) 1.0 else -1.0
+    }))
+  }
+
+  /** Embedding quantized to integer-valued doubles: floor(x·10⁶). With
+    * ±1 plane components every dot product is then EXACT integer
+    * arithmetic carried in doubles (|sum| ≪ 2⁵³ at any realistic dim),
+    * so the sign — and hence the bucket — is bit-identical across
+    * engines and summation orders. Quantization at 10⁻⁶ resolution does
+    * not meaningfully change the LSH family's collision geometry. */
+  private def quantized(vec: Column): Column =
+    transform(vec.cast("array<double>"), x => floor(x * lit(1e6)).cast("double"))
+
+  /** `bucketed` over md5-parity ±1 planes and quantized vectors —
+    * deterministic and oracle-reproducible; `vec` stays the ORIGINAL
+    * embedding for the exact-cosine verify stage downstream. */
+  def bucketedExact(df: DataFrame, idCol: String, vecCol: String,
+                    numPlanes: Int, tables: Int, dim: Int): DataFrame = {
+    val planes = md5SignPlanes(tables, numPlanes, dim)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(graft.functions.NativeExpressions.hyperplaneBuckets(
+        quantized(col(vecCol)), planes)).as(Seq("table", "bucket")))
+  }
+
   /** Sign-bit bucket key: bit i = [v · planeᵢ > 0]. HOF reference
     * implementation, kept as the parity oracle for the native
     * expression used by `bucketed`. */
@@ -47,10 +81,23 @@ object AnnLsh {
     * on candidates only. */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 6, tables: Int = 8,
-              dim: Int = 64, seed: Long = 0xA11): DataFrame = {
-    val cb = bucketed(corpus, idCol, vecCol, numPlanes, tables, dim, seed)
+              dim: Int = 64, seed: Long = 0xA11): DataFrame =
+    annTopKFrom(bucketed(corpus, idCol, vecCol, numPlanes, tables, dim, seed),
+      bucketed(queries, idCol, vecCol, numPlanes, tables, dim, seed), k)
+
+  /** annTopK over the deterministic md5-parity ±1 planes (bucketedExact)
+    * — same candidate/verify/rank plan, oracle-reproducible buckets. */
+  def annTopKExact(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, numPlanes: Int = 6,
+                   tables: Int = 8, dim: Int = 64): DataFrame =
+    annTopKFrom(bucketedExact(corpus, idCol, vecCol, numPlanes, tables, dim),
+      bucketedExact(queries, idCol, vecCol, numPlanes, tables, dim), k)
+
+  private def annTopKFrom(corpusB: DataFrame, queriesB: DataFrame,
+                          k: Int): DataFrame = {
+    val cb = corpusB
       .select(col("id").as("n_id"), col("vec").as("n_vec"), col("table"), col("bucket"))
-    val qb = bucketed(queries, idCol, vecCol, numPlanes, tables, dim, seed)
+    val qb = queriesB
       .select(col("id").as("q_id"), col("vec").as("q_vec"), col("table"), col("bucket"))
     // cosine BEFORE the (q_id, n_id) dedup: sim is functionally
     // dependent on the pair, so dedup carries 3 scalars through the
@@ -71,8 +118,16 @@ object AnnLsh {
     * LSH buckets, exact cosine verify. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      theta: Double, numPlanes: Int = 6, tables: Int = 8,
-                     dim: Int = 64, seed: Long = 0xA11): DataFrame = {
-    val b = bucketed(df, idCol, vecCol, numPlanes, tables, dim, seed)
+                     dim: Int = 64, seed: Long = 0xA11): DataFrame =
+    cosineNearDupsFrom(bucketed(df, idCol, vecCol, numPlanes, tables, dim, seed), theta)
+
+  /** cosineNearDups over the deterministic md5-parity ±1 planes. */
+  def cosineNearDupsExact(df: DataFrame, idCol: String, vecCol: String,
+                          theta: Double, numPlanes: Int = 6, tables: Int = 8,
+                          dim: Int = 64): DataFrame =
+    cosineNearDupsFrom(bucketedExact(df, idCol, vecCol, numPlanes, tables, dim), theta)
+
+  private def cosineNearDupsFrom(b: DataFrame, theta: Double): DataFrame = {
     // cosine + theta filter BEFORE the (i, j) dedup — the shuffle for
     // dropDuplicates then carries only the surviving scalar triples,
     // never the dim-wide vectors.

@@ -230,11 +230,29 @@ object Dedup {
     * chunks — any pair within the radius agrees on ≥ 1 whole chunk, so
     * an equi-join per chunk finds all of them without an n² compare. */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 7): DataFrame = {
+                      maxHamming: Int = 7): DataFrame =
+    simHashChunkJoin(simHashDf(docs, idCol, textCol), maxHamming)
+
+  /** simHashNearDups over the md5-prefix token hash (SimHash64Md5) —
+    * identical pigeonhole chunk join, but the signature is reproducible
+    * in an external SQL oracle, so the pair set can be verified against
+    * an all-pairs hamming scan (the chunk join is EXACT, not
+    * probabilistic: any pair within the radius shares a whole chunk). */
+  def simHashNearDupsMd5(docs: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int = 7): DataFrame = {
+    val sigs = docs
+      .select(col(idCol).as("id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("tk"))
+      .select(col("id"),
+        graft.functions.NativeExpressions.simHash64Md5(col("tk")).as("sig"))
+    simHashChunkJoin(sigs, maxHamming)
+  }
+
+  private def simHashChunkJoin(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
     val chunkMask = (1L << bitsPer) - 1
-    val chunked = simHashDf(docs, idCol, textCol)
+    val chunked = sigs
       .select(col("id"), col("sig"),
         posexplode(array((0 until chunks).map(c =>
           shiftrightunsigned(col("sig"), c * bitsPer).bitwiseAND(lit(chunkMask))): _*))

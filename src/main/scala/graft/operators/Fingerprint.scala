@@ -23,6 +23,16 @@ object Fingerprint {
     docs.select(col(idCol).as("id"),
       graft.functions.NativeExpressions.winnow(col(textCol), k, w).as("fps"))
 
+  /** fingerprintDf with the md5-prefix 60-bit k-gram hash instead of
+    * xxhash64: same winnowing (sliding-min, distinct, sorted), but the
+    * gram hash is reproducible in an external SQL oracle as
+    * `('0x' || substring(md5(gram), 1, 15))::BIGINT` — which makes the
+    * whole fingerprint oracle-checkable, not just rows-countable. */
+  def fingerprintMd5Df(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, w: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.NativeExpressions.winnow(col(textCol), k, w, md5 = true).as("fps"))
+
   /** HOF reference implementation, kept as the parity oracle for the
     * native expression. */
   def fingerprintDfHof(docs: DataFrame, idCol: String, textCol: String,
