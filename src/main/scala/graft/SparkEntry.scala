@@ -1180,6 +1180,29 @@ object SparkEntry {
         .select(col("i"), col("j"), levenshtein(col("na"), col("nb")).as("dist"))
         .filter(col("dist").between(1, 3))
     }),
+
+    // #107: directional shingle containment |A∩B|/|A| — quote / subset-
+    // document detection; candidates from a per-shingle equi-join,
+    // integer counts, one exact division
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(tp(s, dir, "documents"), "doc_id", "text", 3, 0.5)
+        .select(col("i"), col("j"), col("shared"), col("containment"))),
+
+    // #108: vocabulary-growth curve (Heaps-law shape) — distinct tokens
+    // in the first N docs via first-occurrence doc per token: one
+    // corpus shuffle, thresholds join on the vocab-sized table
+    "q_vocab_growth" -> ((s, dir) =>
+      operators.Vocab.vocabGrowth(tp(s, dir, "documents"), "doc_id", "text",
+        Seq(50L, 100L, 200L, 300L, 400L, 500L))),
+
+    // #109: OOV-rate per source vs the top-20 frequency vocab — the
+    // tokenizer-coverage metric; integer counts, one exact division
+    "q_oov_rate" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents")
+      val vocab = operators.Vocab.build(docs, "text", 1L)
+        .filter(col("tok_id") <= 20)
+      operators.Vocab.oovRate(docs, "text", "source", vocab)
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -2175,5 +2198,47 @@ object SparkEntry {
         |FROM p a, p b
         |WHERE a.p_partkey < b.p_partkey
         |  AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3""".stripMargin,
+
+    "q_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |sz AS (SELECT doc_id AS i, len(sh) AS size_i FROM sh),
+        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT p.i, p.j, CAST(p.shared AS BIGINT) AS shared,
+        |  CAST(p.shared AS DOUBLE) / CAST(sz.size_i AS DOUBLE) AS containment
+        |FROM pairs p JOIN sz ON sz.i = p.i
+        |WHERE CAST(p.shared AS DOUBLE) / CAST(sz.size_i AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, min(doc_id) AS fd FROM tk GROUP BY token)
+        |SELECT CAST(n AS BIGINT) AS n, count(*) AS vocab_size
+        |FROM f, unnest([50, 100, 200, 300, 400, 500]) AS u(n)
+        |WHERE fd < n GROUP BY n""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+        |v AS (SELECT token FROM (
+        |    SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS tok_id
+        |    FROM c) WHERE tok_id <= 20),
+        |j AS (SELECT tk.source, tk.token, v.token AS inv
+        |  FROM tk LEFT JOIN v ON tk.token = v.token)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY source""".stripMargin,
   )
 }

@@ -139,6 +139,32 @@ object Dedup {
       .filter(col("jac") >= theta)
   }
 
+  /** Directional shingle containment |A∩B| / |A| ≥ minContainment —
+    * the quote / subset-document detector (a doc wholly contained in a
+    * larger one has containment ≈ 1 toward the container even when
+    * Jaccard is low). Candidates come from a per-shingle equi-join
+    * (shuffle on the shingle, never doc×doc); the pair count and the
+    * per-doc set size are integers, so the single division is
+    * bit-identical across engines. Output is directional: (i, j) and
+    * (j, i) are distinct rows with different denominators. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3,
+                       minContainment: Double = 0.5): DataFrame = {
+    val sh = shingleDf(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.select(col("id").as("i"), size(col("sh")).as("size_i"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("i"), col("b.id").as("j"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes, "i")
+      .select(col("i"), col("j"), col("shared"),
+        (col("shared").cast("double") / col("size_i").cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   /** All-pairs exact n-gram Jaccard over a bounded id range — the
     * verify-pass primitive, oracle-checkable. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,

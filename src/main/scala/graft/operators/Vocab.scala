@@ -62,4 +62,43 @@ object Vocab {
     text => transform(TextAnalysis.tokens(lower(text)),
       t => coalesce(element_at(mapCol, t), lit(0L)))
   }
+
+  /** Vocabulary-growth curve (Heaps-law shape): distinct tokens seen in
+    * the first N docs, for each threshold. Single-pass formulation:
+    * growth(N) = #{tokens whose FIRST occurrence doc < N} — one
+    * shuffle to (token → min doc), then the thresholds join runs on
+    * the vocab-sized table, never the corpus. At 100 TB this is the
+    * difference between one token-count-shaped shuffle and |thresholds|
+    * full corpus scans. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  thresholds: Seq[Long]): DataFrame = {
+    val firsts = docs
+      .select(col(idCol).as("did"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(min(col("did")).as("fd"))
+    firsts
+      .crossJoin(broadcast(
+        docs.sparkSession.createDataFrame(
+          thresholds.map(Tuple1(_))).toDF("n")))
+      .filter(col("fd") < col("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("vocab_size"))
+  }
+
+  /** Out-of-vocabulary token rate per source against a fixed top-K
+    * vocab — the coverage metric that decides tokenizer/vocab size.
+    * Integer counts; the single final division is bit-identical across
+    * engines. The vocab table is top-K-sized and broadcasts. */
+  def oovRate(docs: DataFrame, textCol: String, groupCol: String,
+              vocab: DataFrame): DataFrame =
+    docs
+      .select(col(groupCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .join(broadcast(vocab.select(col("token"), lit(1).as("inv"))),
+        Seq("token"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(groupCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
 }

@@ -38,4 +38,40 @@ object StreamOps {
                            watermark: String = "10 minutes"): DataFrame =
     rows.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming NEAR-dup ingestion via foreachBatch + the incremental
+    * MinHash path: each micro-batch is LSH-checked against the
+    * already-accepted corpus AND itself (Dedup.incrementalNearDups),
+    * and only novel docs are appended to `corpusPath`. The corpus
+    * grows parquet-append-only — at scale that directory is the
+    * materialized signature store the scaladoc on incrementalNearDups
+    * describes, and each batch's work is O(batch × matching buckets),
+    * never O(corpus²). Returns the DataStreamWriter; caller starts it.
+    *
+    * Exactly-once note: foreachBatch can replay a batch after a
+    * failure, so the append must be idempotent — the id anti-join
+    * against the corpus drops any doc a half-completed earlier attempt
+    * already wrote before the near-dup check runs. */
+  def nearDupIngest(incoming: DataFrame, idCol: String, textCol: String,
+                    corpusPath: String, theta: Double = 0.8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    incoming.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val existing: DataFrame =
+        try spark.read.parquet(corpusPath)
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          spark.emptyDataFrame.select(lit(0L).as(idCol), lit("").as(textCol))
+            .filter(lit(false)) }
+      // replay guard: drop docs whose id is already accepted
+      val fresh = batch.join(existing.select(col(idCol)), Seq(idCol), "left_anti")
+      val dupPairs = graft.operators.Dedup
+        .incrementalNearDups(existing, fresh, idCol, textCol, theta)
+      val novel = fresh.join(dupPairs.select(col("j").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      novel.select(col(idCol), col(textCol))
+        .write.mode("append").parquet(corpusPath)
+      spark.catalog.clearCache() // incrementalNearDups persists shingles
+      ()
+    }
+  }
 }

@@ -67,4 +67,33 @@ class DedupSpec extends SparkSpec {
       .select(length(col("text"))).head().getInt(0)
     assert(nFps < textLen) // density ~2/(w+1), far below 1 per position
   }
+
+  test("containment: a doc fully inside a larger one scores 1.0 toward it") {
+    import SparkSpec.spark.implicits._
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " zeta eta theta iota kappa lambda mu nu xi"
+    val d = Seq((1L, small), (2L, big), (3L, "unrelated words entirely here now"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(d, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // every 3-shingle of doc 1 appears in doc 2
+    assert(rows((1L, 2L)) === 1.0)
+    // direction matters: doc 2 has many shingles doc 1 lacks
+    assert(!rows.contains((2L, 1L)) || rows((2L, 1L)) < 1.0)
+    assert(!rows.exists { case ((i, j), _) => i == 3L || j == 3L })
+  }
+
+  test("md5 simhash chunk join equals all-pairs ground truth") {
+    val sigs = Dedup.simHashNearDupsMd5(docs, "doc_id", "text", 7)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = docs.select(col("doc_id"),
+        graft.functions.NativeExpressions.simHash64Md5(
+          graft.functions.TextAnalysis.tokens(lower(col("text")))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (i, si) <- all; (j, sj) <- all
+      if i < j && java.lang.Long.bitCount(si ^ sj) <= 7
+    } yield (i, j)).toSet
+    assert(sigs === truth)
+  }
 }

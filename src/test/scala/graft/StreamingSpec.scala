@@ -137,4 +137,27 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.table("fs").head().getLong(0) === events.count())
   }
+
+  test("nearDupIngest appends only novel docs across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("ndi").toFile
+    val corpus = new java.io.File(dir, "corpus").getAbsolutePath
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupIngest(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", corpus).start()
+    try {
+      val a = "alpha beta gamma delta epsilon zeta"
+      val d = "one two three four five six"
+      in.addData((1L, a), (2L, "totally different words in this doc"))
+      q.processAllAvailable()
+      // batch 2: 3 duplicates batch-1 doc 1; 4 is novel; 5 duplicates 4
+      in.addData((3L, a), (4L, d), (5L, d))
+      q.processAllAvailable()
+      val ids = SparkSpec.spark.read.parquet(corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
 }

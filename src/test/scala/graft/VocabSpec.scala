@@ -88,4 +88,30 @@ class VocabSpec extends SparkSpec {
     val want = ev.count() - ev.select(col("user_id")).distinct().count()
     assert(mass === want)
   }
+
+  test("vocabGrowth: nondecreasing and saturating at total distinct tokens") {
+    val docs = table("documents")
+    val g = Vocab.vocabGrowth(docs, "doc_id", "text",
+        Seq(50L, 100L, 200L, 500L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sorted = Seq(50L, 100L, 200L, 500L).map(g)
+    assert(sorted === sorted.sorted, s"growth must be nondecreasing: $sorted")
+    val total = docs.select(explode(
+        graft.functions.TextAnalysis.tokens(lower(col("text")))).as("t"))
+      .select("t").distinct().count()
+    assert(sorted.last === total) // 500 covers the whole sf0.001 corpus
+  }
+
+  test("oovRate: zero against the full vocab, positive against a truncated one") {
+    val docs = table("documents")
+    val full = Vocab.build(docs, "text")
+    val zero = Vocab.oovRate(docs, "text", "source", full)
+      .select("oov_rate").collect().map(_.getDouble(0))
+    assert(zero.forall(_ === 0.0))
+    val tiny = full.filter(col("tok_id") <= 2)
+    val some = Vocab.oovRate(docs, "text", "source", tiny)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(some.forall { case (n, oov, rate) =>
+      oov > 0 && rate === oov.toDouble / n.toDouble })
+  }
 }
