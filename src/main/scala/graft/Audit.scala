@@ -5,7 +5,9 @@ object Audit {
       .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (name <- Seq("q_sessionize", "q_left_join", "q_star_join", "q_dedup_minhash", "q_ann_bruteforce", "q_union")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_sessionize", "q_left_join", "q_star_join", "q_dedup_minhash", "q_ann_bruteforce", "q_union")
+    for (name <- names) {
       val p = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       val exchanges = p.linesIterator.count(_.contains("Exchange"))
       val joins = p.linesIterator.filter(l => l.contains("Join")).map(_.trim.takeWhile(_ != '[')).mkString("; ")

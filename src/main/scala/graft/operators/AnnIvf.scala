@@ -94,7 +94,11 @@ object AnnIvf {
       .filter(col("pr") <= nprobe)
       .select("q_id", "q_vec", "cid")
     val rankW = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
-    probes.join(assigned.select(col("id").as("n_id"), col("vec").as("n_vec"),
+    // the probe set is (queries × nprobe) rows — orders of magnitude
+    // smaller than the assigned corpus; broadcast it so the per-cell
+    // candidate scan never shuffles the corpus (static planner picks
+    // SMJ here because the window child's size is unknown)
+    broadcast(probes).join(assigned.select(col("id").as("n_id"), col("vec").as("n_vec"),
         col("cid")), Seq("cid"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
