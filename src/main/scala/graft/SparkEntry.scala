@@ -1203,6 +1203,54 @@ object SparkEntry {
         .filter(col("tok_id") <= 20)
       operators.Vocab.oovRate(docs, "text", "source", vocab)
     }),
+
+    // #110: temperature-weighted source mixing (α=0.5 pretraining-
+    // mixture draw) — per-stratum md5 rates from exact decimal weight
+    // sums, reproducible on any engine/cluster size; see
+    // Sampling.temperatureMix
+    "q_source_mix" -> ((s, dir) =>
+      operators.Sampling.temperatureMix(t(s, dir, "documents"), "text",
+        "source", TextAnalysis.tokenCount(col("text")), 0.3)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))),
+
+    // #111: text normalization pass — NFC (native codegen'd
+    // expression; Spark has no builtin) → lower → whitespace collapse
+    // → trim; the corpus is ASCII, so a composed/decomposed suffix is
+    // synthesized to force real normalization work. Output is the
+    // md5 + length of the normal form: engine-comparable, and exactly
+    // what a dedup stage downstream would key on.
+    "q_text_norm" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(graft.functions.NativeExpressions.nfc(
+            concat(col("text"), lit("  CAFÉ  niño\t")))),
+            "\\s+", " ")).as("norm"))
+        .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+          length(col("norm")).as("n_chars_norm"))),
+
+    // #112: per-source KL divergence from the corpus unigram blend —
+    // source-drift / mixture diagnostic; vocab-sized shuffles only
+    "q_kl_sources" -> ((s, dir) =>
+      operators.TextStats.klFromCorpus(tp(s, dir, "documents"), "text", "source")),
+
+    // #113: Zipf fit (slope/intercept of log-freq vs log-rank) from
+    // exact decimal regression moments; rank window on the vocab table
+    "q_zipf" -> ((s, dir) =>
+      operators.TextStats.zipfFit(tp(s, dir, "documents"), "text", 500)),
+
+    // #114: mean bigram surprisal per doc (−log2 p(w_i|w_{i−1}) from
+    // exact corpus bigram/prefix counts); counts from the full corpus,
+    // scored docs bounded
+    "q_bigram_logprob" -> ((s, dir) =>
+      operators.TextStats.bigramSurprisal(tp(s, dir, "documents"),
+        "doc_id", "text", col("doc_id") < 300)),
+
+    // #115: BPE merge learning (rows-only: the merge loop is inherently
+    // iterative-argmax, not single-statement SQL; BpeSpec pins the
+    // semantics on a hand-computed corpus). Integer pair counts,
+    // lexicographic tie-break — byte-identical merge table every run.
+    "q_bpe_merges" -> ((s, dir) =>
+      operators.Bpe.learnMerges(tp(s, dir, "documents"), "text", 8)),
   )
 
   // ---------------------------------------------------------------------------
@@ -2240,5 +2288,74 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  CAST(SUM(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
         |FROM j GROUP BY source""".stripMargin,
+
+    // Weights exact via DECIMAL sum; the threshold expression is the
+    // same IEEE tree as Sampling.temperatureMix, so T is bit-identical
+    // and the hex compare replays Spark's filter verbatim.
+    "q_source_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n,
+        |    round(sqrt(CAST(CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS DOUBLE)), 6) AS w
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot, CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sw FROM s),
+        |thr AS (SELECT source, CAST(floor((floor(CAST(ntot AS DOUBLE) * 0.3) * w / (sw * CAST(n AS DOUBLE))) * 4294967296.0) AS BIGINT) AS t
+        |  FROM s, tot)
+        |SELECT d.source, count(*) AS n_sampled
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE t > 4294967295 OR substr(md5(d.text), 1, 8) < lower(lpad(hex(t), 8, '0'))
+        |GROUP BY d.source""".stripMargin,
+
+    // chr(769)/chr(771) are the combining acute/tilde the Spark side
+    // appends as a decomposed literal; nfc_normalize must compose them
+    // into the same code points graft_nfc produces.
+    "q_text_norm" ->
+      """SELECT doc_id, md5(norm) AS norm_md5, CAST(length(norm) AS BIGINT) AS n_chars_norm
+        |FROM (SELECT doc_id,
+        |    trim(regexp_replace(lower(nfc_normalize(
+        |      text || '  CAFE' || chr(769) || '  nin' || chr(771) || 'o' || chr(9))),
+        |      '\s+', ' ', 'g')) AS norm
+        |  FROM documents)""".stripMargin,
+
+    "q_kl_sources" ->
+      """WITH tk AS (SELECT source AS stratum,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |cst AS (SELECT stratum, token, count(*) AS c FROM tk GROUP BY stratum, token),
+        |ns AS (SELECT stratum, CAST(sum(c) AS BIGINT) AS n FROM cst GROUP BY stratum),
+        |ct AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM cst GROUP BY token),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM ct)
+        |SELECT stratum,
+        |  round(CAST(sum(CAST(round((CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) *
+        |    log2((CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) / (CAST(ct AS DOUBLE)/CAST(nt AS DOUBLE))), 9)
+        |    AS DECIMAL(28,9))) AS DOUBLE), 6) AS kl
+        |FROM cst JOIN ns USING (stratum) JOIN ct USING (token), tot
+        |GROUP BY stratum""".stripMargin,
+
+    "q_zipf" ->
+      """WITH c AS (SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |    FROM documents) GROUP BY token),
+        |rk AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk FROM c),
+        |t AS (SELECT CAST(rnk AS DOUBLE) AS rd, CAST(cnt AS DOUBLE) AS cd FROM rk WHERE rnk <= 500),
+        |m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(round(log2(rd), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(round(log2(cd), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(round(log2(rd) * log2(cd), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(round(log2(rd) * log2(rd), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+        |  FROM t)
+        |SELECT CAST(n AS BIGINT) AS n_tokens,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
+        |FROM m""".stripMargin,
+
+    "q_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t WHERE len(tk) >= 2),
+        |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+        |cu AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(round(log2(CAST(cu AS DOUBLE) / CAST(cb AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS surprisal
+        |FROM bg JOIN cb USING (bg) JOIN cu ON string_split(bg.bg, ' ')[1] = cu.w1
+        |WHERE doc_id < 300 GROUP BY doc_id""".stripMargin,
   )
 }

@@ -43,6 +43,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => NfcNormalize(es(0))),
     // graft_lsh_buckets(vec, tables, planes, seed): all random-
     // hyperplane bucket keys in one pass (planes derived from the seed
     // exactly as AnnLsh.hyperplanes does, dim fixed at 64 for SQL use)

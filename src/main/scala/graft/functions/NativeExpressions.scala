@@ -407,6 +407,32 @@ object NativeExpressions {
       new GenericArrayData(dedup)
   }
 
+  /** Unicode NFC normalization (canonical composition) — the first
+    * stage of any text-normalization pipeline (é as e+U+0301 and é as
+    * U+00E9 must hash/dedup/tokenize identically). Spark has no
+    * builtin; this wraps `java.text.Normalizer` as a codegen'd unary
+    * expression so it stays inside whole-stage codegen instead of
+    * forcing a Scala UDF (serialization + interpreter exit) into the
+    * hot normalization pass. ASCII fast path: `Normalizer.isNormalized`
+    * is O(n) with no allocation, so the common all-ASCII corpus row
+    * pays one scan and returns the input buffer unchanged. */
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_nfc"
+
+    override def nullSafeEval(a: Any): Any =
+      NfcImpl.nfc(a.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.NfcImpl.nfc($a);")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ----------------------------------------------------------- Column API
 
   private def e(c: Column): Expression = GraftBridge.expression(c)
@@ -432,6 +458,22 @@ object NativeExpressions {
 
   def winnow(text: Column, k: Int, w: Int, md5: Boolean = false): Column =
     GraftBridge.column(Winnow(e(text), k, w, md5))
+
+  def nfc(text: Column): Column =
+    GraftBridge.column(NfcNormalize(e(text)))
+}
+
+/** NFC kernel. TOP-LEVEL object so Scala emits Java static forwarders —
+  * generated code calls `graft.functions.NfcImpl.nfc(...)` as a plain
+  * static method (a nested object would be a MODULE$ field reference
+  * Janino can't resolve). */
+object NfcImpl {
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** Winnowing kernel entry point. TOP-LEVEL object so Scala emits Java

@@ -49,4 +49,42 @@ object Sampling {
     }
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 4) < threshold)
   }
+
+  /** Temperature-weighted source mixing — the pretraining-mixture draw:
+    * stratum s gets a sampling budget ∝ tokens(s)^0.5 (temperature
+    * smoothing: α=0.5 upweights small sources vs proportional α=1),
+    * spent as a deterministic per-stratum md5 rate, so the mixture is
+    * reproducible across runs, engines, and cluster sizes, and a doc
+    * keeps its fate on incremental re-scans.
+    *
+    * Thresholds are computed cross-engine-exactly: per-stratum weights
+    * are round(sqrt(tokens), 6) doubles summed in DECIMAL (order-
+    * independent, exact), the rate expression is a fixed IEEE tree
+    * (bit-identical in any engine), and the resulting 32-bit threshold
+    * compares as 8 lowercase hex chars against the md5 prefix. The
+    * stats pass is one tiny aggregation (|strata| rows, broadcast
+    * back); the sample itself is a narrow filter — no corpus shuffle.
+    *
+    * `budget` is the target sample fraction of total docs (caps at
+    * keep-everything per stratum, where the leftover budget is NOT
+    * redistributed — one pass, no iterative water-filling). */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+                     weight: Column, budget: Double = 0.3): DataFrame = {
+    val stats = df.groupBy(col(stratumCol).as("_st"))
+      .agg(count(lit(1)).as("_n"),
+        round(sqrt(sum(weight).cast("double")), 6).as("_w"))
+    val tot = stats.agg(
+      sum(col("_n")).as("_ntot"),
+      sum(col("_w").cast("decimal(18,6)")).cast("double").as("_sw"))
+    val thr = stats.crossJoin(broadcast(tot))
+      .select(col("_st"),
+        floor((floor(col("_ntot").cast("double") * budget) * col("_w") /
+          (col("_sw") * col("_n").cast("double"))) * lit(4294967296.0))
+          .cast("long").as("_t"))
+    df.join(broadcast(thr), col(stratumCol) === col("_st"))
+      .filter(col("_t") > 4294967295L ||
+        substring(md5(col(keyCol).cast("string")), 1, 8) <
+          lower(lpad(hex(col("_t")), 8, "0")))
+      .drop("_st", "_t")
+  }
 }

@@ -86,4 +86,95 @@ object TextStats {
             (col("c2").cast("double") / col("t_tot")))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("pair").asc).limit(k)
   }
+
+  /** KL divergence of each stratum's unigram distribution from the
+    * corpus distribution — the source-drift / mixture-diagnostic number
+    * (how far a source's token usage sits from the blend it feeds).
+    * support(stratum) ⊆ support(corpus) always, so no smoothing is
+    * needed. Counts stay integer to the last expression; each term
+    * (p·log2(p/q)) is one fixed IEEE tree rounded to 9 decimals, then
+    * summed in DECIMAL — order-independent and engine-exact — and the
+    * sum rounds to 6 (above log2's ulp divergence). Shuffles are on
+    * (stratum, token) and token: vocab-sized tables throughout, never
+    * the corpus. */
+  def klFromCorpus(docs: DataFrame, textCol: String,
+                   stratumCol: String): DataFrame = {
+    val tk = docs.select(col(stratumCol).as("stratum"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+    val cst = tk.groupBy(col("stratum"), col("token")).agg(count(lit(1)).as("c"))
+    val ns = cst.groupBy(col("stratum")).agg(sum(col("c")).as("n"))
+    val ct = cst.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+    val tot = ct.agg(sum(col("ct")).as("nt"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    val q = col("ct").cast("double") / col("nt").cast("double")
+    cst.join(broadcast(ns), "stratum")
+      .join(ct, "token")
+      .crossJoin(broadcast(tot))
+      .select(col("stratum"),
+        round(p * log2(p / q), 9).cast("decimal(28,9)").as("term"))
+      .groupBy(col("stratum"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("kl"))
+  }
+
+  /** Least-squares Zipf fit over the top-k token frequencies:
+    * slope/intercept of log2(freq) ~ log2(rank) — the corpus-health
+    * number (natural text sits near slope −1; synthetic or deduped-
+    * to-death corpora flatten). Rank ties break on the token so rank
+    * assignment is engine-stable; the regression moments are per-term
+    * round(9) doubles summed in DECIMAL (exact, order-independent),
+    * and the closed-form slope/intercept is one fixed IEEE tree over
+    * those exact sums. The rank window runs on the vocab-sized count
+    * table, never the corpus. */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 500): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    val ranked = docs
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+    val x = log2(col("rnk").cast("double"))
+    val y = log2(col("cnt").cast("double"))
+    def dsum9(c: Column): Column = sum(round(c, 9).cast("decimal(28,9)")).cast("double")
+    val m = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum9(x).as("sx"), dsum9(y).as("sy"),
+      dsum9(x * y).as("sxy"), dsum9(x * x).as("sxx"))
+    m.select(m("n").cast("long").as("n_tokens"),
+      round((m("n") * m("sxy") - m("sx") * m("sy")) /
+        (m("n") * m("sxx") - m("sx") * m("sx")), 6).as("slope"),
+      round((m("sy") - (m("n") * m("sxy") - m("sx") * m("sy")) /
+        (m("n") * m("sxx") - m("sx") * m("sx")) * m("sx")) / m("n"), 6)
+        .as("intercept"))
+  }
+
+  /** Mean bigram surprisal per document: avg −log2 p(w_i | w_{i−1})
+    * with p from exact corpus bigram / prefix counts — the next-token-
+    * predictability quality gate one order up from `unigramSurprisal`
+    * (boilerplate scores low, shuffled word salad high). The bigram
+    * count table is vocab²-bounded but Zipf-concentrated — orders
+    * smaller than the corpus — and joins back on the bigram string.
+    * Per-term round(9) → DECIMAL sum → round(6), as klFromCorpus.
+    * `outputFilter` restricts which docs are SCORED; counts always
+    * come from the full corpus. */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      outputFilter: Column = lit(true)): DataFrame = {
+    val bg = docs
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("bg"))
+    val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum(col("cb")).as("cu"))
+    bg.filter(outputFilter)
+      .join(cb, "bg")
+      .join(cu, element_at(split(col("bg"), " "), 1) === col("w1"))
+      .select(col(idCol),
+        round(log2(col("cu").cast("double") / col("cb").cast("double")), 9)
+          .cast("decimal(28,9)").as("term"))
+      .groupBy(col(idCol))
+      .agg(round((sum(col("term")).cast("double") /
+        count(lit(1)).cast("double")), 6).as("surprisal"))
+  }
 }

@@ -82,6 +82,24 @@ class NativeExprSpec extends SparkSpec {
       l.trim.matches("""\*\(\d+\) Project.*graft_cosine.*""")), plan)
   }
 
+  test("graft_nfc composes decomposed input, idempotent, null-safe") {
+    import SparkSpec.spark.implicits._
+    val composed = "café niño"             // é, ñ precomposed
+    val decomposed = "café niño"         // e+◌́, n+◌̃
+    val df = Seq(decomposed, composed, "plain ascii", null).toDF("s")
+      .select(NativeExpressions.nfc(col("s")).as("n"))
+    val out = df.collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out(0) == composed)            // composition happened
+    assert(out(1) == composed)            // already-NFC unchanged
+    assert(out(2) == "plain ascii")       // ASCII fast path
+    assert(out(3) == null)
+    // idempotent + SQL-registered
+    GraftFunctions.register(spark)
+    val twice = spark.sql(s"SELECT graft_nfc(graft_nfc('$decomposed'))")
+      .head().getString(0)
+    assert(twice == composed)
+  }
+
   test("SQL registration: graft_* callable from spark.sql") {
     GraftFunctions.register(spark)
     Tables.registerAll(spark, sf)

@@ -106,4 +106,58 @@ class TextStatsSpec extends SparkSpec {
     // at least one non-singleton cluster exists in the planted corpus
     assert(rows.exists(r => r.getLong(0) >= 2))
   }
+
+  test("klFromCorpus: single stratum has zero divergence from itself") {
+    val docs = table("documents").withColumn("one", lit("all"))
+    val kl = operators.TextStats.klFromCorpus(docs, "text", "one")
+      .head().getDouble(1)
+    assert(kl === 0.0)
+  }
+
+  test("klFromCorpus: non-negative for every source (Gibbs)") {
+    val kls = operators.TextStats.klFromCorpus(table("documents"), "text", "source")
+      .collect().map(_.getDouble(1))
+    assert(kls.nonEmpty && kls.forall(_ >= 0.0))
+  }
+
+  test("zipfFit recovers the slope of an exact power law") {
+    import SparkSpec.spark.implicits._
+    // plant freq = c·rank^(-2) with integer counts at the dense ranks
+    // zipfFit assigns: c = 2^12·9 → (1,36864) (2,9216) (3,4096) (4,2304)
+    val c = (1 << 12) * 9
+    val docs = Seq((1 to 4).flatMap { rank =>
+      Seq.fill(c / (rank * rank))(s"tok$rank")
+    }.mkString(" ")).toDF("text")
+    val row = operators.TextStats.zipfFit(docs, "text", 10).head()
+    assert(row.getLong(0) === 4L)
+    assert(math.abs(row.getDouble(1) - (-2.0)) < 1e-6)
+    assert(math.abs(row.getDouble(2) - math.log(c) / math.log(2)) < 1e-6)
+  }
+
+  test("bigramSurprisal: deterministic text scores zero") {
+    import SparkSpec.spark.implicits._
+    // every bigram is unique per prefix → p(w2|w1)=1 → surprisal 0
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val s = operators.TextStats.bigramSurprisal(docs, "doc_id", "text")
+      .head().getDouble(1)
+    assert(s === 0.0)
+  }
+
+  test("temperatureMix: reproducible, narrow, budget-shaped") {
+    val docs = table("documents")
+    val tc = graft.functions.TextAnalysis.tokenCount(col("text"))
+    val a = operators.Sampling.temperatureMix(docs, "text", "source", tc, 0.3)
+    val b = operators.Sampling.temperatureMix(docs, "text", "source", tc, 0.3)
+    val idsA = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    val idsB = b.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idsA === idsB && idsA.nonEmpty)
+    // near the budget in expectation: loose 2× band, just shape
+    val n = docs.count()
+    assert(idsA.size > n * 0.1 && idsA.size < n * 0.6)
+    // budget 1.0 with α-smoothing keeps under-weighted strata capped
+    // at keep-all: every doc survives only if every stratum rate ≥ 1 —
+    // not guaranteed — but a 10× budget must keep everything
+    val all = operators.Sampling.temperatureMix(docs, "text", "source", tc, 10.0)
+    assert(all.count() === n)
+  }
 }
