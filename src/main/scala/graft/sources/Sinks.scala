@@ -39,4 +39,24 @@ object Sinks {
       .write.mode(mode)
       .partitionBy("year", "month", "day", "hour")
       .parquet(path)
+
+  /** Bucketed managed table — the shuffle-amortization sink for tables
+    * that are repeatedly joined or aggregated on one key: the write
+    * hash-partitions rows into `numBuckets` files per partition ONCE,
+    * and every later equi-join/groupBy on `bucketCol` between tables
+    * with compatible bucketing reads co-located and skips its
+    * Exchange entirely (asserted in SourcesSpec). At 100 TB this is
+    * the difference between shuffling the fact table on every join
+    * and never shuffling it again; `sortBy` additionally pre-sorts
+    * within buckets so sort-merge joins skip their Sort. Bucket count
+    * should be sized so one bucket ≈ one task's worth of data
+    * (bytes / numBuckets ≲ maxPartitionBytes). */
+  def bucketed(df: DataFrame, table: String, bucketCol: String,
+               numBuckets: Int, sortCols: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

@@ -101,4 +101,45 @@ class SourcesSpec extends SparkSpec {
     assert(kept.count() === 1)
     assert(kept.select("k").head().getString(0) === "b")
   }
+
+  test("TableLoader roundtrips orc") {
+    val dir = tmpDir("orc")
+    val src = table("nation")
+    src.write.mode("overwrite").orc(s"$dir/t")
+    val back = TableLoader.read(spark, "orc", s"$dir/t")
+    assert(back.count() === src.count())
+    assert(back.schema.fieldNames.toSet === src.schema.fieldNames.toSet)
+  }
+
+  test("bucketed tables co-locate: equi-join plans with zero Exchange") {
+    val a = table("customer").select("c_custkey", "c_acctbal")
+    val b = table("orders").select("o_custkey", "o_totalprice")
+    Sinks.bucketed(a, "bkt_cust", "c_custkey", 4, Seq("c_custkey"))
+    Sinks.bucketed(b, "bkt_ord", "o_custkey", 4, Seq("o_custkey"))
+    // force SMJ (a broadcast join would sidestep bucketing on these
+    // tiny tables and hide what's being asserted: both scans report
+    // their bucketing, so neither side shuffles OR sorts)
+    val joined = spark.table("bkt_cust").hint("merge")
+      .join(spark.table("bkt_ord"), col("c_custkey") === col("o_custkey"))
+    val n = joined.count()
+    assert(n === a.join(b, col("c_custkey") === col("o_custkey")).count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+  }
+
+  test("PipelineMetrics.gatePanel: drop rates observed inline, no extra scan") {
+    import graft.operators.PipelineMetrics
+    val docs = table("documents")
+    val (instrumented, obs) = PipelineMetrics.gatePanel(docs, "gates", Map(
+      "minlen" -> (length(col("text")) >= 100),
+      "lang" -> (col("lang") === "en")))
+    // one action drives both the pipeline and the metrics
+    val survivors = instrumented
+      .filter(length(col("text")) >= 100 && col("lang") === "en").count()
+    val m = obs.get
+    assert(m("n_rows") === docs.count())
+    assert(m("fail_minlen") === docs.filter(length(col("text")) < 100).count())
+    assert(m("fail_lang") === docs.filter(col("lang") =!= "en").count())
+    assert(survivors <= docs.count())
+  }
 }
