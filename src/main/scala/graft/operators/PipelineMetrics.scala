@@ -21,13 +21,19 @@ import org.apache.spark.sql.functions._
 object PipelineMetrics {
 
   /** Attach named aggregate metrics at this point of the plan. Returns
-    * the (lazily) instrumented frame and the Observation handle whose
-    * `.get` yields the metric map after an action runs. */
+    * the (lazily) instrumented frame and, for batch frames, the
+    * Observation handle whose `.get` yields the metric map once an
+    * action runs. Streaming frames get the name-keyed observe form
+    * (`Observation` is batch-only) — read the rows from
+    * `StreamingQueryProgress.observedMetrics(name)` per batch. */
   def observed(df: DataFrame, name: String,
-               metrics: Map[String, Column]): (DataFrame, Observation) = {
-    val obs = new Observation(name)
+               metrics: Map[String, Column]): (DataFrame, Option[Observation]) = {
     val cols = metrics.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }
-    (df.observe(obs, cols.head, cols.tail: _*), obs)
+    if (df.isStreaming) (df.observe(name, cols.head, cols.tail: _*), None)
+    else {
+      val obs = new Observation(name)
+      (df.observe(obs, cols.head, cols.tail: _*), Some(obs))
+    }
   }
 
   /** The standard curation-gate panel: total rows plus, per gate
@@ -35,7 +41,7 @@ object PipelineMetrics {
     * action consumes the frame (conditional count = the only shape
     * `observe` needs for drop-rate dashboards). */
   def gatePanel(df: DataFrame, name: String,
-                gates: Map[String, Column]): (DataFrame, Observation) =
+                gates: Map[String, Column]): (DataFrame, Option[Observation]) =
     observed(df, name,
       gates.map { case (g, pass) =>
         s"fail_$g" -> count_if(!pass)

@@ -136,7 +136,7 @@ class SourcesSpec extends SparkSpec {
     // one action drives both the pipeline and the metrics
     val survivors = instrumented
       .filter(length(col("text")) >= 100 && col("lang") === "en").count()
-    val m = obs.get
+    val m = obs.get.get
     assert(m("n_rows") === docs.count())
     assert(m("fail_minlen") === docs.filter(length(col("text")) < 100).count())
     assert(m("fail_lang") === docs.filter(col("lang") =!= "en").count())

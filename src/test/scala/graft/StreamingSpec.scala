@@ -138,6 +138,21 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("fs").head().getLong(0) === events.count())
   }
 
+  test("observe surfaces per-batch gate metrics in streaming progress") {
+    val in = MemoryStream[String]
+    val (instrumented, _) = graft.operators.PipelineMetrics.gatePanel(
+      in.toDF().toDF("text"), "gates", Map("minlen" -> (length(col("text")) >= 3)))
+    val q = instrumented.writeStream.format("noop").start()
+    try {
+      in.addData("ok text", "x", "yz", "long enough")
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("gates"))).last
+      assert(m.getAs[Long]("n_rows") === 4L)
+      assert(m.getAs[Long]("fail_minlen") === 2L)
+    } finally q.stop()
+  }
+
   test("nearDupIngest appends only novel docs across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("ndi").toFile
     val corpus = new java.io.File(dir, "corpus").getAbsolutePath
