@@ -128,11 +128,15 @@ object TextStats {
   def zipfFit(docs: DataFrame, textCol: String, topK: Int = 500): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("token").asc)
+    // top-K first via orderBy+limit (TakeOrderedAndProject: distributed
+    // per-partition heaps, driver merges k·p rows) so the unpartitioned
+    // rank window only ever sees topK rows — a global row_number over
+    // the full vocab would single-task a 100M-token count table
     val ranked = docs
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(topK)
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
     val x = log2(col("rnk").cast("double"))
     val y = log2(col("cnt").cast("double"))
     def dsum9(c: Column): Column = sum(round(c, 9).cast("decimal(28,9)")).cast("double")

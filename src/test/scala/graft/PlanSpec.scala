@@ -140,4 +140,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_unigram_logprob")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_source_mix: per-stratum thresholds broadcast back, no corpus shuffle") {
+    val p = plan("q_source_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_zipf: vocab rank is top-K heaps + 500-row window, never a global sort") {
+    val p = plan("q_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_text_norm: graft_nfc stays in whole-stage codegen, zero exchanges") {
+    val p = plan("q_text_norm")
+    assert(!p.contains("Exchange"), p)
+    assert(p.linesIterator.exists(l =>
+      l.trim.matches(""".*\*\(\d+\) Project.*graft_nfc.*""")), p)
+  }
 }
