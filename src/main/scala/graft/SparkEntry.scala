@@ -770,7 +770,7 @@ object SparkEntry {
     // #58: corpus bigram counts (raw occurrences, the LM-counts shape);
     // token array staged so the shingling lambda captures an attribute
     "q_bigrams" -> ((s, dir) =>
-      t(s, dir, "documents")
+      tp(s, dir, "documents") // corpus-wide tokenize+shingle is per-row compute
         .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
         .select(explode(when(size(col("tk")) >= 2,
           transform(sequence(lit(1), size(col("tk")) - 1),
