@@ -1251,6 +1251,34 @@ object SparkEntry {
     // lexicographic tie-break — byte-identical merge table every run.
     "q_bpe_merges" -> ((s, dir) =>
       operators.Bpe.learnMerges(tp(s, dir, "documents"), "text", 8)),
+
+    // #118: inverted index build (term → df + sorted posting list) —
+    // the lexical-search complement of the ANN family; one tokenize
+    // scan, one term-keyed hash agg (AQE splits stopword-class terms)
+    "q_postings" -> ((s, dir) =>
+      operators.Search.postings(tp(s, dir, "documents"), "doc_id", "text")),
+
+    // #119: BM25 ranked retrieval — query-term filter BEFORE tf/df
+    // aggregation (scored relation is |query|×df, never corpus-sized);
+    // round(9) score + doc_id tie-break = engine-stable ranks
+    "q_bm25" -> ((s, dir) =>
+      operators.Search.bm25(tp(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"))),
+
+    // #120: sparse TF-IDF cosine pairs via the inverted-index join —
+    // pairs meet per shared term, the dot product only accumulates
+    // over the intersection; bounded id range keeps the oracle O(n²)-
+    // free too (DuckDB joins the same index)
+    "q_sparse_cosine" -> ((s, dir) =>
+      operators.Search.sparseCosinePairs(tp(s, dir, "documents"),
+        "doc_id", "text", 40L)),
+
+    // #121: content-defined chunk dedup — boundaries from token-hash
+    // content (insertion-shift-robust, unlike fixed 32-token
+    // q_chunk_dedup); md5-prefix boundary hash reproduces in the
+    // oracle, shuffle carries chunk hashes only
+    "q_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcDupChunks(tp(s, dir, "documents"), "doc_id", "text", 8)),
   )
 
   // ---------------------------------------------------------------------------
@@ -2357,5 +2385,76 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE), 6) AS surprisal
         |FROM bg JOIN cb USING (bg) JOIN cu ON string_split(bg.bg, ' ')[1] = cu.w1
         |WHERE doc_id < 300 GROUP BY doc_id""".stripMargin,
+
+    "q_postings" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tf AS (SELECT DISTINCT doc_id, term
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM t))
+        |SELECT term, count(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY term""".stripMargin,
+
+    "q_bm25" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(tk) AS dl FROM t),
+        |stats AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |qtf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM t)
+        |  WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+        |scored AS (SELECT doc_id,
+        |    round(sum(
+        |      ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+        |          (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+        |      (CAST(tf AS DOUBLE) * 2.2) /
+        |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        |    ), 9) AS score
+        |  FROM qtf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY doc_id)
+        |SELECT doc_id, score,
+        |  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+        |FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    "q_sparse_cosine" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 40),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS w
+        |  FROM tf JOIN dfq USING (term)),
+        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS i, b.doc_id AS j, sum(a.w * b.w) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j, round(dot / (ni.nrm * nj.nrm), 9) AS cos_sim
+        |FROM dots JOIN norms ni ON dots.i = ni.doc_id
+        |  JOIN norms nj ON dots.j = nj.doc_id""".stripMargin,
+
+    "q_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos FROM t),
+        |f AS (SELECT doc_id, pos, tok,
+        |    CASE WHEN ('0x' || substring(md5(tok), 1, 15))::BIGINT % 8 = 0
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM tok),
+        |c AS (SELECT doc_id, pos, tok,
+        |    COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        |  FROM f),
+        |g AS (SELECT doc_id, chunk, string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |  FROM c GROUP BY doc_id, chunk)
+        |SELECT md5(chunk_text) AS chunk_hash, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -214,6 +215,46 @@ object Dedup {
       .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")
       .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jac"))
       .filter(col("jac") >= theta)
+  }
+
+  // -------------------------------------- content-defined chunking (CDC)
+
+  /** Duplicated variable-size chunks via content-defined chunking: a
+    * chunk boundary falls AFTER any token whose hash ≡ 0 (mod
+    * avgChunkTokens) — boundaries derive from content, not position, so
+    * an insertion early in a doc shifts only the chunk it lands in
+    * (fixed-size chunking like q_chunk_dedup re-aligns every later
+    * chunk). The gear/Rabin CDC idea from storage dedup, applied at
+    * token granularity for corpus paragraph-ish dedup.
+    *
+    * Token hash is the md5-prefix 60-bit value (Fingerprint's oracle
+    * construction) so the boundary choice reproduces in external SQL.
+    * One tokenize scan; the chunk index is a per-doc running sum of
+    * boundary flags (window by doc — documents are bounded, the
+    * partition is one doc's tokens); the shuffle to count duplicates
+    * carries chunk HASHES, never chunk text. Returns (chunk_hash,
+    * n_occurrences, n_docs) for chunks seen ≥ 2 times. */
+  def cdcDupChunks(docs: DataFrame, idCol: String, textCol: String,
+                   avgChunkTokens: Int = 8): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokens(lower(col(textCol))).as("tk"))
+      .select(col("id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val flagged = tok.withColumn("b",
+      when(h % avgChunkTokens === 0, lit(1L)).otherwise(lit(0L)))
+    // chunk = count of boundaries strictly BEFORE this token
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = flagged.withColumn("chunk",
+      coalesce(sum(col("b")).over(byDoc), lit(0L)))
+    chunked.groupBy(col("id"), col("chunk"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")), " ")).as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_occurrences") >= 2)
   }
 
   // -------------------------------------------------------------- simhash

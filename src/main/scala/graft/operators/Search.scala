@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Lexical (keyword) search primitives: inverted index, BM25 ranked
+  * retrieval, and sparse TF-IDF cosine similarity via an index join.
+  * The ANN family (AnnLsh/AnnIvf/q_ann_bruteforce) covers the dense
+  * embedding half of similarity search; this is the sparse half a
+  * training-data pipeline uses for corpus search, query-based
+  * decontamination, and lexical near-dup scoring.
+  *
+  * Scale shape: everything routes through the (doc_id, term, tf)
+  * relation — one tokenize scan, one hash aggregation. All joins are
+  * per-term (inverted-index joins) or per-doc, never doc×doc; query
+  * retrieval filters the term relation to the query's terms BEFORE any
+  * aggregation, so the scored relation is |query| × df rows, not
+  * corpus-sized. Cross-engine float rule: tf/df/dl are exact integers,
+  * single divisions are deterministic per-value, and every summed
+  * double surfaces through round(..., 9) (see SURVEY §4).
+  */
+object Search {
+
+  /** (doc_id, term, tf): the term-frequency relation every other
+    * operator here derives from. */
+  def termFreq(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("tk"))
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Inverted index: (term, df, postings) with the posting list as a
+    * sorted CSV of doc ids. At 100 TB the posting payload for stopword-
+    * class terms is the skew risk — the build is one hash agg keyed on
+    * the term, so AQE skew-split handles the hot terms, and df comes
+    * from the same shuffle (no second pass). */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    termFreq(docs, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings"))
+
+  /** BM25 (Robertson/Spärck Jones) top-k retrieval for a literal query.
+    *
+    * score(d) = Σ_t ln((N − df + 0.5)/(df + 0.5) + 1) ·
+    *            tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * The term filter lands BEFORE tf/df aggregation, so the scored
+    * relation is only the query terms' postings; df and the (N, avgdl)
+    * scalars broadcast. Ranking uses the round(9) score with doc_id as
+    * the total tie-break, so ranks are engine-stable. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 20): DataFrame = {
+    val dl = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(lower(col(textCol))).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val qtf = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("tk"))
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = qtf
+      .join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 9).as("score"))
+    // TakeOrderedAndProject prefix, then rank over topK rows only
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+  }
+
+  /** All-pairs sparse TF-IDF cosine over a bounded id range, via the
+    * inverted-index join: pairs meet per shared term (shuffle keyed on
+    * the term), so the dot product accumulates only over the
+    * intersection — docs sharing nothing never pair. Weights are
+    * tf/df (exact integer division per value); norms and dots are
+    * summed doubles surfaced through round(9). */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxId: Long): DataFrame = {
+    val w = {
+      val tf0 = termFreq(docs.filter(col(idCol) < maxId), idCol, textCol)
+      val dfT = tf0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf0.join(dfT, "term")
+        .select(col("doc_id"), col("term"),
+          (col("tf").cast("double") / col("df").cast("double")).as("w"))
+    }
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+      .join(norms.select(col("doc_id").as("i"), col("nrm").as("ni")), "i")
+      .join(norms.select(col("doc_id").as("j"), col("nrm").as("nj")), "j")
+      .select(col("i"), col("j"),
+        round(col("dot") / (col("ni") * col("nj")), 9).as("cos_sim"))
+  }
+}
