@@ -1279,6 +1279,34 @@ object SparkEntry {
     // oracle, shuffle carries chunk hashes only
     "q_cdc_chunks" -> ((s, dir) =>
       Dedup.cdcDupChunks(tp(s, dir, "documents"), "doc_id", "text", 8)),
+
+    // #122: interval×interval overlap join via the same coarse-binning
+    // equi-shuffle as q_range_join — the later-start-bin filter makes
+    // each overlapping pair survive exactly once, no dedup shuffle
+    "q_interval_join" -> ((s, dir) => {
+      val a = t(s, dir, "orders").filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey").as("a_key"), col("o_orderdate").as("a_start"))
+      val b = t(s, dir, "orders").filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("b_key"), col("o_orderdate").as("b_start"))
+      RangeJoin.intervalOverlap(a, "a_start", 14, b, "b_start", 14)
+        .filter(col("a_key") =!= col("b_key"))
+        .groupBy(col("a_key"))
+        .agg(count(lit(1)).as("n_overlaps"), min(col("b_key")).as("first_b"))
+    }),
+
+    // #123: MinHash estimate accuracy — estimated (signature-agreement)
+    // vs exact Jaccard per pair, both integer ratios; the number a
+    // pipeline thresholds on when it skips the exact verify pass
+    "q_minhash_est" -> ((s, dir) =>
+      Dedup.minHashEstimatePairs(tp(s, dir, "documents"), "doc_id", "text",
+        3, 16, 40L)
+        .filter(col("est_jaccard") > 0 || col("jaccard") >= 0.5)),
+
+    // #124: deterministic k-fold split (content-stable fold per doc,
+    // pure projection) — fold balance per source as the check
+    "q_folds" -> ((s, dir) =>
+      operators.Sampling.kFold(t(s, dir, "documents"), "doc_id", 5)
+        .groupBy(col("fold"), col("source")).agg(count(lit(1)).as("n"))),
   )
 
   // ---------------------------------------------------------------------------
@@ -2456,5 +2484,45 @@ object SparkEntry {
         |SELECT md5(chunk_text) AS chunk_hash, count(*) AS n_occurrences,
         |  count(DISTINCT doc_id) AS n_docs
         |FROM g GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT a.o_orderkey AS a_key, count(*) AS n_overlaps,
+        |  min(b.o_orderkey) AS first_b
+        |FROM orders a JOIN orders b
+        |  ON CAST(a.o_orderdate AS DATE) < CAST(b.o_orderdate AS DATE) + INTERVAL 14 DAY
+        | AND CAST(b.o_orderdate AS DATE) < CAST(a.o_orderdate AS DATE) + INTERVAL 14 DAY
+        |WHERE a.o_orderkey % 500 = 0 AND b.o_orderkey % 7 = 0
+        |  AND a.o_orderkey <> b.o_orderkey
+        |GROUP BY a.o_orderkey""".stripMargin,
+
+    "q_minhash_est" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 40),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |sg AS (SELECT doc_id, sh,
+        |    list_transform(range(0, 16), i -> list_min(list_transform(sh,
+        |      s -> ('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15))::BIGINT)))
+        |      AS sig
+        |  FROM sh),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        |    CAST(len(list_filter(range(1, 17),
+        |      k -> a.sig[k] = b.sig[k])) AS DOUBLE) / 16.0 AS est_jaccard,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+        |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id)
+        |SELECT i, j, est_jaccard, jaccard FROM p
+        |WHERE est_jaccard > 0 OR jaccard >= 0.5""".stripMargin,
+
+    "q_folds" ->
+      """SELECT fold, source, count(*) AS n
+        |FROM (SELECT source,
+        |    ('0x' || substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5
+        |      AS fold
+        |  FROM documents)
+        |GROUP BY fold, source""".stripMargin,
   )
 }

@@ -166,6 +166,34 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** MinHash ESTIMATE accuracy over a bounded id range: all pairs with
+    * (a) the estimated Jaccard = fraction of agreeing signature
+    * positions — the number a production pipeline thresholds on when
+    * it skips the exact verify — and (b) the exact shingle Jaccard.
+    * Integer ratios on both, so the comparison is oracle-exact. The
+    * signature here is the md5-prefix variant (min over shingles of
+    * md5-60bit(i + ":" + shingle) per position), reproducible in
+    * external SQL — same construction trade as fingerprintMd5Df. */
+  def minHashEstimatePairs(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, numHashes: Int = 16,
+                           maxId: Long = 40L): DataFrame = {
+    val sh = shingleDf(docs.filter(col(idCol) < maxId), idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.select(col("id"), col("sh"),
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(col("sh"), s =>
+          conv(substring(md5(concat(i.cast("string"), lit(":"), s)), 1, 15),
+            16, 10).cast("long")))).as("sig"))
+    sig.select(col("id").as("i"), col("sh").as("sh_i"), col("sig").as("sig_i"))
+      .join(sig.select(col("id").as("j"), col("sh").as("sh_j"), col("sig").as("sig_j")),
+        col("i") < col("j"))
+      .select(col("i"), col("j"),
+        (aggregate(zip_with(col("sig_i"), col("sig_j"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard"),
+        jaccard(col("sh_i"), col("sh_j")).as("jaccard"))
+  }
+
   /** All-pairs exact n-gram Jaccard over a bounded id range — the
     * verify-pass primitive, oracle-checkable. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -37,4 +37,31 @@ object RangeJoin {
         col(dateCol).cast("date") < date_add(col(startCol).cast("date"), spanDays))
       .drop("__bin")
   }
+
+  /** Interval × interval overlap join, same binning idea: both sides
+    * explode onto their covered bins, the join shuffles on the bin id,
+    * the exact overlap predicate filters candidates. An overlapping
+    * pair meets in every shared bin, so instead of a dedup shuffle the
+    * filter keeps only the bin containing the LATER start — overlap
+    * means that date lies inside both intervals, so both sides exploded
+    * onto its bin, and it is unique per pair. Intervals are
+    * [start, start + span days), half-open. */
+  def intervalOverlap(left: DataFrame, lStart: String, lSpanDays: Int,
+                      right: DataFrame, rStart: String, rSpanDays: Int,
+                      binDays: Int = 7): DataFrame = {
+    def explodeBins(df: DataFrame, startCol: String, spanDays: Int): DataFrame = {
+      val nBins = spanDays / binDays + 2
+      df.withColumn("__b0", binOf(col(startCol), binDays))
+        .withColumn("__bin", explode(sequence(col("__b0"), col("__b0") + lit(nBins - 1))))
+        .drop("__b0")
+    }
+    val la = explodeBins(left, lStart, lSpanDays)
+    val rb = explodeBins(right, rStart, rSpanDays)
+    val lS = col(lStart).cast("date")
+    val rS = col(rStart).cast("date")
+    la.join(rb, Seq("__bin"))
+      .filter(lS < date_add(rS, rSpanDays) && rS < date_add(lS, lSpanDays) &&
+        col("__bin") === binOf(greatest(lS, rS), binDays))
+      .drop("__bin")
+  }
 }

@@ -50,6 +50,17 @@ object Sampling {
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 4) < threshold)
   }
 
+  /** Deterministic k-fold assignment (cross-validation / sharded-eval
+    * cut): fold = md5("fold:" + key) mod k — content-stable like every
+    * split here (a doc keeps its fold across runs, engines, cluster
+    * sizes, and incremental re-scans), uniform across folds, and a pure
+    * projection (no shuffle, no state). */
+  def kFold(df: DataFrame, keyCol: String, k: Int,
+            foldCol: String = "fold"): DataFrame =
+    df.withColumn(foldCol,
+      conv(substring(md5(concat(lit("fold:"), col(keyCol).cast("string"))), 1, 15),
+        16, 10).cast("long") % k)
+
   /** Temperature-weighted source mixing — the pretraining-mixture draw:
     * stratum s gets a sampling budget ∝ tokens(s)^0.5 (temperature
     * smoothing: α=0.5 upweights small sources vs proportional α=1),

@@ -90,12 +90,16 @@ object Search {
     * summed doubles surfaced through round(9). */
   def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                         maxId: Long): DataFrame = {
+    // the weighted relation feeds three consumers (norms + both join
+    // sides); persist so the tokenize/tf/df pipeline runs once — cache
+    // lifetime is the caller's, as with Dedup.minHashNearDups
     val w = {
       val tf0 = termFreq(docs.filter(col(idCol) < maxId), idCol, textCol)
       val dfT = tf0.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf0.join(dfT, "term")
         .select(col("doc_id"), col("term"),
           (col("tf").cast("double") / col("df").cast("double")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
