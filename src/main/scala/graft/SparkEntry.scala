@@ -1307,6 +1307,22 @@ object SparkEntry {
     "q_folds" -> ((s, dir) =>
       operators.Sampling.kFold(t(s, dir, "documents"), "doc_id", 5)
         .groupBy(col("fold"), col("source")).agg(count(lit(1)).as("n"))),
+
+    // #125: PageRank centrality over the token-bigram graph (the link-
+    // centrality quality signal crawl corpora weight docs by) — three
+    // decimal-exact iterations, each one src-keyed join + dst-keyed agg
+    "q_pagerank" -> ((s, dir) => {
+      val tk = tp(s, dir, "documents")
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val edges = tk.select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .filter(col("src") =!= col("dst"))
+      operators.PageRank.ranks(edges, 3)
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -2524,5 +2540,42 @@ object SparkEntry {
         |      AS fold
         |  FROM documents)
         |GROUP BY fold, source""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |bgp AS (SELECT DISTINCT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS p
+        |  FROM t WHERE len(tk) >= 2),
+        |bg AS (SELECT string_split(p, ' ')[1] AS src, string_split(p, ' ')[2] AS dst
+        |  FROM bgp WHERE string_split(p, ' ')[1] <> string_split(p, ' ')[2]),
+        |od AS (SELECT src, count(*) AS od FROM bg GROUP BY src),
+        |nodes AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM bg UNION ALL SELECT dst FROM bg)),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, CAST(round(1.0 / n, 9) AS DECIMAL(28,9)) AS rank
+        |  FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT bg.dst, CAST(sum(CAST(round(CAST(r.rank AS DOUBLE) / od.od, 9)
+        |      AS DECIMAL(28,9))) AS DECIMAL(27,9)) AS s
+        |  FROM bg JOIN od USING (src) JOIN r0 r ON r.node = bg.src GROUP BY bg.dst),
+        |r1 AS (SELECT nodes.node,
+        |    CAST(round(0.15 / n, 9) AS DECIMAL(28,9)) + CAST(0.85 AS DECIMAL(3,2)) *
+        |      COALESCE(c1.s, CAST(0 AS DECIMAL(27,9))) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = nodes.node),
+        |c2 AS (SELECT bg.dst, CAST(sum(CAST(round(CAST(r.rank AS DOUBLE) / od.od, 9)
+        |      AS DECIMAL(28,9))) AS DECIMAL(27,9)) AS s
+        |  FROM bg JOIN od USING (src) JOIN r1 r ON r.node = bg.src GROUP BY bg.dst),
+        |r2 AS (SELECT nodes.node,
+        |    CAST(round(0.15 / n, 9) AS DECIMAL(28,9)) + CAST(0.85 AS DECIMAL(3,2)) *
+        |      COALESCE(c2.s, CAST(0 AS DECIMAL(27,9))) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nodes.node),
+        |c3 AS (SELECT bg.dst, CAST(sum(CAST(round(CAST(r.rank AS DOUBLE) / od.od, 9)
+        |      AS DECIMAL(28,9))) AS DECIMAL(27,9)) AS s
+        |  FROM bg JOIN od USING (src) JOIN r2 r ON r.node = bg.src GROUP BY bg.dst),
+        |r3 AS (SELECT nodes.node,
+        |    CAST(round(0.15 / n, 9) AS DECIMAL(28,9)) + CAST(0.85 AS DECIMAL(3,2)) *
+        |      COALESCE(c3.s, CAST(0 AS DECIMAL(27,9))) AS rank
+        |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nodes.node)
+        |SELECT node, round(CAST(rank AS DOUBLE), 9) AS rank FROM r3""".stripMargin,
   )
 }
