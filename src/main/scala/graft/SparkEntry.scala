@@ -1308,6 +1308,44 @@ object SparkEntry {
       operators.Sampling.kFold(t(s, dir, "documents"), "doc_id", 5)
         .groupBy(col("fold"), col("source")).agg(count(lit(1)).as("n"))),
 
+    // #126: EWMA smoothing over the event stream (truncated to 5 taps)
+    // — decay c = 0.5 is a binary power, so every tap product is EXACT
+    // in IEEE double and the fixed expression tree is bit-identical on
+    // any engine; one window pass per user, no state
+    "q_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val taps = (0 to 4).map(k =>
+        (if (k == 0) col("value") else lag(col("value"), k).over(w)) *
+          lit(math.pow(0.5, k)))
+      t(s, dir, "events").filter(col("user_id") < 50)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ewma",
+          round(taps.reduce(_ + _) / lit(1.9375), 9))
+        .filter(col("rn") >= 5)
+        .select(col("event_id"), col("ewma"))
+    }),
+
+    // #127: z-score outlier detection per event_type — mean/sd from
+    // exact decimal moment sums (order-independent, q_stats_agg
+    // pattern), broadcast back; the outlier predicate is a narrow
+    // filter, no second corpus shuffle
+    "q_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val x = col("value").cast("decimal(18,6)")
+      val g = e.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).cast("double").as("nd"),
+          sum(x.cast("decimal(28,6)")).cast("double").as("sx"),
+          sum((x * x).cast("decimal(38,12)")).cast("double").as("sx2"))
+        .select(col("et"), (col("sx") / col("nd")).as("mean"),
+          sqrt((col("nd") * col("sx2") - col("sx") * col("sx")) /
+            (col("nd") * (col("nd") - lit(1.0)))).as("sd"))
+        .filter(col("sd") > 0)
+      e.join(broadcast(g), e("event_type") === g("et"))
+        .select(col("event_id"), col("event_type"),
+          round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+        .filter(abs(col("z")) >= 2.5)
+    }),
+
     // #125: PageRank centrality over the token-bigram graph (the link-
     // centrality quality signal crawl corpora weight docs by) — three
     // decimal-exact iterations, each one src-keyed join + dst-keyed agg
@@ -2540,6 +2578,29 @@ object SparkEntry {
         |      AS fold
         |  FROM documents)
         |GROUP BY fold, source""".stripMargin,
+
+    "q_ewma" ->
+      """SELECT event_id,
+        |  round((value * 1.0 + lag(value, 1) OVER w * 0.5 +
+        |    lag(value, 2) OVER w * 0.25 + lag(value, 3) OVER w * 0.125 +
+        |    lag(value, 4) OVER w * 0.0625) / 1.9375, 9) AS ewma
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |QUALIFY row_number() OVER w >= 5""".stripMargin,
+
+    "q_outliers" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sx2
+        |  FROM events GROUP BY event_type),
+        |s AS (SELECT event_type, sx / nd AS mean,
+        |    sqrt((nd * sx2 - sx * sx) / (nd * (nd - 1.0))) AS sd FROM g)
+        |SELECT event_id, events.event_type AS event_type,
+        |  round((value - mean) / sd, 6) AS z
+        |FROM events JOIN s ON events.event_type = s.event_type
+        |WHERE sd > 0 AND abs(round((value - mean) / sd, 6)) >= 2.5""".stripMargin,
 
     "q_pagerank" ->
       """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
