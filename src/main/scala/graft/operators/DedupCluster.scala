@@ -40,6 +40,17 @@ object DedupCluster {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Eagerly-localCheckpointed datasets pin their RDD blocks until the
+    * driver GCs the RDD reference; inside the propagation loop that
+    * means one pinned label table PER PASS. The checkpoint RDD sits
+    * behind a `LogicalRDD` leaf, so unpersist it directly. */
+  private def dropCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Components over ONLY the nodes present in the edge list.
     *
     * Loop mechanics (why this isn't a plain persist loop): each pass
@@ -84,6 +95,12 @@ object DedupCluster {
         .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint(true)
       val s = labelSum(next)
+      // `next` is fully materialized (eager checkpoint) — the previous
+      // pass's checkpoint blocks are dead now. Dropping them here keeps
+      // the loop's block footprint at one label table instead of one
+      // per pass (ContextCleaner only reclaims them after a driver GC,
+      // which a long-lived session may not run for a while).
+      dropCheckpointBlocks(labels)
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s
