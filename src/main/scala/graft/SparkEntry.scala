@@ -1361,6 +1361,100 @@ object SparkEntry {
         .filter(col("src") =!= col("dst"))
       operators.PageRank.ranks(edges, 3)
     }),
+
+    // #128: out-degree histogram of the token-bigram graph (the graph-
+    // shape diagnostic next to PageRank: how link-y is the corpus) —
+    // distinct edges, per-src count, then a histogram on the vocab-
+    // sized degree table; the corpus is scanned once
+    "q_graph_degree" -> ((s, dir) => {
+      val tk = tp(s, dir, "documents")
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      tk.select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+        .groupBy(col("src")).agg(count(lit(1)).as("od"))
+        .groupBy(col("od").as("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+    }),
+
+    // #129: type-token ratio + hapax share per doc (lexical-diversity
+    // quality gate) — one explode + per-(doc,token) count; the division
+    // is over two exact integers so it is bit-identical cross-engine
+    "q_ttr" -> ((s, dir) =>
+      tp(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+        .withColumn("ttr",
+          round(col("n_types").cast("double") / col("n_tokens").cast("double"), 9))),
+
+    // #130: distinct users per hopping window (audience-reach metric) —
+    // exact count_distinct per 1h/30m slot; at 100 TB the drop-in is
+    // approx_count_distinct (HLL) on the same plan shape
+    "q_window_users" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("n_users"), col("n_events"))),
+
+    // #131: weekly cohort retention matrix (first-seen week × offset) —
+    // the classic growth-analytics query; distinct (user, week) first so
+    // the cohort join and the count are user-week-sized, integer-exact
+    "q_retention" -> ((s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 604800").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("wk0"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("wk0").as("cohort_week"), (col("wk") - col("wk0")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // #132: URL canonicalization + per-domain rollup (domain-level
+    // curation stats: crawl corpora gate on domain reputation) — host
+    // extract, case-fold, www-strip; the URL is synthesized from doc
+    // fields so both engines see identical input
+    "q_domains" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("url", concat(lit("https://WWW."), col("source"), lit("-"),
+          (col("doc_id") % 20).cast("string"), lit(".Example.COM/p/"),
+          col("doc_id").cast("string"), lit("?ref="), col("lang")))
+        .select(regexp_replace(
+            lower(regexp_extract(col("url"), "^https?://([^/?]+)", 1)),
+            "^www\\.", "").as("domain"),
+          col("n_chars"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))),
+
+    // #133: Gopher-style quality gates from integer token stats (token
+    // count bounds, mean-word-length band as cross-multiplied integer
+    // inequalities, stopword floor) — every predicate is integer
+    // arithmetic, so the keep bit is exact on any engine
+    "q_gopher_rules" -> ((s, dir) =>
+      tp(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          aggregate(col("tk"), lit(0), (acc, x) => acc + length(x))
+            .cast("long").as("sum_len"),
+          size(filter(col("tk"), x =>
+            x.isin("the", "a", "of", "to", "and", "in", "is", "that")))
+            .cast("long").as("n_stop"))
+        .withColumn("keep",
+          (col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
+            col("sum_len") >= col("n_tokens") * 3 &&
+            col("sum_len") <= col("n_tokens") * 10 &&
+            col("n_stop") * 50 >= col("n_tokens")).cast("int"))),
   )
 
   // ---------------------------------------------------------------------------
@@ -2638,5 +2732,67 @@ object SparkEntry {
         |      COALESCE(c3.s, CAST(0 AS DECIMAL(27,9))) AS rank
         |  FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nodes.node)
         |SELECT node, round(CAST(rank AS DOUBLE), 9) AS rank FROM r3""".stripMargin,
+
+    "q_graph_degree" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |bgp AS (SELECT DISTINCT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS p
+        |  FROM t WHERE len(tk) >= 2),
+        |bg AS (SELECT string_split(p, ' ')[1] AS src, string_split(p, ' ')[2] AS dst
+        |  FROM bgp WHERE string_split(p, ' ')[1] <> string_split(p, ' ')[2]),
+        |od AS (SELECT src, count(*) AS od FROM bg GROUP BY src)
+        |SELECT od AS degree, count(*) AS n_nodes FROM od GROUP BY degree""".stripMargin,
+
+    "q_ttr" ->
+      """WITH ex AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        |  round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS ttr
+        |FROM a""".stripMargin,
+
+    "q_window_users" ->
+      """WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es FROM events),
+        |w AS (SELECT user_id, (es // 1800) * 1800 - k * 1800 AS win_start
+        |  FROM e, unnest([0, 1]) AS u(k))
+        |SELECT win_start, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM w GROUP BY win_start""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS wk0 FROM e GROUP BY user_id)
+        |SELECT wk0 AS cohort_week, wk - wk0 AS week_offset, count(*) AS n_users
+        |FROM e JOIN c USING (user_id) GROUP BY cohort_week, week_offset""".stripMargin,
+
+    "q_domains" ->
+      """WITH d AS (SELECT
+        |    'https://WWW.' || source || '-' || CAST(doc_id % 20 AS VARCHAR) ||
+        |      '.Example.COM/p/' || CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url,
+        |    n_chars
+        |  FROM documents)
+        |SELECT regexp_replace(lower(regexp_extract(url, '^https?://([^/?]+)', 1)),
+        |    '^www\.', '') AS domain,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM d GROUP BY domain""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','to','and','in','is','that'))) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_tokens, sum_len, n_stop,
+        |  CAST(CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+        |    AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10
+        |    AND n_stop * 50 >= n_tokens THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM m""".stripMargin,
   )
 }

@@ -28,10 +28,20 @@ object PageRank {
   def ranks(edges: DataFrame, iters: Int = 3,
             teleportN: Option[Long] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val od = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // Pregel/GraphX layout: out-degree is joined into the edge table
+    // ONCE and the result cached hash-partitioned on src — every
+    // iteration's rank join then reads the (large) edge side straight
+    // from cache with matching partitioning and only shuffles the
+    // node-sized rank vector. Without this the edge table re-shuffles
+    // on src once per iteration, which at web-graph scale is the whole
+    // cost of the loop.
+    val eod = e.join(od, "src")
+      .select(col("src"), col("dst"), col("od"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = eod.select(col("src").as("node"))
+      .union(eod.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one scalar action (node count), same license as DedupCluster's
     // convergence aggregate — a single tiny agg, never a collect of rows
@@ -40,7 +50,7 @@ object PageRank {
     var r = nodes.select(col("node"),
       round(lit(1.0) / lit(n.toDouble), 9).cast("decimal(28,9)").as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = e.join(od, "src")
+      val contrib = eod
         .join(r.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
           round(col("rank").cast("double") / col("od").cast("double"), 9)
