@@ -47,6 +47,52 @@ object SparkEntry {
   private val RevenueSql =
     "CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))), 2) AS DOUBLE)"
 
+  /** Brute-force cosine top-10 ranks (q_id, rn, n_id) — shared by
+    * q_ann_bruteforce and as the ground-truth side of q_ann_recall. */
+  private val AnnBruteSql =
+    """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+      |s AS (SELECT q_id, n_id, list_cosine_similarity(qe, ne) AS sim
+      |      FROM q, c WHERE n_id <> q_id),
+      |r AS (SELECT q_id, n_id,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+      |      FROM s)
+      |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin
+
+  /** LSH-bucketed ANN top-10 ranks, deterministic md5-parity planes
+    * over 1e-6-quantized vectors (same construction as the Spark side)
+    * — shared by q_ann_lsh and the approximate side of q_ann_recall. */
+  private val AnnLshSql =
+    """WITH w AS (
+      |  SELECT t, p, list(CASE WHEN instr('13579bdf', substring(md5(
+      |      CAST(t AS VARCHAR) || ',' || CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)
+      |    ), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS wv
+      |  FROM range(8) tt(t), range(6) pp(p), range(64) dd(d)
+      |  GROUP BY t, p),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |q AS (SELECT vec_id, list_transform(ve, x -> floor(x * 1000000.0)) AS qv FROM e),
+      |dots AS (
+      |  SELECT q.vec_id, w.t, w.p,
+      |    list_sum(list_transform(range(1, 65), i -> qv[i] * wv[i])) AS dt
+      |  FROM q CROSS JOIN w),
+      |bk AS (
+      |  SELECT vec_id, t,
+      |    CAST(SUM(CASE WHEN dt > 0 THEN CAST(1 AS BIGINT) << p
+      |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id, t),
+      |cand AS (
+      |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+      |  FROM bk qb JOIN bk cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+      |  WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
+      |s AS (
+      |  SELECT q_id, n_id, list_cosine_similarity(eq.ve, en.ve) AS sim
+      |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id),
+      |r AS (SELECT q_id, n_id,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+      |      FROM s)
+      |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin
+
   /** Flagship: the reference's hashtag top-10 re-expressed over
     * documents.text (tokens play the hashtags role). Runs on sf0.001;
     * driver smoke-checks rows>0. */
@@ -1455,6 +1501,21 @@ object SparkEntry {
             col("sum_len") >= col("n_tokens") * 3 &&
             col("sum_len") <= col("n_tokens") * 10 &&
             col("n_stop") * 50 >= col("n_tokens")).cast("int"))),
+
+    // #134: ANN recall@10 — per-query hit count of the LSH index
+    // against the brute-force ground truth, the acceptance metric an
+    // ANN deployment is gated on. Both sides are the already-oracled
+    // pipelines; the overlap count is a tiny integer join.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = tp(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+        .select(col("q_id"), col("n_id"))
+      val ls = AnnLsh.annTopKExact(e, q, "vec_id", "embedding", 10)
+        .select(col("q_id").as("lq"), col("n_id").as("ln"))
+      bf.join(ls, bf("q_id") === col("lq") && bf("n_id") === col("ln"), "left")
+        .groupBy(col("q_id")).agg(count(col("ln")).as("n_hit"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -1686,16 +1747,7 @@ object SparkEntry {
         |      FROM documents)
         |GROUP BY h""".stripMargin,
 
-    "q_ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
-        |           FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
-        |s AS (SELECT q_id, n_id, list_cosine_similarity(qe, ne) AS sim
-        |      FROM q, c WHERE n_id <> q_id),
-        |r AS (SELECT q_id, n_id,
-        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
-        |      FROM s)
-        |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin,
+    "q_ann_bruteforce" -> AnnBruteSql,
 
     // SimHash rebuilt from scratch: md5-prefix 60-bit token hash, per-bit
     // majority vote, then an ALL-PAIRS hamming scan — the Spark side's
@@ -1773,35 +1825,7 @@ object SparkEntry {
         |FROM cand JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j
         |WHERE list_cosine_similarity(ea.ve, eb.ve) >= 0.4""".stripMargin,
 
-    "q_ann_lsh" ->
-      """WITH w AS (
-        |  SELECT t, p, list(CASE WHEN instr('13579bdf', substring(md5(
-        |      CAST(t AS VARCHAR) || ',' || CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)
-        |    ), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS wv
-        |  FROM range(8) tt(t), range(6) pp(p), range(64) dd(d)
-        |  GROUP BY t, p),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-        |q AS (SELECT vec_id, list_transform(ve, x -> floor(x * 1000000.0)) AS qv FROM e),
-        |dots AS (
-        |  SELECT q.vec_id, w.t, w.p,
-        |    list_sum(list_transform(range(1, 65), i -> qv[i] * wv[i])) AS dt
-        |  FROM q CROSS JOIN w),
-        |bk AS (
-        |  SELECT vec_id, t,
-        |    CAST(SUM(CASE WHEN dt > 0 THEN CAST(1 AS BIGINT) << p
-        |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-        |  FROM dots GROUP BY vec_id, t),
-        |cand AS (
-        |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
-        |  FROM bk qb JOIN bk cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-        |  WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id),
-        |s AS (
-        |  SELECT q_id, n_id, list_cosine_similarity(eq.ve, en.ve) AS sim
-        |  FROM cand JOIN e eq ON eq.vec_id = q_id JOIN e en ON en.vec_id = n_id),
-        |r AS (SELECT q_id, n_id,
-        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
-        |      FROM s)
-        |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin,
+    "q_ann_lsh" -> AnnLshSql,
 
     // IVF replayed: stride-init centroids (no Lloyd refinement → no
     // float averaging), argmax-cosine assignment, top-4 probed cells,
@@ -2794,5 +2818,12 @@ object SparkEntry {
         |    AND sum_len >= n_tokens * 3 AND sum_len <= n_tokens * 10
         |    AND n_stop * 50 >= n_tokens THEN 1 ELSE 0 END AS INT) AS keep
         |FROM m""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH bf AS ($AnnBruteSql),
+        |ls AS ($AnnLshSql)
+        |SELECT bf.q_id, count(ls.n_id) AS n_hit
+        |FROM bf LEFT JOIN ls ON bf.q_id = ls.q_id AND bf.n_id = ls.n_id
+        |GROUP BY bf.q_id""".stripMargin,
   )
 }
