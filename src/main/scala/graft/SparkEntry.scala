@@ -1516,6 +1516,19 @@ object SparkEntry {
       bf.join(ls, bf("q_id") === col("lq") && bf("n_id") === col("ln"), "left")
         .groupBy(col("q_id")).agg(count(col("ln")).as("n_hit"))
     }),
+
+    // #135: byte-budget media shard packing (the webdataset/tar-shard
+    // writer layout) — Packing's running-sum bin cut applied to payload
+    // bytes per kind; one shuffle + one window pass, payloads never
+    // leave their partition
+    "q_media_shards" -> ((s, dir) => {
+      val media = Multimodal.fromDocuments(t(s, dir, "documents"))
+        .select(col("kind"), col("mediaId").as("media_id"),
+          length(col("payload")).as("n_bytes"))
+      operators.Packing.binStats(media, "kind", "media_id", "n_bytes", 16384)
+        .select(col("kind"), col("bin"), col("n_docs"),
+          col("tok_sum").cast("long").as("byte_sum"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -2825,5 +2838,15 @@ object SparkEntry {
         |SELECT bf.q_id, count(ls.n_id) AS n_hit
         |FROM bf LEFT JOIN ls ON bf.q_id = ls.q_id AND bf.n_id = ls.n_id
         |GROUP BY bf.q_id""".stripMargin,
+
+    "q_media_shards" ->
+      """WITH m AS (SELECT 'text' AS kind, doc_id AS media_id,
+        |    CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents),
+        |p AS (SELECT kind, n_bytes,
+        |    CAST((SUM(n_bytes) OVER (PARTITION BY kind ORDER BY media_id
+        |                             ROWS UNBOUNDED PRECEDING) - n_bytes) // 16384 AS BIGINT) AS bin
+        |  FROM m)
+        |SELECT kind, bin, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS byte_sum
+        |FROM p GROUP BY kind, bin""".stripMargin,
   )
 }
