@@ -158,4 +158,24 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.trim.matches(""".*\*\(\d+\) Project.*graft_nfc.*""")), p)
   }
+
+  test("q_domains never reads text: pruning drops the wide column") {
+    val p = plan("q_domains")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("n_chars") &&
+      !read.contains("text"), read)
+  }
+
+  test("q_retention: the user-week table is distinct'd before the cohort join") {
+    val p = plan("q_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // partial aggregation runs before each exchange (map-side distinct)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q_media_shards: payload bytes reduce before the shuffle (length only)") {
+    val p = plan("q_media_shards")
+    // the window input carries (kind, media_id, n_bytes) — never payload
+    assert(!p.contains("payload#"), p)
+  }
 }
