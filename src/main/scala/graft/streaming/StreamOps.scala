@@ -74,4 +74,22 @@ object StreamOps {
       ()
     }
   }
+
+  /** Streaming audience reach: distinct users per hopping window, the
+    * speed-layer counterpart of the batch q_window_users. Distinct
+    * counting in a stream must be mergeable across micro-batches, so
+    * the aggregate is HLL (`approx_count_distinct`) — per-slot state is
+    * one fixed-size sketch instead of a user set, and the watermark
+    * closes slots so state stays bounded. Exact per-window counts at
+    * scale would mean keeping every user id in state until the window
+    * closes; the sketch is the production posture. */
+  def windowedUsers(events: DataFrame, tsCol: String, userCol: String,
+                    windowLen: String = "1 hour", slide: String = "30 minutes",
+                    watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide))
+      .agg(approx_count_distinct(col(userCol)).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"),
+        col("n_users"), col("n_events"))
 }

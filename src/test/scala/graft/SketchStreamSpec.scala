@@ -46,6 +46,29 @@ class SketchStreamSpec extends SparkSpec {
       s"exact-median $exact approx ${approx(1)}")
   }
 
+  test("windowedUsers: per-slot HLL reach matches exact at small cardinality") {
+    val events = MemoryStream[(Long, Timestamp)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = events.toDF.toDF("user_id", "ts")
+    val reach = StreamOps.windowedUsers(df, "ts", "user_id",
+      windowLen = "1 hour", slide = "30 minutes")
+    val q = reach.writeStream.format("memory").queryName("reach")
+      .outputMode("update").start()
+    try {
+      // 3 distinct users, one duplicate, all inside 10:00-10:30
+      events.addData((1L, ts(5)), (2L, ts(10)), (3L, ts(20)), (1L, ts(25)))
+      q.processAllAvailable()
+      // each event lands in two hopping slots (10:00 and 09:30 starts);
+      // HLL++ is exact in its sparse regime, so tiny sets count exactly
+      val rows = ss.sql("SELECT win_start, n_users, n_events FROM reach")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 09:30:00.0", 3L, 4L),
+        ("2024-01-01 10:00:00.0", 3L, 4L)))
+    } finally q.stop()
+  }
+
   test("stream-stream time-bounded join matches only within the bound") {
     val clicks = MemoryStream[(Long, Timestamp)]
     val views = MemoryStream[(Long, Timestamp)]
