@@ -1529,6 +1529,36 @@ object SparkEntry {
         .select(col("kind"), col("bin"), col("n_docs"),
           col("tok_sum").cast("long").as("byte_sum"))
     }),
+
+    // #136: exact global decile buckets WITHOUT a global sort — ntile
+    // over the corpus would single-partition every row; instead the
+    // cumulative counts run on the histogram of the (bounded-domain)
+    // length column, the 9 integer cutpoints collapse to one array row
+    // broadcast everywhere, and assignment is a narrow projection. Only
+    // the 10-group rollup shuffles.
+    "q_len_deciles" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val hist = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      val tot = hist.agg(sum(col("c")).as("tot"))
+      // cutpoint for decile d = min length whose cumulative count
+      // reaches d/10 of the total — pure integer comparison
+      val cuts = cum.crossJoin(tot)
+        .select(col("n_chars"), col("cum"), col("tot"),
+          explode(sequence(lit(1), lit(9))).as("d"))
+        .filter(col("cum") * 10 >= col("d") * col("tot"))
+        .groupBy(col("d")).agg(min(col("n_chars")).as("cut"))
+        .agg(array_sort(collect_list(col("cut"))).as("cuts"))
+      d.crossJoin(broadcast(cuts))
+        .select(col("n_chars"),
+          size(filter(col("cuts"), c => c <= col("n_chars")))
+            .cast("long").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -2848,5 +2878,21 @@ object SparkEntry {
         |  FROM m)
         |SELECT kind, bin, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS byte_sum
         |FROM p GROUP BY kind, bin""".stripMargin,
+
+    "q_len_deciles" ->
+      """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
+        |cum AS (SELECT n_chars, c,
+        |    sum(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |tot AS (SELECT sum(c) AS tot FROM h),
+        |cuts AS (SELECT d, min(n_chars) AS cut
+        |  FROM cum CROSS JOIN tot CROSS JOIN unnest([1,2,3,4,5,6,7,8,9]) AS u(d)
+        |  WHERE cum * 10 >= d * tot GROUP BY d),
+        |ca AS (SELECT list(cut ORDER BY cut) AS cuts FROM cuts),
+        |b AS (SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(ca.cuts, x -> x <= n_chars)) AS BIGINT) AS decile
+        |  FROM documents CROSS JOIN ca)
+        |SELECT decile, count(*) AS n_docs, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM b GROUP BY decile""".stripMargin,
   )
 }
