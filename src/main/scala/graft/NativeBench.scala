@@ -25,6 +25,10 @@ object NativeBench {
     time("minhash HOF") { Dedup.signatureDfHof(docs, "doc_id", "text").agg(count(lit(1))).head(); docs.count() }
     time("simhash native") { Dedup.simHashDf(docs, "doc_id", "text").agg(bit_xor(col("sig"))).head(); docs.count() }
     time("simhash HOF") { Dedup.simHashDfHof(docs, "doc_id", "text").agg(bit_xor(col("sig"))).head(); docs.count() }
+    time("ngrams native (5-gram)") { Dedup.shingleDf(docs, "doc_id", "text", 5)
+      .agg(sum(size(col("sh")))).head(); docs.count() }
+    time("ngrams HOF (5-gram)") { Dedup.shingleDfHof(docs, "doc_id", "text", 5)
+      .agg(sum(size(col("sh")))).head(); docs.count() }
     // winnowing fingerprints (k-gram hash + sliding min)
     import graft.operators.Fingerprint
     time("winnow native") { Fingerprint.fingerprintDf(docs, "doc_id", "text")

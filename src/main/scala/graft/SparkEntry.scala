@@ -814,14 +814,11 @@ object SparkEntry {
           graft.functions.TextAnalysis.redactPii(col("contact")).as("redacted"))),
 
     // #58: corpus bigram counts (raw occurrences, the LM-counts shape);
-    // token array staged so the shingling lambda captures an attribute
+    // shingling via the one-pass native expression (§2.5 row 51f)
     "q_bigrams" -> ((s, dir) =>
       tp(s, dir, "documents") // corpus-wide tokenize+shingle is per-row compute
-        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
-        .select(explode(when(size(col("tk")) >= 2,
-          transform(sequence(lit(1), size(col("tk")) - 1),
-            i => concat_ws(" ", slice(col("tk"), i, lit(2)))))
-          .otherwise(array().cast("array<string>"))).as("bigram"))
+        .select(explode(graft.functions.NativeExpressions
+          .wordNGrams(lower(col("text")), 2, distinct = false)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc).limit(50)),
 
@@ -1158,13 +1155,8 @@ object SparkEntry {
     // pairs, integer-exact
     "q_source_ngrams" -> ((s, dir) => {
       val g = tp(s, dir, "documents")
-        .select(col("source"), TextAnalysis.tokens(lower(col("text"))).as("tk"))
-        .select(col("source"), col("tk"), size(col("tk")).as("n"))
-        .filter(col("n") >= 3)
-        .select(col("source"), explode(transform(sequence(lit(1), col("n") - 2),
-          i => concat_ws(" ", element_at(col("tk"), i),
-            element_at(col("tk"), i + 1), element_at(col("tk"), i + 2))))
-          .as("gram"))
+        .select(col("source"), explode(graft.functions.NativeExpressions
+          .wordNGrams(lower(col("text")), 3, distinct = false)).as("gram"))
       def f(src: String) = max(when(col("source") === src, 1).otherwise(0))
       g.groupBy(col("gram"))
         .agg(f("src0").as("s0"), f("src1").as("s1"), f("src2").as("s2"))

@@ -433,6 +433,36 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Word n-grams in one pass: whitespace-tokenize (the \s+ split +
+    * non-empty filter TextAnalysis.tokens applies) and emit every
+    * consecutive n-token window joined by a single space — the shingle
+    * construction of the dedup family. The HOF formulation
+    * (split → filter → sequence → transform(slice + concat_ws) →
+    * array_distinct) allocates a slice array and a lambda frame per
+    * gram outside whole-stage codegen; this is a single scan that
+    * finds token spans once and builds each gram directly. `distinct`
+    * keeps first occurrences in order — exactly array_distinct's
+    * semantics — so outputs are element-identical to the HOF pipeline
+    * (asserted in NativeExprSpec). Fewer than n tokens → empty array
+    * (the HOF's `when(size >= n, ...)` guard). */
+  case class WordNGrams(child: Expression, n: Int, distinct: Boolean)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(n > 0)
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_ngrams"
+
+    override def nullSafeEval(a: Any): Any =
+      NGramsImpl.ngrams(a.asInstanceOf[UTF8String], n, distinct)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.NGramsImpl.ngrams($a, $n, $distinct);")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ----------------------------------------------------------- Column API
 
   private def e(c: Column): Expression = GraftBridge.expression(c)
@@ -461,6 +491,58 @@ object NativeExpressions {
 
   def nfc(text: Column): Column =
     GraftBridge.column(NfcNormalize(e(text)))
+
+  def wordNGrams(text: Column, n: Int, distinct: Boolean): Column =
+    GraftBridge.column(WordNGrams(e(text), n, distinct))
+}
+
+/** Word-n-gram kernel. TOP-LEVEL object so Scala emits Java static
+  * forwarders for Janino (same constraint as WinnowImpl/NfcImpl). */
+object NGramsImpl {
+  // the \s class of the HOF pipeline's split("\\s+") — ASCII-only, NOT
+  // Character.isWhitespace (which adds U+001C-1F etc.)
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def ngrams(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    // token spans in one scan
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var m = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      if (i < len) {
+        val b = i
+        while (i < len && !isWs(str.charAt(i))) i += 1
+        if (m == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, m * 2)
+          ends = java.util.Arrays.copyOf(ends, m * 2)
+        }
+        starts(m) = b; ends(m) = i; m += 1
+      }
+    }
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new java.util.ArrayList[UTF8String](m - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    val sb = new java.lang.StringBuilder
+    var g = 0
+    while (g <= m - n) {
+      sb.setLength(0)
+      var t = g
+      while (t < g + n) {
+        if (t > g) sb.append(' ')
+        sb.append(str, starts(t), ends(t))
+        t += 1
+      }
+      val gram = UTF8String.fromString(sb.toString)
+      if (seen == null || seen.add(gram)) out.add(gram)
+      g += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** NFC kernel. TOP-LEVEL object so Scala emits Java static forwarders —

@@ -32,6 +32,13 @@ object Dedup {
     * the token array is an attribute inside the shingling lambda.
     * Matches the oracle's list_transform construction token for token. */
   def shingleDf(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.NativeExpressions
+        .wordNGrams(col(textCol), n, distinct = true).as("sh"))
+
+  /** The HOF formulation shingleDf replaced — kept as the parity
+    * reference (NativeExprSpec asserts element-identical output). */
+  def shingleDfHof(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tk"))
       .select(col("id"),

@@ -21,6 +21,30 @@ class NativeExprSpec extends SparkSpec {
     assert(diffs === 0.0)
   }
 
+  test("native word n-grams are element-identical to the HOF shingles") {
+    for (n <- Seq(2, 3, 5)) {
+      val native = Dedup.shingleDf(docs, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hof = Dedup.shingleDfHof(docs, "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native.keySet === hof.keySet)
+      native.foreach { case (id, sh) =>
+        assert(sh === hof(id), s"n=$n doc $id") } // order AND multiplicity
+    }
+    // non-distinct path + whitespace-edge handling
+    val ss = spark
+    import ss.implicits._
+    val edge = Seq((1L, "  a  b\tc \n"), (2L, "x"), (3L, ""), (4L, "a a a"))
+      .toDF("doc_id", "text")
+    val got = edge.select(col("doc_id"),
+        NativeExpressions.wordNGrams(col("text"), 2, distinct = false).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("a b", "b c"))
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq.empty)
+    assert(got(4L) === Seq("a a", "a a"))
+  }
+
   test("native minhash signature is hash-identical to the HOF pipeline") {
     val native = Dedup.signatureDf(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
