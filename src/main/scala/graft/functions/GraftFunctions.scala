@@ -46,6 +46,14 @@ object GraftFunctions {
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (es: Seq[Expression]) => NfcNormalize(es(0))),
+    // graft_ngrams(text, n[, distinct]): one-pass word n-grams
+    (FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "graft_ngrams"),
+      (es: Seq[Expression]) => es match {
+        case Seq(c, n) => WordNGrams(c, litInt(n, "n"), distinct = false)
+        case Seq(c, n, Literal(d: Boolean, _)) => WordNGrams(c, litInt(n, "n"), d)
+        case _ => throw new IllegalArgumentException("graft_ngrams(text, n[, distinct])")
+      }),
     // graft_lsh_buckets(vec, tables, planes, seed): all random-
     // hyperplane bucket keys in one pass (planes derived from the seed
     // exactly as AnnLsh.hyperplanes does, dim fixed at 64 for SQL use)

@@ -135,6 +135,9 @@ class NativeExprSpec extends SparkSpec {
     val minhash = spark.sql(
       "SELECT graft_minhash(array('x y z'), 8) AS sig").head().getSeq[Long](0)
     assert(minhash.length === 8)
+    val ngrams = spark.sql(
+      "SELECT graft_ngrams('a b c b c', 2, true) AS g").head().getSeq[String](0)
+    assert(ngrams === Seq("a b", "b c", "c b"))
     val cos = spark.sql(
       """SELECT graft_cosine(CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>),
         |                    CAST(array(1.0, 0.0) AS ARRAY<DOUBLE>)) AS c""".stripMargin)
