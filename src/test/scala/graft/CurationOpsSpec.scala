@@ -64,6 +64,18 @@ class CurationOpsSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("components: a 300-node chain converges under the default pass cap") {
+    // the adversarial shape for plain min-label propagation (needs
+    // O(diameter)=300 passes); pointer jumping must close it in
+    // O(log d) — well inside the default maxIters=12
+    val nodes = (0L until 300L).toDF("id")
+    val edges = (0L until 299L).map(i => (i, i + 1)).toDF("i", "j")
+    val got = DedupCluster.components(nodes, "id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 300)
+    assert(got.forall(_._2 === 0L), got.filter(_._2 != 0L).take(5).mkString(","))
+  }
+
   test("hash sampling is deterministic and close to the nominal rate") {
     val docs = table("documents")
     val a = Sampling.hashSample(docs, "text", "1999").select("doc_id")
