@@ -1522,6 +1522,55 @@ object SparkEntry {
           col("tok_sum").cast("long").as("byte_sum"))
     }),
 
+    // #30s: TPC-H Q3 shape (shipping priority): top-10 unshipped-order
+    // revenue — two fact joins shuffle on their keys, the group-by runs
+    // on the filtered join, and the top-10 goes through per-partition
+    // heaps (TakeOrderedAndProject), never a global sort
+    "q_tpch_q3" -> ((s, dir) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_date"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_date"), col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("o_date"), col("revenue"))
+    }),
+
+    // #30t: TPC-H Q5 shape (local supplier volume): nation revenue where
+    // customer and supplier share the nation — dims (supplier, nation,
+    // region) broadcast, facts shuffle once each on their join keys
+    "q_tpch_q5" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+        .select(col("r_regionkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // #136: exact global decile buckets WITHOUT a global sort — ntile
     // over the corpus would single-partition every row; instead the
     // cumulative counts run on the histogram of the (bounded-domain)
@@ -2870,6 +2919,30 @@ object SparkEntry {
         |  FROM m)
         |SELECT kind, bin, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS byte_sum
         |FROM p GROUP BY kind, bin""".stripMargin,
+
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey,
+        |  CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS o_date,
+        |  $RevenueSql AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_date
+        |ORDER BY revenue DESC, o_date, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      s"""SELECT n_name, $RevenueSql AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_len_deciles" ->
       """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),
