@@ -75,6 +75,44 @@ object StreamOps {
     }
   }
 
+  /** Streaming per-key EWMA — the truly-recursive smoothing the batch
+    * q_ewma truncates to 5 taps: state is ONE double per key (the last
+    * smoothed value), carried across micro-batches by
+    * `flatMapGroupsWithState`, so the recursion depth is unbounded at
+    * constant state size. Events are sorted by (ts, tiebreak) within
+    * each batch group — Spark hands the group iterator in arrival
+    * order, not event-time order. In-order delivery across batches is
+    * the caller's contract (a Kafka key-partitioned source gives it);
+    * late events would need watermark + re-emit semantics instead.
+    * Emits (key, ts_sec, value, ewma) per event in append mode. */
+  def streamingEwma(events: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, alpha: Double): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col(keyCol).cast("long"),
+        unix_timestamp(col(tsCol)).as("ts_sec"), col(valCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[Double]) => {
+          var last = state.getOption
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, ts, v) =>
+            val e = last match {
+              case Some(p) => alpha * v + (1.0 - alpha) * p
+              case None => v
+            }
+            last = Some(e)
+            (key, ts, v, e)
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+      .toDF("key", "ts_sec", "value", "ewma")
+  }
+
   /** Streaming audience reach: distinct users per hopping window, the
     * speed-layer counterpart of the batch q_window_users. Distinct
     * counting in a stream must be mergeable across micro-batches, so

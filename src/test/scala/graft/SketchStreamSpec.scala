@@ -46,6 +46,30 @@ class SketchStreamSpec extends SparkSpec {
       s"exact-median $exact approx ${approx(1)}")
   }
 
+  test("streamingEwma carries the recursion across micro-batches") {
+    val events = MemoryStream[(Long, Timestamp, Double)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = events.toDF.toDF("user_id", "ts", "value")
+    val sm = StreamOps.streamingEwma(df, "user_id", "ts", "value", alpha = 0.5)
+    val q = sm.writeStream.format("memory").queryName("ewma")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, ts(0), 4.0), (1L, ts(1), 8.0)) // batch 1
+      q.processAllAvailable()
+      events.addData((1L, ts(2), 2.0), (2L, ts(2), 10.0)) // batch 2
+      q.processAllAvailable()
+      val got = ss.sql("SELECT key, ts_sec, ewma FROM ewma")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      // alpha=0.5 is a binary power: 4 → .5*8+.5*4=6 → .5*2+.5*6=4 exact
+      assert(got.toSeq === Seq(
+        (1L, ts(0).getTime / 1000, 4.0),
+        (1L, ts(1).getTime / 1000, 6.0),
+        (1L, ts(2).getTime / 1000, 4.0), // state crossed the batch boundary
+        (2L, ts(2).getTime / 1000, 10.0)))
+    } finally q.stop()
+  }
+
   test("windowedUsers: per-slot HLL reach matches exact at small cardinality") {
     val events = MemoryStream[(Long, Timestamp)]
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
