@@ -1522,6 +1522,25 @@ object SparkEntry {
           col("tok_sum").cast("long").as("byte_sum"))
     }),
 
+    // #30u: cumulative DISTINCT count over an ordered window — SQL
+    // window frames can't take DISTINCT, so the standard rewrite: flag
+    // each (user, event_type)'s first occurrence with one row_number
+    // pass, then running-sum the flags. Both passes share the per-user
+    // shuffle; nothing re-scans.
+    "q_cum_distinct" -> ((s, dir) => {
+      val wFirst = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("user_id") < 100)
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+        .withColumn("n_types_seen", sum(col("first_seen")).over(wRun))
+        .select(col("user_id"), col("event_id"), col("n_types_seen"))
+    }),
+
     // #30s: TPC-H Q3 shape (shipping priority): top-10 unshipped-order
     // revenue — two fact joins shuffle on their keys, the group-by runs
     // on the filtered join, and the top-10 goes through per-partition
@@ -2919,6 +2938,15 @@ object SparkEntry {
         |  FROM m)
         |SELECT kind, bin, COUNT(*) AS n_docs, CAST(SUM(n_bytes) AS BIGINT) AS byte_sum
         |FROM p GROUP BY kind, bin""".stripMargin,
+
+    "q_cum_distinct" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+        |FROM (SELECT user_id, event_id, ts,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM events WHERE user_id < 100)""".stripMargin,
 
     "q_tpch_q3" ->
       s"""SELECT l_orderkey,
