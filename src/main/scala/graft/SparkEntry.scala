@@ -204,6 +204,36 @@ object SparkEntry {
       |  CAST(max_by(run_tot, depth) AS DOUBLE) AS total
       |FROM chain GROUP BY o_custkey""".stripMargin
 
+  /** Spearman rank correlation per group, shared verbatim. Ranks use
+    * the tie-averaged convention held in INTEGERS: 2·avg_rank =
+    * 2·rank() + ties − 1 (rank() is min-rank, ties the per-value group
+    * size), so every moment sum is an exact decimal of integers —
+    * order-independent on both engines — and only the final rho
+    * expression touches doubles (round(9) absorbs FMA ULPs, the
+    * q_stats_agg rule). Two window passes share one hash partitioning
+    * on the group key (same exchange, two sorts). */
+  private val SpearmanQuery =
+    """WITH r AS (
+      |  SELECT l_returnflag AS rf,
+      |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+      |      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+      |      AS DECIMAL(18,0)) AS rx,
+      |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+      |      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+      |      AS DECIMAL(18,0)) AS ry
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT rf, CAST(COUNT(*) AS DOUBLE) AS nd,
+      |    CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sx2,
+      |    CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS sy2
+      |  FROM r GROUP BY rf)
+      |SELECT rf, ROUND((nd * sxy - sx * sy) /
+      |  sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS spearman
+      |FROM m""".stripMargin
+
   // ---------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1619,6 +1649,85 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
     }),
+
+    // #138: incremental aggregate maintenance — the materialized-view
+    // update path: the "historical" partition's partial aggregates merge
+    // with the delta partition's partials (sum/count are the mergeable
+    // algebra), and the result is row-identical to a full recompute
+    // (which is exactly what the oracle runs). At 100 TB this is the
+    // difference between scanning the day's delta and scanning the
+    // corpus; only the source-sized partial tables shuffle.
+    "q_incr_agg" -> ((s, dir) => {
+      def part(df: DataFrame) = df
+        .select(col("source"), size(TextAnalysis.tokens(col("text"))).as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok_sum"))
+      val d = tp(s, dir, "documents")
+      val base = part(d.filter(col("doc_id") < 400))   // "materialized"
+      val delta = part(d.filter(col("doc_id") >= 400)) // the new batch
+      base.unionByName(delta)
+        .groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("tok_sum")).as("tok_sum"))
+        .select(col("source"), col("n_docs"), col("tok_sum"),
+          round(col("tok_sum").cast("double") / col("n_docs").cast("double"), 9)
+            .as("avg_tokens"))
+    }),
+
+    // #139: data-quality expectations (deequ-shape): uniqueness, null
+    // rate, value range, and referential integrity in ONE corpus scan
+    // (a single agg row unpivoted via stack) plus one broadcast anti
+    // join for the foreign-key check — never a scan per check. At scale
+    // the exact countDistinct swaps for the salted two-stage pattern
+    // (q_skew_count_distinct) on the same plan.
+    "q_expectations" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val stats = o.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+        sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("1999-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("date_oob"))
+      val orphan = o.join(broadcast(c),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_custkey"))
+      stats.crossJoin(orphan).selectExpr(
+        """stack(5,
+          |  'o_orderkey_unique',      dup_orderkey,
+          |  'o_custkey_not_null',     null_custkey,
+          |  'o_totalprice_positive',  nonpos_price,
+          |  'o_orderdate_in_range',   date_oob,
+          |  'o_custkey_in_customer',  orphan_custkey
+          |) AS (check_name, n_violations)""".stripMargin)
+        .withColumn("pass", (col("n_violations") === 0L).cast("int"))
+    }),
+
+    // #140: Spearman rank correlation (shared ANSI text — see
+    // SpearmanQuery for the integer tie-averaged rank construction)
+    "q_spearman" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SpearmanQuery)
+    }),
+
+    // #141: median absolute deviation per group — the robust outlier
+    // scale signal (z-scores melt under heavy tails; MAD doesn't). Two
+    // exact-percentile passes: per-group median, broadcast back, median
+    // of |x − med|. Quantities are quarter-exact doubles, so both
+    // interpolated medians are bit-identical across engines; at 100 TB
+    // the exact percentile swaps for approx_percentile on an unchanged
+    // plan (the sketch is mergeable, same two-phase agg shape).
+    "q_mad" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+      val med = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(percentile(col("l_quantity"), lit(0.5)).as("med"))
+      li.join(broadcast(med), col("l_returnflag") === col("rf"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("med")).as("med"),
+          percentile(abs(col("l_quantity") - col("med")), lit(0.5)).as("mad"))
+        .select(col("l_returnflag"), round(col("med"), 9).as("med"),
+          round(col("mad"), 9).as("mad"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -2987,5 +3096,43 @@ object SparkEntry {
         |SELECT decile, count(*) AS n_docs, min(n_chars) AS min_chars,
         |  max(n_chars) AS max_chars
         |FROM b GROUP BY decile""".stripMargin,
+
+    // full recompute — exactly what the incremental merge must equal
+    "q_incr_agg" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS tok_sum,
+        |  ROUND(CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 9) AS avg_tokens
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_expectations" ->
+      """WITH s AS (SELECT
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+        |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |      OR o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS date_oob
+        |  FROM orders),
+        |orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS orphan_custkey
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL)
+        |SELECT check_name, n_violations, CAST(n_violations = 0 AS INT) AS pass
+        |FROM (
+        |  SELECT 'o_orderkey_unique' AS check_name, dup_orderkey AS n_violations FROM s
+        |  UNION ALL SELECT 'o_custkey_not_null', null_custkey FROM s
+        |  UNION ALL SELECT 'o_totalprice_positive', nonpos_price FROM s
+        |  UNION ALL SELECT 'o_orderdate_in_range', date_oob FROM s
+        |  UNION ALL SELECT 'o_custkey_in_customer', orphan_custkey FROM orph)""".stripMargin,
+
+    "q_spearman" -> SpearmanQuery,
+
+    "q_mad" ->
+      """WITH med AS (SELECT l_returnflag AS rf,
+        |    quantile_cont(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, ROUND(any_value(med), 9) AS med,
+        |  ROUND(quantile_cont(abs(l_quantity - med), 0.5), 9) AS mad
+        |FROM lineitem JOIN med ON l_returnflag = rf
+        |GROUP BY l_returnflag""".stripMargin,
   )
 }
