@@ -234,6 +234,20 @@ object SparkEntry {
       |  sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS spearman
       |FROM m""".stripMargin
 
+  /** Morton interleave for q_zorder's oracle, generated from the same
+    * 10 static mask-shift terms as the Spark expression — x-bit b lands
+    * at 2b, y-bit b at 2b+1, pure integer arithmetic on both engines. */
+  private val ZOrderOracle: String = {
+    val terms = (0 until 10).map(b =>
+      s"((x & ${1L << b}) << $b) + ((y & ${1L << b}) << ${b + 1})").mkString(" + ")
+    s"""WITH m AS (SELECT o_orderkey,
+      |    o_custkey % 1024 AS x,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS y
+      |  FROM orders)
+      |SELECT o_orderkey, CAST($terms AS BIGINT) AS zkey
+      |FROM m ORDER BY zkey, o_orderkey LIMIT 100""".stripMargin
+  }
+
   // ---------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1728,6 +1742,89 @@ object SparkEntry {
         .select(col("l_returnflag"), round(col("med"), 9).as("med"),
           round(col("mad"), 9).as("mad"))
     }),
+
+    // #142: CDC / SCD-1 apply — the warehouse upsert path: a change log
+    // (U = upsert payload, D = delete) collapses to its last writer per
+    // key (max_by over the (ts, seq) order — one delta-sized shuffle),
+    // then left-joins the snapshot: deletes drop, upserts replace,
+    // untouched keys pass through. The snapshot is never shuffled on
+    // anything but the join key, and the delta side is broadcast-able
+    // when the day's changes are small. Values pass through unrounded —
+    // bit-identical on both engines.
+    "q_scd_apply" -> ((s, dir) => {
+      val snap = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("snap_bal"))
+      val ch = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+        .select(col("o_custkey").as("key"),
+          when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+          col("o_totalprice").as("newbal"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+      val last = ch.groupBy(col("key"))
+        .agg(max_by(struct(col("op"), col("newbal")),
+          struct(col("ts"), col("seq"))).as("l"))
+        .select(col("key").as("k2"), col("l.op").as("op"),
+          col("l.newbal").as("newbal"))
+      snap.join(last, col("key") === col("k2"), "left")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("key"), coalesce(col("newbal"), col("snap_bal")).as("bal"))
+    }),
+
+    // #143: exact set-similarity self-join via PREFIX FILTERING (the
+    // PPJoin family) — the deterministic complement of MinHash-LSH: if
+    // Jaccard(A,B) ≥ t, A and B must share a shingle within their
+    // (n − ⌈t·n⌉ + 1)-prefixes under ANY shared global token order, so
+    // candidates = pairs sharing a prefix shingle — no probabilistic
+    // miss, no n² compare. Rarest-first order (global frequency asc)
+    // minimizes candidate fan-out. The frequency ranking is a window
+    // over the shingle-vocabulary table (corpus-independent size); the
+    // candidate join shuffles on the shingle, AQE splits hot buckets.
+    // t = 0.5 ⟹ prefix length n div 2 + 1, all integer arithmetic.
+    "q_prefix_join" -> ((s, dir) => {
+      val sh = Dedup.shingleDf(
+          tp(s, dir, "documents").filter(col("doc_id") < 600), "doc_id", "text", 3)
+        .filter(size(col("sh")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+      val rank = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .select(col("g"),
+          row_number().over(Window.orderBy(col("cnt"), col("g"))).as("rnk"))
+      val pref = ex.join(rank, "g")
+        .groupBy(col("id"))
+        .agg(array_sort(collect_list(struct(col("rnk"), col("g")))).as("st"))
+        .select(col("id"),
+          explode(slice(transform(col("st"), x => x.getField("g")),
+            lit(1),
+            (size(col("st")) / lit(2)).cast("int") + lit(1))).as("g"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("i"), col("b.id").as("j")).distinct()
+      cand.join(sh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
+        .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")
+        .select(col("i"), col("j"),
+          Dedup.jaccard(col("sh_i"), col("sh_j")).as("jac"))
+        .filter(col("jac") >= 0.5)
+    }),
+
+    // #144: Z-order (Morton) clustering key — the multi-dimensional
+    // data-skipping layout: interleaving the bits of two bounded
+    // dimensions makes a RANGE of zkey cover a RECTANGLE of (custkey,
+    // day), so min/max footer stats prune both dimensions on one sort
+    // key. The interleave is a statically-expanded codegen'd projection
+    // (10 literal mask-shift terms, no loop, no UDF); the top-100 here
+    // goes through TakeOrderedAndProject — a full table write would
+    // range-partition on zkey instead (same projection, no global sort).
+    "q_zorder" -> ((s, dir) => {
+      val x = pmod(col("o_custkey"), lit(1024L))
+      val y = pmod(unix_date(col("o_orderdate").cast("date")).cast("long"), lit(1024L))
+      val zkey = (0 until 10).map { b =>
+        shiftleft(x.bitwiseAND(lit(1L << b)), b) +
+          shiftleft(y.bitwiseAND(lit(1L << b)), b + 1)
+      }.reduce(_ + _)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), zkey.as("zkey"))
+        .orderBy(col("zkey"), col("o_orderkey")).limit(100)
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -3134,5 +3231,36 @@ object SparkEntry {
         |  ROUND(quantile_cont(abs(l_quantity - med), 0.5), 9) AS mad
         |FROM lineitem JOIN med ON l_returnflag = rf
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_scd_apply" ->
+      """WITH ch AS (SELECT o_custkey AS key,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS newbal, o_orderdate AS ts, o_orderkey AS seq
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'),
+        |last AS (SELECT key, op, newbal FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY ts DESC, seq DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT c_custkey AS key, COALESCE(l.newbal, c_acctbal) AS bal
+        |FROM customer LEFT JOIN last l ON c_custkey = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    // ground truth the prefix filter must equal: all-pairs exact Jaccard
+    "q_prefix_join" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 600),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5""".stripMargin,
+
+    "q_zorder" -> ZOrderOracle,
   )
 }
