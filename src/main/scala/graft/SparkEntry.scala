@@ -234,6 +234,26 @@ object SparkEntry {
       |  sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS spearman
       |FROM m""".stripMargin
 
+  /** Chi-square contingency cells, shared verbatim: integer observed
+    * counts, marginals as window sums over the cell table, expected /
+    * contribution as shared double expressions rounded to 9 (the
+    * q_stats_agg rule). Per-cell rows — never a cross-cell double sum,
+    * whose accumulation order would be engine-dependent. */
+  private val Chi2Query =
+    """WITH c AS (SELECT event_type, CAST(user_id % 4 AS INT) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM events GROUP BY event_type, user_id % 4),
+      |w AS (SELECT event_type, bucket, o,
+      |    CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE) AS rt,
+      |    CAST(SUM(o) OVER (PARTITION BY bucket) AS DOUBLE) AS ct,
+      |    CAST(SUM(o) OVER () AS DOUBLE) AS n
+      |  FROM c)
+      |SELECT event_type, bucket, o,
+      |  ROUND(rt * ct / n, 9) AS expected,
+      |  ROUND((CAST(o AS DOUBLE) - rt * ct / n) * (CAST(o AS DOUBLE) - rt * ct / n)
+      |    / (rt * ct / n), 9) AS contrib
+      |FROM w""".stripMargin
+
   /** Morton interleave for q_zorder's oracle, generated from the same
     * 10 static mask-shift terms as the Spark expression — x-bit b lands
     * at 2b, y-bit b at 2b+1, pure integer arithmetic on both engines. */
@@ -1825,6 +1845,112 @@ object SparkEntry {
         .select(col("o_orderkey"), zkey.as("zkey"))
         .orderBy(col("zkey"), col("o_orderkey")).limit(100)
     }),
+
+    // #145: time-series gap fill + forward fill (resample-to-daily):
+    // per-user daily grid from sequence(min,max) explode — grid size is
+    // span-bounded, never a cross join — left-joined with each day's
+    // last observation, then last(ignoreNulls) carries values across
+    // gaps. Grid build and fill share one hash partitioning on user_id.
+    "q_gapfill" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id") < 30)
+        .select(col("user_id"), unix_date(col("ts").cast("date")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val daily = e.groupBy(col("user_id"), col("day"))
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("v"), ignoreNulls = true).over(w).as("value"))
+    }),
+
+    // #146: triangle counting on the token co-occurrence graph (the
+    // clustering-coefficient numerator, the classic graph-analytics
+    // benchmark beside PageRank). Edges canonicalized u < v, so each
+    // triangle a<b<c is found exactly once by the two-hop join
+    // (a,b)⋈(b,c) closed by (a,c) — no post-dedup shuffle. At scale the
+    // standard degree-ordering refinement bounds the join fan-out
+    // (orient each edge from lower- to higher-degree endpoint).
+    "q_triangles" -> ((s, dir) => {
+      val tk = tp(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val e = tk.select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(least(a, b).as("u"), greatest(a, b).as("v")))).as("p"))
+        .select(col("p.u"), col("p.v")).filter(col("u") =!= col("v"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+        .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // #147: edit-distance similarity join via the SymSpell deletion
+    // neighborhood — EXACT for k=1: any pair within one edit shares a
+    // key in {self} ∪ {1-deletion variants} (substitution: delete the
+    // differing position from both; indel: the shorter string IS a
+    // variant of the longer), so candidates come from an equi-join on
+    // vocabulary-sized key tables — never all-pairs — and levenshtein
+    // verifies. The quadratic ground truth runs only in the oracle.
+    "q_edjoin" -> ((s, dir) => {
+      val v = t(s, dir, "customer").filter(col("c_custkey") < 500)
+        .select(col("c_name").as("w"))
+      val keys = v.selectExpr("w",
+        """explode(array_union(array(w),
+          |  array_distinct(transform(sequence(1, length(w)),
+          |    i -> concat(substring(w, 1, i - 1),
+          |                substring(w, i + 1, length(w))))))) AS key""".stripMargin)
+      val cand = keys.as("a").join(keys.as("b"),
+          col("a.key") === col("b.key") && col("a.w") < col("b.w"))
+        .select(col("a.w").as("w1"), col("b.w").as("w2")).distinct()
+      cand.filter(levenshtein(col("w1"), col("w2")) <= 1)
+        .select(col("w1"), col("w2"),
+          levenshtein(col("w1"), col("w2")).as("dist"))
+    }),
+
+    // #148: chi-square contingency cells (event_type × user bucket —
+    // the drift / independence diagnostic): observed counts are
+    // integers, marginals come from window sums over the CELL table
+    // (cells-sized, never a corpus re-scan), and only the final
+    // expected/contrib expressions touch doubles (shared text, round 9)
+    "q_chi2" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Chi2Query)
+    }),
+
+    // #149: snapshot diff / data reconciliation — classify keys across
+    // two table versions (added / removed / changed / unchanged) by
+    // comparing per-row content hashes under a full-outer join on the
+    // key; the shuffle carries (key, md5) only, never payloads. The
+    // "new" snapshot here is derived: late orders arrive (added), some
+    // finalized orders are purged (removed), some priorities are
+    // corrected (changed).
+    "q_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cut = lit("1998-01-01").cast("timestamp")
+      val v1 = o.filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey").as("key"),
+          md5(concat_ws("|", col("o_orderstatus"), col("o_orderpriority")))
+            .as("h1"))
+      val v2 = o
+        .filter(!(col("o_orderstatus") === "F" && col("o_orderkey") % 13 === 0))
+        .select(col("o_orderkey").as("key2"),
+          md5(concat_ws("|", col("o_orderstatus"),
+            when(col("o_orderkey") % 97 === 0, lit("CORRECTED"))
+              .otherwise(col("o_orderpriority")))).as("h2"))
+      v1.join(v2, col("key") === col("key2"), "full_outer")
+        .select(when(col("key").isNull, "added")
+          .when(col("key2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("unchanged").as("class"))
+        .groupBy(col("class")).agg(count(lit(1)).as("n"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -3262,5 +3388,62 @@ object SparkEntry {
         |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.5""".stripMargin,
 
     "q_zorder" -> ZOrderOracle,
+
+    "q_gapfill" ->
+      """WITH e AS (SELECT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    ts, event_id, value
+        |  FROM events WHERE user_id < 30),
+        |daily AS (SELECT user_id, day, v FROM (
+        |    SELECT user_id, day, value AS v, row_number() OVER (
+        |      PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |g AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM g)
+        |SELECT grid.user_id, grid.day,
+        |  last_value(daily.v IGNORE NULLS) OVER (PARTITION BY grid.user_id
+        |    ORDER BY grid.day ROWS UNBOUNDED PRECEDING) AS value
+        |FROM grid LEFT JOIN daily
+        |  ON grid.user_id = daily.user_id AND grid.day = daily.day""".stripMargin,
+
+    "q_triangles" ->
+      """WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 50),
+        |p AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> struct_pack(u := tk[i], v := tk[i+1]))) AS x
+        |  FROM tk WHERE len(tk) >= 2),
+        |e AS (SELECT DISTINCT least(x.u, x.v) AS u, greatest(x.u, x.v) AS v
+        |  FROM p WHERE x.u <> x.v)
+        |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+
+    // quadratic ground truth the deletion-neighborhood join must equal
+    "q_edjoin" ->
+      """WITH f AS (SELECT c_name AS w FROM customer WHERE c_custkey < 500)
+        |SELECT a.w AS w1, b.w AS w2, CAST(levenshtein(a.w, b.w) AS INT) AS dist
+        |FROM f a, f b WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 1""".stripMargin,
+
+    "q_chi2" -> Chi2Query,
+
+    "q_snapshot_diff" ->
+      """WITH v1 AS (SELECT o_orderkey AS key,
+        |    md5(o_orderstatus || '|' || o_orderpriority) AS h1
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |v2 AS (SELECT o_orderkey AS key2,
+        |    md5(o_orderstatus || '|' ||
+        |      CASE WHEN o_orderkey % 97 = 0 THEN 'CORRECTED'
+        |           ELSE o_orderpriority END) AS h2
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 13 = 0))
+        |SELECT CASE WHEN key IS NULL THEN 'added'
+        |            WHEN key2 IS NULL THEN 'removed'
+        |            WHEN h1 <> h2 THEN 'changed'
+        |            ELSE 'unchanged' END AS class,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM v1 FULL OUTER JOIN v2 ON key = key2
+        |GROUP BY 1""".stripMargin,
   )
 }
