@@ -1716,17 +1716,20 @@ object SparkEntry {
     "q_expectations" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer").select(col("c_custkey"))
-      val stats = o.agg(
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
-        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
-        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
-        sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
-          col("o_orderdate") >= lit("1999-01-01").cast("timestamp"), 1L)
-          .otherwise(0L)).as("date_oob"))
-      val orphan = o.join(broadcast(c),
-          col("o_custkey") === col("c_custkey"), "left_anti")
-        .agg(count(lit(1)).as("orphan_custkey"))
-      stats.crossJoin(orphan).selectExpr(
+      // the referential check rides the same scan: broadcast LEFT join,
+      // orphans are the null-probe rows — five checks, ONE corpus pass
+      val stats = o.join(broadcast(c),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos_price"),
+          sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+            col("o_orderdate") >= lit("1999-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("date_oob"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("orphan_custkey"))
+      stats.selectExpr(
         """stack(5,
           |  'o_orderkey_unique',      dup_orderkey,
           |  'o_custkey_not_null',     null_custkey,

@@ -178,4 +178,50 @@ class PlanSpec extends SparkSpec {
     // the window input carries (kind, media_id, n_bytes) — never payload
     assert(!p.contains("payload#"), p)
   }
+
+  test("q_zorder: interleave is a codegen'd projection + top-k heaps") {
+    val p = plan("q_zorder")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), p) // never a global sort for the prefix
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q_expectations: five checks share ONE orders scan") {
+    val p = plan("q_expectations")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders.parquet"))
+    assert(scans == 1, s"orders scanned $scans times:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p) // referential check rides the scan
+  }
+
+  test("q_edjoin and q_prefix_join: candidates come from equi-joins, never all-pairs") {
+    for (n <- Seq("q_edjoin", "q_prefix_join")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
+  }
+
+  test("q_chi2: marginals come from the cell table — events scanned once") {
+    val p = plan("q_chi2")
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("events.parquet"))
+    assert(scans == 1, s"events scanned $scans times:\n$p")
+  }
+
+  test("q_scd_apply: the change log collapses before touching the snapshot") {
+    val p = plan("q_scd_apply")
+    // partial max_by on the delta ahead of its exchange; no cartesian
+    assert(p.contains("partial_max_by"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_snapshot_diff: the reconciliation join carries hashes, not payloads") {
+    val p = plan("q_snapshot_diff")
+    // both join inputs project to (key, md5) before the exchange —
+    // priority/status strings never shuffle
+    val exIdx = p.indexOf("SortMergeJoin")
+    assert(exIdx >= 0 || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("o_totalprice"), p) // untouched columns pruned
+  }
 }
