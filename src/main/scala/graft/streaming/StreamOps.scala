@@ -113,6 +113,70 @@ object StreamOps {
       .toDF("key", "ts_sec", "value", "ewma")
   }
 
+  /** LEFT-OUTER event-time-bounded stream-stream join: matched rows
+    * emit like the inner variant; an UNMATCHED left row is held in
+    * state until the watermark proves no in-range right row can still
+    * arrive, then emits null-padded. The emission delay is exactly the
+    * state-eviction bound — the same watermark + time-bound pair that
+    * keeps the inner join's buffers finite is what makes "no match" a
+    * decidable fact here. */
+  def timeBoundedJoinLeftOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                               leftTs: String, rightTs: String,
+                               before: String = "interval 10 minutes",
+                               after: String = "interval 10 minutes",
+                               watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) - expr(before) &&
+        r(rightTs) <= l(leftTs) + expr(after),
+      "leftOuter")
+      .drop(r(keyCol))
+  }
+
+  /** Distinct-until-changed (CDC stream compaction / edge detection):
+    * emits a (key, ts_sec, value) row only when the value DIFFERS from
+    * the key's last emitted value — a sensor stream reporting every few
+    * seconds compacts to its change points. Built on Spark 4's
+    * `transformWithState` (the arbitrary-state v2 API): one
+    * ValueState[Double] per key — fixed-size state, no per-event
+    * growth — checkpointed via the RocksDB state store provider the
+    * API requires. In-batch rows process in (ts, value) order per key;
+    * cross-batch ordering is the source's key-partitioned contract
+    * (same as streamingEwma). */
+  def distinctUntilChanged(events: DataFrame, keyCol: String, tsCol: String,
+                           valCol: String): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TTLConfig, TimeMode, TimerValues, ValueState}
+    val proc = new StatefulProcessor[Long, (Long, Long, Double), (Long, Long, Double)] {
+      @transient private var last: ValueState[Double] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        last = getHandle.getValueState[Double]("last",
+          org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Double)],
+                                   timers: TimerValues): Iterator[(Long, Long, Double)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
+          if (!last.exists() || last.get() != v) {
+            out += ((key, ts, v))
+            last.update(v)
+          }
+        }
+        out.iterator
+      }
+    }
+    events
+      .select(col(keyCol).cast("long"),
+        unix_timestamp(col(tsCol)).as("ts_sec"), col(valCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+      .toDF("key", "ts_sec", "value")
+  }
+
   /** Streaming audience reach: distinct users per hopping window, the
     * speed-layer counterpart of the batch q_window_users. Distinct
     * counting in a stream must be mergeable across micro-batches, so

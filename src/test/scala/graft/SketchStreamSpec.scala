@@ -168,4 +168,68 @@ class SketchStreamSpec extends SparkSpec {
       assert(got === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
     } finally q.stop()
   }
+
+  test("left-outer time-bounded join null-pads once the watermark closes the bound") {
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val c = clicks.toDF.toDF("uid", "cts")
+    val v = views.toDF.toDF("vuid", "vts").withColumnRenamed("vuid", "uid")
+    val joined = StreamOps.timeBoundedJoinLeftOuter(c, v, "uid", "cts", "vts",
+      before = "interval 5 minutes", after = "interval 0 minutes",
+      watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ssoj")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(10)), (2L, ts(10))) // uid 2 has no view in range
+      views.addData((1L, ts(7)))
+      q.processAllAvailable()
+      // advance both watermarks far past the bound so "no match" is final
+      clicks.addData((9L, ts(59)))
+      views.addData((9L, ts(58)))
+      q.processAllAvailable()
+      val rows = ss.sql("SELECT uid, vts FROM ssoj WHERE uid IN (1, 2)")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getTimestamp(1)))
+        .sortBy(_._1)
+      // uid 1 matched inside the bound; uid 2 emitted null-padded only
+      // after the watermark proved no in-range view can still arrive
+      assert(rows.toSeq === Seq((1L, ts(7)), (2L, null)))
+    } finally q.stop()
+  }
+
+  test("distinctUntilChanged emits change points only, state crosses batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = ss.conf.getOption(key)
+    ss.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val dc = StreamOps.distinctUntilChanged(
+      in.toDF.toDF("sensor", "ts", "value"), "sensor", "ts", "value")
+    val q = dc.writeStream.format("memory").queryName("duc")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0), 5.0), (1L, ts(1), 5.0), (1L, ts(2), 7.0),
+        (2L, ts(0), 1.0))
+      q.processAllAvailable()
+      // repeat of the stored value across the batch boundary: suppressed
+      in.addData((1L, ts(3), 7.0), (1L, ts(4), 5.0), (2L, ts(5), 1.0))
+      q.processAllAvailable()
+      val got = ss.sql("SELECT key, ts_sec, value FROM duc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      assert(got.toSeq === Seq(
+        (1L, ts(0).getTime / 1000, 5.0),
+        (1L, ts(2).getTime / 1000, 7.0),
+        (1L, ts(4).getTime / 1000, 5.0), // change BACK is a change point
+        (2L, ts(0).getTime / 1000, 1.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => ss.conf.set(key, p)
+        case None => ss.conf.unset(key)
+      }
+    }
+  }
 }
