@@ -1954,6 +1954,24 @@ object SparkEntry {
           .otherwise("unchanged").as("class"))
         .groupBy(col("class")).agg(count(lit(1)).as("n"))
     }),
+
+    // #150: GROUPED frequent-items via the native Misra–Gries aggregate
+    // (§2.5 row 51d with grouping keys): one sketch per group, merged
+    // map-side like any partial aggregate — the per-source heavy-hitter
+    // profile at a fixed 64-counter budget per group regardless of
+    // corpus size. Exact (lb = true count) while per-group cardinality
+    // ≤ counters, which the corpus vocabulary satisfies — so the oracle
+    // is the plain group count; the approximation regime is pinned by
+    // FreqItemsSpec.
+    "q_freq_grouped" -> ((s, dir) =>
+      tp(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("source"))
+        .agg(graft.functions.FreqItems.freqItems(col("tok"), 64).as("fi"))
+        .select(col("source"), explode(col("fi")).as("e"))
+        .select(col("source"), col("e.item").as("item"),
+          col("e.lb").as("cnt"))),
   )
 
   // ---------------------------------------------------------------------------
@@ -3448,5 +3466,14 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM v1 FULL OUTER JOIN v2 ON key = key2
         |GROUP BY 1""".stripMargin,
+
+    // exact regime: per-source vocabulary ≤ the 64-counter budget
+    "q_freq_grouped" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS item
+        |  FROM documents)
+        |SELECT source, item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tk GROUP BY source, item""".stripMargin,
   )
 }

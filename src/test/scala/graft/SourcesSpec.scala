@@ -61,6 +61,25 @@ class SourcesSpec extends SparkSpec {
     assert(!pf.matches(".*PartitionFilters: \\[\\s*\\].*"))
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    val dir = tmpDir("dpp")
+    table("orders")
+      .withColumn("bucket", (col("o_orderkey") % 8).cast("int"))
+      .write.partitionBy("bucket").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // the selective predicate lives on the DIM side — the fact's
+    // partition filter can only come from the runtime subquery DPP plants
+    val dim = spark.range(8)
+      .select(col("id").cast("int").as("bucket"), (col("id") * 10).as("w"))
+      .filter(col("w") === 20)
+    val joined = fact.join(dim, "bucket")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    val rows = joined.collect()
+    assert(rows.length === 1 && rows.head.getInt(0) === 2)
+  }
+
   test("BatchJob: window scan -> top10 -> csv + store publish (reference contract)") {
     val dir = tmpDir("batchjob")
     Sinks.partitionedByHour(table("events"), "ts", s"$dir/hours")
