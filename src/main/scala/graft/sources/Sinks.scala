@@ -59,4 +59,42 @@ object Sinks {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Clustered (range-partitioned + sorted) parquet layout on a sort
+    * key — pair with q_zorder's Morton key for multi-dimensional
+    * clustering: `repartitionByRange` gives files PAIRWISE-DISJOINT key
+    * ranges (sampled range exchange, the scalable global sort — never a
+    * single partition), `sortWithinPartitions` orders rows inside each
+    * file, so parquet's per-file/rowgroup min-max footer stats prune a
+    * key-range predicate down to the few files that overlap it.
+    * SourcesSpec asserts the disjointness that makes the pruning claim
+    * real. */
+  def clustered(df: DataFrame, path: String, sortCol: String,
+                numFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(mode).parquet(path)
+
+  /** Small-file compaction — the maintenance pass every streaming /
+    * incremental-append layout needs: micro-batch appends leave
+    * thousands of KB-sized files whose per-file open/footer overhead
+    * eventually dominates scans. Rewrite the directory into
+    * ceil(bytes / targetBytes) files and atomically swap via a temp
+    * dir + rename. Returns the output file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L << 20): Int = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).map(_.filter(_.isFile)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + ".compact.tmp"
+    spark.read.parquet(path).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val old = new java.io.File(path)
+    val bak = new java.io.File(path.stripSuffix("/") + ".compact.old")
+    require(old.renameTo(bak), s"rename $path -> $bak failed")
+    require(new java.io.File(tmp).renameTo(old), s"rename $tmp -> $path failed")
+    org.apache.commons.io.FileUtils.deleteDirectory(bak)
+    n
+  }
 }

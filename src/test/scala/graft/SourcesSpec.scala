@@ -80,6 +80,57 @@ class SourcesSpec extends SparkSpec {
     assert(rows.length === 1 && rows.head.getInt(0) === 2)
   }
 
+  test("clustered write: files carry pairwise-disjoint sort-key ranges") {
+    val dir = tmpDir("clustered")
+    Sinks.clustered(table("orders"), s"$dir/z", "o_orderkey", numFiles = 4)
+    val files = new java.io.File(s"$dir/z").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length === 4)
+    // per-file min/max must not overlap — that disjointness is exactly
+    // what lets footer stats prune a key-range predicate to few files
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, ranges.mkString(","))
+      case _ =>
+    }
+    assert(spark.read.parquet(s"$dir/z").count() === table("orders").count())
+  }
+
+  test("compact rewrites a many-small-file dir to the target count, row-identical") {
+    val dir = tmpDir("compact")
+    val orders = table("orders")
+    // simulate micro-batch appends: 24 splinter files
+    orders.repartition(24).write.parquet(s"$dir/t")
+    val before = new java.io.File(s"$dir/t").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(before === 24)
+    val n = Sinks.compact(spark, s"$dir/t", targetBytes = 8L << 20)
+    val after = new java.io.File(s"$dir/t").listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(after === n && after < before, s"$before -> $after")
+    val got = spark.read.parquet(s"$dir/t")
+    assert(got.count() === orders.count())
+    assert(got.agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      orders.agg(sum(col("o_orderkey"))).head().getLong(0))
+  }
+
+  test("DenseId: 0..n-1 in key order without a single-partition pass") {
+    val docs = table("documents").select("doc_id", "source")
+    val ids = graft.operators.DenseId.assign(docs, Seq("doc_id"))
+    assert(ids.rdd.getNumPartitions > 1) // never a global funnel
+    val rows = ids.select("doc_id", "dense_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === docs.count())
+    // dense ids are exactly the rank in doc_id order
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong))
+    spark.catalog.clearCache()
+  }
+
   test("BatchJob: window scan -> top10 -> csv + store publish (reference contract)") {
     val dir = tmpDir("batchjob")
     Sinks.partitionedByHour(table("events"), "ts", s"$dir/hours")
