@@ -1972,6 +1972,57 @@ object SparkEntry {
         .select(col("source"), explode(col("fi")).as("e"))
         .select(col("source"), col("e.item").as("item"),
           col("e.lb").as("cnt"))),
+
+    // #155: longest consecutive-day streak per user — gaps-and-islands:
+    // distinct user-days first (the shuffle is user-day-sized, never
+    // event-sized), then day − row_number() labels each run of
+    // consecutive days with a constant, the island rollup is integer
+    // counts, and the per-user pick is a deterministic ranked window
+    // over the island table. Everything integer-exact.
+    "q_streaks" -> ((s, dir) => {
+      val days = t(s, dir, "events").filter(col("user_id") < 200)
+        .select(col("user_id"),
+          unix_date(col("ts").cast("date")).cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val islands = days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("longest"), min(col("day")).as("start_day"))
+      val pick = Window.partitionBy(col("user_id"))
+        .orderBy(col("longest").desc, col("start_day"))
+      islands
+        .withColumn("rn", row_number().over(pick)).filter(col("rn") === 1)
+        .select(col("user_id"), col("longest"), col("start_day"))
+    }),
+
+    // #156: lag-1 autocorrelation per series (event_type) — the
+    // time-series persistence diagnostic: one window pass pairs each
+    // value with its predecessor in (ts, event_id) order, then the
+    // Pearson moments accumulate in exact decimal (order-independent,
+    // q_stats_agg rule) and only the final rho expression touches
+    // doubles (round 9).
+    "q_autocorr" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val p = t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          col("value").cast("decimal(18,6)").as("x"))
+        .withColumn("xl", lag(col("x"), 1).over(w))
+        .filter(col("xl").isNotNull)
+      val g = p.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("double").as("nd"),
+        sum(col("x").cast("decimal(28,6)")).cast("double").as("sx"),
+        sum(col("xl").cast("decimal(28,6)")).cast("double").as("sy"),
+        sum((col("x") * col("xl")).cast("decimal(38,12)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double").as("sx2"),
+        sum((col("xl") * col("xl")).cast("decimal(38,12)")).cast("double").as("sy2"))
+      g.select(col("event_type"),
+        round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("nd") * col("sx2") - col("sx") * col("sx")) *
+            (col("nd") * col("sy2") - col("sy") * col("sy"))), 9)
+          .as("autocorr_1"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -3475,5 +3526,39 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, item, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM tk GROUP BY source, item""".stripMargin,
+
+    "q_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+        |  FROM events WHERE user_id < 200),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d),
+        |s AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS longest,
+        |    MIN(day) AS start_day
+        |  FROM i GROUP BY user_id, grp),
+        |r AS (SELECT user_id, longest, start_day, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY longest DESC, start_day) AS rn
+        |  FROM s)
+        |SELECT user_id, longest, start_day FROM r WHERE rn = 1""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH p AS (SELECT event_type,
+        |    CAST(value AS DECIMAL(18,6)) AS x,
+        |    lag(CAST(value AS DECIMAL(18,6)), 1) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id) AS xl
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(xl AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * xl AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(xl * xl AS DECIMAL(38,12))) AS DOUBLE) AS sy2
+        |  FROM p WHERE xl IS NOT NULL GROUP BY event_type)
+        |SELECT event_type,
+        |  ROUND((nd * sxy - sx * sy) /
+        |    sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS autocorr_1
+        |FROM g""".stripMargin,
   )
 }
