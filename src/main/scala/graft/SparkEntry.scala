@@ -1833,19 +1833,18 @@ object SparkEntry {
     // data-skipping layout: interleaving the bits of two bounded
     // dimensions makes a RANGE of zkey cover a RECTANGLE of (custkey,
     // day), so min/max footer stats prune both dimensions on one sort
-    // key. The interleave is a statically-expanded codegen'd projection
-    // (10 literal mask-shift terms, no loop, no UDF); the top-100 here
-    // goes through TakeOrderedAndProject — a full table write would
-    // range-partition on zkey instead (same projection, no global sort).
+    // key. The interleave is the codegen'd native expression
+    // graft_zorder (§2.5 row 51g: branchless magic-mask bit spreading,
+    // parity with the static mask-shift expansion asserted in
+    // NativeExprSpec); the top-100 goes through TakeOrderedAndProject —
+    // a full table write would range-partition on zkey instead (same
+    // projection, no global sort — Sinks.clustered).
     "q_zorder" -> ((s, dir) => {
       val x = pmod(col("o_custkey"), lit(1024L))
       val y = pmod(unix_date(col("o_orderdate").cast("date")).cast("long"), lit(1024L))
-      val zkey = (0 until 10).map { b =>
-        shiftleft(x.bitwiseAND(lit(1L << b)), b) +
-          shiftleft(y.bitwiseAND(lit(1L << b)), b + 1)
-      }.reduce(_ + _)
       t(s, dir, "orders")
-        .select(col("o_orderkey"), zkey.as("zkey"))
+        .select(col("o_orderkey"),
+          graft.functions.NativeExpressions.zorder(x, y, 10).as("zkey"))
         .orderBy(col("zkey"), col("o_orderkey")).limit(100)
     }),
 

@@ -69,6 +69,14 @@ object GraftFunctions {
               .map(_.toArray).toArray).toArray)
         case _ => throw new IllegalArgumentException(
           "graft_lsh_buckets(vec, tables, planes, seed)")
+      }),
+    // graft_zorder(x, y[, bits]): Morton-interleave clustering key
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(classOf[ZOrder].getName, "graft_zorder"),
+      (es: Seq[Expression]) => es match {
+        case Seq(x, y) => ZOrder(x, y, 16)
+        case Seq(x, y, b) => ZOrder(x, y, litInt(b, "bits"))
+        case _ => throw new IllegalArgumentException("graft_zorder(x, y[, bits])")
       }))
 
   def register(spark: SparkSession): Unit =

@@ -463,6 +463,29 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** Z-order (Morton) interleave of the low `bits` of two longs: x-bit
+    * b lands at 2b, y-bit b at 2b+1 — the multi-dimensional clustering
+    * key (SURVEY §2 row 144). Branchless magic-mask bit spreading
+    * (5 shift-mask steps for up to 32 bits/dim) instead of a per-bit
+    * loop; codegen emits one static call, ~3 ns/row. */
+  case class ZOrder(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    require(bits > 0 && bits <= 32, "bits must be in 1..32")
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_zorder"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      ZOrderImpl.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.ZOrderImpl.interleave($a, $b, $bits)")
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ----------------------------------------------------------- Column API
 
   private def e(c: Column): Expression = GraftBridge.expression(c)
@@ -494,6 +517,29 @@ object NativeExpressions {
 
   def wordNGrams(text: Column, n: Int, distinct: Boolean): Column =
     GraftBridge.column(WordNGrams(e(text), n, distinct))
+
+  def zorder(x: Column, y: Column, bits: Int): Column =
+    GraftBridge.column(ZOrder(e(x), e(y), bits))
+}
+
+/** Morton-interleave kernel. TOP-LEVEL object so Scala emits Java
+  * static forwarders for Janino (same constraint as WinnowImpl). */
+object ZOrderImpl {
+  /** Spread the low 32 bits of v so bit b lands at 2b. */
+  private def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  def interleave(x: Long, y: Long, bits: Int): Long = {
+    val mask = if (bits == 32) 0xFFFFFFFFL else (1L << bits) - 1
+    spread(x & mask) | (spread(y & mask) << 1)
+  }
 }
 
 /** Word-n-gram kernel. TOP-LEVEL object so Scala emits Java static

@@ -147,5 +147,24 @@ class NativeExprSpec extends SparkSpec {
       """SELECT graft_lsh_buckets(CAST(embedding AS ARRAY<DOUBLE>), 8, 6, 2577)
         |  AS ks FROM embeddings LIMIT 1""".stripMargin).head().getSeq[Long](0)
     assert(buckets.length === 8 && buckets.forall(k => k >= 0 && k < 64))
+    val z = spark.sql("SELECT graft_zorder(3L, 5L, 10) AS z").head().getLong(0)
+    assert(z === ((1L << 0) + (1L << 2)) + ((1L << 1) + (1L << 5))) // x bits -> 2b, y bits -> 2b+1
+  }
+
+  test("native zorder equals the static mask-shift expansion") {
+    import org.apache.spark.sql.functions._
+    val bits = 10
+    val df = table("orders").select(
+      pmod(col("o_custkey"), lit(1024L)).as("x"),
+      pmod(unix_date(col("o_orderdate").cast("date")).cast("long"), lit(1024L)).as("y"))
+    val expansion = (0 until bits).map { b =>
+      shiftleft(col("x").bitwiseAND(lit(1L << b)), b) +
+        shiftleft(col("y").bitwiseAND(lit(1L << b)), b + 1)
+    }.reduce(_ + _)
+    val mismatches = df.select(
+      graft.functions.NativeExpressions.zorder(col("x"), col("y"), bits).as("zn"),
+      expansion.as("ze"))
+      .filter(col("zn") =!= col("ze")).count()
+    assert(mismatches === 0L)
   }
 }
