@@ -177,6 +177,63 @@ object StreamOps {
       .toDF("key", "ts_sec", "value")
   }
 
+  /** Session-close detection via EVENT-TIME TIMERS on Spark 4's
+    * `transformWithState`: each key keeps (last_ts, count) and one
+    * registered timer at last_ts + gap; every new event slides the
+    * timer forward, and when the WATERMARK passes it the timer fires —
+    * `handleExpiredTimer` emits (key, session_end_sec, n_events) and
+    * clears state. Nothing is emitted on the hot path, state is one
+    * tuple + one timer per live key, and expiry is driven by event-time
+    * progress, not wall clock — the replay-safe way to detect "this
+    * session is over" / "this sensor went quiet". Complements the
+    * `flatMapGroupsWithState` sessionizer (row 45) with the v2 API's
+    * explicit timer registry. */
+  def sessionCloseAlerts(events: DataFrame, keyCol: String, tsCol: String,
+                         gapMs: Long = 600000L,
+                         watermark: String = "0 seconds"): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
+      TTLConfig, TimeMode, TimerValues, ExpiredTimerInfo, ValueState}
+    val proc = new StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+      @transient private var sess: ValueState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        sess = getHandle.getValueState[(Long, Long)]("sess",
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                   timers: TimerValues): Iterator[(Long, Long, Long)] = {
+        val (prevTs, prevN) = if (sess.exists()) sess.get() else (Long.MinValue, 0L)
+        var lastTs = prevTs
+        var n = prevN
+        rows.foreach { case (_, ts) => if (ts > lastTs) lastTs = ts; n += 1 }
+        // slide the single timer forward to the new deadline
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(lastTs + gapMs)
+        sess.update((lastTs, n))
+        Iterator.empty // emission happens only on expiry
+      }
+      override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                      expired: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+        val out = if (sess.exists()) {
+          val (lastTs, n) = sess.get()
+          Iterator((key, lastTs / 1000L, n))
+        } else Iterator.empty
+        sess.clear()
+        out
+      }
+    }
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long"),
+        (unix_timestamp(col(tsCol)) * 1000L).as("ts_ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+      .toDF("key", "session_end_sec", "n_events")
+  }
+
   /** Streaming audience reach: distinct users per hopping window, the
     * speed-layer counterpart of the batch q_window_users. Distinct
     * counting in a stream must be mergeable across micro-batches, so

@@ -198,6 +198,43 @@ class SketchStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCloseAlerts: event-time timers fire when the watermark passes the gap") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = ss.conf.getOption(key)
+    ss.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, Timestamp)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val alerts = StreamOps.sessionCloseAlerts(
+      in.toDF.toDF("sensor", "ts"), "sensor", "ts", gapMs = 5 * 60 * 1000L)
+    val q = alerts.writeStream.format("memory").queryName("sca")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0)), (1L, ts(2)), (2L, ts(1)))
+      q.processAllAvailable()
+      // watermark still at 10:02 — no session is 5 min quiet yet
+      assert(ss.sql("SELECT * FROM sca").count() === 0)
+      // key 1 stays quiet; key 2's new event slides its own timer and
+      // pushes the watermark past key 1's 10:02+5min deadline
+      in.addData((2L, ts(20)))
+      q.processAllAvailable()
+      in.addData((3L, ts(40))) // advance watermark past key 2's deadline
+      q.processAllAvailable()
+      val got = ss.sql("SELECT key, session_end_sec, n_events FROM sca")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(got.toSeq === Seq(
+        (1L, ts(2).getTime / 1000, 2L),   // closed by key 2's progress
+        (2L, ts(20).getTime / 1000, 2L))) // closed by key 3's progress
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => ss.conf.set(key, p)
+        case None => ss.conf.unset(key)
+      }
+    }
+  }
+
   test("distinctUntilChanged emits change points only, state crosses batches") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = ss.conf.getOption(key)
