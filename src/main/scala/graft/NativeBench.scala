@@ -57,6 +57,20 @@ object NativeBench {
         .orderBy(col("value").desc, col("event_id").asc)
       ev.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3).drop("rn").count() }
+    // zorder: native magic-mask spread vs the 10-term static expansion
+    val ord = Tables.load(spark, d, "orders")
+      .select(pmod(col("o_custkey"), lit(1024L)).as("x"),
+        pmod(unix_date(col("o_orderdate").cast("date")).cast("long"), lit(1024L)).as("y"))
+      .cache(); ord.count()
+    time("zorder native") { ord.select(
+      graft.functions.NativeExpressions.zorder(col("x"), col("y"), 10).as("z"))
+      .agg(bit_xor(col("z"))).head(); ord.count() }
+    time("zorder static expansion") {
+      val z = (0 until 10).map { bb =>
+        shiftleft(col("x").bitwiseAND(lit(1L << bb)), bb) +
+          shiftleft(col("y").bitwiseAND(lit(1L << bb)), bb + 1)
+      }.reduce(_ + _)
+      ord.select(z.as("z")).agg(bit_xor(col("z"))).head(); ord.count() }
     spark.stop()
   }
 }

@@ -2022,6 +2022,24 @@ object SparkEntry {
             (col("nd") * col("sy2") - col("sy") * col("sy"))), 9)
           .as("autocorr_1"))
     }),
+
+    // #157: period-over-period change (the BI month-over-month shape):
+    // monthly revenue from exact decimal sums — month keyed as
+    // year*100+month so the series is one integer column — then lag()
+    // over the month table (months-sized, trivially small after the
+    // rollup) and one shared double pct expression, round(9).
+    "q_mom_change" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("ym"))
+      m.withColumn("prev", lag(col("rev"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("ym"), col("rev"),
+          round((col("rev") - col("prev")) / col("prev") * 100.0, 9)
+            .as("mom_pct"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -3559,5 +3577,14 @@ object SparkEntry {
         |  ROUND((nd * sxy - sx * sy) /
         |    sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS autocorr_1
         |FROM g""".stripMargin,
+
+    "q_mom_change" ->
+      """WITH m AS (SELECT
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT ym, rev, lag(rev, 1) OVER (ORDER BY ym) AS prev FROM m)
+        |SELECT ym, rev, ROUND((rev - prev) / prev * 100.0, 9) AS mom_pct
+        |FROM l WHERE prev IS NOT NULL""".stripMargin,
   )
 }
