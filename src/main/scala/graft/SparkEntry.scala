@@ -254,6 +254,19 @@ object SparkEntry {
       |    / (rt * ct / n), 9) AS contrib
       |FROM w""".stripMargin
 
+  /** Pareto frontier per return flag, shared verbatim: the running-max
+    * window formulation of the skyline — row survives iff no prior row
+    * in (price asc, qty desc, key) order has qty ≥ its own. */
+  private val ParetoQuery =
+    """WITH s AS (SELECT l_returnflag AS rf, l_extendedprice AS price,
+      |    l_quantity AS qty, l_orderkey, l_linenumber,
+      |    max(l_quantity) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_quantity DESC, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_qty
+      |  FROM lineitem)
+      |SELECT rf, price, qty, l_orderkey, l_linenumber FROM s
+      |WHERE best_qty IS NULL OR qty > best_qty""".stripMargin
+
   /** Morton interleave for q_zorder's oracle, generated from the same
     * 10 static mask-shift terms as the Spark expression — x-bit b lands
     * at 2b, y-bit b at 2b+1, pure integer arithmetic on both engines. */
@@ -2040,6 +2053,61 @@ object SparkEntry {
           round((col("rev") - col("prev")) / col("prev") * 100.0, 9)
             .as("mom_pct"))
     }),
+
+    // #158: exponential time-decay trending score — the reference's
+    // top-10 shape with recency weighting (trending topics): per-item
+    // decayed count Σ 2^(−age_days). The decay base is 2 and ages are
+    // integers, so weights are SCALED TO INTEGERS (2^(30−age)) and the
+    // per-item sum is an exact long — the double score is one exact
+    // division by 2^30 at the end, bit-identical on any engine and
+    // independent of summation order. One scan + one item-keyed agg;
+    // the max-day scalar broadcasts.
+    "q_trending" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("item"),
+          unix_date(col("ts").cast("date")).cast("long").as("day"))
+      val maxDay = e.agg(max(col("day")).as("max_day"))
+      e.crossJoin(broadcast(maxDay))
+        .select(col("item"),
+          expr("shiftleft(1L, CAST(30 - (max_day - day) AS INT))").as("w"))
+        .groupBy(col("item"))
+        .agg(sum(col("w")).as("ws"))
+        .select(col("item"),
+          (col("ws").cast("double") / lit((1L << 30).toDouble)).as("score"))
+        .orderBy(col("score").desc, col("item")).limit(20)
+    }),
+
+    // #159: rolling 7-day median of daily revenue — windowed exact
+    // percentile: the frame's values sort per row (7 elements), the
+    // median is the 4th — deterministic, and exact because daily
+    // revenue is already a 2-decimal-exact double. The window runs on
+    // the DAY table (the rollup shrinks the corpus to one row per day
+    // before any sort); only full frames emit. At 100 TB the rollup is
+    // the only corpus-sized stage — same plan.
+    "q_rolling_median" -> ((s, dir) => {
+      val d = t(s, dir, "orders")
+        .groupBy(unix_date(col("o_orderdate").cast("date")).cast("long").as("day"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("day"))
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("med", element_at(
+          array_sort(collect_list(col("rev")).over(w.rowsBetween(-6, 0))), 4))
+        .filter(col("rn") >= 7)
+        .select(col("day"), col("rev"), col("med"))
+    }),
+
+    // #160: Pareto frontier (skyline) per group — shared ANSI text: in
+    // (price asc, qty desc, unique keys) order a row survives iff its
+    // qty beats the running max over all prior rows, which is exactly
+    // the non-dominated set under (lower price, higher qty) weak
+    // dominance with keep-first on duplicate points. One window pass
+    // per group; a GLOBAL frontier runs the same plan after a range
+    // repartition on price (per-partition frontier + merge of the
+    // partition maxima).
+    "q_pareto" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(ParetoQuery)
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -3586,5 +3654,30 @@ object SparkEntry {
         |l AS (SELECT ym, rev, lag(rev, 1) OVER (ORDER BY ym) AS prev FROM m)
         |SELECT ym, rev, ROUND((rev - prev) / prev * 100.0, 9) AS mom_pct
         |FROM l WHERE prev IS NOT NULL""".stripMargin,
+
+    "q_trending" ->
+      """WITH e AS (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |m AS (SELECT MAX(day) AS max_day FROM e),
+        |w AS (SELECT item,
+        |    (CAST(1 AS BIGINT) << CAST(30 - (max_day - day) AS INT)) AS w
+        |  FROM e CROSS JOIN m)
+        |SELECT item, CAST(SUM(w) AS DOUBLE) / 1073741824.0 AS score
+        |FROM w GROUP BY item ORDER BY score DESC, item LIMIT 20""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH d AS (SELECT
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT day, rev,
+        |    row_number() OVER (ORDER BY day) AS rn,
+        |    median(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med
+        |  FROM d)
+        |SELECT day, rev, med FROM r WHERE rn >= 7""".stripMargin,
+
+    "q_pareto" -> ParetoQuery,
   )
 }
