@@ -2108,6 +2108,51 @@ object SparkEntry {
       Tables.registerAll(s, dir)
       s.sql(ParetoQuery)
     }),
+
+    // #161: market-basket pair analysis — co-ordered part pairs with
+    // support and lift: the self-join is WITHIN an order (bounded by
+    // basket², never corpus²) after a distinct that also dedups
+    // multi-line parts; lift is a ratio of exact integer products, so
+    // the doubles are bit-identical. Top-30 through per-partition heaps.
+    "q_basket_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nOrders = li.select(col("okey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val itemCnt = li.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
+        .groupBy(col("a.part").as("i"), col("b.part").as("j"))
+        .agg(count(lit(1)).as("support"))
+      pairs
+        .join(itemCnt.select(col("part").as("i"), col("cnt").as("ci")), "i")
+        .join(itemCnt.select(col("part").as("j"), col("cnt").as("cj")), "j")
+        .crossJoin(broadcast(nOrders))
+        .select(col("i"), col("j"), col("support"),
+          ((col("support") * col("n_orders")).cast("double") /
+            (col("ci") * col("cj")).cast("double")).as("lift"))
+        .orderBy(col("support").desc, col("i"), col("j")).limit(30)
+    }),
+
+    // #162: event-type transition matrix (first-order Markov counts):
+    // lag() pairs each event with its predecessor per user — one
+    // user-keyed window pass — then the (from, to) rollup is
+    // matrix-sized. The row-stochastic probability is an integer ratio
+    // (pair count / from-row total via a window sum over the matrix).
+    "q_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val m = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      m.withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -3679,5 +3724,28 @@ object SparkEntry {
         |SELECT day, rev, med FROM r WHERE rn >= 7""".stripMargin,
 
     "q_pareto" -> ParetoQuery,
+
+    "q_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM li),
+        |ic AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS cnt FROM li GROUP BY part),
+        |p AS (SELECT a.part AS i, b.part AS j, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM li a JOIN li b ON a.okey = b.okey AND a.part < b.part
+        |  GROUP BY a.part, b.part)
+        |SELECT i, j, support,
+        |  CAST(support * n_orders AS DOUBLE) / CAST(ci.cnt * cj.cnt AS DOUBLE) AS lift
+        |FROM p JOIN ic ci ON p.i = ci.part JOIN ic cj ON p.j = cj.part
+        |  CROSS JOIN n
+        |ORDER BY support DESC, i, j LIMIT 30""".stripMargin,
+
+    "q_transitions" ->
+      """WITH m AS (SELECT prev AS from_type, event_type AS to_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT event_type, lag(event_type, 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)
+        |  WHERE prev IS NOT NULL GROUP BY prev, event_type)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM m""".stripMargin,
   )
 }
