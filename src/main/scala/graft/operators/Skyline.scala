@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed GLOBAL Pareto frontier (skyline) over two dimensions —
+  * minimize `xCol`, maximize `yCol`. The per-group SQL formulation
+  * (q_pareto) needs one sort per group; a global frontier sorted on one
+  * key would funnel the corpus through a single window partition, so
+  * this runs the scalable two-stage plan instead:
+  *
+  *  1. range-repartition on (x asc, y desc, tie...) — the same sampled
+  *     boundary machinery as a distributed sort, so partition i's keys
+  *     all precede partition i+1's in frontier order (the composite
+  *     key keeps equal-x ties ordered y-desc ACROSS the boundary too,
+  *     which a plain x-range split would not guarantee) — then filter
+  *     each partition by its local running max of y;
+  *  2. per-partition y-maxima (one tiny P-sized collect) prefix-max on
+  *     the driver; a stage-1 survivor in partition p is global iff its
+  *     y beats the max of all earlier partitions.
+  *
+  * Survivors of both stages are exactly the rows the sequential
+  * running-max pass over the fully-sorted data would keep: weak
+  * dominance, keep-first on duplicate (x, y) points.
+  */
+object Skyline {
+
+  def frontier2d(df: DataFrame, xCol: String, yCol: String,
+                 tieCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val orderCols: Seq[Column] =
+      col(xCol).asc +: col(yCol).desc +: tieCols.map(col(_).asc)
+    val sorted = df
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val schema = sorted.schema
+    val yIdx = schema.fieldIndex(yCol)
+    def yOf(r: Row): Double = r.getAs[Any](yIdx) match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case other => throw new IllegalArgumentException(s"non-numeric y: $other")
+    }
+    // stage 1: local running-max filter + this partition's max y
+    val rdd = sorted.rdd
+    val survivors = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var best = Double.NegativeInfinity
+      it.flatMap { r =>
+        val y = yOf(r)
+        if (y > best) { best = y; Some((pid, r)) } else None
+      }
+    }
+    val maxima = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var best = Double.NegativeInfinity
+      it.foreach(r => { val y = yOf(r); if (y > best) best = y })
+      Iterator((pid, best))
+    }.collect().sortBy(_._1).map(_._2)
+    // prefixMax(p) = max y over all partitions strictly before p
+    val prefix = maxima.scanLeft(Double.NegativeInfinity)(math.max).dropRight(1)
+    val bc = spark.sparkContext.broadcast(prefix)
+    val global = survivors.filter { case (pid, r) => yOf(r) > bc.value(pid) }
+      .map(_._2)
+    spark.createDataFrame(global, schema)
+  }
+}
