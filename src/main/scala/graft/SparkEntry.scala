@@ -267,6 +267,26 @@ object SparkEntry {
       |SELECT rf, price, qty, l_orderkey, l_linenumber FROM s
       |WHERE best_qty IS NULL OR qty > best_qty""".stripMargin
 
+  /** Gini coefficient per group via the rank formula, shared verbatim:
+    * G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n with x ascending. Tie order
+    * cannot change Σ(i·xᵢ) (equal x swap freely), the moment sums are
+    * exact decimals of (rank × 2-dec price), and only the final G
+    * expression touches doubles (round 9). One window pass + one agg
+    * per group. */
+  private val GiniQuery =
+    """WITH r AS (SELECT l_returnflag AS rf,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS x,
+      |    CAST(row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+      |      AS DECIMAL(18,0)) AS i
+      |  FROM lineitem),
+      |m AS (SELECT rf, CAST(COUNT(*) AS DOUBLE) AS nd,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(i * x AS DECIMAL(38,2))) AS DOUBLE) AS six
+      |  FROM r GROUP BY rf)
+      |SELECT rf, ROUND(2.0 * six / (nd * sx) - (nd + 1.0) / nd, 9) AS gini
+      |FROM m""".stripMargin
+
   /** Morton interleave for q_zorder's oracle, generated from the same
     * 10 static mask-shift terms as the Spark expression — x-bit b lands
     * at 2b, y-bit b at 2b+1, pure integer arithmetic on both engines. */
@@ -2153,6 +2173,35 @@ object SparkEntry {
         col("n").cast("double") /
           sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
     }),
+
+    // #163: Gini coefficient per group (revenue-inequality diagnostic;
+    // shared ANSI text — see GiniQuery for the exact-decimal rank
+    // formula)
+    "q_gini" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(GiniQuery)
+    }),
+
+    // #164: Herfindahl–Hirschman concentration index per nation — HHI
+    // = Σ shareᵢ² over customer revenue shares. Summing squared DOUBLE
+    // shares would be order-dependent; instead Σ revᵢ² and (Σ revᵢ)²
+    // accumulate as exact decimals and ONE double division lands the
+    // index — bit-identical on any engine and partitioning.
+    "q_hhi" -> ((s, dir) => {
+      val cust = t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nation"), col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      cust.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("rev").cast("decimal(38,2)")).cast("double").as("tot"),
+          sum((col("rev") * col("rev")).cast("decimal(38,4)")).cast("double")
+            .as("sq"))
+        .select(col("nation"), col("n_cust"),
+          round(col("sq") / (col("tot") * col("tot")), 9).as("hhi"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -3747,5 +3796,18 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM m""".stripMargin,
+
+    "q_gini" -> GiniQuery,
+
+    "q_hhi" ->
+      """WITH cust AS (SELECT c_nationkey AS nation, o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, o_custkey)
+        |SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |  ROUND(CAST(SUM(CAST(rev * rev AS DECIMAL(38,4))) AS DOUBLE) /
+        |    (CAST(SUM(CAST(rev AS DECIMAL(38,2))) AS DOUBLE) *
+        |     CAST(SUM(CAST(rev AS DECIMAL(38,2))) AS DOUBLE)), 9) AS hhi
+        |FROM cust GROUP BY nation""".stripMargin,
   )
 }
