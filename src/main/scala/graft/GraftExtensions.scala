@@ -11,5 +11,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopK.Strategy)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardLengthFilter)
   }
 }
