@@ -2130,21 +2130,27 @@ object SparkEntry {
     }),
 
     // #161: market-basket pair analysis — co-ordered part pairs with
-    // support and lift: the self-join is WITHIN an order (bounded by
-    // basket², never corpus²) after a distinct that also dedups
-    // multi-line parts; lift is a ratio of exact integer products, so
-    // the doubles are bit-identical. Top-30 through per-partition heaps.
+    // support and lift. ONE wide shuffle: orders collapse to sorted
+    // part-set baskets (collect_set dedups multi-line parts), pairs
+    // explode IN-ROW from each basket (bounded by basket², never
+    // corpus², and never a self-join — the equivalent li⋈li plan pays
+    // two more corpus-sized exchanges), then only the pair counts
+    // shuffle. Lift is a ratio of exact integer products. Top-30
+    // through per-partition heaps.
     "q_basket_pairs" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val baskets = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
-        .distinct()
+        .groupBy(col("okey"))
+        .agg(sort_array(collect_set(col("part"))).as("ps"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nOrders = li.select(col("okey")).distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val itemCnt = li.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.okey") === col("b.okey") && col("a.part") < col("b.part"))
-        .groupBy(col("a.part").as("i"), col("b.part").as("j"))
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val itemCnt = baskets.select(explode(col("ps")).as("part"))
+        .groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+      val pairs = baskets
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+            y => struct(x.as("i"), y.as("j")))))).as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
         .agg(count(lit(1)).as("support"))
       pairs
         .join(itemCnt.select(col("part").as("i"), col("cnt").as("ci")), "i")
