@@ -2180,6 +2180,21 @@ object SparkEntry {
           sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
     }),
 
+    // #165: Bloom-pruned join as an oracle query (§2.6 row 69 upgraded
+    // from spec-only): high-value customers' order revenue — the fact
+    // side is bloom-filtered on the computed dim's keys BEFORE its
+    // shuffle (might_contain has no false negatives, so rows match the
+    // plain join the oracle runs); on a 100 TB fact the shuffle shrinks
+    // by the non-match rate for one broadcast of filter bits.
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"))
+      operators.BloomPrune.prunedJoin(
+          t(s, dir, "orders"), dim, "o_custkey", "c_custkey")
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("rev"))
+    }),
+
     // #163: Gini coefficient per group (revenue-inequality diagnostic;
     // shared ANSI text — see GiniQuery for the exact-decimal rank
     // formula)
@@ -3802,6 +3817,13 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM m""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
+        |FROM orders JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) c
+        |  ON o_custkey = c_custkey
+        |GROUP BY c_custkey""".stripMargin,
 
     "q_gini" -> GiniQuery,
 

@@ -132,6 +132,30 @@ class SketchStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode windows drop data later than the watermark") {
+    val in = MemoryStream[(Timestamp, String)]
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val counts = in.toDF.toDF("ts", "token")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("token"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("lateq")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), "a"), (ts(3), "a"))
+      q.processAllAvailable()
+      in.addData((ts(30), "b")) // watermark -> 10:25, closes the 10:00 window
+      q.processAllAvailable()
+      in.addData((ts(2), "a")) // beyond-watermark straggler: must be DROPPED
+      q.processAllAvailable()
+      in.addData((ts(59), "c")) // close everything else
+      q.processAllAvailable()
+      val a = ss.sql("SELECT n FROM lateq WHERE token = 'a'").as[Long].collect()
+      assert(a.toSeq === Seq(2L)) // the straggler neither re-emitted nor re-counted
+    } finally q.stop()
+  }
+
   test("stream-static join enriches the stream without stream-side state") {
     val in = MemoryStream[(Long, Timestamp)]
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
