@@ -2180,6 +2180,100 @@ object SparkEntry {
           sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
     }),
 
+    // #166: TPC-H Q6 shape (forecast revenue change) — the pure
+    // scan-agg: every predicate pushes to the parquet scan, revenue is
+    // one exact decimal sum, zero joins, one exchange (partial → final)
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("decimal(28,4)")), 2)
+          .cast("double").as("revenue"))),
+
+    // #167: TPC-H Q10 shape (returned-item reporting): lost revenue per
+    // customer for one quarter — facts shuffle on their join keys,
+    // customer/nation broadcast, top-20 through heaps
+    "q_tpch_q10" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+
+    // #168: TPC-H Q14 shape (promotion effect): promo share of one
+    // month's revenue — part broadcasts into the fact scan, both sums
+    // accumulate decimal-exact in ONE agg pass, the percentage is a
+    // single shared double expression (round 9)
+    "q_tpch_q14" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(28,4)")))
+            .cast("double").as("promo"),
+          sum(rev).cast("double").as("total"))
+        .select(round(lit(100.0) * col("promo") / col("total"), 9)
+          .as("promo_pct"))
+    }),
+
+    // #169: TPC-H Q8 shape (national market share): one nation's share
+    // of yearly PROMO revenue inside one region — five broadcast dims
+    // around two shuffled facts; shares are decimal-sum ratios, one
+    // shared double division per year (round 9)
+    "q_tpch_q8" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      val p = t(s, dir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val vol = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", vol)
+            .otherwise(lit(java.math.BigDecimal.ZERO).cast("decimal(28,4)")))
+            .cast("double").as("nat"),
+          sum(vol).cast("double").as("tot"))
+        .select(col("o_year"), round(col("nat") / col("tot"), 9).as("mkt_share"))
+    }),
+
     // #165: Bloom-pruned join as an oracle query (§2.6 row 69 upgraded
     // from spec-only): high-value customers' order revenue — the fact
     // side is bloom-filtered on the computed dim's keys BEFORE its
@@ -3817,6 +3911,59 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM m""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name, $RevenueSql AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_tpch_q14" ->
+      """WITH j AS (SELECT p_type,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      AS DECIMAL(28,4)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |    AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT ROUND(100.0 *
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) /
+        |    CAST(SUM(rev) AS DOUBLE), 9) AS promo_pct
+        |FROM j""".stripMargin,
+
+    "q_tpch_q8" ->
+      """WITH j AS (SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      AS DECIMAL(28,4)) AS vol
+        |  FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |    JOIN region ON n1.n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+        |SELECT o_year,
+        |  ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol
+        |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) /
+        |    CAST(SUM(vol) AS DOUBLE), 9) AS mkt_share
+        |FROM j GROUP BY o_year""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
