@@ -2274,6 +2274,27 @@ object SparkEntry {
         .select(col("o_year"), round(col("nat") / col("tot"), 9).as("mkt_share"))
     }),
 
+    // #170: TPC-H Q18 shape (large-volume customers): the HAVING-on-
+    // aggregate semi-join — the per-order quantity rollup (map-side
+    // partial before its exchange) filters to the rare big orders,
+    // which then join back as the BROADCAST side against orders and
+    // customer; top-20 through heaps
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      o.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+    }),
+
     // #165: Bloom-pruned join as an oracle query (§2.6 row 69 upgraded
     // from spec-only): high-value customers' order revenue — the fact
     // side is bloom-filtered on the computed dim's keys BEFORE its
@@ -3964,6 +3985,16 @@ object SparkEntry {
         |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) /
         |    CAST(SUM(vol) AS DOUBLE), 9) AS mkt_share
         |FROM j GROUP BY o_year""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
