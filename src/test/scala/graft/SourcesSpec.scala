@@ -131,6 +131,51 @@ class SourcesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("schema evolution: mergeSchema unions parquet schemas, old rows null-fill") {
+    val dir = tmpDir("evolve")
+    import SparkSpec.spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$dir/t/batch=1")
+    Seq((3L, "c", 9.5)).toDF("id", "v", "score").write.parquet(s"$dir/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.sorted.toSeq === Seq("batch", "id", "score", "v"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(rows === Map(1L -> null, 2L -> null, 3L -> 9.5))
+  }
+
+  test("corrupt JSON records land in _corrupt_record instead of failing the read") {
+    val dir = tmpDir("corrupt")
+    val f = new java.io.File(s"$dir/in.json")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"id": 1, "v": "ok"}
+        |{not json at all
+        |{"id": 3, "v": "fine"}""".stripMargin)
+    val schema = "id BIGINT, v STRING, _corrupt_record STRING"
+    val df = spark.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(f.getPath).cache() // cache: corrupt-record column needs the full row
+    try {
+      assert(df.count() === 3)
+      assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+      assert(df.filter(col("id").isNotNull).count() === 2)
+    } finally df.unpersist()
+  }
+
+  test("Trigger.AvailableNow drains the backlog and terminates") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("avnow")
+    table("events").limit(100).write.json(s"$dir/in")
+    val stream = spark.readStream
+      .schema(spark.read.json(s"$dir/in").schema)
+      .json(s"$dir/in")
+    val q = stream.writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive) // drained everything, then stopped on its own
+    assert(spark.read.parquet(s"$dir/out").count() === 100)
+  }
+
   test("BatchJob: window scan -> top10 -> csv + store publish (reference contract)") {
     val dir = tmpDir("batchjob")
     Sinks.partitionedByHour(table("events"), "ts", s"$dir/hours")
