@@ -2274,6 +2274,26 @@ object SparkEntry {
         .select(col("o_year"), round(col("nat") / col("tot"), 9).as("mkt_share"))
     }),
 
+    // #171: cohort LTV matrix — cumulative revenue per signup cohort by
+    // age (the q_retention complement with money): first-order month
+    // per customer (one customer-keyed agg), revenue per (cohort, age)
+    // in exact decimal, then the cumulative runs over the MATRIX
+    // (months² rows), never the fact table
+    "q_cohort_ltv" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("unix_date(CAST(o_orderdate AS DATE)) div 30").as("mo"),
+          col("o_totalprice"))
+      val cohort = o.groupBy(col("o_custkey")).agg(min(col("mo")).as("mo0"))
+      val cell = o.join(cohort, "o_custkey")
+        .groupBy(col("mo0").as("cohort_month"), (col("mo") - col("mo0")).as("age"))
+        .agg(dsum(col("o_totalprice")).as("rev"))
+      val w = Window.partitionBy(col("cohort_month")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cell.withColumn("cum_rev",
+        round(sum(col("rev").cast("decimal(18,2)")).over(w), 2).cast("double"))
+    }),
+
     // #170: TPC-H Q18 shape (large-volume customers): the HAVING-on-
     // aggregate semi-join — the per-order quantity rollup (map-side
     // partial before its exchange) filters to the rare big orders,
@@ -3985,6 +4005,22 @@ object SparkEntry {
         |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) /
         |    CAST(SUM(vol) AS DOUBLE), 9) AS mkt_share
         |FROM j GROUP BY o_year""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 30 AS mo,
+        |    o_totalprice
+        |  FROM orders),
+        |c AS (SELECT o_custkey, MIN(mo) AS mo0 FROM o GROUP BY o_custkey),
+        |cell AS (SELECT mo0 AS cohort_month, mo - mo0 AS age,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
+        |  FROM o JOIN c USING (o_custkey)
+        |  GROUP BY mo0, mo - mo0)
+        |SELECT cohort_month, age, rev,
+        |  CAST(ROUND(SUM(CAST(rev AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY cohort_month ORDER BY age
+        |    ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_rev
+        |FROM cell""".stripMargin,
 
     "q_tpch_q18" ->
       """WITH big AS (SELECT l_orderkey,
