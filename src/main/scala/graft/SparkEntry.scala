@@ -2274,6 +2274,48 @@ object SparkEntry {
         .select(col("o_year"), round(col("nat") / col("tot"), 9).as("mkt_share"))
     }),
 
+    // #172: lag-feature generation (feature-store shape): per-key
+    // lag-1/2/3 values and the trailing-3 mean in ONE window pass over
+    // one (user, time) shuffle — the offline half of a point-in-time
+    // feature pipeline. The mean stays decimal-exact (sum of 3 cast
+    // values / 3 in decimal, round 9 on the way out).
+    "q_lag_features" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val d = col("value").cast("decimal(18,6)")
+      t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("lag1", lag(d, 1).over(w))
+        .withColumn("lag2", lag(d, 2).over(w))
+        .withColumn("lag3", lag(d, 3).over(w))
+        .filter(col("lag3").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          col("lag1").cast("double").as("lag1"),
+          col("lag2").cast("double").as("lag2"),
+          col("lag3").cast("double").as("lag3"),
+          // sum in decimal (exact), divide in double (shared IEEE tree)
+          // — decimal DIVISION scale rules differ across engines
+          round((col("lag1") + col("lag2") + col("lag3")).cast("double") /
+            lit(3.0), 9).as("mean3"))
+    }),
+
+    // #173: future-window label generation — for each event, did the
+    // user convert (purchase) within the next 24 hours? A RANGE frame
+    // over epoch seconds looking FORWARD — the leakage-safe training
+    // label primitive (strictly after the example's own timestamp, so
+    // the feature row never sees itself). Same single (user, time)
+    // shuffle as the lag features it pairs with.
+    "q_labels" -> ((s, dir) => {
+      val sec = unix_timestamp(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(sec)
+        .rangeBetween(1, 86400)
+      t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("label", coalesce(
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).over(w),
+          lit(0)))
+        .select(col("user_id"), col("event_id"), col("label"))
+    }),
+
     // #171: cohort LTV matrix — cumulative revenue per signup cohort by
     // age (the q_retention complement with money): first-order month
     // per customer (one customer-keyed agg), revenue per (cohort, age)
@@ -4005,6 +4047,26 @@ object SparkEntry {
         |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) /
         |    CAST(SUM(vol) AS DOUBLE), 9) AS mkt_share
         |FROM j GROUP BY o_year""".stripMargin,
+
+    "q_lag_features" ->
+      """WITH l AS (SELECT user_id, event_id,
+        |    lag(CAST(value AS DECIMAL(18,6)), 1) OVER w AS lag1,
+        |    lag(CAST(value AS DECIMAL(18,6)), 2) OVER w AS lag2,
+        |    lag(CAST(value AS DECIMAL(18,6)), 3) OVER w AS lag3
+        |  FROM events WHERE user_id < 50
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id,
+        |  CAST(lag1 AS DOUBLE) AS lag1, CAST(lag2 AS DOUBLE) AS lag2,
+        |  CAST(lag3 AS DOUBLE) AS lag3,
+        |  ROUND(CAST(lag1 + lag2 + lag3 AS DOUBLE) / 3.0, 9) AS mean3
+        |FROM l WHERE lag3 IS NOT NULL""".stripMargin,
+
+    "q_labels" ->
+      """SELECT user_id, event_id,
+        |  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY epoch(ts)
+        |      RANGE BETWEEN 1 FOLLOWING AND 86400 FOLLOWING), 0) AS label
+        |FROM events WHERE user_id < 50""".stripMargin,
 
     "q_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
