@@ -2274,6 +2274,28 @@ object SparkEntry {
         .select(col("o_year"), round(col("nat") / col("tot"), 9).as("mkt_share"))
     }),
 
+    // #174: exact DISCRETE percentiles (quantile_disc semantics: the
+    // smallest actual value whose cumulative count reaches p·n) WITHOUT
+    // a per-group collect: the cumulative runs on the per-group VALUE
+    // HISTOGRAM (bounded-domain l_quantity ⇒ ~50 rows per group), so
+    // the corpus only shuffles into the histogram rollup — the
+    // q_len_deciles cutpoint idea applied to grouped quantiles. All
+    // integer comparisons; the interpolating variant is q_percentile.
+    "q_percentile_disc" -> ((s, dir) => {
+      val hist = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
+      def cut(p: Int): Column = // smallest value with 100·cum >= p·tot
+        min(when(col("cum") * 100 >= col("tot") * p, col("l_quantity")))
+      cum.groupBy(col("l_returnflag"))
+        .agg(cut(25).as("p25"), cut(50).as("p50"), cut(75).as("p75"))
+    }),
+
     // #172: lag-feature generation (feature-store shape): per-key
     // lag-1/2/3 values and the trailing-3 mean in ONE window pass over
     // one (user, time) shuffle — the offline half of a point-in-time
@@ -4047,6 +4069,13 @@ object SparkEntry {
         |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) /
         |    CAST(SUM(vol) AS DOUBLE), 9) AS mkt_share
         |FROM j GROUP BY o_year""".stripMargin,
+
+    "q_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS p25,
+        |  quantile_disc(l_quantity, 0.5) AS p50,
+        |  quantile_disc(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_lag_features" ->
       """WITH l AS (SELECT user_id, event_id,
