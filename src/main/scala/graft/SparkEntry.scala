@@ -234,6 +234,37 @@ object SparkEntry {
       |  sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS spearman
       |FROM m""".stripMargin
 
+  /** IVF ANN top-10 ranks replayed in DuckDB: stride-init centroids (no
+    * Lloyd refinement → no float averaging), argmax-cosine assignment,
+    * top-4 probed cells, exact rank within the probed union — shared by
+    * q_ann_ivf and the approximate side of q_ann_recall_ivf. */
+  private val AnnIvfSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+      |c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
+      |      FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+      |a AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rr
+      |    FROM e CROSS JOIN c) WHERE rr = 1),
+      |p AS (
+      |  SELECT q_id, cid FROM (
+      |    SELECT e.vec_id AS q_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rr
+      |    FROM e CROSS JOIN c WHERE e.vec_id < 5) WHERE rr <= 4),
+      |s AS (
+      |  SELECT p.q_id, a.vec_id AS n_id, list_cosine_similarity(eq.ve, en.ve) AS sim
+      |  FROM p JOIN a ON a.cid = p.cid
+      |    JOIN e eq ON eq.vec_id = p.q_id JOIN e en ON en.vec_id = a.vec_id
+      |  WHERE a.vec_id <> p.q_id),
+      |r AS (SELECT q_id, n_id,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+      |      FROM s)
+      |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin
+
   /** Chi-square contingency cells, shared verbatim: integer observed
     * counts, marginals as window sums over the cell table, expected /
     * contribution as shared double expressions rounded to 9 (the
@@ -1606,6 +1637,20 @@ object SparkEntry {
         .groupBy(col("q_id")).agg(count(col("ln")).as("n_hit"))
     }),
 
+    // #134b: recall@10 of the IVF index vs brute force (the q_ann_recall
+    // acceptance metric for the cell-probing index family)
+    "q_ann_recall_ivf" -> ((s, dir) => {
+      val e = tp(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+        .select(col("q_id"), col("n_id"))
+      val iv = AnnIvf.annTopK(e, q, "vec_id", "embedding", 10,
+          nlist = 16, nprobe = 4, iters = 0)
+        .select(col("q_id").as("iq"), col("n_id").as("in_"))
+      bf.join(iv, bf("q_id") === col("iq") && bf("n_id") === col("in_"), "left")
+        .groupBy(col("q_id")).agg(count(col("in_")).as("n_hit"))
+    }),
+
     // #135: byte-budget media shard packing (the webdataset/tar-shard
     // writer layout) — Packing's running-sum bin cut applied to payload
     // bytes per kind; one shuffle + one window pass, payloads never
@@ -2736,32 +2781,16 @@ object SparkEntry {
     // IVF replayed: stride-init centroids (no Lloyd refinement → no
     // float averaging), argmax-cosine assignment, top-4 probed cells,
     // exact rank within the probed union.
-    "q_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-        |st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
-        |c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
-        |      FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
-        |a AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rr
-        |    FROM e CROSS JOIN c) WHERE rr = 1),
-        |p AS (
-        |  SELECT q_id, cid FROM (
-        |    SELECT e.vec_id AS q_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rr
-        |    FROM e CROSS JOIN c WHERE e.vec_id < 5) WHERE rr <= 4),
-        |s AS (
-        |  SELECT p.q_id, a.vec_id AS n_id, list_cosine_similarity(eq.ve, en.ve) AS sim
-        |  FROM p JOIN a ON a.cid = p.cid
-        |    JOIN e eq ON eq.vec_id = p.q_id JOIN e en ON en.vec_id = a.vec_id
-        |  WHERE a.vec_id <> p.q_id),
-        |r AS (SELECT q_id, n_id,
-        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
-        |      FROM s)
-        |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin,
+    "q_ann_ivf" -> AnnIvfSql,
+
+    // recall@10 of the IVF index vs the brute-force ground truth —
+    // same acceptance metric as q_ann_recall for the LSH index
+    "q_ann_recall_ivf" ->
+      s"""WITH bf AS ($AnnBruteSql),
+        |iv AS ($AnnIvfSql)
+        |SELECT bf.q_id, count(iv.n_id) AS n_hit
+        |FROM bf LEFT JOIN iv ON bf.q_id = iv.q_id AND bf.n_id = iv.n_id
+        |GROUP BY bf.q_id""".stripMargin,
 
     "q_lang_id" ->
       """WITH b AS (SELECT doc_id,
