@@ -2319,6 +2319,21 @@ object SparkEntry {
         .select(col("o_year"), round(col("nat") / col("tot"), 9).as("mkt_share"))
     }),
 
+    // #175: incremental cross-batch near-dup dedup as an oracle query
+    // (§2.6 row 68 upgraded from spec-only): the incoming half of the
+    // corpus is LSH-checked against the already-ingested half AND
+    // itself — never existing×existing — with the redundant doc always
+    // on j; the oracle is the all-pairs exact-Jaccard ground truth
+    // restricted the same way (the banding miss-probability argument of
+    // q_dedup_minhash applies unchanged).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = tp(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.incrementalNearDups(
+          d.filter(col("doc_id") < 250), d.filter(col("doc_id") >= 250),
+          "doc_id", "text", theta = 0.8)
+        .select(col("i"), col("j"), col("jac"))
+    }),
+
     // #174: exact DISCRETE percentiles (quantile_disc semantics: the
     // smallest actual value whose cumulative count reaches p·n) WITHOUT
     // a per-group collect: the cumulative runs on the per-group VALUE
@@ -4098,6 +4113,24 @@ object SparkEntry {
         |      ELSE CAST(0 AS DECIMAL(28,4)) END) AS DOUBLE) /
         |    CAST(SUM(vol) AS DOUBLE), 9) AS mkt_share
         |FROM j GROUP BY o_year""".stripMargin,
+
+    // ground truth: all near-dup pairs whose redundant side is incoming
+    "q_dedup_incremental" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
+        |FROM sh a, sh b
+        |WHERE b.doc_id >= 250
+        |  AND (a.doc_id < 250 OR a.doc_id < b.doc_id)
+        |  AND a.doc_id <> b.doc_id
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8""".stripMargin,
 
     "q_percentile_disc" ->
       """SELECT l_returnflag,
