@@ -1818,11 +1818,53 @@ object SparkEntry {
         .withColumn("pass", (col("n_violations") === 0L).cast("int"))
     }),
 
-    // #140: Spearman rank correlation (shared ANSI text — see
-    // SpearmanQuery for the integer tie-averaged rank construction)
+    // #140: Spearman rank correlation per group. The oracle text
+    // (SpearmanQuery) ranks with `PARTITION BY l_returnflag` windows —
+    // fine for DuckDB at sf0.01, a one-task-per-group sort at 100 TB
+    // (l_returnflag has 3 values). The Spark plan instead exploits that
+    // the tie-averaged rank depends only on (group, value):
+    //   2·avg_rank = 2·(# smaller) + ties + 1
+    // so each variable needs only its per-(group, value) count table —
+    // distinct-value-sized, not row-sized — with "# smaller" as a
+    // distributed per-group prefix sum (GroupRank.prefixSum: range
+    // repartition + partition-offset scan, never a per-group window).
+    // The two rank tables equi-join back to the fact rows (qty side is
+    // 3×50 rows → broadcast; price side shuffles on (rf, value)), and
+    // the moment sums are the same exact decimals-of-integers as the
+    // oracle, so round(9) lands bit-identical.
     "q_spearman" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
-      s.sql(SpearmanQuery)
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("rf"),
+        col("l_quantity"), col("l_extendedprice"))
+      def rankTable(valueCol: String, rName: String): DataFrame = {
+        val counts = li.groupBy(col("rf"), col(valueCol).as("v"))
+          .agg(count(lit(1)).as("c"))
+        operators.GroupRank.prefixSum(counts, Seq("rf"), Seq("v"),
+            Some("c"), "smaller")
+          .select(col("rf").as(s"${rName}_rf"), col("v").as(s"${rName}_v"),
+            (lit(2L) * col("smaller") + col("c") + lit(1L))
+              .cast("decimal(18,0)").as(rName))
+      }
+      val rx = rankTable("l_quantity", "rx")
+      val ry = rankTable("l_extendedprice", "ry")
+      li.join(broadcast(rx),
+          col("rf") === col("rx_rf") && col("l_quantity") === col("rx_v"))
+        .join(ry,
+          col("rf") === col("ry_rf") && col("l_extendedprice") === col("ry_v"))
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).cast("double").as("nd"),
+          sum(col("rx").cast("decimal(38,0)")).cast("double").as("sx"),
+          sum(col("ry").cast("decimal(38,0)")).cast("double").as("sy"),
+          sum((col("rx") * col("ry")).cast("decimal(38,0)"))
+            .cast("double").as("sxy"),
+          sum((col("rx") * col("rx")).cast("decimal(38,0)"))
+            .cast("double").as("sx2"),
+          sum((col("ry") * col("ry")).cast("decimal(38,0)"))
+            .cast("double").as("sy2"))
+        .select(col("rf"),
+          round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("nd") * col("sx2") - col("sx") * col("sx")) *
+              (col("nd") * col("sy2") - col("sy") * col("sy"))), 9)
+            .as("spearman"))
     }),
 
     // #141: median absolute deviation per group — the robust outlier
@@ -2132,9 +2174,14 @@ object SparkEntry {
         .select(get_json_object(col("props"), "$.k").cast("int").as("item"),
           unix_date(col("ts").cast("date")).cast("long").as("day"))
       val maxDay = e.agg(max(col("day")).as("max_day"))
+      // events older than 30 days weigh 0 — WITHOUT the clamp the shift
+      // amount goes negative and the JVM masks it mod 64 (age 31 →
+      // 1L<<63), so stale items would dominate with garbage weights
       e.crossJoin(broadcast(maxDay))
         .select(col("item"),
-          expr("shiftleft(1L, CAST(30 - (max_day - day) AS INT))").as("w"))
+          expr("CASE WHEN max_day - day <= 30 " +
+            "THEN shiftleft(1L, CAST(30 - (max_day - day) AS INT)) " +
+            "ELSE 0L END").as("w"))
         .groupBy(col("item"))
         .agg(sum(col("w")).as("ws"))
         .select(col("item"),
@@ -2454,12 +2501,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("rev"))
     }),
 
-    // #163: Gini coefficient per group (revenue-inequality diagnostic;
-    // shared ANSI text — see GiniQuery for the exact-decimal rank
-    // formula)
+    // #163: Gini coefficient per group (revenue-inequality diagnostic).
+    // G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n needs the within-group rank i of
+    // every row — the oracle (GiniQuery) gets it from a `PARTITION BY
+    // l_returnflag` row_number window, which at 100 TB sends ~1/3 of the
+    // fact table into one task's sort. The Spark plan ranks with
+    // GroupRank.rowNumber instead: range-repartition on (group, order
+    // key) + per-partition offsets — a distributed sort's parallelism
+    // with exact global per-group ranks. (x, orderkey, linenumber) is a
+    // total order, and tied x swap freely in Σ(i·x), so the moment sums
+    // are the same exact decimals as the oracle's; round(9) closes it.
     "q_gini" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
-      s.sql(GiniQuery)
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("rf"),
+        col("l_extendedprice").cast("decimal(18,2)").as("x"),
+        col("l_orderkey"), col("l_linenumber"))
+      operators.GroupRank.rowNumber(li, Seq("rf"),
+          Seq("x", "l_orderkey", "l_linenumber"), "i")
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).cast("double").as("nd"),
+          sum(col("x").cast("decimal(38,2)")).cast("double").as("sx"),
+          sum((col("i").cast("decimal(18,0)") * col("x"))
+            .cast("decimal(38,2)")).cast("double").as("six"))
+        .select(col("rf"),
+          round(lit(2.0) * col("six") / (col("nd") * col("sx")) -
+            (col("nd") + lit(1.0)) / col("nd"), 9).as("gini"))
     }),
 
     // #164: Herfindahl–Hirschman concentration index per nation — HHI
@@ -4019,7 +4085,9 @@ object SparkEntry {
         |  FROM events),
         |m AS (SELECT MAX(day) AS max_day FROM e),
         |w AS (SELECT item,
-        |    (CAST(1 AS BIGINT) << CAST(30 - (max_day - day) AS INT)) AS w
+        |    CASE WHEN max_day - day <= 30
+        |      THEN (CAST(1 AS BIGINT) << CAST(30 - (max_day - day) AS INT))
+        |      ELSE CAST(0 AS BIGINT) END AS w
         |  FROM e CROSS JOIN m)
         |SELECT item, CAST(SUM(w) AS DOUBLE) / 1073741824.0 AS score
         |FROM w GROUP BY item ORDER BY score DESC, item LIMIT 20""".stripMargin,

@@ -33,8 +33,15 @@ object DenseId {
       .sortWithinPartitions(orderCols.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rdd = sorted.rdd
+    // count in a Long accumulator — Iterator.size returns Int and would
+    // silently overflow past 2^31 rows per partition, corrupting every
+    // downstream id
     val counts = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .mapPartitionsWithIndex { (i, it) =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator((i, c))
+      }
       .collect().sortBy(_._1).map(_._2)
     val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
     val withId = rdd.mapPartitionsWithIndex { (i, it) =>

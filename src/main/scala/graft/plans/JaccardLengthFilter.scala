@@ -15,7 +15,11 @@ import org.apache.spark.sql.types.DoubleType
   *
   * which is implied by the threshold (J ≥ t ⟹ |A∩B| ≥ t·|A∪B|, and
   * |B| ≥ |A∩B|, |A∪B| ≥ |A| give |B| ≥ t·|A|; symmetrically for |A|) —
-  * so the rewrite NEVER changes results. The payoff: `And` evaluates
+  * so the rewrite never changes results, with ONE caveat: under
+  * `spark.sql.legacy.sizeOfNull=true`, size(null) = −1 and a null
+  * array flips the comparison (−1/−1 = 1.0 ≥ t is true while
+  * −1 ≥ t·size(b) is false), so the rule disables itself on that
+  * legacy conf. The payoff: `And` evaluates
   * left-to-right with short-circuit in codegen, and the added conjuncts
   * are O(1) array-length reads, so length-mismatched candidate pairs
   * skip the O(|A|+|B|) intersect/union entirely. That is the standard
@@ -82,10 +86,16 @@ object JaccardLengthFilter extends Rule[LogicalPlan] {
   /** The threshold predicate may sit in a Filter or — once pushdown has
     * run — in a Join condition (the candidate-verify self-joins of the
     * dedup pipelines); rewrite both. */
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, _) if shouldRewrite(cond) =>
-      f.copy(condition = rewrite(cond))
-    case j: Join if j.condition.exists(shouldRewrite) =>
-      j.copy(condition = j.condition.map(rewrite))
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // legacy sizeOfNull=true makes size(null) = -1: the jaccard predicate
+    // on a null array evaluates -1/-1 = 1.0 >= t (true) while the length
+    // conjunct evaluates -1 >= t*(-1) (false) — the rewrite would flip a
+    // filter result, so it must not fire under that conf
+    if (conf.legacySizeOfNull) plan
+    else plan.transform {
+      case f @ Filter(cond, _) if shouldRewrite(cond) =>
+        f.copy(condition = rewrite(cond))
+      case j: Join if j.condition.exists(shouldRewrite) =>
+        j.copy(condition = j.condition.map(rewrite))
+    }
 }

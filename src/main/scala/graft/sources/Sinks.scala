@@ -79,10 +79,21 @@ object Sinks {
     * incremental-append layout needs: micro-batch appends leave
     * thousands of KB-sized files whose per-file open/footer overhead
     * eventually dominates scans. Rewrite the directory into
-    * ceil(bytes / targetBytes) files and atomically swap via a temp
-    * dir + rename. Returns the output file count. */
+    * ceil(bytes / targetBytes) files, then swap tmp into place.
+    *
+    * The swap is two sequential renames, NOT atomic: between
+    * rename(path → .compact.old) and rename(.compact.tmp → path) the
+    * live path does not exist, and a crash in that window strands the
+    * data under `.compact.old` (java.io.File has no exchange-style
+    * rename; a real deployment swaps a manifest/symlink instead —
+    * Iceberg/Delta solve exactly this). [[recoverCompact]] closes the
+    * gap on restart: call it before reading a compactable path — it
+    * rolls a torn swap forward (tmp finished: `_SUCCESS` present) or
+    * back (tmp incomplete), and compact() itself invokes it first so a
+    * re-run self-heals. Returns the output file count. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L << 20): Int = {
+    recoverCompact(path)
     val dir = new java.io.File(path)
     val bytes = Option(dir.listFiles()).map(_.filter(_.isFile)
       .filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
@@ -96,5 +107,26 @@ object Sinks {
     require(new java.io.File(tmp).renameTo(old), s"rename $tmp -> $path failed")
     org.apache.commons.io.FileUtils.deleteDirectory(bak)
     n
+  }
+
+  /** Startup recovery for a compact() swap torn by a crash. Outcomes:
+    * live path present → drop leftovers; live path missing with a
+    * COMPLETE tmp (Spark's `_SUCCESS` marker) → roll forward; live path
+    * missing, tmp incomplete → roll back to `.compact.old`. Idempotent;
+    * no-op when no compaction debris exists. */
+  def recoverCompact(path: String): Unit = {
+    val live = new java.io.File(path.stripSuffix("/"))
+    val tmp = new java.io.File(path.stripSuffix("/") + ".compact.tmp")
+    val bak = new java.io.File(path.stripSuffix("/") + ".compact.old")
+    if (live.exists()) { // swap completed (or never started): clear debris
+      if (bak.exists()) org.apache.commons.io.FileUtils.deleteDirectory(bak)
+      if (tmp.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    } else if (tmp.exists() && new java.io.File(tmp, "_SUCCESS").exists()) {
+      require(tmp.renameTo(live), s"roll-forward $tmp -> $live failed")
+      if (bak.exists()) org.apache.commons.io.FileUtils.deleteDirectory(bak)
+    } else if (bak.exists()) {
+      require(bak.renameTo(live), s"roll-back $bak -> $live failed")
+      if (tmp.exists()) org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
   }
 }

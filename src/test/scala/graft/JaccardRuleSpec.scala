@@ -39,6 +39,33 @@ class JaccardRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("rule disables itself under spark.sql.legacy.sizeOfNull=true") {
+    // size(null) = -1 there: jaccard on a null array is -1/-1 = 1.0 >= t
+    // (true) but the length conjunct -1 >= t*(-1) is false — firing
+    // would flip filter results, so the rule must not fire at all
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ JaccardLengthFilter
+    // legacy sizeOfNull only takes effect with ANSI off (Spark 4 default
+    // is on — SQLConf.legacySizeOfNull && !ansiEnabled); flip both
+    val savedAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      var scaledSizeCompares = 0
+      jaccardQuery.queryExecution.optimizedPlan.foreach { node =>
+        node.expressions.foreach(_.foreach {
+          case GreaterThanOrEqual(_, Multiply(_, _, _)) => scaledSizeCompares += 1
+          case _ => ()
+        })
+      }
+      assert(scaledSizeCompares === 0)
+    } finally {
+      spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+      spark.conf.set("spark.sql.ansi.enabled", savedAnsi)
+      spark.experimental.extraOptimizations = saved
+    }
+  }
+
   test("rule leaves non-jaccard filters untouched") {
     val saved = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = saved :+ JaccardLengthFilter

@@ -224,4 +224,19 @@ class PlanSpec extends SparkSpec {
     assert(exIdx >= 0 || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("o_totalprice"), p) // untouched columns pruned
   }
+
+  test("q_gini and q_spearman: per-group rank without a per-group window sort") {
+    // the scale-killer shape is Window(partitionBy=3-value key): ~1/3 of
+    // the fact table through ONE task. The GroupRank re-plan must show
+    // ZERO Window nodes — ranks come from rangepartitioning (distributed
+    // sort) + per-partition offset stamps — and no single-partition pass.
+    // (the rangepartitioning exchange lives in GroupRank's internal
+    // two-pass plan, behind the RDD boundary — asserted in GroupRankSpec)
+    for (n <- Seq("q_gini", "q_spearman")) {
+      val p = plan(n)
+      assert(!p.contains("Window"), s"$n plans a window sort:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$n funnels through one partition:\n$p")
+    }
+  }
 }

@@ -118,6 +118,35 @@ class SourcesSpec extends SparkSpec {
       orders.agg(sum(col("o_orderkey"))).head().getLong(0))
   }
 
+  test("recoverCompact heals a swap torn between the two renames") {
+    val dir = tmpDir("compact-recover")
+    val orders = table("orders")
+    orders.repartition(4).write.parquet(s"$dir/t")
+    val nRows = orders.count()
+
+    // torn AFTER rename(path -> .compact.old), BEFORE tmp landed: the
+    // live path is missing and tmp is incomplete (no _SUCCESS) → roll back
+    assert(new java.io.File(s"$dir/t").renameTo(new java.io.File(s"$dir/t.compact.old")))
+    new java.io.File(s"$dir/t.compact.tmp").mkdirs() // partial write, no marker
+    Sinks.recoverCompact(s"$dir/t")
+    assert(spark.read.parquet(s"$dir/t").count() === nRows)
+    assert(!new java.io.File(s"$dir/t.compact.old").exists())
+    assert(!new java.io.File(s"$dir/t.compact.tmp").exists())
+
+    // torn AFTER tmp completed but BEFORE the forward rename: _SUCCESS
+    // present → roll forward to the compacted copy
+    orders.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/t.compact.tmp")
+    assert(new java.io.File(s"$dir/t").renameTo(new java.io.File(s"$dir/t.compact.old")))
+    Sinks.recoverCompact(s"$dir/t")
+    assert(spark.read.parquet(s"$dir/t").count() === nRows)
+    assert(!new java.io.File(s"$dir/t.compact.old").exists())
+
+    // idempotent on a healthy dir
+    Sinks.recoverCompact(s"$dir/t")
+    assert(spark.read.parquet(s"$dir/t").count() === nRows)
+  }
+
   test("DenseId: 0..n-1 in key order without a single-partition pass") {
     val docs = table("documents").select("doc_id", "source")
     val ids = graft.operators.DenseId.assign(docs, Seq("doc_id"))
