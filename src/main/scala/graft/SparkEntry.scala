@@ -332,6 +332,70 @@ object SparkEntry {
       |FROM m ORDER BY zkey, o_orderkey LIMIT 100""".stripMargin
   }
 
+  /** DuckDB replay of q_bpe_merges' 8 sequential BPE rounds, unrolled
+    * (recursive CTEs can't aggregate over the recursive term, so each
+    * round is a generated CTE chain — the ZOrderOracle idiom). Per
+    * round: adjacent-pair counts from the symbol lists, argmax with the
+    * (pc desc, l, r) tie-break, then the leftmost-non-overlapping merge
+    * application as pure window SQL — raw match positions, runs of
+    * consecutive matches kept at even offsets (gaps-and-islands; runs
+    * only arise when l = r, the "aaa" case), matched starts emit l||r,
+    * the position after a kept match is consumed. `syms` is a valid
+    * per-word key at every round because join('', syms) always recovers
+    * word + '</w>'. Parity with the batched Spark learner is exact —
+    * see Bpe.learnMerges' prefix-rule proof. */
+  private val BpeOracle: String = {
+    val n = 8
+    def round(k: Int): String =
+      s"""pairs_$k AS (
+         |  SELECT v.syms[g.i] AS l, v.syms[g.i+1] AS r, SUM(cnt) AS pc
+         |  FROM vocab_$k v, UNNEST(generate_series(1, len(v.syms)-1)) AS g(i)
+         |  WHERE len(v.syms) >= 2
+         |  GROUP BY 1, 2),
+         |best_$k AS (
+         |  SELECT l, r, pc FROM pairs_$k WHERE pc >= 2
+         |  ORDER BY pc DESC, l, r LIMIT 1),
+         |pos_$k AS (
+         |  SELECT v.syms, v.cnt, g.i, v.syms[g.i] AS s, b.l, b.r,
+         |    CASE WHEN g.i < len(v.syms) AND v.syms[g.i] = b.l
+         |        AND v.syms[g.i+1] = b.r THEN 1 ELSE 0 END AS m
+         |  FROM vocab_$k v LEFT JOIN best_$k b ON TRUE,
+         |    UNNEST(generate_series(1, len(v.syms))) AS g(i)),
+         |isl_$k AS (
+         |  SELECT syms, cnt, i, s, l, r, m,
+         |    i - ROW_NUMBER() OVER (PARTITION BY syms, m ORDER BY i) AS island
+         |  FROM pos_$k),
+         |kept_$k AS (
+         |  SELECT syms, cnt, i, s, l, r,
+         |    CASE WHEN m = 1 AND
+         |        (i - min(i) OVER (PARTITION BY syms, m, island)) % 2 = 0
+         |      THEN 1 ELSE 0 END AS kept
+         |  FROM isl_$k),
+         |emit_$k AS (
+         |  SELECT syms, cnt, i, s, l, r, kept,
+         |    COALESCE(lag(kept) OVER (PARTITION BY syms ORDER BY i), 0) AS consumed
+         |  FROM kept_$k),
+         |vocab_${k + 1} AS (
+         |  SELECT cnt, list(CASE WHEN kept = 1 THEN l || r ELSE s END
+         |    ORDER BY i) AS syms
+         |  FROM emit_$k WHERE consumed = 0
+         |  GROUP BY syms, cnt)""".stripMargin
+    val finals = (1 to n).map(k =>
+      s"""SELECT $k AS rank, l AS "left", r AS "right",
+         |  CAST(pc AS BIGINT) AS pair_count FROM best_$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH
+       |vocab_1 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    list_append(string_split(w, ''), '</w>') AS syms
+       |  FROM (SELECT t.w FROM documents,
+       |    UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0)) AS t(w))
+       |  GROUP BY w),
+       |${(1 to n).map(round).mkString(",\n")}
+       |$finals""".stripMargin
+  }
+
   // ---------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1411,9 +1475,11 @@ object SparkEntry {
       operators.TextStats.bigramSurprisal(tp(s, dir, "documents"),
         "doc_id", "text", col("doc_id") < 300)),
 
-    // #115: BPE merge learning (rows-only: the merge loop is inherently
-    // iterative-argmax, not single-statement SQL; BpeSpec pins the
-    // semantics on a hand-computed corpus). Integer pair counts,
+    // #115: BPE merge learning, batched driver loop (parity-preserving
+    // symbol-disjoint prefix batches — Bpe.learnMerges). Oracle: the 8
+    // rounds replayed in DuckDB as an unrolled CTE chain (BpeOracle);
+    // BpeSpec additionally pins the semantics on a hand-computed corpus
+    // and asserts batched ≡ sequential. Integer pair counts,
     // lexicographic tie-break — byte-identical merge table every run.
     "q_bpe_merges" -> ((s, dir) =>
       operators.Bpe.learnMerges(tp(s, dir, "documents"), "text", 8)),
@@ -2553,6 +2619,8 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> BpeOracle,
+
     "q_top10_tokens" ->
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents)

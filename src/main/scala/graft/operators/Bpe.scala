@@ -14,17 +14,32 @@ import graft.functions.TextAnalysis
   * table (one shuffle on the word). Everything iterative — pair
   * counting, the argmax, the merge application — runs on that
   * vocab-sized table (≪ corpus; Zipf guarantees it), so 100 TB of text
-  * costs the same loop as 100 MB once the word counts exist. Each
-  * round's argmax is ONE row collected to the driver: that row IS the
-  * model being learned (the merge table), not data — the corpus never
-  * moves. Merge application is a per-row codegen'd `aggregate` fold
-  * (leftmost non-overlapping, standard BPE semantics), and each round
-  * ends in `localCheckpoint` so the plan doesn't deepen per iteration
-  * (see DedupCluster for the measured planning-cost cliff).
+  * costs the same loop as 100 MB once the word counts exist. Merge
+  * application is a per-row codegen'd `aggregate` fold (leftmost
+  * non-overlapping, standard BPE semantics), and each pass ends in
+  * `localCheckpoint` so the plan doesn't deepen per iteration (see
+  * DedupCluster for the measured planning-cost cliff).
+  *
+  * Driver-loop bound: merges are learned in BATCHES — each pass counts
+  * pairs once, collects the top `maxBatch` rows, and accepts the
+  * maximal pairwise-SYMBOL-DISJOINT PREFIX of that ranked list. The
+  * prefix rule is exactly sequential-parity-preserving, not a
+  * heuristic: a batch member's count cannot have changed when its
+  * sequential turn comes (it shares no symbol with earlier members),
+  * no skipped pair can overtake it (counts only decrease under merges,
+  * and a prefix skips nothing), and any NEW pair (x, lr) that could
+  * beat member P satisfies count(x,l) ≥ count(x,lr) > count(P) with
+  * (x,l) conflicting with (l,r) — so the batch would have stopped
+  * before P, a contradiction. BpeSpec asserts the parity empirically
+  * (maxBatch=1 vs maxBatch=64, byte-identical merge tables). Cost:
+  * ceil(numMerges / batch) passes × 2 jobs (one vocab-sized count +
+  * one collect of ≤ maxBatch rows) instead of numMerges × 2 — a real
+  * 30k-merge vocab runs in thousands, not tens of thousands, of Spark
+  * jobs (empirical batch sizes on text run 4-20).
   *
   * Determinism: pair counts are integer, ties break on (left, right)
   * lexicographically — byte-identical merge tables on every run, every
-  * cluster size.
+  * cluster size, every maxBatch.
   */
 object Bpe {
 
@@ -32,7 +47,8 @@ object Bpe {
     * 1-based in merge order. Stops early when no pair reaches
     * `minCount`. */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
-                  minCount: Long = 2L): DataFrame = {
+                  minCount: Long = 2L, maxBatch: Int = 64): DataFrame = {
+    require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
@@ -46,10 +62,9 @@ object Bpe {
       .localCheckpoint(true)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
     var done = false
-    while (r <= numMerges && !done) {
-      val best = vocab
+    while (merges.size < numMerges && !done) {
+      val top = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(transform(sequence(lit(1), size(col("syms")) - 1),
           i => struct(element_at(col("syms"), i).as("l"),
@@ -57,15 +72,34 @@ object Bpe {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getLong(2) < minCount) done = true
+        .limit(maxBatch).collect()
+      // maximal symbol-disjoint PREFIX (stop at the FIRST conflict —
+      // skipping would break the sequential-parity proof above)
+      val used = scala.collection.mutable.Set.empty[String]
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var i = 0
+      var stop = false
+      while (!stop && i < top.length && merges.size + batch.size < numMerges) {
+        val (l, rr, pc) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+        // pc < minCount ends the BATCH, not the learning: merges already
+        // accepted this pass may create NEW pairs above the floor, so
+        // only an empty batch (true argmax below floor) terminates
+        if (pc < minCount || used(l) || used(rr)) stop = true
+        else { batch += ((l, rr, pc)); used += l; used += rr; i += 1 }
+      }
+      if (batch.isEmpty) done = true
       else {
-        val (l, rr, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((r, l, rr, pc))
+        batch.foreach { case (l, rr, pc) =>
+          merges += ((merges.size + 1, l, rr, pc))
+        }
+        // disjoint symbols ⇒ the folds commute; ONE select + checkpoint
+        // applies the whole batch in a single pass over the vocab
+        val foldedSyms = batch.foldLeft(col("syms")) {
+          case (acc, (l, rr, _)) => applyMerge(acc, l, rr)
+        }
         vocab = vocab
-          .select(col("cnt"), applyMerge(col("syms"), l, rr).as("syms"))
+          .select(col("cnt"), foldedSyms.as("syms"))
           .localCheckpoint(true)
-        r += 1
       }
     }
     spark.createDataFrame(

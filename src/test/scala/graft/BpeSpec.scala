@@ -44,6 +44,18 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq("low", "est", "</w>"))
   }
 
+  test("batched passes are parity-exact with the sequential merge loop") {
+    // maxBatch=1 IS the sequential reference (one argmax per pass);
+    // the symbol-disjoint prefix rule must reproduce it byte-for-byte
+    // (see the proof in Bpe's scaladoc) while spending far fewer passes
+    val docs = table("documents")
+    val sequential = Bpe.learnMerges(docs, "text", 12, maxBatch = 1)
+      .collect().map(_.toSeq).toSeq
+    val batched = Bpe.learnMerges(docs, "text", 12, maxBatch = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(batched == sequential && sequential.size == 12)
+  }
+
   test("merge table is deterministic across repeated runs") {
     val docs = table("documents").limit(50)
     val a = Bpe.learnMerges(docs, "text", 5).collect().toSeq
