@@ -2181,32 +2181,43 @@ object SparkEntry {
         .select(col("user_id"), col("longest"), col("start_day"))
     }),
 
-    // #156: lag-1 autocorrelation per series (event_type) — the
-    // time-series persistence diagnostic: one window pass pairs each
+    // #156: lag-1 autocorrelation per series — the time-series
+    // persistence diagnostic. Keyed per USER (thousands of series), not
+    // per event_type (6 values): the window partition key is the shape
+    // the scale claim needs — at 100 TB a 6-value partition key funnels
+    // 1/6 of the table through one task's sort, while user_id spreads
+    // the same sort across the cluster. One window pass pairs each
     // value with its predecessor in (ts, event_id) order, then the
     // Pearson moments accumulate in exact decimal (order-independent,
     // q_stats_agg rule) and only the final rho expression touches
-    // doubles (round 9).
+    // doubles (round 9). Degenerate series are excluded by INTEGER
+    // tests (pair count ≥ 10, ≥ 2 distinct values on both sides) so
+    // the surviving-row set — the hash-sensitive part — never rides a
+    // float boundary and the variance product is genuinely positive.
     "q_autocorr" -> ((s, dir) => {
-      val w = Window.partitionBy(col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       val p = t(s, dir, "events")
-        .select(col("event_type"), col("ts"), col("event_id"),
+        .select(col("user_id"), col("ts"), col("event_id"),
           col("value").cast("decimal(18,6)").as("x"))
         .withColumn("xl", lag(col("x"), 1).over(w))
         .filter(col("xl").isNotNull)
-      val g = p.groupBy(col("event_type")).agg(
-        count(lit(1)).cast("double").as("nd"),
+      val g = p.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("x")).as("dx"),
+        countDistinct(col("xl")).as("dxl"),
         sum(col("x").cast("decimal(28,6)")).cast("double").as("sx"),
         sum(col("xl").cast("decimal(28,6)")).cast("double").as("sy"),
         sum((col("x") * col("xl")).cast("decimal(38,12)")).cast("double").as("sxy"),
         sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double").as("sx2"),
         sum((col("xl") * col("xl")).cast("decimal(38,12)")).cast("double").as("sy2"))
-      g.select(col("event_type"),
-        round((col("nd") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("nd") * col("sx2") - col("sx") * col("sx")) *
-            (col("nd") * col("sy2") - col("sy") * col("sy"))), 9)
-          .as("autocorr_1"))
+      g.filter(col("n") >= 10 && col("dx") >= 2 && col("dxl") >= 2)
+        .withColumn("nd", col("n").cast("double"))
+        .select(col("user_id"),
+          round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("nd") * col("sx2") - col("sx") * col("sx")) *
+              (col("nd") * col("sy2") - col("sy") * col("sy"))), 9)
+            .as("autocorr_1"))
     }),
 
     // #157: period-over-period change (the BI month-over-month shape):
@@ -4120,23 +4131,27 @@ object SparkEntry {
         |SELECT user_id, longest, start_day FROM r WHERE rn = 1""".stripMargin,
 
     "q_autocorr" ->
-      """WITH p AS (SELECT event_type,
+      """WITH p AS (SELECT user_id,
         |    CAST(value AS DECIMAL(18,6)) AS x,
         |    lag(CAST(value AS DECIMAL(18,6)), 1) OVER (
-        |      PARTITION BY event_type ORDER BY ts, event_id) AS xl
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS xl
         |  FROM events),
-        |g AS (SELECT event_type,
-        |    CAST(COUNT(*) AS DOUBLE) AS nd,
+        |g AS (SELECT user_id,
+        |    COUNT(*) AS n,
+        |    COUNT(DISTINCT x) AS dx,
+        |    COUNT(DISTINCT xl) AS dxl,
         |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
         |    CAST(SUM(CAST(xl AS DECIMAL(28,6))) AS DOUBLE) AS sy,
         |    CAST(SUM(CAST(x * xl AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
         |    CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sx2,
         |    CAST(SUM(CAST(xl * xl AS DECIMAL(38,12))) AS DOUBLE) AS sy2
-        |  FROM p WHERE xl IS NOT NULL GROUP BY event_type)
-        |SELECT event_type,
+        |  FROM p WHERE xl IS NOT NULL GROUP BY user_id),
+        |f AS (SELECT user_id, CAST(n AS DOUBLE) AS nd, sx, sy, sxy, sx2, sy2
+        |  FROM g WHERE n >= 10 AND dx >= 2 AND dxl >= 2)
+        |SELECT user_id,
         |  ROUND((nd * sxy - sx * sy) /
         |    sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS autocorr_1
-        |FROM g""".stripMargin,
+        |FROM f""".stripMargin,
 
     "q_mom_change" ->
       """WITH m AS (SELECT

@@ -114,17 +114,33 @@ object Dedup {
     * sit at — effectively exact. */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       theta: Double = 0.8, shingleN: Int = 3,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minHashPlan(docs, idCol, textCol, theta, shingleN, numHashes, bands)._1
+
+  /** OWNED cache lifetime for [[minHashNearDups]] (the loan pattern):
+    * builds the pair plan, hands it to `consume`, and unpersists the
+    * shingle table on exit — no cached blocks outlive the call. This is
+    * the long-lived-session entry point; the plain DataFrame variant
+    * leaves its cache to the session (acceptable in a
+    * run-query-then-exit job, a leak in a notebook loop). DedupSpec
+    * asserts the zero-blocks postcondition. */
+  def withMinHashNearDups[A](docs: DataFrame, idCol: String, textCol: String,
+                             theta: Double = 0.8, shingleN: Int = 3,
+                             numHashes: Int = 64, bands: Int = 16)
+                            (consume: DataFrame => A): A = {
+    val (pairs, sh) = minHashPlan(docs, idCol, textCol, theta, shingleN,
+      numHashes, bands)
+    try consume(pairs) finally sh.unpersist(blocking = true)
+  }
+
+  private def minHashPlan(docs: DataFrame, idCol: String, textCol: String,
+                          theta: Double, shingleN: Int,
+                          numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     // One plan uses the shingle table three times (banding + both
     // verify sides); without a persist each use re-tokenizes and
     // re-shingles the corpus. MEMORY_AND_DISK is the scale posture
     // too: a 100 TB pipeline materializes shingles/signatures once
     // and spills rather than recomputing the scan per use.
-    // Cache lifetime is the CALLER's: the returned plan references the
-    // persisted table, so unpersist (or spark.catalog.clearCache())
-    // only after consuming the result — long-lived sessions that skip
-    // this accumulate cached blocks. Same contract for
-    // incrementalNearDups and DedupCluster.components.
     val sh = shingleDf(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = numHashes / bands
@@ -140,11 +156,12 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    pairs
+    val verified = pairs
       .join(sh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
       .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")
       .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jac"))
       .filter(col("jac") >= theta)
+    (verified, sh)
   }
 
   /** Directional shingle containment |A∩B| / |A| ≥ minContainment —
@@ -157,12 +174,26 @@ object Dedup {
     * (j, i) are distinct rows with different denominators. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3,
-                       minContainment: Double = 0.5): DataFrame = {
+                       minContainment: Double = 0.5): DataFrame =
+    containmentPlan(docs, idCol, textCol, shingleN, minContainment)._1
+
+  /** OWNED cache lifetime for [[containmentPairs]] — same loan contract
+    * as [[withMinHashNearDups]]. */
+  def withContainmentPairs[A](docs: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 3, minContainment: Double = 0.5)
+                             (consume: DataFrame => A): A = {
+    val (pairs, sh) = containmentPlan(docs, idCol, textCol, shingleN, minContainment)
+    try consume(pairs) finally sh.unpersist(blocking = true)
+  }
+
+  private def containmentPlan(docs: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int, minContainment: Double)
+      : (DataFrame, DataFrame) = {
     val sh = shingleDf(docs, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("id").as("i"), size(col("sh")).as("size_i"))
     val ex = sh.select(col("id"), explode(col("sh")).as("g"))
-    ex.as("a").join(ex.as("b"),
+    val out = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))
       .agg(count(lit(1)).as("shared"))
@@ -171,6 +202,7 @@ object Dedup {
         (col("shared").cast("double") / col("size_i").cast("double"))
           .as("containment"))
       .filter(col("containment") >= minContainment)
+    (out, sh)
   }
 
   /** MinHash ESTIMATE accuracy over a bounded id range: all pairs with
@@ -224,7 +256,28 @@ object Dedup {
   def incrementalNearDups(existing: DataFrame, incoming: DataFrame,
                           idCol: String, textCol: String,
                           theta: Double = 0.8, shingleN: Int = 3,
-                          numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                          numHashes: Int = 64, bands: Int = 16): DataFrame =
+    incrementalPlan(existing, incoming, idCol, textCol, theta, shingleN,
+      numHashes, bands)._1
+
+  /** OWNED cache lifetime for [[incrementalNearDups]] — same loan
+    * contract as [[withMinHashNearDups]]: the shingle cache cannot
+    * outlive the call. The shape a streaming ingest loop needs (one
+    * batch per call, no block accumulation across batches). */
+  def withIncrementalNearDups[A](existing: DataFrame, incoming: DataFrame,
+                                 idCol: String, textCol: String,
+                                 theta: Double = 0.8, shingleN: Int = 3,
+                                 numHashes: Int = 64, bands: Int = 16)
+                                (consume: DataFrame => A): A = {
+    val (pairs, sh) = incrementalPlan(existing, incoming, idCol, textCol,
+      theta, shingleN, numHashes, bands)
+    try consume(pairs) finally sh.unpersist(blocking = true)
+  }
+
+  private def incrementalPlan(existing: DataFrame, incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              theta: Double, shingleN: Int,
+                              numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     val all = existing.select(col(idCol), col(textCol)).withColumn("origin", lit(0))
       .unionByName(incoming.select(col(idCol), col(textCol)).withColumn("origin", lit(1)))
     val sh = shingleDf(all, idCol, textCol, shingleN)
@@ -245,11 +298,12 @@ object Dedup {
             col("a.id") < col("b.id"))))
       .select(col("a.id").as("i"), col("b.id").as("j"))
       .distinct()
-    pairs
+    val verified = pairs
       .join(sh.select(col("id").as("i"), col("sh").as("sh_i")), "i")
       .join(sh.select(col("id").as("j"), col("sh").as("sh_j")), "j")
       .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jac"))
       .filter(col("jac") >= theta)
+    (verified, sh)
   }
 
   // -------------------------------------- content-defined chunking (CDC)

@@ -31,9 +31,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * The sorted input persists across the two passes so both see identical
   * partitioning (a recomputed range-repartition may sample different
-  * boundaries). Same cache contract as [[DenseId]]: blocks live until the
-  * session drops them; wrap in [[Dedup.Cached]] when a caller needs an
-  * owned lifetime.
+  * boundaries). Same cache contract as [[DenseId]]: blocks live until
+  * the session drops them (Verify clears per query); see Dedup's
+  * `with*` loan variants for the owned-lifetime pattern a long-lived
+  * session should copy.
   */
 object GroupRank {
 

@@ -83,6 +83,38 @@ class DedupSpec extends SparkSpec {
     assert(!rows.exists { case ((i, j), _) => i == 3L || j == 3L })
   }
 
+  test("loan variants leave no cached blocks after consumption") {
+    val sc = spark.sparkContext
+    def cachedIds = sc.getPersistentRDDs.keySet
+    // start clean: earlier tests' plain-variant caches share CacheManager
+    // entries with identical plans, and the loan's unpersist would drop
+    // the SHARED entry — making before/after deltas unreadable
+    spark.catalog.clearCache()
+    val before = cachedIds
+
+    val n1 = Dedup.withMinHashNearDups(docs, "doc_id", "text", theta = 0.8)(_.count())
+    assert(n1 > 0)
+    assert(cachedIds === before, "withMinHashNearDups leaked cached blocks")
+
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val other = docs.filter(col("doc_id") % 2 === 1)
+    Dedup.withIncrementalNearDups(half, other, "doc_id", "text")(_.count())
+    assert(cachedIds === before, "withIncrementalNearDups leaked cached blocks")
+
+    val n3 = Dedup.withContainmentPairs(docs.filter(col("doc_id") < 50),
+      "doc_id", "text")(_.count())
+    assert(n3 >= 0)
+    assert(cachedIds === before, "withContainmentPairs leaked cached blocks")
+
+    // and the loaned result matches the plain variant's rows
+    val loaned = Dedup.withMinHashNearDups(docs, "doc_id", "text", theta = 0.8)(
+      _.select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val plain = Dedup.minHashNearDups(docs, "doc_id", "text", theta = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loaned === plain)
+    spark.catalog.clearCache() // drop the plain variant's session cache
+  }
+
   test("md5 simhash chunk join equals all-pairs ground truth") {
     val sigs = Dedup.simHashNearDupsMd5(docs, "doc_id", "text", 7)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
