@@ -74,17 +74,47 @@ object Bench {
     val flagship = results.toMap.getOrElse("q_top10_tokens", -1.0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.filter(_._2 < 0).map(_._1)
-    // The harness captures this line from a ~2 KB stdout tail buffer:
-    // at 90+ queries the full per-query map no longer fits, so emit the
-    // 40 slowest (the ones that matter for perf grading) plus _total /
-    // _n / any failures; CORRECTNESS_r{N}.json carries the full query
-    // inventory. 2-decimal rounding — timing noise is far above 10 ms.
     def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(40).sortBy(_._1)
-    val qs = (slowest ++ failed.map(_ -> -1.0)
-        :+ ("_total" -> total) :+ ("_n" -> results.size.toDouble))
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"top10","value":${fmt(flagship)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Scale soak (dedup/ANN/join family at 1x and 10x via in-memory
+    // replication — see Soak): skipped when SPARK_GRAFT_SOAK=0 or when
+    // timing a hand-picked SPARK_GRAFT_ONLY subset.
+    val soak: Seq[(String, Double, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SOAK", "1") == "0" || only.nonEmpty) Seq.empty
+      else {
+        val repl = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPL", "10").toInt
+        try Soak.run(spark, sfDir, repl) catch { case _: Throwable => Seq.empty }
+      }
+    val soakJson = soak
+      .map { case (n, t1, tR) => "\"" + n + "\":[" + fmt(t1) + "," + fmt(tR) + "]" }
+      .mkString("{", ",", "}")
+
+    // The COMPLETE per-query map goes to a repo file — the harness
+    // captures stdout through a 2000-char tail buffer (measured: round-1's
+    // full map broke its parse), so 168 keys can never ride the JSON
+    // line. BENCH_FULL.json is the round-over-round diff surface.
+    val fullJson = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
+      s"""{"metric":"top10","value":${fmt(flagship)},"unit":"sec","sf":"$sfDir",""" +
+        s""""queries":{$qs},"soak_1x_vs_10x_sec":$soakJson,""" +
+        s""""_total":${fmt(total)},"_n":${results.size}}"""
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
+    catch { case _: Throwable => () }
+
+    // stdout line: slowest-K + failures + totals + soak, K auto-trimmed
+    // so the line stays under the 1900 chars that survive the tail buffer.
+    def line(k: Int): String = {
+      val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(k).sortBy(_._1)
+      val qs = (slowest ++ failed.map(_ -> -1.0)
+          :+ ("_total" -> total) :+ ("_n" -> results.size.toDouble))
+        .map { case (k2, v) => "\"" + k2 + "\":" + fmt(v) }.mkString("{", ",", "}")
+      s"""{"metric":"top10","value":${fmt(flagship)},"unit":"sec","queries":$qs,""" +
+        s""""soak":$soakJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    }
+    val out = (40 to 8 by -4).map(line).find(_.length <= 1900).getOrElse(line(8))
+    println(out)
     spark.stop()
   }
 }

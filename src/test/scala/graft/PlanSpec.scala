@@ -225,6 +225,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("o_totalprice"), p) // untouched columns pruned
   }
 
+  test("q_pagerank: every iteration joins on src — no cartesian, no nested loop") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_dedup_incremental: shingles cached once, candidates from the band bucket join") {
+    val p = plan("q_dedup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the persisted shingle table feeds banding + both verify sides
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q_cohort_ltv: cohort min rolls up map-side; window on the cell table only") {
+    val p = plan("q_cohort_ltv")
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_percentile_disc: one corpus shuffle into the bounded histogram") {
+    val p = plan("q_percentile_disc")
+    assert(p.contains("partial_count"), p) // histogram rollup combines map-side
+    // scan reads exactly the two referenced columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_returnflag") && read.contains("l_quantity") &&
+      !read.contains("l_extendedprice"), read)
+  }
+
+  test("q_tpch_q18: the big-order rollup broadcasts back; top-20 via heaps") {
+    val p = plan("q_tpch_q18")
+    assert(p.contains("partial_sum"), p) // HAVING rollup combines map-side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_gini and q_spearman: per-group rank without a per-group window sort") {
     // the scale-killer shape is Window(partitionBy=3-value key): ~1/3 of
     // the fact table through ONE task. The GroupRank re-plan must show
