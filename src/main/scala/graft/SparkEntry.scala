@@ -1497,6 +1497,16 @@ object SparkEntry {
       operators.Search.bm25(tp(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join", "window"))),
 
+    // #169: hybrid retrieval with reciprocal-rank fusion — dense
+    // (exact cosine) + sparse (3-gram Jaccard) arms, each GroupTopK-
+    // pruned to top-20, fused by 1/(60+rank) and re-ranked. Integer
+    // arm ranks (0 = not retrieved) keep the output engine-exact; the
+    // RRF score sums exactly two IEEE doubles, never an accumulation.
+    "q_rrf_hybrid" -> ((s, dir) =>
+      operators.Search.rrfHybrid(tp(s, dir, "documents"),
+        t(s, dir, "embeddings"), "doc_id", "text", "vec_id", "embedding",
+        nQueries = 5)),
+
     // #120: sparse TF-IDF cosine pairs via the inverted-index join —
     // pairs meet per shared term, the dot product only accumulates
     // over the intersection; bounded id range keeps the oracle O(n²)-
@@ -2859,6 +2869,51 @@ object SparkEntry {
         |GROUP BY h""".stripMargin,
 
     "q_ann_bruteforce" -> AnnBruteSql,
+
+    // RRF hybrid retrieval replayed: both arms rebuilt exactly (cosine
+    // ranks as in AnnBruteSql; jaccard from the q_ngram_jaccard shingle
+    // construction restricted to shared >= 1 — the equi-join candidate
+    // rule), CAST(1 AS DOUBLE) forces IEEE division where DuckDB's bare
+    // 1.0 literal is decimal.
+    "q_rrf_hybrid" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS d_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+        |sem0 AS (SELECT q_id, d_id, list_cosine_similarity(qe, ne) AS sim
+        |         FROM q, c WHERE d_id <> q_id),
+        |sem AS (SELECT q_id, d_id, rsem FROM (
+        |  SELECT q_id, d_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, d_id) AS rsem
+        |  FROM sem0) WHERE rsem <= 20),
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |shl AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |lex0 AS (SELECT a.doc_id AS q_id, b.doc_id AS d_id,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
+        |  FROM shl a JOIN shl b ON b.doc_id <> a.doc_id
+        |  WHERE a.doc_id < 5 AND len(list_intersect(a.sh, b.sh)) >= 1),
+        |lex AS (SELECT q_id, d_id, rlex FROM (
+        |  SELECT q_id, d_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY jac DESC, d_id) AS rlex
+        |  FROM lex0) WHERE rlex <= 20),
+        |f AS (SELECT COALESCE(sem.q_id, lex.q_id) AS q_id,
+        |    COALESCE(sem.d_id, lex.d_id) AS d_id,
+        |    COALESCE(rsem, 0) AS rsem, COALESCE(rlex, 0) AS rlex
+        |  FROM sem FULL OUTER JOIN lex
+        |    ON sem.q_id = lex.q_id AND sem.d_id = lex.d_id),
+        |r AS (SELECT q_id, d_id, rsem, rlex,
+        |    (CASE WHEN rsem > 0 THEN CAST(1 AS DOUBLE) / (60 + rsem) ELSE 0 END +
+        |     CASE WHEN rlex > 0 THEN CAST(1 AS DOUBLE) / (60 + rlex) ELSE 0 END) AS rrf
+        |  FROM f)
+        |SELECT q_id, rn, d_id, rsem, rlex FROM (
+        |  SELECT q_id, d_id, rsem, rlex,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, d_id) AS rn
+        |  FROM r) WHERE rn <= 10""".stripMargin,
 
     // SimHash rebuilt from scratch: md5-prefix 60-bit token hash, per-bit
     // majority vote, then an ALL-PAIRS hamming scan — the Spark side's

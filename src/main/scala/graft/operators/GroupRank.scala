@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, floor, lit, when}
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.storage.StorageLevel
 
@@ -105,4 +105,38 @@ object GroupRank {
                 outCol: String): DataFrame =
     prefixSum(df, groupCols, orderCols, None, "__grp_excl")
       .withColumn(outCol, col("__grp_excl") + 1L).drop("__grp_excl")
+
+  /** Adds `outCol` = the `ntile(k)` tile id (1..k) within each group —
+    * Spark's window semantics exactly: the first n mod k tiles take
+    * ceil(n/k) rows, the rest floor(n/k) — but computed from the
+    * distributed rank plus a per-group-count join instead of a
+    * per-group window sort. This is the scale path for the tile-id
+    * half of q_ntile_frames' shape (SURVEY §5 caveat): when only the
+    * tile label is needed (quantile bucketing, folds by rank band),
+    * no single task ever sorts a whole group. */
+  def ntile(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+            k: Int, outCol: String): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ranked = rowNumber(df, groupCols, orderCols, "__grp_rn")
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__grp_n"))
+    val kL = k.toLong
+    // Spark's ntile: bigger = n % k tiles of size n/k + 1 come first.
+    // Column `/` is DOUBLE division — floor().cast(long) makes it the
+    // integral div (exact below 2^53 rows per group, far past the Long
+    // row counts anything here produces).
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      floor(a / b).cast("long")
+    val n = col("__grp_n")
+    val r0 = col("__grp_rn") - 1L // 0-based rank
+    val small = idiv(n, lit(kL)) // floor tile size
+    val bigger = n % kL // number of (small+1)-sized leading tiles
+    val cut = bigger * (small + 1L) // rows covered by the big tiles
+    val tile = when(n < kL, r0 + 1L) // fewer rows than tiles: one row per tile
+      .otherwise(when(r0 < cut, idiv(r0, small + 1L) + 1L)
+        .otherwise(bigger + idiv(r0 - cut, small) + 1L))
+    ranked.join(counts, groupCols)
+      .withColumn(outCol, tile)
+      .drop("__grp_rn", "__grp_n")
+  }
 }

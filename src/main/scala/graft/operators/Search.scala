@@ -112,4 +112,79 @@ object Search {
       .select(col("i"), col("j"),
         round(col("dot") / (col("ni") * col("nj")), 9).as("cos_sim"))
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion: the modern two-arm
+    * search shape — a dense arm (exact cosine over the embedding
+    * column) and a sparse arm (3-gram Jaccard against the query doc's
+    * text) each produce a per-query top-`armK` list, fused by
+    * RRF(d) = Σ_arms 1/(c + rank_arm(d)) and re-ranked.
+    *
+    * Scale shape: both arms prune with the GroupTopK custom operator
+    * (partial per-partition heaps → exchange on q_id → final heaps —
+    * never a corpus-wide window sort); the row_number windows only ever
+    * see ≤ armK survivors per query. The lexical arm's candidates come
+    * from a per-shingle equi-join (docs sharing ≥ 1 shingle — zero-
+    * overlap docs never pair), the dense arm broadcasts the query
+    * vectors. At 100 TB the dense arm swaps to AnnLsh/AnnIvf on the
+    * same (q_id, d_id, rank) contract; brute-force cosine here keeps
+    * the oracle exact.
+    *
+    * Determinism: arm ranks are integers with (score desc, d_id)
+    * total orders; RRF sums exactly TWO IEEE doubles per row (never an
+    * accumulation), so scores are bit-identical across engines and the
+    * (rrf desc, d_id) output order is engine-stable. Arm ranks surface
+    * as 0-coalesced integers (0 = not retrieved by that arm).
+    *
+    * @return (q_id, rn, d_id, rsem, rlex), rn = 1..k in fused order */
+  def rrfHybrid(docs: DataFrame, embs: DataFrame,
+                docId: String, textCol: String, vecId: String, vecCol: String,
+                nQueries: Long, armK: Int = 20, k: Int = 10,
+                rrfC: Int = 60): DataFrame = {
+    // dense arm: exact cosine, GroupTopK prune, rank the survivors
+    val q = embs.filter(col(vecId) < nQueries)
+      .select(col(vecId).as("q_id"), col(vecCol).as("q_vec"))
+    val c = embs.select(col(vecId).as("n_id"), col(vecCol).as("n_vec"))
+    val semScored = c.join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id").as("d_id"),
+        graft.functions.Vectors.cosine(col("q_vec"), col("n_vec")).as("sim"))
+    val semTop = graft.plans.GroupTopK.topKPerGroup(semScored, armK,
+      Seq(col("q_id")), Seq(col("sim").desc, col("d_id").asc))
+    val sem = semTop.withColumn("rsem", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("d_id").asc)))
+      .select(col("q_id"), col("d_id"), col("rsem"))
+
+    // sparse arm: 3-gram Jaccard vs the query doc's shingles; shared
+    // counts from the per-shingle equi-join, sizes joined back
+    val sh = Dedup.shingleDf(docs, docId, textCol, 3)
+    val qx = sh.filter(col("id") < nQueries)
+      .select(col("id").as("q_id"), size(col("sh")).as("qn"),
+        explode(col("sh")).as("g"))
+    val cx = sh.select(col("id").as("d_id"), size(col("sh")).as("dn"),
+      explode(col("sh")).as("g"))
+    val lexScored = qx.join(cx, Seq("g"))
+      .filter(col("d_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("d_id"), col("qn"), col("dn"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("q_id"), col("d_id"),
+        (col("shared").cast("double") /
+          (col("qn") + col("dn") - col("shared")).cast("double")).as("jac"))
+    val lexTop = graft.plans.GroupTopK.topKPerGroup(lexScored, armK,
+      Seq(col("q_id")), Seq(col("jac").desc, col("d_id").asc))
+    val lex = lexTop.withColumn("rlex", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("jac").desc, col("d_id").asc)))
+      .select(col("q_id"), col("d_id"), col("rlex"))
+
+    // fuse: full outer on (q_id, d_id); each arm contributes 1/(c+rank)
+    val fused = sem.join(lex, Seq("q_id", "d_id"), "full_outer")
+      .select(col("q_id"), col("d_id"),
+        coalesce(col("rsem"), lit(0)).as("rsem"),
+        coalesce(col("rlex"), lit(0)).as("rlex"))
+      .withColumn("rrf",
+        when(col("rsem") > 0, lit(1.0) / (lit(rrfC) + col("rsem"))).otherwise(lit(0.0)) +
+          when(col("rlex") > 0, lit(1.0) / (lit(rrfC) + col("rlex"))).otherwise(lit(0.0)))
+    fused.withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rrf").desc, col("d_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("d_id"), col("rsem"), col("rlex"))
+  }
 }

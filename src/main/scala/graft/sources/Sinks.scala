@@ -26,6 +26,16 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Avro, overwrite — the write half of the reference's read format
+    * (TableLoader reads avro; reference App.java:93-95 scans *.avro).
+    * Same deploy caveat as the read path: `format("avro")` resolves via
+    * the external spark-avro module jar, present on real clusters'
+    * classpaths but not in this container — SourcesSpec round-trips it
+    * when the datasource is available and cancels (not fails) when not. */
+  def avro(df: DataFrame, path: String,
+           mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("avro").save(path)
+
   /** Write an event table into the hive-partitioned hour layout
     * (year=/month=/day=/hour=) that PartitionedSource reads back —
     * the reference's /topics/tweets/... layout re-expressed as

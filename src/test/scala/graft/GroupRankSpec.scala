@@ -48,6 +48,18 @@ class GroupRankSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("ntile matches Spark's window ntile for dividing and non-dividing k") {
+    val df = mkDf(6)
+    for (k <- Seq(4, 7, 10000)) { // 10000 > any group size: one row per tile
+      val got = GroupRank.ntile(df, Seq("g"), Seq("v", "id"), k, "t")
+        .select("g", "v", "id", "t")
+      val want = df.withColumn("t",
+        ntile(k).over(Window.partitionBy("g").orderBy("v", "id")).cast("long"))
+        .select("g", "v", "id", "t")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty, s"k=$k")
+    }
+  }
+
   test("internal plan range-repartitions (distributed sort, no global funnel)") {
     val df = mkDf(4)
     val internal = df.repartitionByRange(col("g"), col("v"), col("id"))

@@ -118,6 +118,23 @@ class SourcesSpec extends SparkSpec {
       orders.agg(sum(col("o_orderkey"))).head().getLong(0))
   }
 
+  test("avro sink round-trips through TableLoader when the module is present") {
+    // spark-avro is an external module: on the cluster classpath in a
+    // real deployment, absent in this container — cancel, don't fail
+    // (the datasource lookup is the only reliable availability probe:
+    // avro-related CLASSES exist in the core jars, the provider doesn't)
+    val dir = tmpDir("avro-sink")
+    val orders = table("orders").select("o_orderkey", "o_totalprice")
+    try Sinks.avro(orders, s"$dir/o")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.toLowerCase.contains("avro") =>
+        cancel("spark-avro module not deployed in this container")
+    }
+    val back = spark.read.format("avro").load(s"$dir/o")
+    assert(back.count() === orders.count())
+  }
+
   test("recoverCompact heals a swap torn between the two renames") {
     val dir = tmpDir("compact-recover")
     val orders = table("orders")
