@@ -1507,6 +1507,14 @@ object SparkEntry {
         t(s, dir, "embeddings"), "doc_id", "text", "vec_id", "embedding",
         nQueries = 5)),
 
+    // #170: DSIR importance weights (hashed-unigram log-likelihood
+    // ratio vs a target slice — src0 plays the "high-quality domain");
+    // integer bucket counts, md5-mod bucket ids, per-doc mean through
+    // round(6)
+    "q_dsir_weights" -> ((s, dir) =>
+      operators.Sampling.importanceWeights(tp(s, dir, "documents"),
+        "doc_id", "text", col("source") === "src0")),
+
     // #120: sparse TF-IDF cosine pairs via the inverted-index join —
     // pairs meet per shared term, the dot product only accumulates
     // over the intersection; bounded id range keeps the oracle O(n²)-
@@ -2869,6 +2877,27 @@ object SparkEntry {
         |GROUP BY h""".stripMargin,
 
     "q_ann_bruteforce" -> AnnBruteSql,
+
+    // DSIR replay: same md5-mod bucket ids, integer counts, shared
+    // scalar log-ratio expression, round(6) on the per-doc mean
+    "q_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |tb AS (SELECT doc_id, source,
+        |    ('0x' || substring(md5(token), 1, 15))::BIGINT % 1024 AS b
+        |  FROM tk),
+        |raw AS (SELECT b, count(*) AS rc FROM tb GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS tc FROM tb WHERE source = 'src0' GROUP BY b),
+        |tot AS (SELECT (SELECT SUM(rc) FROM raw) AS rt,
+        |               (SELECT SUM(tc) FROM tgt) AS tt),
+        |lrs AS (SELECT raw.b,
+        |    ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE) / CAST(tt + 1024 AS DOUBLE)) -
+        |    ln(CAST(rc + 1 AS DOUBLE) / CAST(rt + 1024 AS DOUBLE)) AS lr
+        |  FROM raw LEFT JOIN tgt USING(b), tot)
+        |SELECT doc_id, count(*) AS n_tokens, ROUND(AVG(lr), 6) AS importance
+        |FROM tb JOIN lrs USING(b) GROUP BY doc_id""".stripMargin,
 
     // RRF hybrid retrieval replayed: both arms rebuilt exactly (cosine
     // ranks as in AnnBruteSql; jaccard from the q_ngram_jaccard shingle

@@ -98,4 +98,49 @@ object Sampling {
           lower(lpad(hex(col("_t")), 8, "0")))
       .drop("_st", "_t")
   }
+
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023 — the hashed-n-gram variant at unigram granularity):
+    * score each doc by the mean per-token log-likelihood ratio between
+    * a TARGET distribution (the high-quality slice you want more of)
+    * and the RAW corpus distribution, both estimated over `buckets`
+    * hashed token buckets with add-1 smoothing. Docs that look like the
+    * target score > 0; resampling by this weight tilts the pretraining
+    * mixture toward the target domain without hand-written rules.
+    *
+    * Scale shape: two integer bucket-count aggregations (bucket tables
+    * are `buckets`-sized, broadcast back), then one per-doc mean — the
+    * corpus is tokenized once and never pairs with itself. Determinism:
+    * bucket ids are md5-prefix mod buckets (the kFold idiom — exact in
+    * any engine); counts and totals are integers; each log-ratio is a
+    * pure scalar double expression shared with the oracle, and the
+    * per-doc mean surfaces through round(6) (the unigramSurprisal
+    * rule). */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        targetFilter: Column, buckets: Int = 1024): DataFrame = {
+    val tk = docs
+      .select(col(idCol).as("doc_id"), targetFilter.as("is_t"),
+        explode(graft.functions.TextAnalysis.tokens(lower(col(textCol))))
+          .as("token"))
+      .select(col("doc_id"), col("is_t"),
+        (conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long")
+          % buckets).as("b"))
+    val raw = tk.groupBy(col("b")).agg(count(lit(1)).as("rc"))
+    val tgt = tk.filter(col("is_t")).groupBy(col("b")).agg(count(lit(1)).as("tc"))
+    val tot = raw.agg(sum(col("rc")).as("rt"))
+      .crossJoin(tgt.agg(sum(col("tc")).as("tt")))
+    val bL = buckets.toLong
+    val lrs = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((coalesce(col("tc"), lit(0L)) + 1L).cast("double") /
+            (col("tt") + bL).cast("double")) -
+          log((col("rc") + 1L).cast("double") /
+            (col("rt") + bL).cast("double"))).as("lr"))
+    tk.join(broadcast(lrs), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("lr")), 6).as("importance"))
+  }
 }

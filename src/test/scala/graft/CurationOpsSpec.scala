@@ -122,6 +122,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept < li.count() / 2, s"kept $kept of ${li.count()}")
   }
 
+  test("DSIR importance: target-slice docs outscore the rest on average") {
+    import org.apache.spark.sql.functions._
+    val docs = table("documents")
+    val w = graft.operators.Sampling.importanceWeights(
+      docs, "doc_id", "text", col("source") === "src0")
+    val labeled = w.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("is_t", col("source") === "src0")
+    val means = labeled.groupBy("is_t").agg(avg("importance").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // the estimator must separate its own training slice from the rest
+    assert(means(true) > means(false),
+      s"target mean ${means(true)} <= raw mean ${means(false)}")
+    assert(w.count() === docs.count())
+  }
+
   test("curation pipeline: dedup + decontaminate + gate + sample compose") {
     import org.apache.spark.sql.functions.col
     val docs = table("documents")
