@@ -109,9 +109,13 @@ object Sampling {
     * target score > 0; resampling by this weight tilts the pretraining
     * mixture toward the target domain without hand-written rules.
     *
-    * Scale shape: two integer bucket-count aggregations (bucket tables
-    * are `buckets`-sized, broadcast back), then one per-doc mean — the
-    * corpus is tokenized once and never pairs with itself. Determinism:
+    * Scale shape: ONE conditional bucket-count aggregation gets both
+    * distributions (raw + target in the same pass; the bucket table is
+    * `buckets`-sized and broadcasts back), then one per-doc mean — two
+    * tokenize scans total (counts + scoring), deliberately NOT a
+    * persist: at corpus scale re-reading a pruned columnar scan beats
+    * caching one row per token (the unigramSurprisal tradeoff).
+    * Determinism:
     * bucket ids are md5-prefix mod buckets (the kFold idiom — exact in
     * any engine); counts and totals are integers; each log-ratio is a
     * pure scalar double expression shared with the oracle, and the
@@ -126,15 +130,13 @@ object Sampling {
       .select(col("doc_id"), col("is_t"),
         (conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long")
           % buckets).as("b"))
-    val raw = tk.groupBy(col("b")).agg(count(lit(1)).as("rc"))
-    val tgt = tk.filter(col("is_t")).groupBy(col("b")).agg(count(lit(1)).as("tc"))
-    val tot = raw.agg(sum(col("rc")).as("rt"))
-      .crossJoin(tgt.agg(sum(col("tc")).as("tt")))
+    val cnts = tk.groupBy(col("b")).agg(count(lit(1)).as("rc"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
+    val tot = cnts.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
     val bL = buckets.toLong
-    val lrs = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(tot))
+    val lrs = cnts.crossJoin(broadcast(tot))
       .select(col("b"),
-        (log((coalesce(col("tc"), lit(0L)) + 1L).cast("double") /
+        (log((col("tc") + 1L).cast("double") /
             (col("tt") + bL).cast("double")) -
           log((col("rc") + 1L).cast("double") /
             (col("rt") + bL).cast("double"))).as("lr"))

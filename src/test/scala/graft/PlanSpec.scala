@@ -259,6 +259,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_rrf_hybrid: both arms prune through GroupTopK, no cartesian") {
+    val p = plan("q_rrf_hybrid")
+    // the dense arm's broadcast nested loop IS the brute-force oracle
+    // baseline (5 query vectors against the corpus — AnnLsh/AnnIvf is
+    // the scale path); the windows must only ever rank GroupTopK output
+    assert(!p.contains("CartesianProduct"), p)
+    val heaps = p.linesIterator.count(_.contains("GroupTopK"))
+    assert(heaps >= 2, s"expected both arms on GroupTopK heaps:\n$p")
+  }
+
+  test("q_dsir_weights: one conditional count pass; bucket table broadcasts back") {
+    val p = plan("q_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_gini and q_spearman: per-group rank without a per-group window sort") {
     // the scale-killer shape is Window(partitionBy=3-value key): ~1/3 of
     // the fact table through ONE task. The GroupRank re-plan must show
