@@ -1507,6 +1507,14 @@ object SparkEntry {
         t(s, dir, "embeddings"), "doc_id", "text", "vec_id", "embedding",
         nQueries = 5)),
 
+    // #171: SemDeDup — semantic dedup WITHIN quantizer cells (the
+    // web-scale embedding-dedup shape: equi-join on cell id, pairs
+    // bounded by cell size, cross-cell pairs deliberately skipped);
+    // keep-the-earliest per epsilon-neighborhood, integer output
+    "q_semdedup" -> ((s, dir) =>
+      operators.SemDedup.kept(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 16, theta = 0.4)),
+
     // #170: DSIR importance weights (hashed-unigram log-likelihood
     // ratio vs a target slice — src0 plays the "high-quality domain");
     // integer bucket counts, md5-mod bucket ids, per-doc mean through
@@ -2877,6 +2885,27 @@ object SparkEntry {
         |GROUP BY h""".stripMargin,
 
     "q_ann_bruteforce" -> AnnBruteSql,
+
+    // SemDeDup replay: the AnnIvfSql stride-init assignment CTEs, then
+    // the within-cell smaller-id-neighbor drop rule.
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+        |c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
+        |      FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+        |a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rr
+        |    FROM e CROSS JOIN c) WHERE rr = 1),
+        |d AS (SELECT DISTINCT x.vec_id AS id
+        |      FROM a x JOIN a y ON x.cid = y.cid AND y.vec_id < x.vec_id
+        |      JOIN e ex ON ex.vec_id = x.vec_id
+        |      JOIN e ey ON ey.vec_id = y.vec_id
+        |      WHERE list_cosine_similarity(ex.ve, ey.ve) >= 0.4)
+        |SELECT a.vec_id, a.cid AS cell FROM a LEFT JOIN d ON a.vec_id = d.id
+        |WHERE d.id IS NULL""".stripMargin,
 
     // DSIR replay: same md5-mod bucket ids, integer counts, shared
     // scalar log-ratio expression, round(6) on the per-doc mean

