@@ -1507,6 +1507,16 @@ object SparkEntry {
         t(s, dir, "embeddings"), "doc_id", "text", "vec_id", "embedding",
         nQueries = 5)),
 
+    // #172: hard-negative mining for contrastive training — per query
+    // the top-10 corpus vectors in the cosine band [0.3, 0.8): similar
+    // enough to teach, below the false-negative (near-dup) ceiling;
+    // band filter BEFORE the GroupTopK heaps
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      operators.Ann.hardNegatives(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", 10, 0.3, 0.8)
+    }),
+
     // #171: SemDeDup — semantic dedup WITHIN quantizer cells (the
     // web-scale embedding-dedup shape: equi-join on cell id, pairs
     // bounded by cell size, cross-cell pairs deliberately skipped);
@@ -2885,6 +2895,20 @@ object SparkEntry {
         |GROUP BY h""".stripMargin,
 
     "q_ann_bruteforce" -> AnnBruteSql,
+
+    // Hard negatives replayed: AnnBruteSql's cosine scan with the band
+    // filter ahead of the rank.
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS ne FROM embeddings),
+        |s AS (SELECT q_id, n_id, list_cosine_similarity(qe, ne) AS sim
+        |      FROM q, c WHERE n_id <> q_id),
+        |b AS (SELECT q_id, n_id, sim FROM s WHERE sim >= 0.3 AND sim < 0.8),
+        |r AS (SELECT q_id, n_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
+        |      FROM b)
+        |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin,
 
     // SemDeDup replay: the AnnIvfSql stride-init assignment CTEs, then
     // the within-cell smaller-id-neighbor drop rule.
