@@ -1507,6 +1507,21 @@ object SparkEntry {
         t(s, dir, "embeddings"), "doc_id", "text", "vec_id", "embedding",
         nQueries = 5)),
 
+    // #173: the end-to-end curation FUNNEL — survivor counts after
+    // exact dedup → near-dup components → decontamination → quality
+    // gates → hash sampling, the per-run accounting report; corpus =
+    // doc_id >= 10 curated against the doc_id < 10 "benchmark" (the
+    // q_contamination split). All-integer output; the near-dup stage's
+    // LSH == the oracle's exact-jaccard pairs (the q_dedup_cluster
+    // equivalence).
+    "q_curation_funnel" -> ((s, dir) => {
+      val d = tp(s, dir, "documents").select(col("doc_id"), col("text"))
+      operators.CurationPipeline.funnel(
+        d.filter(col("doc_id") >= 10), "doc_id", "text",
+        d.filter(col("doc_id") < 10),
+        operators.CurationPipeline.Config(sampleHex4 = Some("8000")))
+    }),
+
     // #172: hard-negative mining for contrastive training — per query
     // the top-10 corpus vectors in the cosine band [0.3, 0.8): similar
     // enough to teach, below the false-negative (near-dup) ceiling;
@@ -2895,6 +2910,77 @@ object SparkEntry {
         |GROUP BY h""".stripMargin,
 
     "q_ann_bruteforce" -> AnnBruteSql,
+
+    // Curation funnel replayed stage by stage: normalized-hash exact
+    // dedup, exact-jaccard pairs → recursive-CTE components (the
+    // q_dedup_cluster construction) with keep-min, the q_contamination
+    // 5-gram bench join, the q_quality_score expression tree verbatim
+    // for the gates, and the md5-prefix sample. Every count integer.
+    "q_curation_funnel" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 10),
+        |keep1 AS (SELECT min(doc_id) AS doc_id FROM corpus
+        |  GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+        |e1 AS (SELECT c.doc_id, c.text FROM corpus c JOIN keep1 USING (doc_id)),
+        |t1 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM e1),
+        |sh3 AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t1 WHERE len(tk) >= 3),
+        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh3 a, sh3 b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8),
+        |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+        |reach(s, d) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a),
+        |comp AS (SELECT s AS id, min(d) AS mn FROM reach GROUP BY s),
+        |e2 AS (SELECT e1.doc_id, e1.text FROM e1 LEFT JOIN comp ON comp.id = e1.doc_id
+        |  WHERE LEAST(COALESCE(comp.mn, e1.doc_id), e1.doc_id) = e1.doc_id),
+        |tb AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 10),
+        |bench5 AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, len(tk) - 3),
+        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |      || ' ' || tk[i+4]))) AS g
+        |  FROM tb WHERE len(tk) >= 5),
+        |t2 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM e2),
+        |cont AS (SELECT DISTINCT s.doc_id FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, len(tk) - 3),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+        |        || ' ' || tk[i+4]))) AS g
+        |    FROM t2 WHERE len(tk) >= 5) s
+        |  JOIN bench5 ON s.g = bench5.g),
+        |e3 AS (SELECT e2.doc_id, e2.text FROM e2
+        |  LEFT JOIN cont ON cont.doc_id = e2.doc_id WHERE cont.doc_id IS NULL),
+        |q AS (SELECT doc_id, text,
+        |    CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS n,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM e3),
+        |e4 AS (SELECT doc_id, text FROM q
+        |  WHERE (LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.25
+        |    + (CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n) * 0.35
+        |    + (1.0 - CAST(LENGTH(REGEXP_REPLACE(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / n) * 0.2
+        |    + LEAST((CASE WHEN len(toks) = 0 THEN 0.0
+        |        ELSE CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','on','for','with','as','at','by','it','that'))) AS DOUBLE)
+        |          / CAST(len(toks) AS DOUBLE) END) * 4.0, 1.0) * 0.2) >= 0.4
+        |    AND (1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) /
+        |      CAST(GREATEST(len(toks), 1) AS DOUBLE)) <= 0.8
+        |    AND len(toks) >= 5),
+        |e5 AS (SELECT doc_id FROM e4 WHERE substr(md5(text), 1, 4) < '8000')
+        |SELECT 0 AS stage, 'total' AS name, count(*) AS n_docs FROM corpus
+        |UNION ALL SELECT 1, 'exact_dedup', count(*) FROM e1
+        |UNION ALL SELECT 2, 'near_dedup', count(*) FROM e2
+        |UNION ALL SELECT 3, 'decontaminated', count(*) FROM e3
+        |UNION ALL SELECT 4, 'quality_gated', count(*) FROM e4
+        |UNION ALL SELECT 5, 'sampled', count(*) FROM e5""".stripMargin,
 
     // Hard negatives replayed: AnnBruteSql's cosine scan with the band
     // filter ahead of the rank.

@@ -27,45 +27,41 @@ object CurationPipeline {
                     minTokens: Int = 5,
                     sampleHex4: Option[String] = None)
 
-  /** Curate `docs` (columns idCol, textCol) against an optional
-    * benchmark set. Returns the surviving docs with their quality
-    * stats attached. */
-  def curate(docs: DataFrame, idCol: String, textCol: String,
-             benchmark: Option[DataFrame] = None,
-             config: Config = Config()): DataFrame = {
-    val id = col(idCol)
-
-    // 1. exact dedup: keep the min id per normalized-text hash
+  /** 1. exact dedup: keep the min id per normalized-text hash. */
+  private def stageExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keepExact = docs
       .groupBy(md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("h"))
-      .agg(min(id).as("keep_id"))
+      .agg(min(col(idCol)).as("keep_id"))
       .select(col("keep_id").as(idCol))
-    val exact = docs.join(keepExact, idCol)
+    docs.join(keepExact, idCol)
+  }
 
-    // 2. near-dup clusters: keep each component's min id
-    val pairs = Dedup.minHashNearDups(exact, idCol, textCol, config.minHashTheta)
+  /** 2. near-dup clusters: keep each component's min id. */
+  private def stageNearDup(exact: DataFrame, idCol: String, textCol: String,
+                           theta: Double): DataFrame = {
+    val pairs = Dedup.minHashNearDups(exact, idCol, textCol, theta)
       .select(col("i"), col("j"))
     val keepers = DedupCluster.components(exact, idCol, pairs)
       .filter(col("id") === col("cluster_id"))
       .select(col("id").as(idCol))
-    val deduped = exact.join(keepers, idCol)
+    exact.join(keepers, idCol)
+  }
 
-    // 3. decontamination: drop docs sharing any 5-gram with the benchmark
-    val clean = benchmark match {
-      case Some(bench) =>
-        val benchSh = Dedup.shingleDf(bench, idCol, textCol, 5)
-          .select(explode(col("sh")).as("g")).distinct()
-        val contaminated = Dedup.shingleDf(deduped, idCol, textCol, 5)
-          .select(col("id"), explode(col("sh")).as("g"))
-          .join(benchSh, "g").select(col("id").as(idCol)).distinct()
-        deduped.join(contaminated, Seq(idCol), "left_anti")
-      case None => deduped
-    }
+  /** 3. decontamination: drop docs sharing any 5-gram with the benchmark. */
+  private def stageDecontaminate(df: DataFrame, idCol: String, textCol: String,
+                                 bench: DataFrame): DataFrame = {
+    val benchSh = Dedup.shingleDf(bench, idCol, textCol, 5)
+      .select(explode(col("sh")).as("g")).distinct()
+    val contaminated = Dedup.shingleDf(df, idCol, textCol, 5)
+      .select(col("id"), explode(col("sh")).as("g"))
+      .join(benchSh, "g").select(col("id").as(idCol)).distinct()
+    df.join(contaminated, Seq(idCol), "left_anti")
+  }
 
-    // 4. quality gates (all narrow, codegen'd column math)
+  /** 4. quality gates (all narrow, codegen'd column math). */
+  private def stageGate(df: DataFrame, textCol: String, config: Config): DataFrame = {
     val tk = TextAnalysis.tokens(lower(col(textCol)))
-    val gated = clean
-      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+    df.withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("dup_ratio",
         lit(1.0) - size(array_distinct(tk)).cast("double") /
@@ -73,11 +69,48 @@ object CurationPipeline {
       .filter(col("quality") >= config.minQuality &&
         col("dup_ratio") <= config.maxDupRatio &&
         col("n_tokens") >= config.minTokens)
+  }
 
-    // 5. optional deterministic subsample
+  /** Curate `docs` (columns idCol, textCol) against an optional
+    * benchmark set. Returns the surviving docs with their quality
+    * stats attached. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             benchmark: Option[DataFrame] = None,
+             config: Config = Config()): DataFrame = {
+    val exact = stageExact(docs, idCol, textCol)
+    val deduped = stageNearDup(exact, idCol, textCol, config.minHashTheta)
+    val clean = benchmark match {
+      case Some(bench) => stageDecontaminate(deduped, idCol, textCol, bench)
+      case None => deduped
+    }
+    val gated = stageGate(clean, textCol, config)
     config.sampleHex4 match {
       case Some(hex) => gated.filter(Sampling.hashFilter(col(textCol), hex))
       case None => gated
     }
+  }
+
+  /** The curation FUNNEL: survivor count after every stage — the
+    * accounting dashboard a production pipeline publishes per run
+    * (which gate is eating the corpus?). One row per stage, cumulative
+    * semantics (each stage filters the previous stage's survivors);
+    * every count is an integer so the whole report is engine-exact. */
+  def funnel(docs: DataFrame, idCol: String, textCol: String,
+             benchmark: DataFrame, config: Config = Config()): DataFrame = {
+    val exact = stageExact(docs, idCol, textCol)
+    val deduped = stageNearDup(exact, idCol, textCol, config.minHashTheta)
+    val clean = stageDecontaminate(deduped, idCol, textCol, benchmark)
+    val gated = stageGate(clean, textCol, config)
+    val sampled = config.sampleHex4 match {
+      case Some(hex) => gated.filter(Sampling.hashFilter(col(textCol), hex))
+      case None => gated
+    }
+    def cnt(stage: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(stage).as("stage"), lit(name).as("name"), col("n_docs"))
+    Seq(cnt(0, "total", docs), cnt(1, "exact_dedup", exact),
+      cnt(2, "near_dedup", deduped), cnt(3, "decontaminated", clean),
+      cnt(4, "quality_gated", gated), cnt(5, "sampled", sampled))
+      .reduce(_.unionByName(_))
   }
 }
