@@ -1507,6 +1507,25 @@ object SparkEntry {
         t(s, dir, "embeddings"), "doc_id", "text", "vec_id", "embedding",
         nQueries = 5)),
 
+    // #174: cross-source duplication matrix — which provenance pairs
+    // share near-dups (scraped-twice feeds, mirror sites, license
+    // laundering): near-dup pairs labeled by their docs' sources,
+    // rolled up per unordered source pair. Pair discovery is the
+    // LSH-bucketed join; the rollup shuffles source-pair strings only.
+    "q_dup_matrix" -> ((s, dir) => {
+      val d = tp(s, dir, "documents").select(col("doc_id"), col("text"),
+        col("source"))
+      val pairs = Dedup.minHashNearDups(d, "doc_id", "text", 0.8)
+        .select("i", "j")
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("i"), col("source").as("si")), "i")
+        .join(src.select(col("doc_id").as("j"), col("source").as("sj")), "j")
+        .groupBy(least(col("si"), col("sj")).as("src_a"),
+          greatest(col("si"), col("sj")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // #173: the end-to-end curation FUNNEL — survivor counts after
     // exact dedup → near-dup components → decontamination → quality
     // gates → hash sampling, the per-run accounting report; corpus =
@@ -2910,6 +2929,29 @@ object SparkEntry {
         |GROUP BY h""".stripMargin,
 
     "q_ann_bruteforce" -> AnnBruteSql,
+
+    // Dup matrix replayed: exact-jaccard pairs (LSH == exact at 0.8,
+    // the q_dedup_cluster equivalence) labeled and rolled up.
+    "q_dup_matrix" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8)
+        |SELECT LEAST(da.source, db.source) AS src_a,
+        |  GREATEST(da.source, db.source) AS src_b,
+        |  count(*) AS n_pairs
+        |FROM pairs p
+        |JOIN documents da ON da.doc_id = p.i
+        |JOIN documents db ON db.doc_id = p.j
+        |GROUP BY 1, 2""".stripMargin,
 
     // Curation funnel replayed stage by stage: normalized-hash exact
     // dedup, exact-jaccard pairs → recursive-CTE components (the
