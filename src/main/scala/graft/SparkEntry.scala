@@ -1507,6 +1507,41 @@ object SparkEntry {
         t(s, dir, "embeddings"), "doc_id", "text", "vec_id", "embedding",
         nQueries = 5)),
 
+    // #175: tokenizer fertility per source — tokens-per-word and
+    // bytes-per-token, the compression diagnostics that decide whether
+    // a tokenizer (or a source's text) is wasting context budget.
+    // Integer sums, two single divisions, round(9).
+    "q_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("n_ws"),
+          sum(TextAnalysis.bpeishTokenCount(col("text")).cast("long")).as("n_bpe"),
+          sum(octet_length(col("text")).cast("long")).as("n_bytes"))
+        .select(col("source"), col("n_ws"), col("n_bpe"), col("n_bytes"),
+          round(col("n_bpe").cast("double") / col("n_ws").cast("double"), 9)
+            .as("fertility"),
+          round(col("n_bytes").cast("double") / col("n_bpe").cast("double"), 9)
+            .as("bytes_per_token"))),
+
+    // #176: n-gram novelty per doc — the fraction of a doc's distinct
+    // 3-grams first seen in THIS doc (scanning in doc_id order): the
+    // freshness curve that exposes boilerplate-heavy tails during
+    // corpus growth. Gram first-occurrence is one min-aggregation on
+    // the exploded shingle table; all counts integer.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val sh = Dedup.shingleDf(tp(s, dir, "documents"), "doc_id", "text", 3)
+      val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+      val firstDoc = ex.groupBy(col("g")).agg(min(col("id")).as("first_id"))
+      ex.join(firstDoc, "g")
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams").cast("double"), 9)
+            .as("novelty"))
+    }),
+
     // #174: cross-source duplication matrix — which provenance pairs
     // share near-dups (scraped-twice feeds, mirror sites, license
     // laundering): near-dup pairs labeled by their docs' sources,
@@ -2929,6 +2964,37 @@ object SparkEntry {
         |GROUP BY h""".stripMargin,
 
     "q_ann_bruteforce" -> AnnBruteSql,
+
+    "q_fertility" ->
+      """WITH b AS (SELECT source,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
+        |    octet_length(encode(text)) AS by
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(SUM(ws) AS BIGINT) AS n_ws,
+        |  CAST(SUM(bpe) AS BIGINT) AS n_bpe,
+        |  CAST(SUM(by) AS BIGINT) AS n_bytes,
+        |  ROUND(CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 9) AS fertility,
+        |  ROUND(CAST(SUM(by) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE), 9) AS bytes_per_token
+        |FROM b GROUP BY source""".stripMargin,
+
+    "q_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |fd AS (SELECT g, min(doc_id) AS first_id FROM ex GROUP BY g)
+        |SELECT ex.doc_id,
+        |  count(*) AS n_grams,
+        |  CAST(SUM(CASE WHEN fd.first_id = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN fd.first_id = ex.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 9) AS novelty
+        |FROM ex JOIN fd USING (g) GROUP BY ex.doc_id""".stripMargin,
 
     // Dup matrix replayed: exact-jaccard pairs (LSH == exact at 0.8,
     // the q_dedup_cluster equivalence) labeled and rolled up.
