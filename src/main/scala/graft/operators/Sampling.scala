@@ -121,15 +121,23 @@ object Sampling {
     * pure scalar double expression shared with the oracle, and the
     * per-doc mean surfaces through round(6) (the unigramSurprisal
     * rule). */
-  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-                        targetFilter: Column, buckets: Int = 1024): DataFrame = {
-    val tk = docs
+  /** The md5-mod token-bucket id — shared by the batch scorer and the
+    * streaming literal-map scorer so both hash identically. */
+  private def bucketOf(token: Column, buckets: Int): Column =
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long") % buckets
+
+  /** (doc_id, is_t, b): one row per token occurrence. */
+  private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,
+                           targetFilter: Column, buckets: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), targetFilter.as("is_t"),
         explode(graft.functions.TextAnalysis.tokens(lower(col(textCol))))
           .as("token"))
-      .select(col("doc_id"), col("is_t"),
-        (conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long")
-          % buckets).as("b"))
+      .select(col("doc_id"), col("is_t"), bucketOf(col("token"), buckets).as("b"))
+
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        targetFilter: Column, buckets: Int = 1024): DataFrame = {
+    val tk = tokenBuckets(docs, idCol, textCol, targetFilter, buckets)
     val cnts = tk.groupBy(col("b")).agg(count(lit(1)).as("rc"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
     val tot = cnts.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
@@ -144,5 +152,39 @@ object Sampling {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(col("lr")), 6).as("importance"))
+  }
+
+  /** Streaming-side DSIR scorer (the Vocab.encoderFor pattern): the
+    * bucket log-ratio table collects into a LITERAL map — buckets-sized
+    * by construction, the same bound its broadcast join already assumes
+    * — so scoring an incoming doc is a pure projection: append-mode
+    * streamable, zero state, zero shuffle. Unseen buckets (tokens the
+    * reference corpus never hashed) fall back to the add-1-smoothing
+    * default lr = ln(rt+B) − ln(tt+B), the exact value the batch
+    * formula assigns a zero-count bucket. Per-bucket lr values are
+    * computed with the same double ops as the batch plan, so scores
+    * match importanceWeights to the shared round(6). */
+  def importanceScorerFor(docs: DataFrame, idCol: String, textCol: String,
+                          targetFilter: Column, buckets: Int = 1024)
+      : Column => Column = {
+    val tk = tokenBuckets(docs, idCol, textCol, targetFilter, buckets)
+    val rows = tk.groupBy(col("b")).agg(count(lit(1)).as("rc"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rt = rows.map(_._2).sum
+    val tt = rows.map(_._3).sum
+    val bL = buckets.toLong
+    def lr(rc: Long, tc: Long): Double =
+      math.log((tc + 1L).toDouble / (tt + bL).toDouble) -
+        math.log((rc + 1L).toDouble / (rt + bL).toDouble)
+    val m: Map[Long, Double] = rows.map { case (b, rc, tc) => b -> lr(rc, tc) }.toMap
+    val mapCol = typedLit(m)
+    val default = lit(lr(0L, 0L))
+    text => {
+      val toks = graft.functions.TextAnalysis.tokens(lower(text))
+      val s = aggregate(toks, lit(0.0), (acc, t) =>
+        acc + coalesce(element_at(mapCol, bucketOf(t, buckets)), default))
+      round(s / greatest(size(toks), lit(1)).cast("double"), 6)
+    }
   }
 }

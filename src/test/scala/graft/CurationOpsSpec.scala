@@ -137,6 +137,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(w.count() === docs.count())
   }
 
+  test("DSIR scorer: literal-map projection matches the batch weights and streams") {
+    import org.apache.spark.sql.functions._
+    val docs = table("documents")
+    val scorer = graft.operators.Sampling.importanceScorerFor(
+      docs, "doc_id", "text", col("source") === "src0")
+    val viaMap = docs.select(col("doc_id"), scorer(col("text")).as("importance"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaJoin = graft.operators.Sampling.importanceWeights(
+        docs, "doc_id", "text", col("source") === "src0")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // both round(6); the fold and the avg sum the same doubles in a
+    // different order, so allow one ULP of round-6 slack
+    assert(viaMap.keySet === viaJoin.keySet)
+    viaMap.foreach { case (id, v) =>
+      assert(math.abs(v - viaJoin(id)) <= 1e-6, s"doc $id: $v vs ${viaJoin(id)}") }
+
+    // append-mode memory stream: pure projection, zero state
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), scorer(col("text")).as("importance"))
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      val sample = docs.select("doc_id", "text").limit(5)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      in.addData(sample.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed === sample.map(s => s._1 -> viaMap(s._1)).toMap)
+    } finally q.stop()
+  }
+
   test("SemDeDup: kept set has no within-cell near-dup pair; drops only dups") {
     import org.apache.spark.sql.functions._
     val e = table("embeddings")
