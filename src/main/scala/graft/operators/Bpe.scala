@@ -21,21 +21,24 @@ import graft.functions.TextAnalysis
   * DedupCluster for the measured planning-cost cliff).
   *
   * Driver-loop bound: merges are learned in BATCHES — each pass counts
-  * pairs once, collects the top `maxBatch` rows, and accepts the
-  * maximal pairwise-SYMBOL-DISJOINT PREFIX of that ranked list. The
-  * prefix rule is exactly sequential-parity-preserving, not a
-  * heuristic: a batch member's count cannot have changed when its
-  * sequential turn comes (it shares no symbol with earlier members),
-  * no skipped pair can overtake it (counts only decrease under merges,
-  * and a prefix skips nothing), and any NEW pair (x, lr) that could
-  * beat member P satisfies count(x,l) ≥ count(x,lr) > count(P) with
-  * (x,l) conflicting with (l,r) — so the batch would have stopped
-  * before P, a contradiction. BpeSpec asserts the parity empirically
+  * pairs once, collects the top `maxBatch` rows, and accepts a prefix
+  * of COMPLETE count-tie classes whose members are pairwise disjoint
+  * on consumed symbols {l, r} AND produced symbols {l+r} (a merge that
+  * CREATES a symbol adds adjacencies for later pairs touching it, just
+  * as consuming one removes them); the first conflict drops its whole
+  * class and stops the batch, and an empty result falls back to the
+  * argmax alone (always sequential-exact). See `disjointPrefix` for
+  * the parity proof — per-member symbol-disjointness alone is NOT
+  * enough, because a new pair created by an accepted member can TIE a
+  * later member's count and win the lexicographic tie-break while its
+  * conflict witness sorts after the victim; whole-class scanning is
+  * what catches that witness. BpeSpec asserts the parity empirically
   * (maxBatch=1 vs maxBatch=64, byte-identical merge tables). Cost:
   * ceil(numMerges / batch) passes × 2 jobs (one vocab-sized count +
-  * one collect of ≤ maxBatch rows) instead of numMerges × 2 — a real
-  * 30k-merge vocab runs in thousands, not tens of thousands, of Spark
-  * jobs (empirical batch sizes on text run 4-20).
+  * one collect of ≤ maxBatch rows) instead of numMerges × 2 — the
+  * Zipf head has distinct counts (singleton classes, long clean
+  * prefixes); the tied tail degrades toward sequential, which is the
+  * price of exactness there.
   *
   * Determinism: pair counts are integer, ties break on (left, right)
   * lexicographically — byte-identical merge tables on every run, every
@@ -73,20 +76,9 @@ object Bpe {
         .agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("l").asc, col("r").asc)
         .limit(maxBatch).collect()
-      // maximal symbol-disjoint PREFIX (stop at the FIRST conflict —
-      // skipping would break the sequential-parity proof above)
-      val used = scala.collection.mutable.Set.empty[String]
-      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      var i = 0
-      var stop = false
-      while (!stop && i < top.length && merges.size + batch.size < numMerges) {
-        val (l, rr, pc) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
-        // pc < minCount ends the BATCH, not the learning: merges already
-        // accepted this pass may create NEW pairs above the floor, so
-        // only an empty batch (true argmax below floor) terminates
-        if (pc < minCount || used(l) || used(rr)) stop = true
-        else { batch += ((l, rr, pc)); used += l; used += rr; i += 1 }
-      }
+      val batch = disjointPrefix(
+        top.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+        minCount, numMerges - merges.size, truncated = top.length == maxBatch)
       if (batch.isEmpty) done = true
       else {
         batch.foreach { case (l, rr, pc) =>
@@ -108,6 +100,68 @@ object Bpe {
         StructField("left", StringType, nullable = false),
         StructField("right", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** Maximal sequential-parity-safe batch from one pass's ranked pair
+    * list: a prefix of COMPLETE count-tie classes, each scanned end to
+    * end against a conflict set holding every accepted member's l, r
+    * AND produced symbol l+r. The first conflicting row drops its
+    * ENTIRE class and ends the batch; if nothing survives, the argmax
+    * alone is returned (one merge is sequential by definition).
+    *
+    * Why classes, not rows — the parity proof. At member M_m's
+    * sequential turn the table differs from the pre-count only by
+    * M_1..M_{m-1}: M_m's own count is exact (disjoint from all
+    * consumed AND produced symbols), destroyed/decreased pairs can't
+    * overtake, and every NEW pair N created by M_j=(l,r) replaces a
+    * destroyed witness — (x,lr) replaces (x,l), (lr,y) replaces (r,y)
+    * — so count(N) ≤ pre-count(witness) and the witness shares a
+    * symbol with M_j. If count(N) > count(M_m), the witness pre-ranked
+    * strictly before M_m, was scanned, and conflicted — the batch
+    * would have stopped before M_m. If count(N) == count(M_m) (the TIE
+    * case the per-row rule misses), the witness sits in M_m's OWN tie
+    * class, possibly lex-after M_m — e.g. accepting (i,n) creates
+    * (in,</w>) whose witness (n,</w>) sorts after victim
+    * (ing,ing</w>) — so the class must be scanned completely before
+    * any of it is committed; a conflict anywhere voids the whole
+    * class. A class whose count equals the last collected row's count
+    * may be truncated by the `maxBatch` window (`truncated`), so it
+    * cannot be proven complete and is not committed; likewise a class
+    * that doesn't fit in `room` is dropped whole, since a partial
+    * class is exactly the unsafe shape.
+    *
+    * A below-`minCount` class ends the BATCH, not the learning: merges
+    * already accepted this pass may create NEW pairs above the floor,
+    * so only an empty batch (true argmax below floor) terminates the
+    * caller's loop. */
+  private[graft] def disjointPrefix(top: Seq[(String, String, Long)], minCount: Long,
+                                    room: Int, truncated: Boolean): Seq[(String, String, Long)] = {
+    val committed = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val used = scala.collection.mutable.Set.empty[String]
+    val cutoff = if (truncated && top.nonEmpty) top.last._3 else Long.MinValue
+    var i = 0
+    var stop = false
+    while (!stop && i < top.length) {
+      val c = top(i)._3
+      var j = i
+      while (j < top.length && top(j)._3 == c) j += 1 // class = rows [i, j)
+      if (c < minCount || c == cutoff || committed.size + (j - i) > room) stop = true
+      else {
+        val classUsed = scala.collection.mutable.Set.empty[String]
+        var clean = true
+        var k = i
+        while (clean && k < j) {
+          val (l, rr, _) = top(k)
+          if (used(l) || used(rr) || classUsed(l) || classUsed(rr)) clean = false
+          else { classUsed += l; classUsed += rr; classUsed += (l + rr); k += 1 }
+        }
+        if (!clean) stop = true
+        else { committed ++= top.slice(i, j); used ++= classUsed; i = j }
+      }
+    }
+    if (committed.isEmpty && room >= 1 && top.nonEmpty && top.head._3 >= minCount)
+      Seq(top.head)
+    else committed.toSeq
   }
 
   /** Leftmost-non-overlapping merge of adjacent (l, r) into l+r via a

@@ -56,6 +56,64 @@ class BpeSpec extends SparkSpec {
     assert(batched == sequential && sequential.size == 12)
   }
 
+  test("disjointPrefix commits complete tie classes and rejects produced-symbol conflicts") {
+    // the i/ng/ing overlap shape: accepting (i, ng) creates new 'ing'
+    // symbols, so a later ("ing", x) member's pre-batch count is stale
+    // even though {i, ng} ∩ {ing, s} = ∅ — the produced symbol must
+    // conflict, not just the consumed ones
+    val top = Seq(("i", "ng", 10L), ("ing", "s", 9L), ("a", "b", 8L))
+    assert(Bpe.disjointPrefix(top, 1L, 64, truncated = false)
+      == Seq(("i", "ng", 10L)))
+    // symmetric: produced symbol as the later member's RIGHT side
+    val top2 = Seq(("in", "g", 10L), ("x", "ing", 9L))
+    assert(Bpe.disjointPrefix(top2, 1L, 64, truncated = false)
+      == Seq(("in", "g", 10L)))
+    // the TIE hazard: (i,n) creates (in,</w>) which ties the victim
+    // (ing,ing</w>) and wins lex, with witness (n,</w>) sorting AFTER
+    // the victim — a per-row scan accepts both; the whole count-2
+    // class must be scanned, hit the witness conflict, and be voided,
+    // falling back to the argmax alone
+    val tied = Seq(("i", "n", 2L), ("ing", "ing</w>", 2L), ("n", "</w>", 2L))
+    assert(Bpe.disjointPrefix(tied, 1L, 64, truncated = false)
+      == Seq(("i", "n", 2L)))
+    // consumed-symbol conflicts void the class too
+    assert(Bpe.disjointPrefix(Seq(("a", "b", 5L), ("b", "c", 4L)), 1L, 64, truncated = false)
+      == Seq(("a", "b", 5L)))
+    // disjoint classes (distinct counts, no shared symbols) all commit
+    assert(Bpe.disjointPrefix(Seq(("a", "b", 5L), ("c", "d", 4L)), 1L, 64,
+      truncated = false).size == 2)
+    // a conflict-free tie class commits whole
+    assert(Bpe.disjointPrefix(Seq(("a", "b", 3L), ("c", "d", 3L), ("e", "f", 2L)), 1L, 64,
+      truncated = false).size == 3)
+    // below-minCount class ends the batch; a class that doesn't fit in
+    // room is dropped whole (partial class = the unsafe shape)
+    assert(Bpe.disjointPrefix(Seq(("a", "b", 5L), ("c", "d", 1L)), 2L, 64, truncated = false)
+      == Seq(("a", "b", 5L)))
+    assert(Bpe.disjointPrefix(Seq(("a", "b", 5L), ("c", "d", 4L), ("e", "f", 4L)), 1L, 2,
+      truncated = false) == Seq(("a", "b", 5L)))
+    // a truncated window can't prove the last class complete — not
+    // committed; if that voids everything, the argmax alone returns
+    val win = Seq(("a", "b", 5L), ("c", "d", 4L), ("e", "f", 4L))
+    assert(Bpe.disjointPrefix(win, 1L, 64, truncated = true) == Seq(("a", "b", 5L)))
+    assert(Bpe.disjointPrefix(Seq(("a", "b", 5L), ("c", "d", 5L)), 1L, 64, truncated = true)
+      == Seq(("a", "b", 5L)))
+  }
+
+  test("batched parity holds on a corpus with overlapping merge-symbol shapes") {
+    // words rich in shared substrings (ing via in+g vs i+ng, ab/bc/abc
+    // chains) — the shape where a produced-symbol conflict is reachable
+    val docs = Seq(
+      "singing ringing king thing in gin ing nging",
+      "abc abc ab bc cab abcabc ing inga ngab",
+      "sing sing sing ring ring bring string spring",
+      "banana bandana ana nab and band bang gang").toDF("text")
+    val sequential = Bpe.learnMerges(docs, "text", 40, minCount = 1L, maxBatch = 1)
+      .collect().map(_.toSeq).toSeq
+    val batched = Bpe.learnMerges(docs, "text", 40, minCount = 1L, maxBatch = 64)
+      .collect().map(_.toSeq).toSeq
+    assert(batched == sequential && sequential.nonEmpty)
+  }
+
   test("merge table is deterministic across repeated runs") {
     val docs = table("documents").limit(50)
     val a = Bpe.learnMerges(docs, "text", 5).collect().toSeq
