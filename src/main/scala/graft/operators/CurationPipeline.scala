@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -18,6 +18,16 @@ import graft.functions.TextAnalysis
   * Every stage is a narrow filter or a bucket-bounded join — nothing
   * materializes doc × doc, nothing collects to the driver, and the
   * whole flow is one lazy plan per stage boundary.
+  *
+  * Stages are computed as per-doc survival FLAGS on one frame rather
+  * than as a chain of destructive filters: each keep/drop id set
+  * (exact keepers, near-dup keepers, contaminated ids) is derived
+  * once and left-joined back, then every stage verdict is a boolean
+  * column. `curate` filters that frame; `funnel` aggregates it; and
+  * `curateWithFunnel` does both in ONE action via `Dataset.observe` —
+  * the funnel report rides the curation pass as accumulator metrics
+  * instead of re-running a count per stage (at 100 TB, six extra
+  * cumulative corpus scans).
   */
 object CurationPipeline {
 
@@ -27,48 +37,81 @@ object CurationPipeline {
                     minTokens: Int = 5,
                     sampleHex4: Option[String] = None)
 
-  /** 1. exact dedup: keep the min id per normalized-text hash. */
-  private def stageExact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keepExact = docs
+  private val FLAGS = Seq("pass_exact", "pass_neardup", "pass_decontam",
+    "pass_gate", "pass_sample")
+
+  /** Stage-1 keeper ids: the min id per normalized-text hash. */
+  private def exactKeepers(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .groupBy(md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("h"))
       .agg(min(col(idCol)).as("keep_id"))
       .select(col("keep_id").as(idCol))
-    docs.join(keepExact, idCol)
-  }
 
-  /** 2. near-dup clusters: keep each component's min id. */
-  private def stageNearDup(exact: DataFrame, idCol: String, textCol: String,
-                           theta: Double): DataFrame = {
+  /** Stage-2 keeper ids among `exact` survivors: each near-dup
+    * component's min id (LSH pairs → connected components). */
+  private def nearDupKeepers(exact: DataFrame, idCol: String, textCol: String,
+                             theta: Double): DataFrame = {
     val pairs = Dedup.minHashNearDups(exact, idCol, textCol, theta)
       .select(col("i"), col("j"))
-    val keepers = DedupCluster.components(exact, idCol, pairs)
+    DedupCluster.components(exact, idCol, pairs)
       .filter(col("id") === col("cluster_id"))
       .select(col("id").as(idCol))
-    exact.join(keepers, idCol)
   }
 
-  /** 3. decontamination: drop docs sharing any 5-gram with the benchmark. */
-  private def stageDecontaminate(df: DataFrame, idCol: String, textCol: String,
-                                 bench: DataFrame): DataFrame = {
+  /** Stage-3 drop ids: docs sharing any word 5-gram with the benchmark. */
+  private def contaminatedIds(df: DataFrame, idCol: String, textCol: String,
+                              bench: DataFrame): DataFrame = {
     val benchSh = Dedup.shingleDf(bench, idCol, textCol, 5)
       .select(explode(col("sh")).as("g")).distinct()
-    val contaminated = Dedup.shingleDf(df, idCol, textCol, 5)
+    Dedup.shingleDf(df, idCol, textCol, 5)
       .select(col("id"), explode(col("sh")).as("g"))
       .join(benchSh, "g").select(col("id").as(idCol)).distinct()
-    df.join(contaminated, Seq(idCol), "left_anti")
   }
 
-  /** 4. quality gates (all narrow, codegen'd column math). */
-  private def stageGate(df: DataFrame, textCol: String, config: Config): DataFrame = {
+  /** One frame = `docs` + quality stats + cumulative survival flags
+    * `pass_exact … pass_sample` (each stage ANDs the previous stage's
+    * verdict, so `pass_sample` marks the final survivors). Each keep /
+    * drop id set is derived exactly once; the flags themselves are
+    * narrow codegen'd column math over three id-keyed left joins. */
+  def flagged(docs: DataFrame, idCol: String, textCol: String,
+              benchmark: Option[DataFrame] = None,
+              config: Config = Config()): DataFrame = {
+    val keep1 = exactKeepers(docs, idCol, textCol)
+    val exact = docs.join(keep1, idCol)
+    val keep2 = nearDupKeepers(exact, idCol, textCol, config.minHashTheta)
+    // contamination is a per-doc property, but deriving it from the
+    // deduped survivors (not all of `docs`) keeps the shingle explode
+    // proportional to what lives past dedup — the big win at scale.
+    val deduped = exact.join(keep2, idCol)
+    val withKeeps = docs
+      .join(keep1.withColumn("_k1", lit(true)), Seq(idCol), "left")
+      .join(keep2.withColumn("_k2", lit(true)), Seq(idCol), "left")
+    val withCont = benchmark match {
+      case Some(bench) => withKeeps.join(
+        contaminatedIds(deduped, idCol, textCol, bench)
+          .withColumn("_ct", lit(true)), Seq(idCol), "left")
+      case None => withKeeps.withColumn("_ct", lit(false))
+    }
     val tk = TextAnalysis.tokens(lower(col(textCol)))
-    df.withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+    val samplePass = config.sampleHex4 match {
+      case Some(hex) => Sampling.hashFilter(col(textCol), hex)
+      case None => lit(true)
+    }
+    withCont
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)))
       .withColumn("dup_ratio",
         lit(1.0) - size(array_distinct(tk)).cast("double") /
           greatest(size(tk), lit(1)).cast("double"))
-      .filter(col("quality") >= config.minQuality &&
+      .withColumn("pass_exact", coalesce(col("_k1"), lit(false)))
+      .withColumn("pass_neardup", col("pass_exact") && coalesce(col("_k2"), lit(false)))
+      .withColumn("pass_decontam", col("pass_neardup") && !coalesce(col("_ct"), lit(false)))
+      .withColumn("pass_gate", col("pass_decontam") &&
+        col("quality") >= config.minQuality &&
         col("dup_ratio") <= config.maxDupRatio &&
         col("n_tokens") >= config.minTokens)
+      .withColumn("pass_sample", col("pass_gate") && samplePass)
+      .drop("_k1", "_k2", "_ct")
   }
 
   /** Curate `docs` (columns idCol, textCol) against an optional
@@ -76,47 +119,54 @@ object CurationPipeline {
     * stats attached. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              benchmark: Option[DataFrame] = None,
-             config: Config = Config()): DataFrame = {
-    val exact = stageExact(docs, idCol, textCol)
-    val deduped = stageNearDup(exact, idCol, textCol, config.minHashTheta)
-    val clean = benchmark match {
-      case Some(bench) => stageDecontaminate(deduped, idCol, textCol, bench)
-      case None => deduped
-    }
-    val gated = stageGate(clean, textCol, config)
-    config.sampleHex4 match {
-      case Some(hex) => gated.filter(Sampling.hashFilter(col(textCol), hex))
-      case None => gated
-    }
-  }
+             config: Config = Config()): DataFrame =
+    flagged(docs, idCol, textCol, benchmark, config)
+      .filter(col("pass_sample"))
+      .drop(FLAGS: _*)
 
   /** The curation FUNNEL: survivor count after every stage — the
     * accounting dashboard a production pipeline publishes per run
     * (which gate is eating the corpus?). One row per stage, cumulative
     * semantics (each stage filters the previous stage's survivors);
-    * every count is an integer so the whole report is engine-exact. */
+    * every count is an integer so the whole report is engine-exact.
+    *
+    * ONE pass: the six counts are conditional aggregates over the
+    * flagged frame — each stage's keep-set sub-DAG runs once, versus
+    * the naive shape where six `count()` branches each re-derive the
+    * cumulative pipeline (recompute-×6 inverts at 100 TB). */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              benchmark: DataFrame, config: Config = Config()): DataFrame = {
-    // each stage feeds both its own count and every later stage; the
-    // count branches share their repeated subtrees through Spark's
-    // ReuseExchange, and MEASURED at sf0.1 that beats persisting the
-    // stage boundaries (5.3 s vs 6.5 s — cache materialization costs
-    // more than the columnar recompute it saves). A 100 TB run that
-    // does want a boundary persists the id column only.
-    val exact = stageExact(docs, idCol, textCol)
-    val deduped = stageNearDup(exact, idCol, textCol, config.minHashTheta)
-    val clean = stageDecontaminate(deduped, idCol, textCol, benchmark)
-    val gated = stageGate(clean, textCol, config)
-    val sampled = config.sampleHex4 match {
-      case Some(hex) => gated.filter(Sampling.hashFilter(col(textCol), hex))
-      case None => gated
-    }
-    def cnt(stage: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(stage).as("stage"), lit(name).as("name"), col("n_docs"))
-    Seq(cnt(0, "total", docs), cnt(1, "exact_dedup", exact),
-      cnt(2, "near_dedup", deduped), cnt(3, "decontaminated", clean),
-      cnt(4, "quality_gated", gated), cnt(5, "sampled", sampled))
-      .reduce(_.unionByName(_))
+    val counts = flagged(docs, idCol, textCol, Some(benchmark), config)
+      .agg(count(lit(1)).as("c0"),
+        count_if(col("pass_exact")).as("c1"),
+        count_if(col("pass_neardup")).as("c2"),
+        count_if(col("pass_decontam")).as("c3"),
+        count_if(col("pass_gate")).as("c4"),
+        count_if(col("pass_sample")).as("c5"))
+    val names = Seq("total", "exact_dedup", "near_dedup", "decontaminated",
+      "quality_gated", "sampled")
+    counts.select(explode(array(names.zipWithIndex.map { case (nm, i) =>
+      struct(lit(i).as("stage"), lit(nm).as("name"), col(s"c$i").as("n_docs"))
+    }: _*)).as("f")).select(col("f.stage"), col("f.name"), col("f.n_docs"))
+  }
+
+  /** Curate AND account in one action: returns the curated frame with
+    * the funnel counts attached as `Dataset.observe` metrics — running
+    * any action on the returned frame populates the Observation with
+    * keys `n_total, n_exact_dedup, … n_sampled` for free (accumulator
+    * collection during the pass, zero extra jobs). The production
+    * shape of [[funnel]]. */
+  def curateWithFunnel(docs: DataFrame, idCol: String, textCol: String,
+                       benchmark: DataFrame, config: Config = Config()
+                      ): (DataFrame, Observation) = {
+    val f = flagged(docs, idCol, textCol, Some(benchmark), config)
+    val (instrumented, Some(obs)) = PipelineMetrics.observed(f, "curation_funnel", Map(
+      "n_total" -> count(lit(1)),
+      "n_exact_dedup" -> count_if(col("pass_exact")),
+      "n_near_dedup" -> count_if(col("pass_neardup")),
+      "n_decontaminated" -> count_if(col("pass_decontam")),
+      "n_quality_gated" -> count_if(col("pass_gate")),
+      "n_sampled" -> count_if(col("pass_sample"))))
+    (instrumented.filter(col("pass_sample")).drop(FLAGS: _*), obs)
   }
 }

@@ -222,4 +222,30 @@ class CurationOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids === ids2)
   }
+
+  test("curateWithFunnel: observed metrics equal the funnel rows and ride one action") {
+    import org.apache.spark.sql.functions.col
+    val docs = table("documents")
+    val bench = docs.filter(col("doc_id") < 5)
+    val train = docs.filter(col("doc_id") >= 5)
+    val cfg = graft.operators.CurationPipeline.Config(sampleHex4 = Some("8000"))
+    val expected = graft.operators.CurationPipeline.funnel(
+        train, "doc_id", "text", bench, cfg)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val (curated, obs) = graft.operators.CurationPipeline.curateWithFunnel(
+      train, "doc_id", "text", bench, cfg)
+    val survivors = curated.count()  // the ONE action; metrics ride it
+    val m = obs.get
+    assert(m("n_total") === expected("total"))
+    assert(m("n_exact_dedup") === expected("exact_dedup"))
+    assert(m("n_near_dedup") === expected("near_dedup"))
+    assert(m("n_decontaminated") === expected("decontaminated"))
+    assert(m("n_quality_gated") === expected("quality_gated"))
+    assert(m("n_sampled") === expected("sampled"))
+    assert(survivors === expected("sampled"))
+    // the funnel is cumulative: monotone non-increasing stage counts
+    val ordered = Seq("total", "exact_dedup", "near_dedup",
+      "decontaminated", "quality_gated", "sampled").map(expected)
+    assert(ordered === ordered.sorted.reverse)
+  }
 }
