@@ -28,13 +28,13 @@ object Sinks {
 
   /** Avro, overwrite — the write half of the reference's read format
     * (TableLoader reads avro; reference App.java:93-95 scans *.avro).
-    * Same deploy caveat as the read path: `format("avro")` resolves via
-    * the external spark-avro module jar, present on real clusters'
-    * classpaths but not in this container — SourcesSpec round-trips it
-    * when the datasource is available and cancels (not fails) when not. */
+    * Resolves to the external spark-avro module when it's on the
+    * classpath (real clusters), else to this library's self-contained
+    * `graft-avro` datasource built on the Avro core jars Spark itself
+    * ships — the path executes either way. */
   def avro(df: DataFrame, path: String,
            mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).format("avro").save(path)
+    df.write.mode(mode).format(TableLoader.avroFormat).save(path)
 
   /** Write an event table into the hive-partitioned hour layout
     * (year=/month=/day=/hour=) that PartitionedSource reads back —

@@ -118,21 +118,112 @@ class SourcesSpec extends SparkSpec {
       orders.agg(sum(col("o_orderkey"))).head().getLong(0))
   }
 
-  test("avro sink round-trips through TableLoader when the module is present") {
-    // spark-avro is an external module: on the cluster classpath in a
-    // real deployment, absent in this container — cancel, don't fail
-    // (the datasource lookup is the only reliable availability probe:
-    // avro-related CLASSES exist in the core jars, the provider doesn't)
+  test("avro sink round-trips orders through TableLoader (built-in tier)") {
+    // no spark-avro module jar is deployed here, but Spark 4.1 ships
+    // the implementation inside spark-sql itself — TableLoader invokes
+    // it by class name, so the reference's input format
+    // (App.java:93-95) actually executes.
     val dir = tmpDir("avro-sink")
-    val orders = table("orders").select("o_orderkey", "o_totalprice")
-    try Sinks.avro(orders, s"$dir/o")
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage.toLowerCase.contains("avro") =>
-        cancel("spark-avro module not deployed in this container")
-    }
-    val back = spark.read.format("avro").load(s"$dir/o")
+    val orders = table("orders")
+    Sinks.avro(orders, s"$dir/o")
+    val back = TableLoader.read(spark, "avro", s"$dir/o")
+    assert(back.schema === orders.schema)
     assert(back.count() === orders.count())
+    assert(back.agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      orders.agg(sum(col("o_orderkey"))).head().getLong(0))
+    assert(back.agg(sum(col("o_totalprice"))).head().getDouble(0) ===
+      orders.agg(sum(col("o_totalprice"))).head().getDouble(0))
+    assert(back.exceptAll(orders).count() === 0L)
+    assert(orders.exceptAll(back).count() === 0L)
+  }
+
+  test("graft-avro datasource round-trips and cross-reads with the built-in engine") {
+    val dir = tmpDir("avro-cross")
+    val orders = table("orders")
+    // our writer -> our reader
+    orders.write.format("graft-avro").mode("overwrite").save(s"$dir/g")
+    val ours = spark.read.format("graft-avro").load(s"$dir/g")
+    assert(ours.schema === orders.schema)
+    assert(ours.exceptAll(orders).count() === 0L)
+    assert(orders.exceptAll(ours).count() === 0L)
+    // cross-engine parity: our files read by Apache's implementation...
+    val builtIn = "org.apache.spark.sql.avro.AvroFileFormat"
+    val theirsRead = spark.read.format(builtIn).load(s"$dir/g")
+    assert(theirsRead.exceptAll(orders).count() === 0L)
+    assert(orders.exceptAll(theirsRead).count() === 0L)
+    // ...and Apache's files read by ours
+    orders.write.format(builtIn).mode("overwrite").save(s"$dir/b")
+    val oursRead = spark.read.format("graft-avro").load(s"$dir/b")
+    assert(oursRead.schema === orders.schema)
+    assert(oursRead.exceptAll(orders).count() === 0L)
+    assert(orders.exceptAll(oursRead).count() === 0L)
+  }
+
+  test("graft-avro read splits one file on sync markers; every row lands exactly once") {
+    val dir = tmpDir("avro-split")
+    val li = table("lineitem")
+    li.coalesce(1).write.format("graft-avro").mode("overwrite").save(s"$dir/l")
+    // read back with a tiny split size: one physical file, many partitions
+    val back = spark.read.format("graft-avro")
+      .option("maxPartitionBytes", (32L << 10).toString).load(s"$dir/l")
+    assert(back.rdd.getNumPartitions > 1,
+      s"expected >1 split, got ${back.rdd.getNumPartitions}")
+    assert(back.count() === li.count())
+    assert(back.agg(sum(col("l_orderkey"))).head().getLong(0) ===
+      li.agg(sum(col("l_orderkey"))).head().getLong(0))
+  }
+
+  test("graft-avro scan prunes columns down to the required schema") {
+    val dir = tmpDir("avro-prune")
+    table("orders").write.format("graft-avro").mode("overwrite").save(s"$dir/o")
+    val narrow = spark.read.format("graft-avro").load(s"$dir/o").select("o_orderkey")
+    val scanOutput = narrow.queryExecution.executedPlan.collectLeaves()
+      .head.output.map(_.name)
+    assert(scanOutput === Seq("o_orderkey"), s"scan decodes $scanOutput")
+    assert(narrow.agg(sum(col("o_orderkey"))).head().getLong(0) ===
+      table("orders").agg(sum(col("o_orderkey"))).head().getLong(0))
+    // zero-column scan (count(*) shape) still counts rows correctly
+    assert(spark.read.format("graft-avro").load(s"$dir/o").count() ===
+      table("orders").count())
+  }
+
+  test("graft-avro round-trips nested/complex types: arrays, structs, maps, decimal, nulls") {
+    val dir = tmpDir("avro-complex")
+    val df = spark.sql(
+      """SELECT id,
+        |  CASE WHEN id % 3 = 0 THEN NULL ELSE concat('s', id) END AS s,
+        |  array(cast(id AS float), cast(id * 2 AS float)) AS vec,
+        |  named_struct('a', id, 'b', concat('x', id)) AS st,
+        |  map('k1', id, 'k2', id * 10) AS m,
+        |  cast(id AS decimal(12,2)) / 7 AS dec,
+        |  to_date(date_add(date'2024-01-01', cast(id AS int))) AS d,
+        |  unbase64('3q2+7w==') AS bin
+        |FROM range(0, 100)""".stripMargin)
+    df.write.format("graft-avro").mode("overwrite").save(s"$dir/c")
+    val back = spark.read.format("graft-avro").load(s"$dir/c")
+    assert(back.schema === df.schema)
+    assert(back.count() === 100L)
+    // set-ops reject MAP columns: canonicalize the map to sorted entries
+    def cmp(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("m", array_sort(map_entries(col("m"))))
+    assert(cmp(back).exceptAll(cmp(df)).count() === 0L)
+    assert(cmp(df).exceptAll(cmp(back)).count() === 0L)
+    // embeddings: the real array<float> testdata table round-trips too
+    val e = table("embeddings")
+    e.write.format("graft-avro").mode("overwrite").save(s"$dir/e")
+    val eBack = spark.read.format("graft-avro").load(s"$dir/e")
+    assert(eBack.schema === e.schema)
+    assert(eBack.exceptAll(e).count() === 0L)
+  }
+
+  test("graft-avro append mode accumulates; overwrite replaces the previous generation") {
+    val dir = tmpDir("avro-modes")
+    val o = table("orders").select("o_orderkey")
+    o.write.format("graft-avro").mode("overwrite").save(s"$dir/t")
+    o.write.format("graft-avro").mode("append").save(s"$dir/t")
+    assert(spark.read.format("graft-avro").load(s"$dir/t").count() === 2 * o.count())
+    o.write.format("graft-avro").mode("overwrite").save(s"$dir/t")
+    assert(spark.read.format("graft-avro").load(s"$dir/t").count() === o.count())
   }
 
   test("recoverCompact heals a swap torn between the two renames") {
