@@ -234,6 +234,42 @@ object SparkEntry {
       |  sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS spearman
       |FROM m""".stripMargin
 
+  /** SemDeDup's guarded assignment replayed in DuckDB, as a CTE block
+    * (callers prepend WITH and append their own consuming CTEs): e =
+    * embeddings as double lists; a = stride-init argmax-cosine cell per
+    * vector (the q_ann_ivf quantizer); sz = cell sizes; w2/qv/sk = the
+    * 4 md5-parity hyperplane sign bits (tag 99) over 10⁻⁶-quantized
+    * vectors — exact integer arithmetic, identical to
+    * SemDedup.assignedGuarded; r = the refined key rk = cid·16 + (sub
+    * key when the cell exceeds 40 vectors). Shared by q_semdedup and
+    * q_semdedup_recall. */
+  private val SemDedupGuardedSql =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+      |c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
+      |      FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+      |a AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rr
+      |    FROM e CROSS JOIN c) WHERE rr = 1),
+      |sz AS (SELECT cid, count(*) AS n FROM a GROUP BY cid),
+      |w2 AS (SELECT p, list(CASE WHEN instr('13579bdf', substring(md5(
+      |    '99,' || CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)
+      |  ), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS wv
+      |  FROM range(4) pp(p), range(64) dd(d) GROUP BY p),
+      |qv AS (SELECT vec_id, list_transform(ve, x -> floor(x * 1000000.0)) AS q
+      |       FROM e),
+      |sk AS (SELECT qv.vec_id,
+      |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+      |      i -> qv.q[i] * w2.wv[i])) > 0
+      |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sk
+      |  FROM qv CROSS JOIN w2 GROUP BY qv.vec_id),
+      |r AS (SELECT a.vec_id, a.cid,
+      |    a.cid * 16 + CASE WHEN sz.n > 40 THEN sk.sk ELSE 0 END AS rk
+      |  FROM a JOIN sz USING (cid) JOIN sk ON sk.vec_id = a.vec_id),""".stripMargin
+
   /** IVF ANN top-10 ranks replayed in DuckDB: stride-init centroids (no
     * Lloyd refinement → no float averaging), argmax-cosine assignment,
     * top-4 probed cells, exact rank within the probed union — shared by
@@ -1589,10 +1625,36 @@ object SparkEntry {
     // #171: SemDeDup — semantic dedup WITHIN quantizer cells (the
     // web-scale embedding-dedup shape: equi-join on cell id, pairs
     // bounded by cell size, cross-cell pairs deliberately skipped);
-    // keep-the-earliest per epsilon-neighborhood, integer output
+    // keep-the-earliest per epsilon-neighborhood, integer output.
+    // Cells above 40 vectors split on 4 md5-parity hyperplane sign
+    // bits (the skew guard: Σ cell² stays bounded on a distribution
+    // that dumps the corpus into one coarse cell)
     "q_semdedup" -> ((s, dir) =>
       operators.SemDedup.kept(t(s, dir, "embeddings"), "vec_id", "embedding",
-        nlist = 16, theta = 0.4)),
+        nlist = 16, theta = 0.4, maxCell = 40, subBits = 4)),
+
+    // #171b: the quantizer's price, measured — of the exact cosine≥0.4
+    // pairs on the bounded id range (ground truth = the q_cosine_pairs
+    // shape), how many does the guarded cell join actually examine?
+    // n_caught/n_true is SemDeDup's pair recall under the DEPLOYED
+    // config (nlist=16, maxCell=40, subBits=4), cross-cell misses and
+    // skew-split misses included
+    "q_semdedup_recall" -> ((s, dir) => {
+      val e = tp(s, dir, "embeddings")
+      val g = operators.SemDedup.assignedGuarded(e, "vec_id", "embedding",
+        nlist = 16, maxCell = 40, subBits = 4).select(col("id"), col("rk"))
+      val b = e.filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"))
+      val truth = b.as("a").join(b.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(Vectors.cosine(col("a.embedding"), col("b.embedding")) >= 0.4)
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      val caught = truth
+        .join(g.select(col("id").as("i"), col("rk").as("rki")), "i")
+        .join(g.select(col("id").as("j"), col("rk").as("rkj")), "j")
+        .filter(col("rki") === col("rkj"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(caught.agg(count(lit(1)).as("n_caught")))
+    }),
 
     // #170: DSIR importance weights (hashed-unigram log-likelihood
     // ratio vs a target slice — src0 plays the "high-quality domain");
@@ -3107,23 +3169,25 @@ object SparkEntry {
     // SemDeDup replay: the AnnIvfSql stride-init assignment CTEs, then
     // the within-cell smaller-id-neighbor drop rule.
     "q_semdedup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
-        |st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
-        |c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
-        |      FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
-        |a AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT e.vec_id, c.cid,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rr
-        |    FROM e CROSS JOIN c) WHERE rr = 1),
-        |d AS (SELECT DISTINCT x.vec_id AS id
-        |      FROM a x JOIN a y ON x.cid = y.cid AND y.vec_id < x.vec_id
+      s"""WITH $SemDedupGuardedSql
+        |d AS (SELECT DISTINCT y.vec_id AS id
+        |      FROM r x JOIN r y ON x.rk = y.rk AND x.vec_id < y.vec_id
         |      JOIN e ex ON ex.vec_id = x.vec_id
         |      JOIN e ey ON ey.vec_id = y.vec_id
         |      WHERE list_cosine_similarity(ex.ve, ey.ve) >= 0.4)
-        |SELECT a.vec_id, a.cid AS cell FROM a LEFT JOIN d ON a.vec_id = d.id
+        |SELECT r.vec_id, r.cid AS cell FROM r LEFT JOIN d ON r.vec_id = d.id
         |WHERE d.id IS NULL""".stripMargin,
+
+    "q_semdedup_recall" ->
+      s"""WITH $SemDedupGuardedSql
+        |b AS (SELECT vec_id, ve FROM e WHERE vec_id < 200),
+        |tp AS (SELECT x.vec_id AS i, y.vec_id AS j FROM b x JOIN b y
+        |       ON x.vec_id < y.vec_id
+        |       WHERE list_cosine_similarity(x.ve, y.ve) >= 0.4),
+        |ct AS (SELECT count(*) AS n_caught FROM tp
+        |       JOIN r ri ON ri.vec_id = tp.i
+        |       JOIN r rj ON rj.vec_id = tp.j WHERE ri.rk = rj.rk)
+        |SELECT (SELECT count(*) FROM tp) AS n_true, ct.n_caught FROM ct""".stripMargin,
 
     // DSIR replay: same md5-mod bucket ids, integer counts, shared
     // scalar log-ratio expression, round(6) on the per-doc mean

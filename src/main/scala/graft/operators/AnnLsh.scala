@@ -28,12 +28,18 @@ object AnnLsh {
     * projections), and this derivation is reproducible inside an ANSI
     * SQL oracle (`instr('13579bdf', substring(md5(...), 1, 1))`), so
     * bucket assignments can be cross-checked engine-to-engine. */
-  def md5SignPlanes(tables: Int, numPlanes: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+  def md5SignPlanes(tables: Int, numPlanes: Int, dim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(md5SignPlane(_, numPlanes, dim))
+
+  /** One md5-parity plane table for an arbitrary tag — lets other
+    * operators (e.g. SemDedup's cell-skew guard) draw planes from a
+    * namespace disjoint from the LSH tables' 0..tables-1 tags. */
+  def md5SignPlane(tag: Int, numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until tables).map(t => (0 until numPlanes).map(p => (0 until dim).map { d =>
-      val dig = md.digest(s"$t,$p,$d".getBytes("UTF-8"))
+    (0 until numPlanes).map(p => (0 until dim).map { d =>
+      val dig = md.digest(s"$tag,$p,$d".getBytes("UTF-8"))
       if (((dig(0) >> 4) & 1) == 1) 1.0 else -1.0
-    }))
+    })
   }
 
   /** Embedding quantized to integer-valued doubles: floor(x·10⁶). With
@@ -42,7 +48,7 @@ object AnnLsh {
     * so the sign — and hence the bucket — is bit-identical across
     * engines and summation orders. Quantization at 10⁻⁶ resolution does
     * not meaningfully change the LSH family's collision geometry. */
-  private def quantized(vec: Column): Column =
+  private[operators] def quantized(vec: Column): Column =
     transform(vec.cast("array<double>"), x => floor(x * lit(1e6)).cast("double"))
 
   /** `bucketed` over md5-parity ±1 planes and quantized vectors —

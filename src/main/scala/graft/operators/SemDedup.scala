@@ -10,7 +10,9 @@ import graft.functions.Vectors
   * dedup that only compares WITHIN coarse clusters — the trick that
   * makes semantic dedup tractable at corpus scale. Pairs across cells
   * are deliberately never examined (the quantizer's recall loss is the
-  * accepted trade, exactly as in the paper).
+  * accepted trade, exactly as in the paper; [[SparkEntry]]'s
+  * `q_semdedup_recall` measures that miss rate against the exact
+  * all-pairs ground truth).
   *
   * A doc is DROPPED when some smaller-id doc in its cell has cosine ≥
   * theta to it — "keep the earliest" per epsilon-neighborhood, the
@@ -20,22 +22,65 @@ import graft.functions.Vectors
   * behavior, not the component semantics of DedupCluster).
   *
   * Scale shape: the cell assignment is one broadcast-centroid argmax
-  * scan (AnnIvf.assign); the candidate join is an equi-join on cid, so
-  * pair count is Σ cell² — bounded by sizing nlist so cells stay
-  * O(n/nlist), never n². Reuses the stride-init deterministic quantizer
-  * (zero Lloyd passes ⇒ no float averaging ⇒ oracle-replayable cells).
+  * scan (AnnIvf.assign); the candidate join is an equi-join on the cell
+  * key, so pair count is Σ cell². That bound collapses toward n² when a
+  * skewed embedding distribution dumps most of the corpus into one
+  * coarse cell — so cells above `maxCell` get a SECONDARY key: `subBits`
+  * md5-parity hyperplane sign bits of the vector (the AnnLsh exact-LSH
+  * family, tag 99), splitting a giant diffuse cell into up to 2^subBits
+  * angular wedges before the self-join. The refinement is a pure
+  * function of the vector, so it is deterministic, oracle-replayable,
+  * and costs one codegen'd projection — no extra shuffle. (A tight
+  * near-identical ball keeps colliding by design: those vectors are
+  * true near-dups and all but the earliest get dropped anyway.)
+  * Reuses the stride-init deterministic quantizer (zero Lloyd passes ⇒
+  * no float averaging ⇒ oracle-replayable cells).
   */
 object SemDedup {
 
-  /** (vec_id, cell) for every KEPT vector. */
-  def kept(embs: DataFrame, idCol: String, vecCol: String,
-           nlist: Int = 16, theta: Double = 0.4): DataFrame = {
+  /** Plane-table tag for the skew-split bits — outside AnnLsh's
+    * 0..tables-1 namespace so guard bits never correlate with the LSH
+    * tables' buckets. */
+  private val SubPlaneTag = 99
+
+  /** AnnIvf assignment plus the skew-guarded refined cell key `rk`:
+    * `cid · 2^subBits`, plus the vector's hyperplane sub-key when the
+    * cell holds more than `maxCell` vectors (`maxCell <= 0` disables
+    * the guard). Output: (id, vec, cid, rk). */
+  def assignedGuarded(embs: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int = 16, maxCell: Int = 0, subBits: Int = 4,
+                      dim: Int = 64): DataFrame = {
     val centroids = AnnIvf.fit(embs, idCol, vecCol, nlist, iters = 0)
-    val a = AnnIvf.assign(embs, centroids, idCol, vecCol) // (id, cid, vec)
-    val dropped = a.as("x").join(a.as("y"),
-        col("x.cid") === col("y.cid") && col("y.id") < col("x.id"))
+    val a = AnnIvf.assign(embs, centroids, idCol, vecCol)
+    if (maxCell <= 0) a.withColumn("rk", col("cid"))
+    else {
+      // nlist rows — broadcast by construction
+      val sizes = a.groupBy("cid").agg(count(lit(1)).as("_n"))
+      val planes = AnnLsh.md5SignPlane(SubPlaneTag, subBits, dim)
+      val subKey = element_at(graft.functions.NativeExpressions.hyperplaneBuckets(
+        AnnLsh.quantized(col("vec")), Seq(planes)), 1)
+      a.join(broadcast(sizes), "cid")
+        .withColumn("rk", col("cid") * lit(1L << subBits) +
+          when(col("_n") > maxCell, subKey).otherwise(lit(0L)))
+        .drop("_n")
+    }
+  }
+
+  /** Near-dup pairs (i < j, cosine ≥ theta) examined by the guarded
+    * cell join — the operator's candidate-verify stage, exposed so the
+    * recall query can intersect it with exact ground truth. */
+  def nearDupPairs(assigned: DataFrame, theta: Double): DataFrame =
+    assigned.as("x").join(assigned.as("y"),
+        col("x.rk") === col("y.rk") && col("x.id") < col("y.id"))
       .filter(Vectors.cosine(col("x.vec"), col("y.vec")) >= theta)
-      .select(col("x.id").as("id")).distinct()
+      .select(col("x.id").as("i"), col("y.id").as("j"))
+
+  /** (vec_id, cell) for every KEPT vector; `cell` is the coarse cid. */
+  def kept(embs: DataFrame, idCol: String, vecCol: String,
+           nlist: Int = 16, theta: Double = 0.4,
+           maxCell: Int = 0, subBits: Int = 4): DataFrame = {
+    val a = assignedGuarded(embs, idCol, vecCol, nlist, maxCell, subBits)
+    val dropped = nearDupPairs(a, theta).select(col("j").as("id")).distinct()
     a.join(dropped, Seq("id"), "left_anti")
       .select(col("id").as("vec_id"), col("cid").as("cell"))
   }

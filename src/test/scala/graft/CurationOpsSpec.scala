@@ -190,6 +190,53 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.count() <= e.count())
   }
 
+  test("SemDeDup skew guard: a giant diffuse cell splits, pair work bounded") {
+    import org.apache.spark.sql.functions._
+    // A distribution engineered to break the coarse quantizer: stride
+    // init (n=400, nlist=16) picks ids 0,25,...,375 as centroids; ids
+    // 25..375 point AWAY from everything else (negative first coord),
+    // so all ~385 cone vectors (first coord +5, diffuse 63-dim noise)
+    // argmax onto centroid 0 — one giant, angularly-spread cell.
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { id =>
+      val v =
+        if (id != 0 && id % 25 == 0) {
+          val a = Array.fill(64)(0.0f); a(0) = -10f; a(1 + id / 25) = 1f; a
+        } else {
+          val a = Array.fill(64)((rnd.nextGaussian() * 2.5).toFloat)
+          a(0) = 5f; a
+        }
+      (id.toLong, v.toSeq)
+    }
+    val df = ss.createDataFrame(rows).toDF("vec_id", "embedding")
+    def pairWork(g: org.apache.spark.sql.DataFrame): Long =
+      g.groupBy("rk").count()
+        .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")))
+        .head().getLong(0)
+    val unguarded = graft.operators.SemDedup.assignedGuarded(
+      df, "vec_id", "embedding", nlist = 16, maxCell = 0)
+    val guarded = graft.operators.SemDedup.assignedGuarded(
+      df, "vec_id", "embedding", nlist = 16, maxCell = 30, subBits = 4)
+    // the skew is real: one cell swallowed ≥3/4 of the corpus
+    val biggest = unguarded.groupBy("rk").count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(biggest >= 300L, s"expected a giant cell, max=$biggest")
+    // the guard splits it: candidate-pair work drops by at least 4x
+    val (p0, p1) = (pairWork(unguarded), pairWork(guarded))
+    assert(p1 * 4 <= p0, s"pair work $p0 -> $p1, expected >=4x reduction")
+    // and the guarded kept set is still sound: no same-refined-cell
+    // near-dup pair survives
+    val kept = graft.operators.SemDedup.kept(df, "vec_id", "embedding",
+      nlist = 16, theta = 0.4, maxCell = 30, subBits = 4)
+    val k2 = kept.join(guarded.withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+    val survivors = k2.as("x").join(k2.as("y"),
+        col("x.rk") === col("y.rk") && col("y.vec_id") < col("x.vec_id"))
+      .filter(graft.functions.Vectors.cosine(
+        col("x.vec"), col("y.vec")) >= 0.4)
+      .count()
+    assert(survivors === 0L)
+  }
+
   test("curation pipeline: dedup + decontaminate + gate + sample compose") {
     import org.apache.spark.sql.functions.col
     val docs = table("documents")
