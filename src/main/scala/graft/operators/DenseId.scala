@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.LongType
   * they are deterministic whenever `orderCols` is a total order —
   * partition boundaries may move between runs, ranks cannot.
   *
-  * The sorted input persists across the two passes so the count job and
-  * the stamping job see identical partitioning; the caller owns the
-  * cache lifetime (same contract as Dedup's shingle tables).
+  * The count job and the stamping job run over the SAME materialized
+  * RDD instance — same ShuffleDependency, same sampled boundaries — so
+  * they see identical partitioning by construction and the second job
+  * reuses the first's shuffle map outputs. No persist(): nothing pinned
+  * in the block store across calls.
   */
 object DenseId {
 
@@ -31,7 +33,6 @@ object DenseId {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rdd = sorted.rdd
     // count in a Long accumulator — Iterator.size returns Int and would
     // silently overflow past 2^31 rows per partition, corrupting every

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.{col, count, floor, lit, when}
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.storage.StorageLevel
 
 /** Distributed per-group rank / prefix-sum — the scale-safe replacement
   * for `row_number() OVER (PARTITION BY low_card_key ORDER BY ...)`.
@@ -29,12 +28,14 @@ import org.apache.spark.storage.StorageLevel
   * ranks cannot. Weights accumulate in a Long `var` (never
   * `Iterator.size`, whose Int silently overflows past 2^31 rows).
   *
-  * The sorted input persists across the two passes so both see identical
-  * partitioning (a recomputed range-repartition may sample different
-  * boundaries). Same cache contract as [[DenseId]]: blocks live until
-  * the session drops them (Verify clears per query); see Dedup's
-  * `with*` loan variants for the owned-lifetime pattern a long-lived
-  * session should copy.
+  * Both passes run over the SAME materialized RDD instance, i.e. the
+  * same ShuffleDependency and the same RangePartitioner object — so
+  * pass 2 sees identical partitioning by construction (boundaries are
+  * sampled once, when the DAG materializes) and Spark reuses pass 1's
+  * shuffle map outputs instead of recomputing the scan. No persist():
+  * nothing is pinned in the block store, so repeated calls in a
+  * long-lived session leak nothing; the shuffle files themselves are
+  * reclaimed by the ContextCleaner when the RDD is garbage-collected.
   */
 object GroupRank {
 
@@ -48,7 +49,6 @@ object GroupRank {
     val keyCols = (groupCols ++ orderCols).map(col)
     val sorted = df.repartitionByRange(keyCols: _*)
       .sortWithinPartitions(keyCols: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val gIdx = groupCols.map(sorted.schema.fieldIndex)
     val wIdx = weightCol.map(sorted.schema.fieldIndex)
     val rdd = sorted.rdd
@@ -81,7 +81,8 @@ object GroupRank {
       }.toMap
     val bc = spark.sparkContext.broadcast(offsets)
 
-    // Pass 2: sequential stamp over the SAME persisted partitions.
+    // Pass 2: sequential stamp over the same partitions (shared
+    // ShuffleDependency — the map stage is skipped, not recomputed).
     val stamped = rdd.mapPartitionsWithIndex { (pi, it) =>
       var cur: List[Any] = null
       var run = 0L

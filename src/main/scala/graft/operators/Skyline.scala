@@ -30,10 +30,12 @@ object Skyline {
     val spark = df.sparkSession
     val orderCols: Seq[Column] =
       col(xCol).asc +: col(yCol).desc +: tieCols.map(col(_).asc)
+    // Both stages run off the same materialized RDD (one
+    // ShuffleDependency): identical partitioning by construction, map
+    // outputs reused across the jobs, nothing pinned in the block store.
     val sorted = df
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = sorted.schema
     val yIdx = schema.fieldIndex(yCol)
     def yOf(r: Row): Double = r.getAs[Any](yIdx) match {

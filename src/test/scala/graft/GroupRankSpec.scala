@@ -67,8 +67,29 @@ class GroupRankSpec extends SparkSpec {
     val p = internal.queryExecution.executedPlan.toString
     assert(p.contains("Exchange rangepartitioning"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
-    // and the operator spreads rows: no partition holds a whole group
-    val ranked = GroupRank.rowNumber(df, Seq("g"), Seq("v", "id"), "i")
-    assert(ranked.rdd.getNumPartitions > 1)
+    // and the operator spreads rows: no partition holds a whole group.
+    // (AQE rightly coalesces a 60-row frame to one partition — disable
+    // that small-data optimization so the assert sees the scale shape.)
+    val spark = SparkSpec.spark
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val ranked = GroupRank.rowNumber(df, Seq("g"), Seq("v", "id"), "i")
+      assert(ranked.rdd.getNumPartitions > 1)
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("no cached blocks survive a prefixSum/ntile/q_spearman/q_gini run") {
+    val sc = SparkSpec.spark.sparkContext
+    def persisted = sc.getPersistentRDDs.size
+    val before = persisted
+    GroupRank.prefixSum(mkDf(5), Seq("g"), Seq("v", "id"), None, "ps").count()
+    GroupRank.ntile(mkDf(5), Seq("g"), Seq("v", "id"), 4, "t").count()
+    SparkEntry.queries("q_spearman")(SparkSpec.spark, sf).count()
+    SparkEntry.queries("q_gini")(SparkSpec.spark, sf).count()
+    // the two-pass operators own no cache: consuming their outputs must
+    // leave the persistent-RDD registry exactly where it started
+    assert(persisted === before, s"leaked ${persisted - before} cached RDDs")
   }
 }

@@ -257,7 +257,13 @@ class SourcesSpec extends SparkSpec {
 
   test("DenseId: 0..n-1 in key order without a single-partition pass") {
     val docs = table("documents").select("doc_id", "source")
-    val ids = graft.operators.DenseId.assign(docs, Seq("doc_id"))
+    // AQE rightly coalesces the small frame; disable that so the
+    // never-a-global-funnel assert sees the scale plan shape
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    val ids = try graft.operators.DenseId.assign(docs, Seq("doc_id"))
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     assert(ids.rdd.getNumPartitions > 1) // never a global funnel
     val rows = ids.select("doc_id", "dense_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
