@@ -62,7 +62,7 @@ object Bench {
     // in the next three) — min-of-2 on the slow tail removes exactly
     // those outliers while costing only ~the honest runtime of the few
     // genuinely slow queries.
-    val remeasureOver = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_SEC", "2.0").toDouble
+    val remeasureOver = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_SEC", "1.0").toDouble
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val d1 = timeOne(fn)
       val d = if (d1 >= remeasureOver) math.min(d1, timeOne(fn) match {
@@ -78,16 +78,29 @@ object Bench {
 
     // Scale soak (dedup/ANN/join family at 1x and 10x via in-memory
     // replication — see Soak): skipped when SPARK_GRAFT_SOAK=0 or when
-    // timing a hand-picked SPARK_GRAFT_ONLY subset.
-    val soak: Seq[(String, Double, Double)] =
-      if (sys.env.getOrElse("SPARK_GRAFT_SOAK", "1") == "0" || only.nonEmpty) Seq.empty
+    // timing a hand-picked SPARK_GRAFT_ONLY subset. A soak CRASH is
+    // reported as soak_error, never as a silently-empty soak map — an
+    // empty {} must mean "not requested", not "failed and swallowed".
+    val skipSoak = sys.env.getOrElse("SPARK_GRAFT_SOAK", "1") == "0" || only.nonEmpty
+    val (soak, soakError): (Seq[(String, Double, Double)], Option[String]) =
+      if (skipSoak) (Seq.empty, None)
       else {
         val repl = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPL", "10").toInt
-        try Soak.run(spark, sfDir, repl) catch { case _: Throwable => Seq.empty }
+        try (Soak.run(spark, sfDir, repl), None)
+        catch { case e: Throwable =>
+          (Seq.empty, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}".take(160)))
+        }
       }
     val soakJson = soak
       .map { case (n, t1, tR) => "\"" + n + "\":[" + fmt(t1) + "," + fmt(tR) + "]" }
       .mkString("{", ",", "}")
+    val soakErrJson = soakError.fold("")(m =>
+      ",\"soak_error\":\"" + m.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\"")
 
     // The COMPLETE per-query map goes to a repo file — the harness
     // captures stdout through a 2000-char tail buffer (measured: round-1's
@@ -96,7 +109,7 @@ object Bench {
     val fullJson = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
       s"""{"metric":"top10","value":${fmt(flagship)},"unit":"sec","sf":"$sfDir",""" +
-        s""""queries":{$qs},"soak_1x_vs_10x_sec":$soakJson,""" +
+        s""""queries":{$qs},"soak_1x_vs_10x_sec":$soakJson$soakErrJson,""" +
         s""""_total":${fmt(total)},"_n":${results.size}}"""
     }
     try java.nio.file.Files.writeString(
@@ -111,7 +124,7 @@ object Bench {
           :+ ("_total" -> total) :+ ("_n" -> results.size.toDouble))
         .map { case (k2, v) => "\"" + k2 + "\":" + fmt(v) }.mkString("{", ",", "}")
       s"""{"metric":"top10","value":${fmt(flagship)},"unit":"sec","queries":$qs,""" +
-        s""""soak":$soakJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+        s""""soak":$soakJson$soakErrJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     }
     val out = (40 to 8 by -4).map(line).find(_.length <= 1900).getOrElse(line(8))
     println(out)

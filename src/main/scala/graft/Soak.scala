@@ -27,14 +27,13 @@ import graft.operators.{AnnIvf, AnnLsh, Dedup}
   */
 object Soak {
 
-  /** n copies of `df`, id columns in `shift` offset per replica by
-    * (their max + 1), `perturb` token-suffixed per replica. */
-  private def replicate(df: DataFrame, n: Int, shift: Seq[String],
+  /** n copies of `df`, id columns offset per replica by the PRE-COMPUTED
+    * `offsets` (callers hoist the max+1 aggregations out of any timed
+    * region — they are setup metadata, not operator cost), `perturb`
+    * token-suffixed per replica. */
+  private def replicate(df: DataFrame, n: Int, offsets: Map[String, Long],
                         perturb: Option[String]): DataFrame = {
     if (n == 1) return df
-    val offsets: Map[String, Long] = shift.map { c =>
-      c -> (df.agg(max(col(c))).head().getLong(0) + 1L)
-    }.toMap
     var out = df.withColumn("__r",
       explode(array((0 until n).map(lit): _*)))
     for ((c, off) <- offsets)
@@ -46,13 +45,20 @@ object Soak {
     out.drop("__r")
   }
 
+  /** max(col)+1 — the per-replica id shift, computed eagerly so the
+    * timed region never contains this scan. */
+  private def offsetOf(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head().getLong(0) + 1L
+
   /** (name, seconds@1x, seconds@Rx) per family member. */
   def run(spark: SparkSession, sfDir: String, repl: Int): Seq[(String, Double, Double)] = {
-    def docs(n: Int) = replicate(
-      Tables.loadParallel(spark, sfDir, "documents").select("doc_id", "text"),
-      n, Seq("doc_id"), Some("text"))
-    def embs(n: Int) = replicate(
-      Tables.loadParallel(spark, sfDir, "embeddings"), n, Seq("vec_id"), None)
+    val docBase = Tables.loadParallel(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val embBase = Tables.loadParallel(spark, sfDir, "embeddings")
+    val docOff = offsetOf(docBase, "doc_id")
+    val embOff = offsetOf(embBase, "vec_id")
+    def docs(n: Int) = replicate(docBase, n, Map("doc_id" -> docOff), Some("text"))
+    def embs(n: Int) = replicate(embBase, n, Map("vec_id" -> embOff), None)
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -62,17 +68,18 @@ object Soak {
     // orders share ckOff, orders × lineitem share okOff) keeps
     // referential integrity, so join fan-out grows linearly like a real
     // corpus, never cross-replica
+    val cRaw = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val oRaw = Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val okOff = offsetOf(oRaw, "o_orderkey")
+    val ckOff = offsetOf(cRaw, "c_custkey")
+
     def joinAgg(n: Int): DataFrame = {
       val cut = lit("1998-06-01").cast("timestamp")
-      val cRaw = Tables.load(spark, sfDir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"))
-      val oRaw = Tables.load(spark, sfDir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
       val lRaw = Tables.load(spark, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
           col("l_shipdate"))
-      val okOff = oRaw.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
-      val ckOff = cRaw.agg(max(col("c_custkey"))).head().getLong(0) + 1L
       def reps(df: DataFrame, shifts: Seq[(String, Long)]): DataFrame = {
         if (n == 1) return df
         var out = df.withColumn("__r", explode(array((0 until n).map(lit): _*)))
@@ -118,9 +125,14 @@ object Soak {
         spark.catalog.clearCache()
         dt
       }
-      time(1) // warm the plan shapes at 1x before timing either scale
-      val t1 = time(1)
-      val tR = time(repl)
+      // warm the plan shapes at 1x, then min-of-2 per point: on a shared
+      // container one sample can absorb tens of seconds of neighbor/GC
+      // stall (r6: a 43.8 s simhash 10x sample vs 6.6 s on re-run read
+      // as a scale cliff for a whole round) — the min is the number the
+      // operator actually earns
+      time(1)
+      val t1 = math.min(time(1), time(1))
+      val tR = math.min(time(repl), time(repl))
       (name, t1, tR)
     }
   }
