@@ -119,6 +119,75 @@ class StreamingSpec extends SparkSpec {
     assert(r3.values.toSeq === Seq(4L))
   }
 
+  test("lambda handoff: batch recompute retires the speed layer for its window, idempotently") {
+    // The reference's raison d'être end-to-end (App.java:104-127): the
+    // speed layer serves provisional per-window counts; the batch layer
+    // recomputes a closed window authoritatively and REPLACES the speed
+    // rows for exactly that window — here wired through the real
+    // pipeline: raw text -> tokenize -> windowedCounts -> StoreSink
+    // (speed), same operators in batch mode -> publishWindow (batch).
+    val dir = tmpDir("lambda")
+    val store = new ParquetResultStore(spark, s"$dir/results", "k", "win_start")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("k", concat_ws("|", col("win_start").cast("long"), col("token")))
+
+    // SPEED: the stream misses one late hour-0 event (arrives after the
+    // provisional results are already serving)
+    val in = MemoryStream[(Timestamp, String)]
+    val speedCounts = keyed(StreamingTopK.windowedCounts(
+      StreamingTopK.tokenize(in.toDF().toDF("ts", "text"), "ts", "text"),
+      "ts", "token", "1 hour", "10 minutes"))
+    in.addData(
+      (ts("2024-01-01 00:05:00"), "spark streams"),
+      (ts("2024-01-01 00:25:00"), "spark wins"),
+      (ts("2024-01-01 00:45:00"), "storm fades"),
+      (ts("2024-01-01 01:10:00"), "spark again"))
+    StoreSink.start(speedCounts, store, s"$dir/ckpt").awaitTermination()
+    def snapshot(): Map[String, Long] = store.read().collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("cnt"))).toMap
+    val speed = snapshot()
+    assert(speed.count(_._1.endsWith("|spark")) === 2) // both windows serving
+    assert(speed.exists { case (k, v) => k.endsWith("|storm") && v === 1L })
+
+    // BATCH: authoritative hour-0 recompute over the COMPLETE input —
+    // including the late event the stream never counted — through the
+    // very same tokenize + windowedCounts operators, batch-executed
+    // (the watermark is a no-op on a batch frame)
+    val complete = Seq(
+      (ts("2024-01-01 00:05:00"), "spark streams"),
+      (ts("2024-01-01 00:25:00"), "spark wins"),
+      (ts("2024-01-01 00:45:00"), "storm fades"),
+      (ts("2024-01-01 00:50:00"), "spark late"),
+      (ts("2024-01-01 01:10:00"), "spark again")).toDF("ts", "text")
+    val hour0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val hour1 = java.time.Instant.parse("2024-01-01T01:00:00Z")
+    val batchHour0 = keyed(StreamingTopK.windowedCounts(
+      StreamingTopK.tokenize(complete, "ts", "text"),
+      "ts", "token", "1 hour", "10 minutes"))
+      .filter(col("win_start") === lit(java.sql.Timestamp.from(hour0)))
+    val expectHour0 = batchHour0.collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("cnt"))).toMap
+
+    StoreSink.publishWindow(store, batchHour0, hour0, hour1)
+    val after = snapshot()
+    // hour 0 now equals the batch result EXACTLY: the late 'spark' and
+    // 'late' tokens are in, the provisional spark count is gone
+    val (h0, h1) = after.partition(_._1.startsWith(
+      hour0.getEpochSecond.toString))
+    assert(h0 === expectHour0)
+    assert(expectHour0(s"${hour0.getEpochSecond}|spark") === 3L)
+    // hour 1 (still open, speed-owned) is untouched by the handoff
+    assert(h1 === speed.filter(_._1.startsWith(hour1.getEpochSecond.toString)))
+
+    // replayed batch publish (crash-retry) is idempotent
+    StoreSink.publishWindow(store, batchHour0, hour0, hour1)
+    assert(snapshot() === after)
+    // and replaying the DRAINED speed stream from its checkpoint
+    // resurrects nothing — the retired provisional rows stay retired
+    StoreSink.start(speedCounts, store, s"$dir/ckpt").awaitTermination()
+    assert(snapshot() === after)
+  }
+
   test("FileStream discovers files in the partitioned hour layout") {
     val dir = tmpDir("filestream")
     val events = table("events")
