@@ -331,6 +331,84 @@ object NativeExpressions {
       copy(child = c)
   }
 
+  /** All Manku multi-block candidate keys for one 64-bit simhash
+    * signature in a single fused loop: the signature splits into
+    * `blocks` bit-blocks; output element c is the concatenation of the
+    * 4 blocks named by the c-th 4-combination (Manku WWW'07 §3 — any
+    * pair within hamming radius blocks−keyBlocks agrees on ≥ keyBlocks whole blocks,
+    * so it shares at least one of these keys). One expression instead
+    * of a C(blocks,4)-wide projection tree, which blows past the
+    * whole-stage-codegen method budget and falls back to interpreted
+    * eval (measured: 8.8 s vs 1.7 s for the 330-key case at sf0.1). */
+  case class SimHashBlockKeys(child: Expression, blocks: Int, keyBlocks: Int)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    require(keyBlocks >= 1 && blocks >= keyBlocks && blocks <= 64)
+    override def inputTypes: Seq[DataType] = Seq(LongType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_simhash_block_keys"
+
+    @transient private lazy val sizes: Array[Int] = {
+      val base = 64 / blocks; val rem = 64 % blocks
+      Array.tabulate(blocks)(i => if (i < rem) base + 1 else base)
+    }
+    @transient private lazy val offsets: Array[Int] =
+      sizes.scanLeft(0)(_ + _).init
+    @transient private lazy val combos: Array[Array[Int]] =
+      (0 until blocks).combinations(keyBlocks).map(_.toArray).toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val sig = input.asInstanceOf[Long]
+      val bl = new Array[Long](blocks)
+      var i = 0
+      while (i < blocks) {
+        bl(i) = (sig >>> offsets(i)) & ((1L << sizes(i)) - 1L); i += 1
+      }
+      val keys = new Array[Long](combos.length)
+      var c = 0
+      while (c < combos.length) {
+        val cb = combos(c)
+        var k = 0L
+        var j = 0
+        while (j < cb.length) { k = (k << sizes(cb(j))) | bl(cb(j)); j += 1 }
+        keys(c) = k
+        c += 1
+      }
+      new GenericArrayData(keys)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val sizesRef = ctx.addReferenceObj("sizes", sizes, "int[]")
+      val offsRef = ctx.addReferenceObj("offsets", offsets, "int[]")
+      val combosRef = ctx.addReferenceObj("combos", combos, "int[][]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val bl = ctx.freshName("bl")
+        val keys = ctx.freshName("keys")
+        val i = ctx.freshName("i")
+        val c = ctx.freshName("c")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val cb = ctx.freshName("cb")
+        s"""
+        long[] $bl = new long[${blocks}];
+        for (int $i = 0; $i < ${blocks}; $i++)
+          $bl[$i] = ($a >>> $offsRef[$i]) & ((1L << $sizesRef[$i]) - 1L);
+        long[] $keys = new long[${combos.length}];
+        for (int $c = 0; $c < ${combos.length}; $c++) {
+          int[] $cb = $combosRef[$c];
+          long $k = 0L;
+          for (int $j = 0; $j < $cb.length; $j++)
+            $k = ($k << $sizesRef[$cb[$j]]) | $bl[$cb[$j]];
+          $keys[$c] = $k;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** One-pass winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash
     * all character k-grams (the same xxhash64(substr) the HOF pipeline
     * uses — hash-identical, asserted in NativeExprSpec), slide a window
@@ -508,6 +586,9 @@ object NativeExpressions {
   def hyperplaneBuckets(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
     GraftBridge.column(HyperplaneBuckets(e(vec),
       planes.map(_.map(_.toArray).toArray).toArray))
+
+  def simHashBlockKeys(sig: Column, blocks: Int, keyBlocks: Int): Column =
+    GraftBridge.column(SimHashBlockKeys(e(sig), blocks, keyBlocks))
 
   def winnow(text: Column, k: Int, w: Int, md5: Boolean = false): Column =
     GraftBridge.column(Winnow(e(text), k, w, md5))

@@ -62,6 +62,29 @@ class NativeExprSpec extends SparkSpec {
     assert(native === hof)
   }
 
+  test("simHashBlockKeys: keys match the Scala reference; shared key iff >= keyBlocks agreeing blocks") {
+    val (blocks, keyBlocks) = (9, 2)
+    def refKeys(sig: Long): Seq[Long] = {
+      val base = 64 / blocks; val rem = 64 % blocks
+      val sizes = Seq.tabulate(blocks)(i => if (i < rem) base + 1 else base)
+      val offsets = sizes.scanLeft(0)(_ + _)
+      val bl = Seq.tabulate(blocks)(i =>
+        (sig >>> offsets(i)) & ((1L << sizes(i)) - 1L))
+      (0 until blocks).combinations(keyBlocks).map(_.foldLeft(0L)((k, i) =>
+        (k << sizes(i)) | bl(i))).toSeq
+    }
+    val sigs = Dedup.simHashDf(docs, "doc_id", "text").limit(100)
+    val got = sigs.select(col("id"), col("sig"),
+        NativeExpressions.simHashBlockKeys(col("sig"), blocks, keyBlocks).as("ks"))
+      .collect().map(r => (r.getLong(1), r.getSeq[Long](2)))
+    got.foreach { case (sig, ks) => assert(ks === refKeys(sig), f"sig=$sig%016x") }
+    // pigeonhole: hamming <= blocks - keyBlocks pairs share >= 1 key
+    // at the SAME table index (the join matches on (tbl, key))
+    for (Array((s1, k1), (s2, k2)) <- got.take(30).combinations(2)
+         if java.lang.Long.bitCount(s1 ^ s2) <= blocks - keyBlocks)
+      assert(k1.zip(k2).exists { case (x, y) => x == y }, f"$s1%016x vs $s2%016x")
+  }
+
   test("native hamming equals bit_count(xor)") {
     val sigs = Dedup.simHashDf(docs, "doc_id", "text").limit(50)
     val a = sigs.select(col("id").as("i"), col("sig").as("sa"))
