@@ -53,14 +53,64 @@ object Vocab {
     * captured as a literal map (shipped to every task like a broadcast
     * var), so encoding is a pure projection — append-mode streamable
     * with no shuffle and no state, unlike `encode`'s explode+regroup.
-    * Fits whenever the vocab is driver-collectable (the same bound any
-    * broadcast join already assumes). */
+    * Fits whenever the vocab is driver-collectable; for vocabularies
+    * past that bound use [[encodeStream]], which keeps only the top-K
+    * tokens driver-side. */
   def encoderFor(vocab: DataFrame): Column => Column = {
     val m = vocab.select(col("token"), col("tok_id"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val mapCol = typedLit(m)
     text => transform(TextAnalysis.tokens(lower(text)),
       t => coalesce(element_at(mapCol, t), lit(0L)))
+  }
+
+  /** Two-tier streaming encoder for vocabularies too large to collect
+    * into a driver literal:
+    *
+    *  - HOT tier: the top `hotK` tokens by frequency rank (tok_id ≤
+    *    hotK — `build` ranks by count) become the literal-map
+    *    projection of [[encoderFor]]. Under a Zipfian token
+    *    distribution a few-thousand-token hot tier covers the vast
+    *    majority of token OCCURRENCES, so most documents encode as a
+    *    pure stateless projection — no shuffle, no state, no join.
+    *  - COLD tier: only rows containing at least one non-hot token take
+    *    the slow path — posexplode → stream-static equi-join against
+    *    the residual vocab table (tok_id > hotK; stateless per
+    *    micro-batch, broadcast when the residual fits, shuffled-hash
+    *    otherwise) → watermarked regroup on (id, ts) restoring token
+    *    order from the explode position. State is bounded by the
+    *    watermark; emission waits for it (append semantics).
+    *
+    * Output: (idCol, tsCol, ids), the union of both tiers. Parity with
+    * batch [[encode]] (OOV → 0) is asserted in VocabSpec. */
+  def encodeStream(stream: DataFrame, idCol: String, textCol: String,
+                   tsCol: String, vocab: DataFrame, hotK: Int,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val hot = vocab.filter(col("tok_id") <= hotK)
+      .select(col("token"), col("tok_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hotMap = typedLit(hot)
+    val residual = vocab.filter(col("tok_id") > hotK)
+      .select(col("token"), col("tok_id"))
+    val withTok = stream
+      .select(col(idCol), col(tsCol),
+        TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+      .withColumn("__hot", transform(col("__tk"), t => element_at(hotMap, t)))
+      .withColumn("__cold", exists(col("__hot"), h => h.isNull))
+    val fast = withTok.filter(!col("__cold"))
+      .select(col(idCol), col(tsCol), col("__hot").as("ids"))
+    val slow = withTok.filter(col("__cold"))
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        posexplode(col("__tk")).as(Seq("__pos", "__token")))
+      .join(residual.withColumnRenamed("token", "__token"), Seq("__token"), "left")
+      .groupBy(col(idCol), col(tsCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"),
+          coalesce(element_at(hotMap, col("__token")), col("tok_id"), lit(0L))
+            .as("tid")))),
+        p => p.getField("tid")).as("ids"))
+    fast.unionByName(slow)
   }
 
   /** Vocabulary-growth curve (Heaps-law shape): distinct tokens seen in

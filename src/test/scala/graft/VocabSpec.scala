@@ -81,6 +81,44 @@ class VocabSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("encodeStream: two-tier encoder matches batch encode past the literal tier") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = table("documents").limit(100)
+    val vocab = Vocab.build(corpus, "text")
+    val hotK = 10
+    assert(vocab.count() > hotK * 3) // the vocab genuinely exceeds the literal tier
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val encoded = Vocab.encodeStream(in.toDF().toDF("doc_id", "ts", "text"),
+      "doc_id", "text", "ts", vocab, hotK, "10 minutes")
+    val q = encoded.writeStream.format("memory").queryName("enc2_stream")
+      .outputMode("append").start()
+    try {
+      val sample = corpus.select("doc_id", "text").limit(8)
+        .collect().map(r => (r.getLong(0),
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), r.getString(1)))
+      in.addData(sample.toIndexedSeq)
+      q.processAllAvailable()
+      // advance the watermark far past the sample so the cold-tier
+      // aggregation closes and emits (the sentinel itself stays pending)
+      in.addData((999999L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "x"))
+      q.processAllAvailable()
+      val streamed = spark.table("enc2_stream")
+        .filter(col("doc_id") =!= 999999L)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+      val batch = Vocab.encode(
+          corpus.filter(col("doc_id").isin(sample.map(_._1): _*)),
+          "doc_id", "text", vocab)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed === batch)
+      assert(streamed.size === 8)
+      // the hot tier really fires: some encoded id <= hotK appears
+      assert(streamed.values.exists(_.exists(id => id > 0 && id <= hotK)))
+      // and the cold tier really fires: some id past the literal tier
+      assert(streamed.values.exists(_.exists(_ > hotK)))
+    } finally q.stop()
+  }
+
   test("q_interarrival: histogram mass = events minus one per user") {
     val rows = SparkEntry.queries("q_interarrival")(spark, sf).collect()
     val mass = rows.map(_.getLong(1)).sum
