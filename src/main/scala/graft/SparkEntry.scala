@@ -378,7 +378,8 @@ object SparkEntry {
     * only arise when l = r, the "aaa" case), matched starts emit l||r,
     * the position after a kept match is consumed. `syms` is a valid
     * per-word key at every round because join('', syms) always recovers
-    * word + '</w>'. Parity with the batched Spark learner is exact —
+    * word + marker (chr(57344) = Bpe.Marker, stripped from the input
+    * first so it stays outside the symbol alphabet). Parity with the batched Spark learner is exact —
     * see Bpe.learnMerges' prefix-rule proof. */
   private val BpeOracle: String = {
     val n = 8
@@ -423,7 +424,8 @@ object SparkEntry {
     s"""WITH
        |vocab_1 AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-       |    list_append(string_split(w, ''), '</w>') AS syms
+       |    list_append(string_split(replace(w, chr(57344), ''), ''),
+       |      chr(57344)) AS syms
        |  FROM (SELECT t.w FROM documents,
        |    UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
        |      x -> len(x) > 0)) AS t(w))

@@ -46,6 +46,18 @@ import graft.functions.TextAnalysis
   */
 object Bpe {
 
+  /** End-of-word marker symbol: a single private-use character OUTSIDE
+    * the text alphabet by construction — learnMerges/segment strip it
+    * from the input first (a single-char deletion, so the strip is
+    * idempotent and cannot re-form the marker, unlike stripping a
+    * multi-char marker like "</w>" whose characters are ordinary text).
+    * Because no seed symbol ever equals the marker char and a produced
+    * symbol is a concatenation of contiguous seed chars, NO produced
+    * symbol can collide with the marker — the freshness assumption the
+    * batching parity proof rests on (count(new pair) ≤ pre-count of its
+    * witness) holds unconditionally. */
+  val Marker: String = "\uE000"
+
   /** The learned merge table: (rank, left, right, pair_count), rank
     * 1-based in merge order. Stops early when no pair reaches
     * `minCount`. */
@@ -56,12 +68,15 @@ object Bpe {
     val words = docs
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    // seed symbols: characters, with an end-of-word marker so merges
-    // can distinguish "er" mid-word from "er</w>" word-final
+    // seed symbols: characters, with the end-of-word marker so merges
+    // can distinguish "er" mid-word from word-final "er"+Marker; the
+    // marker char is stripped from the input first so it stays outside
+    // the symbol alphabet (see Marker)
     var vocab = words
       .select(col("cnt"),
-        concat(filter(split(col("w"), ""), s => length(s) > 0),
-          array(lit("</w>"))).as("syms"))
+        concat(filter(split(regexp_replace(col("w"), Marker, ""), ""),
+            s => length(s) > 0),
+          array(lit(Marker))).as("syms"))
       .localCheckpoint(true)
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -84,8 +99,12 @@ object Bpe {
         batch.foreach { case (l, rr, pc) =>
           merges += ((merges.size + 1, l, rr, pc))
         }
-        // disjoint symbols ⇒ the folds commute; ONE select + checkpoint
-        // applies the whole batch in a single pass over the vocab
+        // ONE select + checkpoint applies the whole batch in a single
+        // pass over the vocab, folding the merges in RANKED order — a
+        // later member may consume a symbol an earlier member produced,
+        // so order matters; parity comes from disjointPrefix admitting
+        // only batches whose ranked-order fold equals the sequential
+        // merge-by-merge replay (see its proof), not from commutativity
         val foldedSyms = batch.foldLeft(col("syms")) {
           case (acc, (l, rr, _)) => applyMerge(acc, l, rr)
         }
@@ -180,8 +199,10 @@ object Bpe {
     * way Vocab.encoderFor ships its vocab). */
   def segment(docs: DataFrame, textCol: String, merges: Seq[(String, String)],
               outCol: String = "pieces"): DataFrame = {
-    val start = concat(filter(split(col(textCol), ""), s => length(s) > 0),
-      array(lit("</w>")))
+    val start = concat(filter(
+        split(regexp_replace(col(textCol), Marker, ""), ""),
+        s => length(s) > 0),
+      array(lit(Marker)))
     val folded = merges.foldLeft(start) { case (acc, (l, r)) => applyMerge(acc, l, r) }
     docs.withColumn(outCol, folded)
   }

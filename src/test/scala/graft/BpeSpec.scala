@@ -19,13 +19,13 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     // round 1: (w,e) = 2 (lower) + 4 (newest) = 6 beats (l,o)=(o,w)=5
     assert(merges(0) == ((1, "w", "e", 6L)))
-    // round 2: lower→[l,o,we,r,</w>], newest→[n,e,we,s,t,</w>];
+    // round 2: lower→[l,o,we,r,M], newest→[n,e,we,s,t,M] (M = Marker);
     // (l,o)=5 is now the unique max
     assert(merges(1) == ((2, "l", "o", 5L)))
     // round 3: max is 4, tied on every newest-internal pair; the
     // lexicographic tie-break picks left="e": (e,we)
     assert(merges(2) == ((3, "e", "we", 4L)))
-    // round 4: newest→[n,ewe,s,t,</w>]; tie at 4 → left="ewe" sorts
+    // round 4: newest→[n,ewe,s,t,M]; tie at 4 → left="ewe" sorts
     // before "n"/"s"/"t": (ewe,s)
     assert(merges(3) == ((4, "ewe", "s", 4L)))
   }
@@ -41,7 +41,7 @@ class BpeSpec extends SparkSpec {
     val docs = Seq("lowest").toDF("w")
     val out = Bpe.segment(docs, "w", Seq(("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")))
       .head().getSeq[String](1)
-    assert(out == Seq("low", "est", "</w>"))
+    assert(out == Seq("low", "est", Bpe.Marker))
   }
 
   test("batched passes are parity-exact with the sequential merge loop") {
