@@ -290,4 +290,23 @@ class PlanSpec extends SparkSpec {
         s"$n funnels through one partition:\n$p")
     }
   }
+
+  test("q_curation_funnel: ONE pass — no union of per-stage count branches") {
+    // the recompute-×6 shape was a 6-way Union of count() branches each
+    // re-deriving the cumulative pipeline; the flags rework must show a
+    // single conditional aggregation and ZERO Union nodes
+    val p = plan("q_curation_funnel")
+    assert(!p.contains("Union"), s"funnel still unions count branches:\n$p")
+    assert(p.contains("count(1)") || p.contains("count_if") ||
+      p.contains("partial_count"), p)
+  }
+
+  test("q_dedup_simhash: Manku block join is an equi-join, never all-pairs") {
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // candidate keys come from the fused native expression, and the
+    // join matches on (tbl, key)
+    assert(p.contains("graft_simhash_block_keys"), p)
+  }
 }
