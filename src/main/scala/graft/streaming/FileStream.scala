@@ -21,4 +21,19 @@ object FileStream {
       .option("basePath", basePath)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(basePath + "/*/*/*/*")
+
+  /** Streaming ingest of the reference's actual input format
+    * (App.java:93-95 reads *.avro): the same incremental file
+    * discovery over a flat avro directory. Resolves through
+    * TableLoader's tiered avro provider, so it works with the external
+    * module, Spark 4.1's built-in implementation, or not at all only
+    * when neither v1 file-format is present (graft-avro is a batch
+    * DSv2 — file-stream sources need a v1 FileFormat). */
+  def avro(spark: SparkSession, path: String, schema: StructType,
+           maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .format(graft.sources.TableLoader.avroFormat)
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
 }

@@ -207,6 +207,23 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("fs").head().getLong(0) === events.count())
   }
 
+  test("FileStream.avro streams the reference's input format incrementally") {
+    val dir = tmpDir("avrostream")
+    val orders = table("orders")
+    graft.sources.Sinks.avro(orders, s"$dir/in")
+    val stream = FileStream.avro(spark, s"$dir/in", orders.schema,
+      maxFilesPerTrigger = 2)
+    assert(stream.isStreaming)
+    val q = stream.groupBy().agg(count(lit(1)), sum(col("o_orderkey")))
+      .writeStream.format("memory").queryName("avro_fs")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val row = spark.table("avro_fs").head()
+    assert(row.getLong(0) === orders.count())
+    assert(row.getLong(1) ===
+      orders.agg(sum(col("o_orderkey"))).head().getLong(0))
+  }
+
   test("observe surfaces per-batch gate metrics in streaming progress") {
     val in = MemoryStream[String]
     val (instrumented, _) = graft.operators.PipelineMetrics.gatePanel(
