@@ -784,6 +784,13 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 40)),
 
+    // #177: exact duplicated-span coverage (Lee et al. ACL'22 substring
+    // dedup) — rolling 10-token fingerprints, corpus-wide occurrence
+    // count, per-doc merged span coverage; shuffles carry 8-byte
+    // hashes, never text
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.duplicatedSpans(tp(s, dir, "documents"), "doc_id", "text", 10)),
+
     // #35: embedding cosine near-dup, LSH-bucketed. md5-parity ±1
     // planes over 1e-6-quantized vectors make the bucket bits exact
     // integer arithmetic — the oracle rebuilds the same buckets, so
@@ -956,6 +963,16 @@ object SparkEntry {
     "q_sample_topk_stratum" -> ((s, dir) =>
       Sampling.topKPerStratum(t(s, dir, "documents"), "doc_id", "source", 5)
         .select(col("source"), col("doc_id"))),
+
+    // #178: Efraimidis–Spirakis weighted k-sample per source, weight =
+    // n_chars — the deterministic weighted counterpart of
+    // q_sample_topk_stratum (source-mixing by importance weight);
+    // output is (source, rank, id) ints — the transcendental key only
+    // orders, it is never emitted
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"),
+          "doc_id", "source", "n_chars", 5)
+        .select(col("source"), col("rnk"), col("doc_id"))),
 
     // #70: repetition filter (Gopher/C4-style): duplicate-token ratio
     // per doc — 1 - distinct/total, exact int division both engines.
@@ -2146,6 +2163,28 @@ object SparkEntry {
       snap.join(last, col("key") === col("k2"), "left")
         .filter(col("op").isNull || col("op") =!= "D")
         .select(col("key"), coalesce(col("newbal"), col("snap_bal")).as("bal"))
+    }),
+
+    // #179: SCD type-2 dimension build from a change log — orders as
+    // per-customer priority updates: drop no-change rows (lag), then
+    // version + effective [from, to) ranges + current flag per key.
+    // Two windows over the SAME (key → ts, seq) partitioning — one
+    // shuffle, the second window reuses the sort. Epoch-second bigints;
+    // open ranges close at year-9999 to keep the schema null-free.
+    "q_scd2" -> ((s, dir) => {
+      val ch = t(s, dir, "orders")
+        .select(col("o_custkey").as("key"),
+          col("o_orderpriority").as("attr"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+      val byKey = Window.partitionBy(col("key")).orderBy(col("ts"), col("seq"))
+      val changed = ch.withColumn("prev", lag(col("attr"), 1).over(byKey))
+        .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      changed
+        .select(col("key"), row_number().over(byKey).as("version"),
+          col("attr"), unix_timestamp(col("ts")).as("eff_from"),
+          coalesce(unix_timestamp(lead(col("ts"), 1).over(byKey)),
+            lit(253402300800L)).as("eff_to"),
+          lead(col("ts"), 1).over(byKey).isNull.cast("int").as("is_current"))
     }),
 
     // #143: exact set-similarity self-join via PREFIX FILTERING (the
@@ -3415,6 +3454,35 @@ object SparkEntry {
         |  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id""".stripMargin,
 
+    // duplicated-span replay: grams by string (the Spark side groups by
+    // xxhash64 of the gram — identical grouping absent a 64-bit
+    // collision), same ≥2 occurrence rule, same window-merge coverage
+    "q_substring_dedup" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, len(tk) AS n_tokens,
+        |    CASE WHEN len(tk) >= 10 THEN
+        |      list_transform(range(1, len(tk) - 8), i -> array_to_string(tk[i:i+9], ' '))
+        |    ELSE [] END AS grams
+        |  FROM tk),
+        |e AS (SELECT doc_id, unnest(grams) AS gram,
+        |    unnest(range(1, len(grams) + 1)) AS pos FROM g),
+        |d AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 2),
+        |dw AS (SELECT e.doc_id, e.pos FROM e JOIN d USING (gram)),
+        |cov AS (SELECT doc_id, pos,
+        |    max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM dw),
+        |agg AS (SELECT doc_id,
+        |    SUM(pos + 10 - GREATEST(pos, COALESCE(prev_end, pos))) AS n_dup_tokens,
+        |    COUNT(*) AS n_dup_windows
+        |  FROM cov GROUP BY doc_id)
+        |SELECT g.doc_id, g.n_tokens,
+        |  COALESCE(agg.n_dup_tokens, 0) AS n_dup_tokens,
+        |  COALESCE(agg.n_dup_windows, 0) AS n_dup_windows
+        |FROM g LEFT JOIN agg USING (doc_id)""".stripMargin,
+
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -3542,6 +3610,18 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
         |  FROM documents)
         |WHERE rk <= 5""".stripMargin,
+
+    // Efraimidis–Spirakis replay: same 60-bit md5 uniform, same
+    // ln(u)/w ranking key; ln decides only the order
+    "q_weighted_sample" ->
+      """SELECT source, rnk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+        |      ln((CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 0.5)
+        |         / CAST(1152921504606846976 AS DOUBLE)) / CAST(n_chars AS DOUBLE) DESC,
+        |      doc_id ASC) AS INT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 5""".stripMargin,
 
     // per-user event gaps are >> 1 µs, so Spark's µs timestamps and
     // DuckDB's native ns timestamps order identically here
@@ -4427,6 +4507,20 @@ object SparkEntry {
         |SELECT c_custkey AS key, COALESCE(l.newbal, c_acctbal) AS bal
         |FROM customer LEFT JOIN last l ON c_custkey = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    "q_scd2" ->
+      """WITH c AS (SELECT o_custkey AS key, o_orderpriority AS attr,
+        |    o_orderdate AS ts, o_orderkey AS seq,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |ch AS (SELECT key, attr, ts, seq FROM c
+        |  WHERE prev IS NULL OR prev <> attr)
+        |SELECT key, CAST(row_number() OVER w AS INT) AS version, attr,
+        |  CAST(epoch(ts) AS BIGINT) AS eff_from,
+        |  CAST(COALESCE(epoch(lead(ts) OVER w), 253402300800) AS BIGINT) AS eff_to,
+        |  CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+        |FROM ch WINDOW w AS (PARTITION BY key ORDER BY ts, seq)""".stripMargin,
 
     // ground truth the prefix filter must equal: all-pairs exact Jaccard
     "q_prefix_join" ->

@@ -346,6 +346,52 @@ object Dedup {
       .filter(col("n_occurrences") >= 2)
   }
 
+  /** Exact duplicated-SPAN statistics — the substring-level dedup of
+    * Lee et al. (ACL'22, "Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed with windowed rolling fingerprints
+    * instead of a global suffix array: every w-token window whose
+    * fingerprint occurs ≥ 2 times corpus-wide marks its span
+    * duplicated; per doc, the merged covered-token count is the
+    * "memorized text" budget a span-dedup pass would remove.
+    *
+    * Scale shape: the shuffle carries (gram-hash, doc, pos) — 8 bytes
+    * of xxhash64, never gram text. Occurrence counting is a hash agg
+    * with map-side combine; the duplicated-gram set joins back on the
+    * hash key (broadcast under AQE when the dup set is small — the
+    * common case on clean corpora). Span merging is a per-doc window
+    * (partitioned by doc id, no global sort). 64-bit fingerprints
+    * collide at ~4B distinct grams; at 100 TB, key on a second-seed
+    * xxhash64 pair for an effective 128-bit fingerprint. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      w: Int): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+    val grams = tk.select(col("doc_id"),
+      when(size(col("tk")) >= w,
+        transform(sequence(lit(1), size(col("tk")) - lit(w - 1)),
+          i => xxhash64(concat_ws(" ", slice(col("tk"), i, lit(w))))))
+        .otherwise(array().cast("array<long>")).as("gh"))
+    val wins = grams.select(col("doc_id"),
+      posexplode(col("gh")).as(Seq("pos", "g")))
+    val dup = wins.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
+      .select(col("g"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = wins.join(dup, "g")
+      .withColumn("prev_end", max(col("pos") + lit(w)).over(byDoc))
+      .withColumn("contrib", col("pos") + lit(w) -
+        greatest(col("pos"), coalesce(col("prev_end"), col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("n_dup_tokens"),
+        count(lit(1)).as("n_dup_windows"))
+    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   private val BitMasks: Seq[Long] = (0 until 64).map(1L << _)

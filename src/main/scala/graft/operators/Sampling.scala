@@ -38,6 +38,28 @@ object Sampling {
     df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
   }
 
+  /** Weighted k-sample per stratum without replacement — Efraimidis &
+    * Spirakis (IPL 2006): each row draws a deterministic uniform u from
+    * md5(key) and ranks by ln(u)/w descending (equivalent to u^(1/w) —
+    * heavier rows win more often, exactly proportionally). The content-
+    * stable weighted counterpart of `topKPerStratum`: same one shuffle
+    * on the stratum, per-group top-k rank, no global sort, reruns give
+    * the same sample. u = (h + 0.5) / 2^60 from a 60-bit md5 prefix —
+    * exact integer-to-double on any engine; only ln is transcendental,
+    * and it decides only the ORDER, never an emitted value. */
+  def weightedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    val h = conv(substring(md5(concat(lit("ws:"),
+      col(keyCol).cast("string"))), 1, 15), 16, 10).cast("double")
+    val esKey = log((h + lit(0.5)) /
+      lit(1152921504606846976L).cast("double")) /
+      col(weightCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(esKey.desc, col(keyCol).asc)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+
   /** Per-stratum deterministic rates: stratum -> 4-hex-digit threshold,
     * e.g. downsample an over-represented source while keeping all of a
     * rare one. Unlisted strata are dropped. */
