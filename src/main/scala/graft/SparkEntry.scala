@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, Vectors}
-import graft.operators.{Ann, AnnIvf, AnnLsh, AsOfJoin, Dedup, DedupCluster, Fingerprint, Multimodal, RangeJoin, Sampling, Sessionize, Tfidf, TopK}
+import graft.operators.{Ann, AnnIvf, AnnLsh, AnnPq, AsOfJoin, Dedup, DedupCluster, Fingerprint, Multimodal, RangeJoin, Sampling, Sessionize, Tfidf, TopK}
 import graft.sources.TimeWindow
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -300,6 +300,36 @@ object SparkEntry {
       |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id) AS rn
       |      FROM s)
       |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin
+
+  /** PQ-ADC replay: 8 × 8-dim subspaces, 16 stride-init codebook
+    * entries each, argmax-cosine codes (tie → low cid), per-query dot
+    * LUT, decimal-exact ADC sum — shared by q_ann_pq and the recall
+    * side of q_ann_recall_pq. */
+  private val AnnPqSql =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sub AS (SELECT id, unnest(range(0, 8)) AS m,
+      |    unnest(list_transform(range(0, 8), i -> v[i*8+1 : i*8+8])) AS s FROM e),
+      |st AS (SELECT GREATEST(COUNT(DISTINCT id) // 16, 1) AS stride FROM sub),
+      |cb AS (SELECT m, CAST(rn - 1 AS BIGINT) AS cid, s AS c FROM (
+      |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY id) AS rn
+      |    FROM sub WHERE id % (SELECT stride FROM st) = 0) WHERE rn <= 16),
+      |enc AS (SELECT id, m, cid AS code FROM (
+      |    SELECT sub.id, sub.m, cb.cid,
+      |      row_number() OVER (PARTITION BY sub.id, sub.m
+      |        ORDER BY list_cosine_similarity(sub.s, cb.c) DESC, cb.cid ASC) AS rn
+      |    FROM sub JOIN cb ON sub.m = cb.m) WHERE rn = 1),
+      |lut AS (SELECT q.id AS q_id, cb.m, cb.cid,
+      |    list_inner_product(q.s, cb.c) AS pdot
+      |  FROM sub q JOIN cb ON q.m = cb.m WHERE q.id < 5),
+      |sc AS (SELECT q_id, enc.id AS n_id,
+      |    CAST(SUM(CAST(pdot AS DECIMAL(28,12))) AS DOUBLE) AS score
+      |  FROM enc JOIN lut ON enc.m = lut.m AND enc.code = lut.cid
+      |  WHERE enc.id <> lut.q_id
+      |  GROUP BY q_id, enc.id)
+      |SELECT q_id, rn, n_id FROM (
+      |  SELECT q_id, n_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rn
+      |  FROM sc) WHERE rn <= 10""".stripMargin
 
   /** Chi-square contingency cells, shared verbatim: integer observed
     * counts, marginals as window sums over the cell table, expected /
@@ -815,6 +845,44 @@ object SparkEntry {
       AnnIvf.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
         nlist = 16, nprobe = 4, iters = 0)
         .select("q_id", "rn", "n_id")
+    }),
+
+    // #181: product-quantization ANN (8×8-dim subspaces, 16-entry
+    // stride-init codebooks): maximum-inner-product search where the
+    // corpus is touched only as (id, subspace, code) bytes and scoring
+    // is a broadcast LUT join + decimal-exact ADC sum — the memory-
+    // side 100 TB scale path complementing IVF's compute-side pruning
+    "q_ann_pq" -> ((s, dir) => {
+      val e = tp(s, dir, "embeddings")
+      AnnPq.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+    }),
+
+    // #181b: recall@10 of the PQ index vs brute force — the
+    // q_ann_recall acceptance metric for the quantized index
+    "q_ann_recall_pq" -> ((s, dir) => {
+      val e = tp(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+        .select(col("q_id"), col("n_id"))
+      val pq = AnnPq.annTopK(e, q, "vec_id", "embedding", 10)
+        .select(col("q_id").as("pq"), col("n_id").as("pn"))
+      bf.join(pq, bf("q_id") === col("pq") && bf("n_id") === col("pn"), "left")
+        .groupBy(col("q_id")).agg(count(col("pn")).as("n_hit"))
+    }),
+
+    // #180: distributed spherical k-means over embeddings (stride
+    // init, ONE oracle-exact Lloyd pass — decimal(28,12) per-dim sums
+    // make the float averaging order-independent and replayable in
+    // SQL, unlike plain avg). Output: per-cluster size + vec_id
+    // checksum — integers, the strongest schema-stable cluster
+    // assignment witness. The multi-iteration double-avg path stays
+    // covered by AnnIvf ScalaTest recall assertions.
+    "q_kmeans" -> ((s, dir) => {
+      val e = tp(s, dir, "embeddings")
+      val centroids = AnnIvf.fitExact(e, "vec_id", "embedding", 8, 1)
+      AnnIvf.assign(e, centroids, "vec_id", "embedding")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_checksum"))
     }),
 
     // #42: winnowing fingerprints, md5-prefix k-gram hash so the oracle
@@ -3373,6 +3441,43 @@ object SparkEntry {
         |WHERE list_cosine_similarity(ea.ve, eb.ve) >= 0.4""".stripMargin,
 
     "q_ann_lsh" -> AnnLshSql,
+
+    "q_ann_pq" -> AnnPqSql,
+
+    // recall@10 of the PQ index vs the brute-force ground truth
+    "q_ann_recall_pq" ->
+      s"""WITH bf AS ($AnnBruteSql),
+        |pq AS ($AnnPqSql)
+        |SELECT bf.q_id, count(pq.n_id) AS n_hit
+        |FROM bf LEFT JOIN pq ON bf.q_id = pq.q_id AND bf.n_id = pq.n_id
+        |GROUP BY bf.q_id""".stripMargin,
+
+    // spherical k-means replay: stride init (row_number over vec_id %
+    // stride), argmax-cosine assignment (tie → low cid), decimal-exact
+    // per-dim mean, reassign, aggregate
+    "q_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |st AS (SELECT GREATEST(COUNT(*) // 8, 1) AS stride FROM e),
+        |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, ve AS c
+        |  FROM e WHERE vec_id % (SELECT stride FROM st) = 0
+        |  ORDER BY vec_id LIMIT 8),
+        |a1 AS (SELECT vec_id, ve, cid FROM (
+        |    SELECT e.vec_id, e.ve, init.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.ve, init.c) DESC, init.cid ASC) AS rn
+        |    FROM e, init) WHERE rn = 1),
+        |ex AS (SELECT cid, unnest(ve) AS v, unnest(range(1, len(ve) + 1)) AS pos FROM a1),
+        |upd AS (SELECT cid, pos,
+        |    CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM ex GROUP BY cid, pos),
+        |c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM upd GROUP BY cid),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c1.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.ve, c1.c) DESC, c1.cid ASC) AS rn
+        |    FROM e, c1) WHERE rn = 1)
+        |SELECT cid, COUNT(*) AS n_members, SUM(vec_id) AS id_checksum
+        |FROM a2 GROUP BY cid""".stripMargin,
 
     // IVF replayed: stride-init centroids (no Lloyd refinement → no
     // float averaging), argmax-cosine assignment, top-4 probed cells,

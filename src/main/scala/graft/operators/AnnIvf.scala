@@ -55,6 +55,24 @@ object AnnIvf {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s.getField("m")).as("centroid"))
 
+  /** Lloyd update with ORACLE-EXACT arithmetic: per-dim decimal(28,12)
+    * sums (order-independent, exact on any engine) cast to double, then
+    * one IEEE double division by the member count. The mean is
+    * quantized at 1e-12 — immaterial for clustering — and in exchange
+    * the whole Lloyd pass reproduces bit-for-bit in external SQL,
+    * which `recenter`'s double `avg` (accumulation-order-dependent)
+    * cannot. Same scale shape: posexplode + hash agg + regroup. */
+  private def recenterExact(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("vec").cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
   /** Materialize a centroid DataFrame to a driver-local copy. The
     * centroid table is nlist × dim doubles (broadcast-sized by
     * construction) — landing it on the driver between Lloyd passes is
@@ -77,6 +95,18 @@ object AnnIvf {
     for (_ <- 0 until iters)
       centroids = localized(df.sparkSession,
         recenter(assign(df, centroids, idCol, vecCol)))
+    centroids
+  }
+
+  /** `fit` with the oracle-exact Lloyd update: identical distributed
+    * shape (scan + shuffle per pass, localized centroids), results
+    * reproducible in external SQL. The path `q_kmeans` runs. */
+  def fitExact(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
+               iters: Int): DataFrame = {
+    var centroids = localized(df.sparkSession, initCentroids(df, idCol, vecCol, nlist))
+    for (_ <- 0 until iters)
+      centroids = localized(df.sparkSession,
+        recenterExact(assign(df, centroids, idCol, vecCol)))
     centroids
   }
 

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Product-quantization ANN (Jégou et al., TPAMI'11) for maximum-
+  * inner-product search — the memory-side scale path that pairs with
+  * IVF's compute-side pruning at 100 TB: each vector is stored as m
+  * subspace codes (m bytes at ksub ≤ 256) instead of dim floats, and
+  * query scoring touches only a per-query lookup table.
+  *
+  * The inner product DECOMPOSES EXACTLY over subspaces:
+  * dot(q, x̂) = Σ_m dot(q_m, c_m[code_m(x)]) — so ADC (asymmetric
+  * distance computation) is one tiny LUT join + a grouped sum, no
+  * vector math against the corpus at query time.
+  *
+  * Scale shape: codebooks are m × ksub sub-vectors — always broadcast.
+  * Encoding is a per-row map against the broadcast codebooks (argmax
+  * cosine per subspace, tie → low cid — same deterministic quantizer
+  * convention as AnnIvf.assign). The ADC join keys on (m, code) against
+  * a queries × m × ksub LUT (broadcast), and the per-(query, vector)
+  * score is a decimal(28,12)-exact sum of m partial dots —
+  * order-independent, hence reproducible in external SQL. At 100 TB
+  * the encoded table (id, m, code) is what you persist; raw vectors
+  * are only read at codebook-fit and encode time.
+  */
+object AnnPq {
+
+  /** (id, m, sub): the corpus split into m contiguous subspaces of
+    * subDim dims each (dim must equal m × subDim). */
+  private def subspaces(df: DataFrame, idCol: String, vecCol: String,
+                        m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col("v"), i * subDim + 1, lit(subDim)))).as(Seq("m", "sub")))
+
+  /** (m, cid, centroid): ksub stride-init centroids per subspace —
+    * deterministic by id order, no float training (the Lloyd-refined
+    * variant would plug in AnnIvf.fitExact per subspace). */
+  def fitCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                   m: Int, subDim: Int, ksub: Int): DataFrame = {
+    val n = df.count()
+    val stride = math.max(n / ksub, 1L)
+    val w = Window.partitionBy(col("m")).orderBy(col("id"))
+    subspaces(df, idCol, vecCol, m, subDim)
+      .filter(pmod(col("id"), lit(stride)) === 0)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= ksub)
+      .select(col("m"), (col("rn") - 1).cast("long").as("cid"),
+        col("sub").as("centroid"))
+  }
+
+  /** Lloyd-refine the codebooks: re-center each (subspace, code) cell
+    * on the decimal(28,12)-exact mean of its members (the same
+    * order-independent averaging as AnnIvf.recenterExact, keyed by
+    * subspace too). One scan + one shuffle per pass; codebooks stay
+    * broadcast-sized. Covered by AnnSpec recall assertions; `q_ann_pq`
+    * oracles the untrained stride-init path. */
+  def trainCodebooks(df: DataFrame, codebooks: DataFrame, idCol: String,
+                     vecCol: String, m: Int, subDim: Int,
+                     iters: Int): DataFrame = {
+    val subs = subspaces(df, idCol, vecCol, m, subDim)
+    var cb = codebooks
+    for (_ <- 0 until iters)
+      cb = encode(df, cb, idCol, vecCol, m, subDim)
+        .join(subs, Seq("id", "m"))
+        .select(col("m"), col("code").as("cid"),
+          posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("mv"))
+        .groupBy(col("m"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv")).as("centroid"))
+    cb
+  }
+
+  /** (id, m, code): per-subspace quantization codes. */
+  def encode(df: DataFrame, codebooks: DataFrame, idCol: String,
+             vecCol: String, m: Int, subDim: Int): DataFrame =
+    subspaces(df, idCol, vecCol, m, subDim)
+      .join(broadcast(codebooks), "m")
+      .select(col("id"), col("m"), col("cid"),
+        Vectors.cosine(col("sub"), col("centroid")).as("sim"))
+      .groupBy(col("id"), col("m"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("code"))
+
+  /** Top-k by ADC inner-product score: LUT = dot(q_m, centroid) per
+    * (query, subspace, cid); score = exact decimal sum of the m code
+    * lookups. Returns (q_id, rn, n_id). */
+  def annTopK(df: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, m: Int = 8, subDim: Int = 8,
+              ksub: Int = 16, iters: Int = 0): DataFrame = {
+    val codebooks = trainCodebooks(df,
+      fitCodebooks(df, idCol, vecCol, m, subDim, ksub),
+      idCol, vecCol, m, subDim, iters)
+    val enc = encode(df, codebooks, idCol, vecCol, m, subDim)
+    val lut = subspaces(queries, idCol, vecCol, m, subDim)
+      .withColumnRenamed("id", "q_id").withColumnRenamed("sub", "qs")
+      .join(broadcast(codebooks), "m")
+      .select(col("q_id"), col("m"), col("cid"),
+        Vectors.dot(col("qs"), col("centroid")).as("pdot"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    enc.join(broadcast(lut),
+        enc("m") === lut("m") && enc("code") === lut("cid"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("pdot").cast("decimal(28,12)")).cast("double").as("score"))
+      .select(col("q_id"), col("id").as("n_id"), col("score"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("n_id"))
+  }
+}

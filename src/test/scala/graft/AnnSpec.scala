@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AnnIvf, AnnLsh}
+import graft.operators.{Ann, AnnIvf, AnnLsh, AnnPq}
 
 class AnnSpec extends SparkSpec {
 
@@ -40,6 +40,30 @@ class AnnSpec extends SparkSpec {
     val r = recall(neighborSets(
       AnnIvf.annTopK(emb, queries, "vec_id", "embedding", 10, nlist = 16, nprobe = 8)))
     assert(r > 0.5, s"IVF recall $r")
+  }
+
+  test("PQ ANN returns k ranked neighbors and codes stay in range") {
+    val res = AnnPq.annTopK(emb, queries, "vec_id", "embedding", 10)
+    val sets = neighborSets(res)
+    assert(sets.size === 5)
+    assert(sets.values.forall(_.size == 10))
+    val codes = AnnPq.encode(emb,
+      AnnPq.fitCodebooks(emb, "vec_id", "embedding", 8, 8, 16),
+      "vec_id", "embedding", 8, 8)
+    assert(codes.count() === emb.count() * 8)
+    assert(codes.agg(max(col("code"))).head().getLong(0) < 16)
+    assert(codes.agg(min(col("code"))).head().getLong(0) >= 0)
+  }
+
+  test("Lloyd-trained PQ codebooks do not lose recall vs stride init") {
+    val untrained = recall(neighborSets(
+      AnnPq.annTopK(emb, queries, "vec_id", "embedding", 10)))
+    val trained = recall(neighborSets(
+      AnnPq.annTopK(emb, queries, "vec_id", "embedding", 10, iters = 2)))
+    // quantized scoring is approximate by design; training the
+    // codebooks must help (or at worst tie) and clear a sanity floor
+    assert(trained >= untrained - 0.02, s"trained $trained vs $untrained")
+    assert(trained > 0.2, s"trained PQ recall $trained")
   }
 
   test("IVF assigns every vector to exactly one cell") {
