@@ -331,6 +331,45 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rn
       |  FROM sc) WHERE rn <= 10""".stripMargin
 
+  /** BPE-encode replay: the same fixed 8-merge model as q_bpe_encode,
+    * each merge one chained CTE stage; the leftmost-non-overlapping
+    * fold runs as list_reduce with a space-joined string accumulator
+    * (symbols never contain spaces; the end-of-word marker is
+    * chr(57344) = Bpe.Marker). Suffix checks use substr, not LIKE, so
+    * merge symbols need no wildcard escaping. */
+  private val BpeEncodeSql: String = {
+    val fold =
+      """list_reduce(string_split(s, ' '), (acc, x) -> CASE
+        |      WHEN x = m.r AND (acc = m.l OR (len(acc) > len(m.l)
+        |        AND substr(acc, len(acc) - len(m.l) + 1) = m.l
+        |        AND substr(acc, len(acc) - len(m.l), 1) = ' '))
+        |      THEN CASE WHEN acc = m.l THEN m.l || m.r
+        |           ELSE left(acc, len(acc) - len(m.l) - 1) || ' ' || m.l || m.r END
+        |      ELSE acc || ' ' || x END)""".stripMargin
+    val stages = (1 to 8).map { i =>
+      s"""s$i AS (SELECT source, $fold AS s
+         |  FROM s${i - 1}, m WHERE m.rank = $i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (SELECT * FROM (VALUES
+      |    (1, 't', 'a'), (2, 'ta', 'b'), (3, 'tab', 'l'), (4, 'tabl', 'e'),
+      |    (5, 'e', chr(57344)), (6, 'k', 'e'), (7, 'ke', 'y'), (8, 's', 'p')
+      |  ) AS m(rank, l, r)),
+      |w AS (SELECT source,
+      |    unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS wd
+      |  FROM documents),
+      |s0 AS (SELECT source,
+      |    array_to_string(list_concat(
+      |      list_filter(string_split(replace(wd, chr(57344), ''), ''), c -> c <> ''),
+      |      [chr(57344)]), ' ') AS s
+      |  FROM w),
+      |$stages
+      |SELECT source, COUNT(*) AS n_words,
+      |  SUM(len(string_split(s, ' '))) AS n_pieces,
+      |  round(CAST(SUM(len(string_split(s, ' '))) AS DOUBLE) /
+      |    CAST(COUNT(*) AS DOUBLE), 9) AS fertility
+      |FROM s8 GROUP BY source""".stripMargin
+  }
+
   /** Chi-square contingency cells, shared verbatim: integer observed
     * counts, marginals as window sums over the cell table, expected /
     * contribution as shared double expressions rounded to 9 (the
@@ -1606,6 +1645,28 @@ object SparkEntry {
     // lexicographic tie-break — byte-identical merge table every run.
     "q_bpe_merges" -> ((s, dir) =>
       operators.Bpe.learnMerges(tp(s, dir, "documents"), "text", 8)),
+
+    // #182: BPE ENCODE — the inference half of the tokenizer
+    // (Bpe.segment): replay a fixed 8-merge model (models ship as
+    // artifacts; the learning side is oracle-checked by q_bpe_merges)
+    // over every corpus word, leftmost-non-overlapping fold per word.
+    // Broadcast-side model, pure per-row projection, no shuffle until
+    // the final per-source agg. Output = the tokenizer's fertility.
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges = Seq("t" -> "a", "ta" -> "b", "tab" -> "l",
+        "tabl" -> "e", "e" -> operators.Bpe.Marker, "k" -> "e",
+        "ke" -> "y", "s" -> "p")
+      val words = tp(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("w"))
+      operators.Bpe.segment(words, "w", merges)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("pieces")).cast("long")).as("n_pieces"))
+        .select(col("source"), col("n_words"), col("n_pieces"),
+          round(col("n_pieces").cast("double") /
+            col("n_words").cast("double"), 9).as("fertility"))
+    }),
 
     // #118: inverted index build (term → df + sorted posting list) —
     // the lexical-search complement of the ANN family; one tokenize
@@ -3443,6 +3504,8 @@ object SparkEntry {
     "q_ann_lsh" -> AnnLshSql,
 
     "q_ann_pq" -> AnnPqSql,
+
+    "q_bpe_encode" -> BpeEncodeSql,
 
     // recall@10 of the PQ index vs the brute-force ground truth
     "q_ann_recall_pq" ->
