@@ -1909,6 +1909,24 @@ object SparkEntry {
       operators.PageRank.ranks(edges, 3)
     }),
 
+    // #183: hop-bounded BFS from a seed term over the token-bigram
+    // graph — frontier expansion (join + anti-join per hop, node-sized
+    // tables only), the reachability / link-distance primitive next to
+    // PageRank; oracle replays it as a depth-bounded recursive CTE
+    "q_bfs" -> ((s, dir) => {
+      val tk = tp(s, dir, "documents")
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val edges = tk.select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .filter(col("src") =!= col("dst"))
+      val seeds = s.range(1).select(lit("spark").as("node"))
+      operators.Graph.bfs(edges, seeds, 3)
+    }),
+
     // #128: out-degree histogram of the token-bigram graph (the graph-
     // shape diagnostic next to PageRank: how link-y is the corpus) —
     // distinct edges, per-src count, then a histogram on the vocab-
@@ -4507,6 +4525,21 @@ object SparkEntry {
         |  FROM bgp WHERE string_split(p, ' ')[1] <> string_split(p, ' ')[2]),
         |od AS (SELECT src, count(*) AS od FROM bg GROUP BY src)
         |SELECT od AS degree, count(*) AS n_nodes FROM od GROUP BY degree""".stripMargin,
+
+    "q_bfs" ->
+      """WITH RECURSIVE t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |bgp AS (SELECT DISTINCT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS p
+        |  FROM t WHERE len(tk) >= 2),
+        |bg AS (SELECT string_split(p, ' ')[1] AS src, string_split(p, ' ')[2] AS dst
+        |  FROM bgp WHERE string_split(p, ' ')[1] <> string_split(p, ' ')[2]),
+        |walk(node, dist) AS (
+        |  SELECT 'spark' AS node, 0 AS dist
+        |  UNION
+        |  SELECT bg.dst, walk.dist + 1 FROM walk JOIN bg ON bg.src = walk.node
+        |  WHERE walk.dist < 3)
+        |SELECT node, MIN(dist) AS dist FROM walk GROUP BY node""".stripMargin,
 
     "q_ttr" ->
       """WITH ex AS (SELECT doc_id,

@@ -2,9 +2,44 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.PageRank
+import graft.operators.{Graph, PageRank}
 
 class PageRankSpec extends SparkSpec {
+
+  private def bfsOf(edges: Seq[(String, String)], seeds: Seq[String],
+                    maxHops: Int): Map[String, Int] = {
+    import SparkSpec.spark.implicits._
+    Graph.bfs(edges.toDF("src", "dst"), seeds.toDF("node"), maxHops)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+  }
+
+  test("BFS labels min hop distance and stops at the bound") {
+    val chain = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "b" -> "d") // shortcut: d reachable at 2, not 3
+    val d = bfsOf(chain, Seq("a"), 3)
+    assert(d === Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 2, "e" -> 3))
+    val bounded = bfsOf(chain, Seq("a"), 1)
+    assert(bounded === Map("a" -> 0, "b" -> 1))
+  }
+
+  test("BFS early-exits on exhausted frontier and handles multi-seeds") {
+    // two components; seeds in both; 10 hops >> diameter
+    val e = Seq("a" -> "b", "x" -> "y")
+    val d = bfsOf(e, Seq("a", "x"), 10)
+    assert(d === Map("a" -> 0, "x" -> 0, "b" -> 1, "y" -> 1))
+    // isolated seed: just itself at 0
+    assert(bfsOf(e, Seq("zz"), 5) === Map("zz" -> 0))
+  }
+
+  test("BFS leaves no pinned checkpoint blocks behind except the result") {
+    import SparkSpec.spark.implicits._
+    val res = Graph.bfs(Seq("a" -> "b", "b" -> "c").toDF("src", "dst"),
+      Seq("a").toDF("node"), 4)
+    res.count()
+    val sc = SparkSpec.spark.sparkContext
+    // result's own checkpoint may be cached; nothing else should be
+    assert(sc.getPersistentRDDs.size <= 1)
+  }
 
   private def ranksOf(edges: Seq[(String, String)],
                       iters: Int = 3): Map[String, Double] = {
