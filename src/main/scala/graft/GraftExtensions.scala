@@ -12,5 +12,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.GroupTopK.Strategy)
     ext.injectOptimizerRule(_ => graft.plans.JaccardLengthFilter)
+    ext.injectOptimizerRule(_ => graft.plans.SummaryRewrite)
   }
 }
