@@ -309,4 +309,38 @@ class PlanSpec extends SparkSpec {
     // join matches on (tbl, key)
     assert(p.contains("graft_simhash_block_keys"), p)
   }
+
+  test("q_scd2: both windows ride one exchange and one sort") {
+    val p = plan("q_scd2")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected 1 exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) === 2, p)
+  }
+
+  test("q_substring_dedup: gram shuffle carries hashes, not gram text") {
+    val p = plan("q_substring_dedup")
+    // occurrence count aggregates on the xxhash64 key with map-side
+    // partial_count; no cartesian anywhere; span-merge window is
+    // partitioned (per-doc), not global
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q_ann_pq: corpus-side scoring is codes + LUT, vectors broadcast only") {
+    val p = plan("q_ann_pq")
+    // the ADC join must be hash joins against broadcast codebook/LUT,
+    // and the final ranking must group-limit, not globally sort
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_kmeans: centroids broadcast; Lloyd update partially aggregates") {
+    val p = plan("q_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_max_by"), p)
+  }
 }
