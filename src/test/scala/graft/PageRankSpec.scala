@@ -33,12 +33,15 @@ class PageRankSpec extends SparkSpec {
 
   test("BFS leaves no pinned checkpoint blocks behind except the result") {
     import SparkSpec.spark.implicits._
+    val sc = SparkSpec.spark.sparkContext
+    // delta-based: other suites share this session and may hold caches
+    val before = sc.getPersistentRDDs.keySet
     val res = Graph.bfs(Seq("a" -> "b", "b" -> "c").toDF("src", "dst"),
       Seq("a").toDF("node"), 4)
     res.count()
-    val sc = SparkSpec.spark.sparkContext
-    // result's own checkpoint may be cached; nothing else should be
-    assert(sc.getPersistentRDDs.size <= 1)
+    val added = sc.getPersistentRDDs.keySet -- before
+    // result's own checkpoint may remain cached; nothing else should
+    assert(added.size <= 1, s"leaked RDDs: $added")
   }
 
   private def ranksOf(edges: Seq[(String, String)],
