@@ -224,6 +224,58 @@ class StreamingSpec extends SparkSpec {
       orders.agg(sum(col("o_orderkey"))).head().getLong(0))
   }
 
+  test("streaming-maintained summary serves batch queries via SummaryRewrite") {
+    // the lambda loop closed end-to-end: the SPEED LAYER maintains a
+    // rollup (complete-mode agg, overwritten per batch — textbook
+    // streaming MV maintenance), and the OPTIMIZER then routes batch
+    // queries over the fact table onto that rollup via SummaryRewrite —
+    // the query text never changes, and the fact is never re-scanned.
+    val dir = tmpDir("mvstream")
+    val base = table("events")
+    base.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(base.schema).parquet(s"$dir/in")
+      .groupBy(col("event_type"))
+      .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("cnt"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/summary")
+      }
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.awaitTermination()
+
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ graft.plans.SummaryRewrite
+    try {
+      val fact = spark.read.parquet(s"$dir/in")
+      graft.plans.SummaryRewrite.register(fact,
+        spark.read.parquet(s"$dir/summary"), dims = Seq("event_type"),
+        sums = Map("value" -> "sum_value"), cnt = Some("cnt"))
+      val query = fact.groupBy(col("event_type"))
+        .agg(sum(col("value")).as("v"), count(lit(1)).as("n"))
+      val redirected = query.queryExecution.optimizedPlan.collectLeaves().exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.exists(_.toString.contains("summary"))
+            case _ => false
+          }
+        case _ => false
+      }
+      assert(redirected, query.queryExecution.optimizedPlan.toString)
+      val got = query.collect().map(r =>
+        (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSet
+      val want = base.groupBy(col("event_type"))
+        .agg(sum(col("value")).as("v"), count(lit(1)).as("n"))
+        .collect().map(r =>
+          (r.getString(0), math.round(r.getDouble(1) * 100), r.getLong(2))).toSet
+      assert(got === want)
+    } finally {
+      spark.experimental.extraOptimizations = saved
+      graft.plans.SummaryRewrite.clear()
+    }
+  }
+
   test("observe surfaces per-batch gate metrics in streaming progress") {
     val in = MemoryStream[String]
     val (instrumented, _) = graft.operators.PipelineMetrics.gatePanel(
