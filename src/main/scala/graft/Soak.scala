@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIvf, AnnLsh, Dedup}
+import graft.operators.{AnnIvf, AnnLsh, AnnPq, Dedup}
 
 /** Scale soak: the dedup / ANN / join family timed at 1× and R× (default
   * 10×) the input, with the R× copy built by in-memory replication of
@@ -106,6 +106,10 @@ object Soak {
       "dedup_minhash" -> ((n: Int) => Dedup.minHashNearDups(docs(n), "doc_id", "text")),
       "dedup_simhash" -> ((n: Int) =>
         Dedup.simHashNearDupsMd5(docs(n), "doc_id", "text", 7).select("i", "j")),
+      // per-replica token suffixes ⇒ no cross-replica grams: the dup-gram
+      // set and span-merge work must grow ~linearly
+      "substring_dedup" -> ((n: Int) =>
+        Dedup.duplicatedSpans(docs(n), "doc_id", "text", 10)),
       "ann_lsh" -> ((n: Int) => {
         val e = embs(n)
         AnnLsh.annTopKExact(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
@@ -114,6 +118,12 @@ object Soak {
         val e = embs(n)
         AnnIvf.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10,
           nlist = 16, nprobe = 4, iters = 0)
+      }),
+      // replicated embeddings = 10× codebook-cell occupancy: the ADC
+      // LUT join fan-out is the stress, codebooks stay broadcast-sized
+      "ann_pq" -> ((n: Int) => {
+        val e = embs(n)
+        AnnPq.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
       }),
       "join_agg" -> ((n: Int) => joinAgg(n)))
 

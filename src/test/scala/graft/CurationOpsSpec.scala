@@ -87,6 +87,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(rate > 0.02 && rate < 0.30, s"rate $rate")  // nominal ~10%, n=50
   }
 
+  test("weighted sample: k per stratum, deterministic, weight-proportional") {
+    import SparkSpec.spark.implicits._
+    val docs = table("documents")
+    val a = Sampling.weightedSample(docs, "doc_id", "source", "n_chars", 5)
+      .select("source", "rnk", "doc_id").collect().map(_.toString).sorted
+    val b = Sampling.weightedSample(docs, "doc_id", "source", "n_chars", 5)
+      .select("source", "rnk", "doc_id").collect().map(_.toString).sorted
+    assert(a === b, "content-stable: identical sample on rerun")
+    val perStratum = Sampling.weightedSample(docs, "doc_id", "source", "n_chars", 5)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(perStratum.forall(_ == 5))
+    // proportionality: one heavy row among many light ones should be
+    // sampled with probability ≈ its weight share; with weight 10^6 vs
+    // 99 × weight-1 rows the heavy key must make the top-1 cut
+    val skew = ((1 to 99).map(i => (i.toLong, "s", 1L)) :+ (100L, "s", 1000000L))
+      .toDF("id", "st", "w")
+    val top = Sampling.weightedSample(skew, "id", "st", "w", 1)
+      .select("id").head().getLong(0)
+    assert(top === 100L, s"heavy row lost the weighted draw: $top")
+  }
+
   test("incremental near-dups = batch pairs with the redundant doc in the incoming batch") {
     import org.apache.spark.sql.functions.col
     val docs = table("documents")

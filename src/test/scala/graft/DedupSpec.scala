@@ -39,6 +39,34 @@ class DedupSpec extends SparkSpec {
     assert(ham(285L, 301L) < unrelated.min)
   }
 
+  test("duplicated spans: coverage invariants, full-dup and no-dup extremes") {
+    import SparkSpec.spark.implicits._
+    val w = 3
+    val dup = "a b c d e f"              // 6 tokens, ≥ w, duplicated
+    val uniq1 = "p q r s t u"            // unique grams
+    val uniq2 = "v w1 x y z zz"
+    val short = "s1 s2"                  // < w tokens: no windows
+    val df = Seq((1L, dup), (2L, dup), (3L, uniq1), (4L, uniq2), (5L, short))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(df, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // exact duplicates: every token covered, all windows duplicated
+    assert(out(1L) === ((6L, 6L, 4L)) && out(2L) === ((6L, 6L, 4L)))
+    // unique docs and sub-window docs: zero coverage, still present
+    assert(out(3L) === ((6L, 0L, 0L)))
+    assert(out(4L) === ((6L, 0L, 0L)))
+    assert(out(5L) === ((2L, 0L, 0L)))
+    // invariant on the real corpus: 0 ≤ n_dup_tokens ≤ n_tokens, and
+    // coverage is nonzero exactly when some window is duplicated
+    val corpus = Dedup.duplicatedSpans(docs, "doc_id", "text", 10).collect()
+    assert(corpus.forall { r =>
+      val (n, d, wn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      d >= 0 && d <= n && ((d > 0) == (wn > 0))
+    })
+    assert(corpus.exists(_.getLong(2) > 0), "planted near-dups should share spans")
+  }
+
   test("pigeonhole candidate join finds every pair within the radius") {
     // ground truth: all-pairs hamming over collected signatures
     val sigs = Dedup.simHashDf(docs, "doc_id", "text")
