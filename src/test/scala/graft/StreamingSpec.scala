@@ -224,6 +224,28 @@ class StreamingSpec extends SparkSpec {
       orders.agg(sum(col("o_orderkey"))).head().getLong(0))
   }
 
+  test("streaming vector ingest PQ-encodes against broadcast codebooks") {
+    // the ANN ingest path at 100 TB: codebooks are fit offline (batch),
+    // broadcast into the stream, and arriving vectors leave as
+    // (id, m, code) bytes — the encode is stream-static, stateless
+    // except the tiny per-(id, m) argmax aggregation
+    val dir = tmpDir("pqstream")
+    val emb = table("embeddings")
+    emb.write.mode("overwrite").parquet(s"$dir/in")
+    val cb = graft.operators.AnnPq.fitCodebooks(emb, "vec_id", "embedding", 8, 8, 16)
+    val stream = spark.readStream.schema(emb.schema).parquet(s"$dir/in")
+    val codes = graft.operators.AnnPq.encode(stream, cb, "vec_id", "embedding", 8, 8)
+    val q = codes.writeStream.format("memory").queryName("pq_codes")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("pq_codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = graft.operators.AnnPq.encode(emb, cb, "vec_id", "embedding", 8, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(streamed.size === emb.count() * 8)
+  }
+
   test("streaming-maintained summary serves batch queries via SummaryRewrite") {
     // the lambda loop closed end-to-end: the SPEED LAYER maintains a
     // rollup (complete-mode agg, overwritten per batch — textbook
