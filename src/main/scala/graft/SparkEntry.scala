@@ -2918,6 +2918,230 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
     }),
 
+    // #184: TPC-H Q4 shape (order priority checking; adapted: the
+    // testdata carries no commit/receipt dates, so "late" =
+    // shipped-after-order-date). EXISTS compiles to a LEFT SEMI join
+    // whose non-equi lateness condition rides the o_orderkey equi-key:
+    // the probe never materializes multi-matches and only the
+    // quarter's orders shuffle; the rollup is a 5-group agg.
+    "q_tpch_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // #185: TPC-H Q7 shape (volume shipping between two nations): the
+    // nation-pair predicate is pre-joined into each dim (supplier and
+    // customer carry their nation NAME before touching a fact), so the
+    // two broadcast hash joins drop every non-qualifying fact row at
+    // probe time; only lineitem⋈orders shuffles, on l_orderkey.
+    "q_tpch_q7" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val sn = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cn = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // #186: TPC-H Q12 shape (shipping-mode priority split; adapted:
+    // no l_shipmode column, so the split keys on l_returnflag and
+    // "late" = shipped-after-order-date). One fact⋈fact equi-join on
+    // orderkey with the lateness condition attached, then a 3-group
+    // conditional aggregation — the CASE arms are codegen'd count_ifs,
+    // no second pass.
+    "q_tpch_q12" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("l_returnflag"))
+        .agg(count_if(high).as("high_line_count"),
+          count_if(!high).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // #187: TPC-H Q13 shape (customer order-count distribution): LEFT
+    // join keeps the zero-order customers (the point of Q13), the
+    // order-side predicate rides the join condition so it never turns
+    // the left join inner, and the double rollup shuffles once on
+    // custkey and once on the ~20-value count domain.
+    "q_tpch_q13" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"))
+      c.join(o, col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "5-LOW", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // #188: TPC-H Q15 shape (top supplier): the quarter's per-supplier
+    // revenue rolls up once (map-side partials before the suppkey
+    // exchange); the scalar max broadcasts back over the one-row cross
+    // join, and equality on it is exact because both sides derive the
+    // identical decimal-sum→round→double value. No window, no second
+    // scan of lineitem.
+    "q_tpch_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount"))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // #189: TPC-H Q17 shape (small-quantity-order revenue): the
+    // correlated per-part AVG subquery becomes one aggregate over the
+    // brand's lineitems (semi-joined first, so the avg pass scans only
+    // the brand's rows) broadcast back onto the same rows. The mean is
+    // decimal-sum→double÷count and the final ÷7.0 is a single IEEE op
+    // shared verbatim with the oracle — bit-identical, no rounding.
+    "q_tpch_q17" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#3")
+        .select(col("p_partkey"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val brand = l.join(broadcast(p), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      val avgq = brand.groupBy(col("l_partkey").as("ap"))
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"))
+      brand.join(broadcast(avgq), col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+          lit(7.0)).as("avg_yearly"))
+    }),
+
+    // #190: TPC-H Q19 shape (disjunctive predicate join): the brand
+    // disjunction's common p_partkey equi-key carries the broadcast
+    // hash join; the part side is pre-filtered to the three brands (the
+    // only pushdown valid for an OR-of-ANDs spanning both sides), and
+    // the full disjunction evaluates post-probe inside codegen.
+    "q_tpch_q19" -> ((s, dir) => {
+      def arm(b: String, smax: Int, qlo: Int, qhi: Int) =
+        col("p_brand") === b && col("p_size").between(1, smax) &&
+          col("l_quantity").between(qlo, qhi)
+      val p = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(arm("Brand#12", 15, 1, 11) || arm("Brand#23", 25, 10, 20) ||
+          arm("Brand#34", 35, 20, 30))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    }),
+
+    // #191: TPC-H Q21 shape (suppliers who kept orders waiting;
+    // adapted lateness = shipped >90 days after order date). The
+    // EXISTS / NOT-EXISTS pair over same-order other-supplier lines is
+    // reformulated as one per-order aggregate — n_supp distinct
+    // suppliers, n_late distinct LATE suppliers — joined back on the
+    // orderkey the rows already shuffle on: exists(other supplier) ⇔
+    // n_supp ≥ 2, not-exists(other LATE supplier) ⇔ n_late = 1. Two
+    // orderkey exchanges replace the classic double self-join of
+    // lineitem; the oracle runs the literal EXISTS form to prove the
+    // rewrite. Supplier names and the nation filter ride a broadcast.
+    "q_tpch_q21" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val f = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("late"))
+      val perO = f.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      val su = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name").isin("NATION_1", "NATION_3", "NATION_5",
+            "NATION_7", "NATION_9", "NATION_11", "NATION_13", "NATION_15"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      f.filter(col("late"))
+        .join(perO, col("l_orderkey") === col("ok"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    }),
+
+    // #192: TPC-H Q22 shape (global sales opportunity; adapted:
+    // cntrycode = custkey mod 7 — the schema has no phone column — and
+    // "no orders" = no orders since 1999). Scalar AVG broadcasts over
+    // a one-row cross join; the dormancy check is a LEFT ANTI join
+    // against the recent-orders keys, pruned by the date filter before
+    // its exchange; the mean shares the decimal-sum÷count tree with
+    // the oracle, the total is decimal-rounded.
+    "q_tpch_q22" -> ((s, dir) => {
+      val cc = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          (col("c_custkey") % 7).as("cntrycode"))
+        .filter(col("cntrycode").isin(0, 1, 2, 3, 4))
+      val ab = cc.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avgbal"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cc.crossJoin(broadcast(ab))
+        .filter(col("c_acctbal") > col("avgbal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    }),
+
     // #165: Bloom-pruned join as an oracle query (§2.6 row 69 upgraded
     // from spec-only): high-value customers' order revenue — the fact
     // side is bloom-filtered on the computed dim's keys BEFORE its
@@ -4641,6 +4865,117 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // canonical correlated-EXISTS form — proves the semi-join rewrite
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(YEAR(l_shipdate) AS INT) AS l_year, $RevenueSql AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > o_orderdate
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q15" ->
+      s"""WITH rev AS (SELECT l_suppkey AS supplier_no, $RevenueSql AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // canonical correlated-scalar-subquery form of the per-part mean
+    "q_tpch_q17" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < (
+        |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |                  / COUNT(*))
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_tpch_q19" ->
+      s"""SELECT $RevenueSql AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // canonical EXISTS / NOT-EXISTS form — proves the per-order
+    // aggregate reformulation (n_supp ≥ 2 ∧ n_late = 1)
+    "q_tpch_q21" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1
+        |    FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name IN ('NATION_1','NATION_3','NATION_5','NATION_7',
+        |                 'NATION_9','NATION_11','NATION_13','NATION_15')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q_tpch_q22" ->
+      """WITH cc AS (SELECT c_custkey, c_acctbal, c_custkey % 7 AS cntrycode
+        |            FROM customer),
+        |ab AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         / COUNT(*) AS avgbal
+        |       FROM cc WHERE c_acctbal > 0.0 AND cntrycode IN (0,1,2,3,4))
+        |SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM cc, ab
+        |WHERE cntrycode IN (0,1,2,3,4) AND c_acctbal > avgbal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
 
     "q_len_deciles" ->
       """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),

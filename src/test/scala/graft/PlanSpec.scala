@@ -343,4 +343,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(p.contains("partial_sum") || p.contains("partial_max_by"), p)
   }
+
+  test("q_tpch_q4: EXISTS plans as one LEFT SEMI join, no re-execution") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_tpch_q7/q19: dims broadcast around the shuffled fact") {
+    for (n <- Seq("q_tpch_q7", "q_tpch_q19")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$n:\n$p")
+    }
+  }
+
+  test("q_tpch_q21: per-order aggregate rewrite — orderkey exchanges only, no self nested-loop") {
+    val p = plan("q_tpch_q21")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // supplier+nation ride broadcasts; the heavy joins stay on l_orderkey
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_tpch_q15: scalar max broadcasts back — lineitem scanned once") {
+    val p = plan("q_tpch_q15")
+    // one-row max side must join as a broadcast, not trigger a sort
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans <= 2, s"lineitem scanned $scans times:\n$p")
+  }
 }
