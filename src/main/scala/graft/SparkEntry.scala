@@ -1004,6 +1004,33 @@ object SparkEntry {
             (col("nd") * col("sy2") - col("sy") * col("sy"))), 9).as("corr_qty_price"))
     }),
 
+    // #194: grouped OLS TREND FIT (price ~ quantity per return flag) —
+    // distributed linear regression from the same exact decimal moment
+    // algebra as q_stats_agg: one partial-aggregated pass collects
+    // (n, Σx, Σy, Σxy, Σx²) decimal-exact, the closed-form slope /
+    // intercept are a few double ops on the group row, round(9) soaks
+    // the FMA-contraction ULP. No solver iterations, no second scan —
+    // the 100 TB cost is one map-side-combined agg.
+    "q_trend_fit" -> ((s, dir) => {
+      val d28 = "decimal(28,4)"
+      def dx(c: Column) = c.cast("decimal(18,2)")
+      val g = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(dx(col("l_quantity")).cast(d28)).cast("double").as("sx"),
+          sum(dx(col("l_extendedprice")).cast(d28)).cast("double").as("sy"),
+          sum((dx(col("l_quantity")) * dx(col("l_extendedprice"))).cast(d28))
+            .cast("double").as("sxy"),
+          sum((dx(col("l_quantity")) * dx(col("l_quantity"))).cast(d28))
+            .cast("double").as("sx2"))
+      val nd = col("n").cast("double")
+      val den = nd * col("sx2") - col("sx") * col("sx")
+      g.select(col("l_returnflag"), col("n"),
+          round((nd * col("sxy") - col("sx") * col("sy")) / den, 9).as("slope"),
+          round((col("sy") * col("sx2") - col("sx") * col("sxy")) / den, 9)
+            .as("intercept"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // #63: arg-min/arg-max (max_by/min_by) with struct tie-break
     "q_arg_minmax" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -1636,6 +1663,35 @@ object SparkEntry {
     "q_bigram_logprob" -> ((s, dir) =>
       operators.TextStats.bigramSurprisal(tp(s, dir, "documents"),
         "doc_id", "text", col("doc_id") < 300)),
+
+    // #193: CCNet-style PERPLEXITY BAND FILTER — the LM quality gate a
+    // production corpus runs: score every doc's bigram surprisal
+    // (boilerplate scores low, word salad high), keep the middle
+    // [p20, p80] band, account kept/scored per source. The thresholds
+    // are EXACT order statistics computed on the value HISTOGRAM of the
+    // round(6)-quantized scores (bounded domain, q_percentile_disc's
+    // argument) — integer cumulative-count comparisons, engine-stable;
+    // the corpus never globally sorts and the two cutpoints broadcast
+    // back as one row.
+    "q_ppl_filter" -> ((s, dir) => {
+      val d = tp(s, dir, "documents")
+      val sur = operators.TextStats.bigramSurprisal(d, "doc_id", "text")
+      val hist = sur.groupBy(col("surprisal")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("surprisal"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      val tot = hist.agg(sum(col("c")).as("tot"))
+      val cuts = cum.crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") * 5 >= col("tot"), col("surprisal"))).as("lo"),
+          min(when(col("cum") * 5 >= col("tot") * 4, col("surprisal"))).as("hi"))
+      sur.join(d.select(col("doc_id"), col("source")), "doc_id")
+        .crossJoin(broadcast(cuts))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_scored"),
+          count_if(col("surprisal") >= col("lo") &&
+            col("surprisal") <= col("hi")).as("n_kept"))
+        .orderBy(col("source"))
+    }),
 
     // #115: BPE merge learning, batched driver loop (parity-preserving
     // symbol-disjoint prefix batches — Bpe.learnMerges). Oracle: the 8
@@ -2332,6 +2388,46 @@ object SparkEntry {
           coalesce(unix_timestamp(lead(col("ts"), 1).over(byKey)),
             lit(253402300800L)).as("eff_to"),
           lead(col("ts"), 1).over(byKey).isNull.cast("int").as("is_current"))
+    }),
+
+    // #180a: POINT-IN-TIME dimension lookup against the SCD2 version
+    // table (the warehouse companion of #179): every lineitem gets the
+    // customer's priority-regime version effective at its ship date.
+    // The [eff_from, eff_to) range predicate is NOT a range join —
+    // non-overlapping versions that tile each key's timeline make
+    // "effective at ts" ≡ "latest version with eff_from ≤ ts", which
+    // is exactly AsOfJoin's union + one-window-pass shape: one
+    // (key → ts) shuffle, no inequality-join cross-product, no per-row
+    // probe. The oracle runs the literal BETWEEN-range join to prove
+    // the equivalence. Version payload rides one struct column.
+    "q_scd2_join" -> ((s, dir) => {
+      // null custkeys would form a joinable null "key" partition in the
+      // union-window sweep; equi-join semantics (the oracle) drop them
+      val ch = t(s, dir, "orders").filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey").as("key"),
+          col("o_orderpriority").as("attr"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+      val byKey = Window.partitionBy(col("key")).orderBy(col("ts"), col("seq"))
+      val dim = ch.withColumn("prev", lag(col("attr"), 1).over(byKey))
+        .filter(col("prev").isNull || col("prev") =!= col("attr"))
+        .select(col("key"), col("ts").as("eff_from"),
+          struct(row_number().over(byKey).as("version"), col("attr")).as("v"))
+      val facts = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .filter(col("o_custkey").isNotNull),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("key"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      AsOfJoin.asOf(facts, dim, "key", "l_shipdate", "eff_from", "v", "ver")
+        // inner semantics: facts before their key's first version have
+        // no effective dimension row (the oracle's range join drops them)
+        .filter(col("ver").isNotNull)
+        .groupBy(col("ver.attr").as("attr"))
+        .agg(count(lit(1)).as("n_lines"),
+          revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("attr"))
     }),
 
     // #143: exact set-similarity self-join via PREFIX FILTERING (the
@@ -3939,6 +4035,20 @@ object SparkEntry {
         |    sqrt((nd * sx2 - sx * sx) * (nd * sy2 - sy * sy)), 9) AS corr_qty_price
         |FROM g""".stripMargin,
 
+    "q_trend_fit" ->
+      """WITH g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sx2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sx2 - sx * sx), 9) AS slope,
+        |  ROUND((sy * sx2 - sx * sxy)
+        |    / (CAST(n AS DOUBLE) * sx2 - sx * sx), 9) AS intercept
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
     "q_arg_minmax" ->
       """SELECT o_custkey,
         |  max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS max_order,
@@ -4568,6 +4678,29 @@ object SparkEntry {
         |FROM bg JOIN cb USING (bg) JOIN cu ON string_split(bg.bg, ' ')[1] = cu.w1
         |WHERE doc_id < 300 GROUP BY doc_id""".stripMargin,
 
+    "q_ppl_filter" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t WHERE len(tk) >= 2),
+        |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
+        |cu AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+        |sur AS (SELECT doc_id,
+        |    round(CAST(sum(CAST(round(log2(CAST(cu AS DOUBLE) / CAST(cb AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 6) AS surprisal
+        |  FROM bg JOIN cb USING (bg) JOIN cu ON string_split(bg.bg, ' ')[1] = cu.w1
+        |  GROUP BY doc_id),
+        |h AS (SELECT surprisal, count(*) AS c FROM sur GROUP BY surprisal),
+        |cum AS (SELECT surprisal, c,
+        |    sum(c) OVER (ORDER BY surprisal ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+        |tot AS (SELECT sum(c) AS tot FROM h),
+        |cuts AS (SELECT min(CASE WHEN cum * 5 >= tot THEN surprisal END) AS lo,
+        |    min(CASE WHEN cum * 5 >= tot * 4 THEN surprisal END) AS hi
+        |  FROM cum, tot)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_scored,
+        |  CAST(sum(CASE WHEN surprisal >= lo AND surprisal <= hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM sur JOIN documents USING (doc_id), cuts
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "q_postings" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
@@ -5057,6 +5190,24 @@ object SparkEntry {
         |  CAST(COALESCE(epoch(lead(ts) OVER w), 253402300800) AS BIGINT) AS eff_to,
         |  CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
         |FROM ch WINDOW w AS (PARTITION BY key ORDER BY ts, seq)""".stripMargin,
+
+    // literal BETWEEN-range join against the version table — proves the
+    // as-of union-window rewrite
+    "q_scd2_join" ->
+      s"""WITH c AS (SELECT o_custkey AS key, o_orderpriority AS attr,
+        |    o_orderdate AS ts, o_orderkey AS seq,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |d AS (SELECT key, attr, ts AS eff_from,
+        |    lead(ts) OVER (PARTITION BY key ORDER BY ts, seq) AS eff_to
+        |  FROM c WHERE prev IS NULL OR prev <> attr),
+        |f AS (SELECT o_custkey AS key, l_shipdate, l_extendedprice, l_discount
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT d.attr, CAST(COUNT(*) AS BIGINT) AS n_lines, $RevenueSql AS revenue
+        |FROM f JOIN d ON f.key = d.key AND f.l_shipdate >= d.eff_from
+        |  AND (d.eff_to IS NULL OR f.l_shipdate < d.eff_to)
+        |GROUP BY d.attr ORDER BY d.attr""".stripMargin,
 
     // ground truth the prefix filter must equal: all-pairs exact Jaccard
     "q_prefix_join" ->
