@@ -1326,6 +1326,46 @@ object SparkEntry {
           sum(col("a") * col("b")).cast("long").as("n_common"))
     }),
 
+    // #195: ALL-PAIRS source vocabulary overlap via the KMV theta-style
+    // sketch (functions.KmvSketch) — q_vocab_overlap answers one pair
+    // exactly by shuffling every (token, source-bit) row; this answers
+    // all 190 pairs from one pass that ships ≤ k longs per source per
+    // partition. The sketch is the k smallest DISTINCT md5-60bit token
+    // hashes — a deterministic bottom-k sample of the hash space, so
+    // unlike HLL it supports INTERSECTION: for the merged pair sketch,
+    // est|A∪B| = (k−1)·2⁶⁰/θ and est|A∩B| = (matches below θ / k) ·
+    // est|A∪B|. Every value is engine-replayable (the oracle rebuilds
+    // the identical sketches in SQL); accuracy ~1/√k is pinned against
+    // the exact overlap in KmvSpec.
+    "q_kmv_overlap" -> ((s, dir) => {
+      val k = 256
+      val kM = lit(255.0) * lit(1152921504606846976L).cast("double") // (k−1)·2⁶⁰
+      val tok = tp(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .select(col("source"),
+          conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("h"))
+      val sk = tok.groupBy(col("source"))
+        .agg(graft.functions.KmvSketch.kmv(col("h"), k).as("mins"))
+      val a = sk.select(col("source").as("s1"), col("mins").as("m1"))
+      val b = sk.select(col("source").as("s2"), col("mins").as("m2"))
+      val u = a.join(broadcast(b), col("s1") < col("s2"))
+        .withColumn("uk",
+          slice(array_sort(array_distinct(concat(col("m1"), col("m2")))), 1, k))
+      val ku = size(col("uk"))
+      val kth = element_at(col("uk"), ku)
+      val mm = size(filter(array_intersect(col("m1"), col("m2")), x => x <= kth))
+      val estU = when(ku < k, ku.cast("double"))
+        .otherwise(kM / kth.cast("double"))
+      u.select(col("s1"), col("s2"),
+          size(col("m1")).cast("long").as("n1"),
+          size(col("m2")).cast("long").as("n2"),
+          ku.cast("long").as("ku"), mm.cast("long").as("m"),
+          round(estU, 2).as("est_union"),
+          round(mm.cast("double") / ku.cast("double") * estU, 2).as("est_inter"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
     // #87: chunk-level exact dedup — 32-token chunks hashed (md5 of the
     // space-joined slice), repeated chunks counted across the corpus;
     // the paragraph-dedup shape of C4-style cleaning. Shuffle carries
@@ -4309,6 +4349,32 @@ object SparkEntry {
         |  FROM d GROUP BY token)
         |SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
         |  CAST(SUM(a * b) AS BIGINT) AS n_common FROM g""".stripMargin,
+
+    // rebuilds the identical deterministic KMV sketches in SQL — the
+    // k-smallest-distinct set is engine-independent by construction
+    "q_kmv_overlap" ->
+      """WITH tok AS (SELECT DISTINCT source,
+        |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |    FROM documents)),
+        |sk AS (SELECT source, (list(h ORDER BY h))[1:256] AS mins
+        |  FROM tok GROUP BY source),
+        |p AS (SELECT a.source AS s1, b.source AS s2, a.mins AS m1, b.mins AS m2
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |u AS (SELECT s1, s2, m1, m2,
+        |    (list_sort(list_distinct(list_concat(m1, m2))))[1:256] AS uk FROM p),
+        |e AS (SELECT s1, s2, m1, m2, uk, uk[len(uk)] AS kth,
+        |    CASE WHEN len(uk) < 256 THEN CAST(len(uk) AS DOUBLE)
+        |      ELSE 255.0 * CAST(1152921504606846976 AS DOUBLE)
+        |        / CAST(uk[len(uk)] AS DOUBLE) END AS est_u,
+        |    len(list_filter(list_intersect(m1, m2), x -> x <= uk[len(uk)])) AS m
+        |  FROM u)
+        |SELECT s1, s2, CAST(len(m1) AS BIGINT) AS n1,
+        |  CAST(len(m2) AS BIGINT) AS n2, CAST(len(uk) AS BIGINT) AS ku,
+        |  CAST(m AS BIGINT) AS m, round(est_u, 2) AS est_union,
+        |  round(CAST(m AS DOUBLE) / CAST(len(uk) AS DOUBLE) * est_u, 2) AS est_inter
+        |FROM e ORDER BY s1, s2""".stripMargin,
 
     "q_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,
