@@ -2067,6 +2067,31 @@ object SparkEntry {
         .select(unix_timestamp(col("window.start")).as("win_start"),
           col("n_users"), col("n_events"))),
 
+    // #196: TRAILING-7-day distinct users per day (rolling DAU/WAU) —
+    // count_distinct over a sliding range frame would re-scan events
+    // per window and a distinct inside a window frame isn't supported
+    // anyway; instead dedup FIRST to the (day, user) table (≪ events),
+    // explode each row onto the ≤7 observation days it serves, dedup
+    // the bounded 7× table, and count — every shuffle is user-day-sized,
+    // events are scanned once.
+    "q_rolling_distinct" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val days = du.select(col("day")).distinct()
+      val contrib = du
+        .select(col("day"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("i"))
+        .select(date_add(col("day"), col("i")).as("day"), col("user_id"))
+        .distinct()
+      val u7 = contrib.join(days, "day")
+        .groupBy(col("day")).agg(count(lit(1)).as("u7"))
+      val u1 = du.groupBy(col("day")).agg(count(lit(1)).as("u1"))
+      u1.join(u7, "day")
+        .select(unix_date(col("day")).cast("long").as("day"),
+          col("u1"), col("u7"))
+        .orderBy(col("day"))
+    }),
+
     // #131: weekly cohort retention matrix (first-seen week × offset) —
     // the classic growth-analytics query; distinct (user, week) first so
     // the cohort join and the count are user-week-sized, integer-exact
@@ -4982,6 +5007,17 @@ object SparkEntry {
         |  FROM e, unnest([0, 1]) AS u(k))
         |SELECT win_start, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM w GROUP BY win_start""".stripMargin,
+
+    "q_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM du),
+        |contrib AS (SELECT DISTINCT day + i AS day, user_id
+        |  FROM du CROSS JOIN unnest([0,1,2,3,4,5,6]) AS t(i)),
+        |u7 AS (SELECT c.day, count(*) AS u7
+        |  FROM contrib c JOIN days USING (day) GROUP BY c.day),
+        |u1 AS (SELECT day, count(*) AS u1 FROM du GROUP BY day)
+        |SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS day, u1, u7
+        |FROM u1 JOIN u7 USING (day) ORDER BY day""".stripMargin,
 
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,

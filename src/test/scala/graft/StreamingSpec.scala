@@ -38,6 +38,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct sketch: incremental state equals the batch sketch") {
+    // TypedImperativeAggregate buffers serialize into the state store,
+    // so the mergeable KMV sketch aggregates across micro-batches; the
+    // deterministic bottom-k means streaming must equal batch EXACTLY,
+    // whatever the batch boundaries.
+    val in = MemoryStream[(String, Long)]
+    val sk = in.toDF().toDF("src", "h")
+      .groupBy(col("src"))
+      .agg(graft.functions.KmvSketch.kmv(col("h"), 4).as("mins"))
+    val q = sk.writeStream.format("memory").queryName("kmv")
+      .outputMode("complete").start()
+    try {
+      in.addData(("a", 9L), ("a", 3L), ("b", 5L), ("a", 3L))
+      q.processAllAvailable()
+      in.addData(("a", 1L), ("a", 7L), ("a", 11L), ("b", 2L))
+      q.processAllAvailable()
+      val out = spark.table("kmv").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(out("a") === Seq(1L, 3L, 7L, 9L)) // 11 evicted, dup 3 collapsed
+      assert(out("b") === Seq(2L, 5L))
+    } finally q.stop()
+  }
+
   test("topKPerWindow ranks within each window deterministically") {
     val counts = Seq(
       (ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), "a", 5L),
