@@ -1031,6 +1031,42 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // #197: pairwise Welch t-test across experiment arms (A/B-testing
+    // statistic): one decimal-exact moment pass per arm (n, Σv, Σv²),
+    // then the t statistic and Welch–Satterthwaite df are closed-form
+    // double ops on the 5-row arm table self-joined into 10 pairs —
+    // the corpus is scanned once, the pair math touches only
+    // arm-count-sized rows. round(9)/round(6) soak FMA ULP.
+    "q_welch_ttest" -> ((s, dir) => {
+      val d28 = "decimal(28,4)"
+      val g = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)").cast(d28))
+            .cast("double").as("sx"),
+          sum((col("value").cast("decimal(18,2)") *
+            col("value").cast("decimal(18,2)")).cast(d28))
+            .cast("double").as("sx2"))
+      val a = g.select(col("event_type").as("e1"), col("n").as("n1"),
+        col("sx").as("sxa"), col("sx2").as("sxa2"))
+      val b = g.select(col("event_type").as("e2"), col("n").as("n2"),
+        col("sx").as("sxb"), col("sx2").as("sxb2"))
+      def nd(c: Column) = c.cast("double")
+      val v1 = (nd(col("n1")) * col("sxa2") - col("sxa") * col("sxa")) /
+        (nd(col("n1")) * (nd(col("n1")) - lit(1.0)))
+      val v2 = (nd(col("n2")) * col("sxb2") - col("sxb") * col("sxb")) /
+        (nd(col("n2")) * (nd(col("n2")) - lit(1.0)))
+      val se1 = v1 / nd(col("n1"))
+      val se2 = v2 / nd(col("n2"))
+      a.join(broadcast(b), col("e1") < col("e2"))
+        .select(col("e1"), col("e2"), col("n1"), col("n2"),
+          round((col("sxa") / nd(col("n1")) - col("sxb") / nd(col("n2"))) /
+            sqrt(se1 + se2), 9).as("t_stat"),
+          round((se1 + se2) * (se1 + se2) /
+            (se1 * se1 / (nd(col("n1")) - lit(1.0)) +
+              se2 * se2 / (nd(col("n2")) - lit(1.0))), 6).as("df"))
+        .orderBy(col("e1"), col("e2"))
+    }),
+
     // #63: arg-min/arg-max (max_by/min_by) with struct tie-break
     "q_arg_minmax" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -4113,6 +4149,31 @@ object SparkEntry {
         |  ROUND((sy * sx2 - sx * sxy)
         |    / (CAST(n AS DOUBLE) * sx2 - sx * sx), 9) AS intercept
         |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "q_welch_ttest" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sx2
+        |  FROM events GROUP BY event_type),
+        |p AS (SELECT a.event_type AS e1, b.event_type AS e2,
+        |    a.n AS n1, b.n AS n2, a.sx AS sxa, a.sx2 AS sxa2,
+        |    b.sx AS sxb, b.sx2 AS sxb2
+        |  FROM g a JOIN g b ON a.event_type < b.event_type),
+        |v AS (SELECT e1, e2, n1, n2, sxa, sxb,
+        |    ((CAST(n1 AS DOUBLE) * sxa2 - sxa * sxa)
+        |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+        |      / CAST(n1 AS DOUBLE) AS se1,
+        |    ((CAST(n2 AS DOUBLE) * sxb2 - sxb * sxb)
+        |      / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)))
+        |      / CAST(n2 AS DOUBLE) AS se2
+        |  FROM p)
+        |SELECT e1, e2, n1, n2,
+        |  ROUND((sxa / CAST(n1 AS DOUBLE) - sxb / CAST(n2 AS DOUBLE))
+        |    / sqrt(se1 + se2), 9) AS t_stat,
+        |  ROUND((se1 + se2) * (se1 + se2)
+        |    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
+        |       + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS df
+        |FROM v ORDER BY e1, e2""".stripMargin,
 
     "q_arg_minmax" ->
       """SELECT o_custkey,
