@@ -369,6 +369,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_kmv_overlap: sketch partial-aggregates map-side; pair math on sketch rows only") {
+    val p = plan("q_kmv_overlap")
+    // the KMV TypedImperativeAggregate must combine map-side, so each
+    // partition ships <= k longs per source, not its token stream
+    assert(p.contains("partial_graft_kmv"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_tpch_q15: scalar max broadcasts back — lineitem scanned once") {
     val p = plan("q_tpch_q15")
     // one-row max side must join as a broadcast, not trigger a sort
