@@ -2103,6 +2103,30 @@ object SparkEntry {
         .select(unix_timestamp(col("window.start")).as("win_start"),
           col("n_users"), col("n_events"))),
 
+    // #198: clamped running balance (inventory / wallet floor-at-zero):
+    // B_t = max(0, B_{t-1} + d_t) looks inherently sequential — but the
+    // reflection identity B_t = P_t − min(0, min_{s≤t} P_s) (P = plain
+    // prefix sum) makes it TWO window aggregates sharing one
+    // (user → ts, seq) exchange+sort. Deltas stay decimal-exact end to
+    // end, so no float-order concerns; the oracle replays the literal
+    // per-step clamp as a recursive CTE, proving the identity. The final
+    // round(·,2) pins the double representation: DuckDB's wide-decimal
+    // (int128) → double cast is off by an ULP from Spark's BigDecimal
+    // path, and both sides round back to the canonical 2-dp double.
+    "q_clamped_balance" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (col("value").cast("decimal(18,2)") - lit(50)).as("d"))
+        .withColumn("p", sum(col("d")).over(w))
+        .withColumn("m", min(col("p")).over(w))
+        .select(col("event_id"),
+          round((col("p") - least(col("m"), lit(0).cast("decimal(18,2)")))
+            .cast("double"), 2).as("balance"))
+    }),
+
     // #196: TRAILING-7-day distinct users per day (rolling DAU/WAU) —
     // count_distinct over a sliding range frame would re-scan events
     // per window and a distinct inside a window frame isn't supported
@@ -5079,6 +5103,21 @@ object SparkEntry {
         |u1 AS (SELECT day, count(*) AS u1 FROM du GROUP BY day)
         |SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS day, u1, u7
         |FROM u1 JOIN u7 USING (day) ORDER BY day""".stripMargin,
+
+    "q_clamped_balance" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) - 50 AS d,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |walk(user_id, event_id, rn, balance) AS (
+        |  SELECT user_id, event_id, rn,
+        |    CAST(GREATEST(CAST(0 AS DECIMAL(18,2)), d) AS DECIMAL(18,2))
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.rn,
+        |    CAST(GREATEST(CAST(0 AS DECIMAL(18,2)), w.balance + s.d) AS DECIMAL(18,2))
+        |  FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+        |SELECT event_id, round(CAST(balance AS DOUBLE), 2) AS balance FROM walk""".stripMargin,
 
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
