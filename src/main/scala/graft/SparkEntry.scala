@@ -47,6 +47,53 @@ object SparkEntry {
   private val RevenueSql =
     "CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))), 2) AS DOUBLE)"
 
+  /** Shared scaffold for the rank/CDF two-sample tests (q_ks_test,
+    * q_mannwhitney): per-arm cumulative counts of events.value at
+    * every POOLED 2-dp value — the quantized domain bounds the grid
+    * (values × arms) regardless of corpus size, so the cumulative
+    * window runs over a domain-sized table, never the events scan.
+    * Returns (pair-joined grid rows [e1 < e2], arm totals ×2). */
+  private def armCdfGrid(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val h = t(s, dir, "events")
+      .select(col("event_type").as("arm"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("arm"), col("v")).agg(count(lit(1)).as("c"))
+    val grid = h.select(col("v")).distinct()
+      .crossJoin(broadcast(h.select(col("arm")).distinct()))
+    val filled = grid.join(h, Seq("arm", "v"), "left").na.fill(0, Seq("c"))
+    val wc = Window.partitionBy(col("arm")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = filled.withColumn("cum", sum(col("c")).over(wc))
+    val j = cum.select(col("arm").as("e1"), col("v"),
+        col("c").as("c1"), col("cum").as("cum1"))
+      .join(cum.select(col("arm").as("e2"), col("v").as("v2"),
+        col("c").as("c2"), col("cum").as("cum2")),
+        col("v") === col("v2") && col("e1") < col("e2"))
+    val tot = h.groupBy(col("arm")).agg(sum(col("c")).as("n"))
+    (j, tot.select(col("arm").as("e1"), col("n").as("n1")),
+      tot.select(col("arm").as("e2"), col("n").as("n2")))
+  }
+
+  /** Oracle-side twin of [[armCdfGrid]] — shared CTE prefix for the
+    * two-sample test oracles (pre-stripped; ends after the `j` CTE
+    * with no trailing comma). */
+  private val ArmCdfGridSql =
+    """WITH h AS (SELECT event_type AS arm, CAST(value AS DECIMAL(18,2)) AS v,
+      |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+      |grid AS (SELECT arm, v FROM (SELECT DISTINCT arm FROM h)
+      |  CROSS JOIN (SELECT DISTINCT v FROM h)),
+      |f AS (SELECT grid.arm, grid.v, COALESCE(h.c, 0) AS c FROM grid
+      |  LEFT JOIN h ON h.arm = grid.arm AND h.v = grid.v),
+      |cum AS (SELECT arm, v, c, CAST(SUM(c) OVER (PARTITION BY arm ORDER BY v
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f),
+      |tot AS (SELECT arm, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY arm),
+      |j AS (SELECT a.arm AS e1, b.arm AS e2, ta.n AS n1, tb.n AS n2, a.v,
+      |    a.c AS c1, a.cum AS cum1, b.c AS c2, b.cum AS cum2
+      |  FROM cum a JOIN cum b ON a.v = b.v AND a.arm < b.arm
+      |  JOIN tot ta ON ta.arm = a.arm JOIN tot tb ON tb.arm = b.arm)
+      |""".stripMargin
+
   /** Brute-force cosine top-10 ranks (q_id, rn, n_id) — shared by
     * q_ann_bruteforce and as the ground-truth side of q_ann_recall. */
   private val AnnBruteSql =
@@ -1064,6 +1111,54 @@ object SparkEntry {
           round((se1 + se2) * (se1 + se2) /
             (se1 * se1 / (nd(col("n1")) - lit(1.0)) +
               se2 * se2 / (nd(col("n2")) - lit(1.0))), 6).as("df"))
+        .orderBy(col("e1"), col("e2"))
+    }),
+
+    // #199: two-sample Kolmogorov–Smirnov across all arm pairs.
+    // D = max_x |F1(x) − F2(x)| needs the empirical CDFs at pooled
+    // x — but never a global sort of events: quantizing to the
+    // 2-dp value domain bounds the histogram regardless of corpus
+    // size, the cumulative runs per-arm over that domain-sized
+    // grid, and the max comparison is INTEGER-exact
+    // (|cum1·n2 − cum2·n1| in decimal(38,0), divided once at the
+    // end) so no float-accumulation order can flip the argmax.
+    "q_ks_test" -> ((s, dir) => {
+      val (j, totA, totB) = armCdfGrid(s, dir)
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      j.join(broadcast(totA), "e1").join(broadcast(totB), "e2")
+        .groupBy(col("e1"), col("e2"), col("n1"), col("n2"))
+        .agg(max(abs(d19(col("cum1")) * d19(col("n2")) -
+          d19(col("cum2")) * d19(col("n1")))).as("md"))
+        .select(col("e1"), col("e2"), col("n1"), col("n2"),
+          round(col("md").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")), 9)
+            .as("d_stat"))
+        .orderBy(col("e1"), col("e2"))
+    }),
+
+    // #200: Mann–Whitney U (rank-sum) with tie correction, same
+    // pooled-CDF grid as q_ks_test — ranks are never materialized:
+    // 2·U1 = Σ_v c1(v)·(2·cum2(v) − c2(v)) and the tie term
+    // Σ(t³−t) both accumulate in decimal(38,0) off per-value
+    // counts, so the only doubles are the closed-form z at the end.
+    "q_mannwhitney" -> ((s, dir) => {
+      val (j, totA, totB) = armCdfGrid(s, dir)
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      def d13(c: Column) = c.cast("decimal(13,0)")
+      val t = d13(col("c1") + col("c2"))
+      val g = j.join(broadcast(totA), "e1").join(broadcast(totB), "e2")
+        .groupBy(col("e1"), col("e2"), col("n1"), col("n2"))
+        .agg(sum(d19(col("c1")) *
+            (d19(col("cum2")) * lit(2) - d19(col("c2")))).as("u2"),
+          sum(t * t * t - t).as("ties"))
+      def nd(c: Column) = c.cast("double")
+      val bigN = nd(col("n1")) + nd(col("n2"))
+      val u = nd(col("u2")) / lit(2.0)
+      val sigma = sqrt(nd(col("n1")) * nd(col("n2")) / lit(12.0) *
+        ((bigN + lit(1.0)) - nd(col("ties")) / (bigN * (bigN - lit(1.0)))))
+      g.select(col("e1"), col("e2"), col("n1"), col("n2"), u.as("u_stat"),
+          round((u - nd(col("n1")) * nd(col("n2")) / lit(2.0)) / sigma, 9)
+            .as("z_stat"))
         .orderBy(col("e1"), col("e2"))
     }),
 
@@ -4198,6 +4293,31 @@ object SparkEntry {
         |    / (se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0)
         |       + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS df
         |FROM v ORDER BY e1, e2""".stripMargin,
+
+    "q_ks_test" ->
+      (ArmCdfGridSql +
+      """SELECT e1, e2, n1, n2,
+        |  ROUND(CAST(MAX(ABS(CAST(cum1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))
+        |      - CAST(cum2 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0)))) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d_stat
+        |FROM j GROUP BY e1, e2, n1, n2 ORDER BY e1, e2""").stripMargin,
+
+    "q_mannwhitney" ->
+      (ArmCdfGridSql +
+      """, g AS (SELECT e1, e2, n1, n2,
+        |    SUM(CAST(c1 AS DECIMAL(19,0)) *
+        |      (CAST(cum2 AS DECIMAL(19,0)) * 2 - CAST(c2 AS DECIMAL(19,0)))) AS u2,
+        |    SUM(CAST(c1 + c2 AS DECIMAL(13,0)) * CAST(c1 + c2 AS DECIMAL(13,0))
+        |      * CAST(c1 + c2 AS DECIMAL(13,0)) - CAST(c1 + c2 AS DECIMAL(13,0))) AS ties
+        |  FROM j GROUP BY e1, e2, n1, n2)
+        |SELECT e1, e2, n1, n2, CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+        |  ROUND((CAST(u2 AS DOUBLE) / 2.0
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+        |      ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+        |       - CAST(ties AS DOUBLE) / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+        |         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 9) AS z_stat
+        |FROM g ORDER BY e1, e2""").stripMargin,
 
     "q_arg_minmax" ->
       """SELECT o_custkey,
