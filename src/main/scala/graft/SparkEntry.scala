@@ -1162,6 +1162,54 @@ object SparkEntry {
         .orderBy(col("e1"), col("e2"))
     }),
 
+    // #201: Poisson-bootstrap 95% CI for the per-arm mean — the
+    // at-scale bootstrap (Chamandy et al., Google 2012): resampling
+    // n rows WITH replacement ≈ giving each row an independent
+    // Poisson(1) weight, so B replicates ride ONE pass as B
+    // conditional aggregates of (w·v, w) — no per-replicate scan, no
+    // driver-side resample. The weight is drawn by inverse-CDF on a
+    // deterministic 60-bit md5 uniform against PRE-SCALED INTEGER
+    // thresholds floor(F(k)·2^60) — weight assignment never touches a
+    // float, so both engines replay the identical resample. Replicate
+    // means are decimal-exact sums; the CI bounds are discrete order
+    // statistics (ranks 5/196 of B=200), not interpolated quantiles.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val B = 200
+      val thr = Seq(424136118829305329L, 848272237658610659L,
+        1060340297073263324L, 1131029650211480879L, 1148701988496035267L,
+        1152236456152946145L, 1152825534095764625L, 1152909688087595836L,
+        1152920207336574738L)
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("arm"), col("event_id"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val h = conv(substring(md5(concat(lit("boot:"), col("event_id"),
+        lit(":"), col("r"))), 1, 15), 16, 10).cast("long")
+      val w = thr.tail.zipWithIndex.foldLeft(when(h < lit(thr.head), 0)) {
+        case (acc, (tk, i)) => acc.when(h < lit(tk), i + 1)
+      }.otherwise(9)
+      val rep = ev.withColumn("r", explode(sequence(lit(0), lit(B - 1))))
+        .withColumn("w", w)
+        .groupBy(col("arm"), col("r"))
+        .agg(sum((col("v") * col("w").cast("decimal(2,0)"))
+            .cast("decimal(28,4)")).as("sv"),
+          sum(col("w")).as("sw"))
+        .select(col("arm"), col("r"),
+          round(col("sv").cast("double") / col("sw").cast("double"), 9)
+            .as("m"))
+      val wr = Window.partitionBy(col("arm")).orderBy(col("m"), col("r"))
+      val stats = ev.groupBy(col("arm")).agg(count(lit(1)).as("n"),
+        round(sum(col("v").cast("decimal(28,4)")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("mean"))
+      rep.withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 5 || col("rn") === 196)
+        .groupBy(col("arm"))
+        .agg(min(when(col("rn") === 5, col("m"))).as("ci_lo"),
+          max(when(col("rn") === 196, col("m"))).as("ci_hi"))
+        .join(stats, "arm")
+        .select(col("arm"), col("n"), col("mean"),
+          col("ci_lo"), col("ci_hi"))
+    }),
+
     // #63: arg-min/arg-max (max_by/min_by) with struct tie-break
     "q_arg_minmax" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -4318,6 +4366,40 @@ object SparkEntry {
         |       - CAST(ties AS DOUBLE) / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
         |         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 9) AS z_stat
         |FROM g ORDER BY e1, e2""").stripMargin,
+
+    "q_bootstrap_ci" ->
+      """WITH ev AS (SELECT event_type AS arm, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |hw AS (SELECT arm, r, v,
+        |    ('0x' || substring(md5('boot:' || CAST(event_id AS VARCHAR)
+        |      || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM ev CROSS JOIN (SELECT unnest(range(200)) AS r)),
+        |ww AS (SELECT arm, r, v, CASE
+        |    WHEN h < 424136118829305329 THEN 0
+        |    WHEN h < 848272237658610659 THEN 1
+        |    WHEN h < 1060340297073263324 THEN 2
+        |    WHEN h < 1131029650211480879 THEN 3
+        |    WHEN h < 1148701988496035267 THEN 4
+        |    WHEN h < 1152236456152946145 THEN 5
+        |    WHEN h < 1152825534095764625 THEN 6
+        |    WHEN h < 1152909688087595836 THEN 7
+        |    WHEN h < 1152920207336574738 THEN 8
+        |    ELSE 9 END AS w FROM hw),
+        |rep AS (SELECT arm, r,
+        |    ROUND(CAST(SUM(CAST(v * CAST(w AS DECIMAL(2,0)) AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(SUM(w) AS DOUBLE), 9) AS m
+        |  FROM ww GROUP BY arm, r),
+        |rk AS (SELECT arm, m,
+        |    row_number() OVER (PARTITION BY arm ORDER BY m, r) AS rn FROM rep),
+        |st AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    ROUND(CAST(SUM(CAST(v AS DECIMAL(28,4))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 9) AS mean
+        |  FROM ev GROUP BY arm)
+        |SELECT st.arm, n, mean,
+        |  MIN(CASE WHEN rn = 5 THEN m END) AS ci_lo,
+        |  MAX(CASE WHEN rn = 196 THEN m END) AS ci_hi
+        |FROM rk JOIN st ON st.arm = rk.arm
+        |GROUP BY st.arm, n, mean""".stripMargin,
 
     "q_arg_minmax" ->
       """SELECT o_custkey,
