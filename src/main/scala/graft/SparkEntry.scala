@@ -1545,6 +1545,35 @@ object SparkEntry {
         .orderBy(col("s1"), col("s2"))
     }),
 
+    // #202: Count-Min point-frequency estimates (functions.CmsSketch) —
+    // the sketch-family member that answers "how often does THIS token
+    // occur": one corpus pass ships the fixed 4×4096 counter matrix
+    // (128 KiB) regardless of corpus size or vocabulary, vs the full
+    // (token → count) shuffle of the exact path; every top-20 token's
+    // estimate is then d array lookups, and CMS is one-sided (est ≥
+    // exact, overshoot bounded by bucket collisions). The d row-hashes
+    // are bit slices of ONE md5-60bit hash, so the oracle rebuilds the
+    // identical bucket sums in SQL and the whole sketch is
+    // merge-tree-independent — deterministic, value-for-value checkable.
+    "q_cms_counts" -> ((s, dir) => {
+      val d = 4; val wth = 4096
+      val tok = tp(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .select(col("token"),
+          conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("h"))
+      val sketch = tok.agg(graft.functions.CmsSketch.cms(col("h"), d, wth).as("sk"))
+      val top = tok.groupBy(col("token"), col("h"))
+        .agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token").asc).limit(20)
+      val est = (0 until d).map { i =>
+        element_at(col("sk"),
+          (shiftright(col("h"), i * 12).bitwiseAND(lit(wth - 1)) +
+            lit(i * wth) + lit(1)).cast("int"))
+      }.reduce(least(_, _))
+      top.crossJoin(broadcast(sketch))
+        .select(col("token"), col("exact_n"), est.as("est_n"))
+    }),
+
     // #87: chunk-level exact dedup — 32-token chunks hashed (md5 of the
     // space-joined slice), repeated chunks counted across the corpus;
     // the paragraph-dedup shape of C4-style cleaning. Shuffle carries
@@ -4687,6 +4716,22 @@ object SparkEntry {
         |  CAST(m AS BIGINT) AS m, round(est_u, 2) AS est_union,
         |  round(CAST(m AS DOUBLE) / CAST(len(uk) AS DOUBLE) * est_u, 2) AS est_inter
         |FROM e ORDER BY s1, s2""".stripMargin,
+
+    "q_cms_counts" ->
+      """WITH tok AS (SELECT token,
+        |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
+        |  FROM (SELECT
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |    FROM documents)),
+        |bc AS (SELECT i, (h >> (i * 12)) & 4095 AS b, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+        |  GROUP BY 1, 2),
+        |ex AS (SELECT token, h, CAST(count(*) AS BIGINT) AS exact_n
+        |  FROM tok GROUP BY token, h
+        |  ORDER BY exact_n DESC, token LIMIT 20)
+        |SELECT token, exact_n, MIN(c) AS est_n
+        |FROM ex JOIN bc ON ((ex.h >> (bc.i * 12)) & 4095) = bc.b
+        |GROUP BY token, exact_n""".stripMargin,
 
     "q_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,
