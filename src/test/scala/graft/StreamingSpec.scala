@@ -61,6 +61,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS sketch: incremental state equals the batch sketch") {
+    // element-wise-add merge means the counter matrix is identical
+    // however the rows are split across micro-batches
+    val in = MemoryStream[Long]
+    val sk = in.toDF().toDF("h")
+      .agg(graft.functions.CmsSketch.cms(col("h"), 2, 16).as("sk"))
+    val q = sk.writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    try {
+      val rows = (1 to 40).map(i => (i * 2654435761L) % (1L << 60))
+      in.addData(rows.take(15))
+      q.processAllAvailable()
+      in.addData(rows.drop(15))
+      q.processAllAvailable()
+      val streamed = spark.table("cms").collect().head.getSeq[Long](0)
+      val batch = {
+        val s = spark; import s.implicits._
+        rows.toDF("h")
+          .agg(graft.functions.CmsSketch.cms(col("h"), 2, 16).as("sk"))
+          .collect().head.getSeq[Long](0)
+      }
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("topKPerWindow ranks within each window deterministically") {
     val counts = Seq(
       (ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), "a", 5L),
