@@ -1574,6 +1574,40 @@ object SparkEntry {
         .select(col("token"), col("exact_n"), est.as("est_n"))
     }),
 
+    // #203: sorted-neighborhood dedup (Hernández–Stolfo SIGMOD'95) —
+    // the record-linkage BLOCKING family's order-based member, next to
+    // the hash-based blockers (LSH bands, simhash blocks, prefix
+    // filter): sort by a blocking key, compare only rows within w
+    // positions ⇒ exactly n·w candidates however skewed the key
+    // distribution (hash blocks can degenerate; a window cannot). The
+    // global order comes from DenseId's two-pass offset rank (NO
+    // single-partition window), candidates from a same-or-adjacent
+    // bucket equi-join on rank/w, and the Jaccard verify compares
+    // integers (2·|∩| ≥ |∪|) — float-free end to end.
+    "q_snm_dedup" -> ((s, dir) => {
+      val wWin = 10
+      val docs = tp(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm"))
+        .withColumn("bkey", substring(col("norm"), 1, 16))
+      val ranked = graft.operators.DenseId
+        .assign(docs, Seq("bkey", "doc_id"), "rnk")
+        .withColumn("tk", array_distinct(TextAnalysis.tokens(col("norm"))))
+        .withColumn("b", (col("rnk") / wWin).cast("long"))
+      val a = ranked.select(col("doc_id").as("id1"), col("tk").as("t1"),
+        col("rnk").as("r1"), col("b"))
+      val bdf = ranked.select(col("doc_id").as("id2"), col("tk").as("t2"),
+        col("rnk").as("r2"),
+        explode(array(col("b"), col("b") - 1)).as("b"))
+      val inter = size(array_intersect(col("t1"), col("t2")))
+      val uni = size(col("t1")) + size(col("t2")) - inter
+      a.join(bdf, "b")
+        .filter(col("r2") > col("r1") && col("r2") - col("r1") <= wWin)
+        .select(col("id1"), col("id2"), inter.cast("long").as("inter"),
+          uni.cast("long").as("uni"))
+        .filter(col("inter") * 2 >= col("uni"))
+    }),
+
     // #87: chunk-level exact dedup — 32-token chunks hashed (md5 of the
     // space-joined slice), repeated chunks counted across the corpus;
     // the paragraph-dedup shape of C4-style cleaning. Shuffle carries
@@ -4732,6 +4766,22 @@ object SparkEntry {
         |SELECT token, exact_n, MIN(c) AS est_n
         |FROM ex JOIN bc ON ((ex.h >> (bc.i * 12)) & 4095) = bc.b
         |GROUP BY token, exact_n""".stripMargin,
+
+    "q_snm_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split_regex(norm, '\s+'), x -> x <> '')) AS tk,
+        |    row_number() OVER (ORDER BY substring(norm, 1, 16), doc_id) - 1 AS rnk
+        |  FROM d),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    len(list_intersect(a.tk, b.tk)) AS inter,
+        |    len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS uni
+        |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 10)
+        |SELECT id1, id2, CAST(inter AS BIGINT) AS inter,
+        |  CAST(uni AS BIGINT) AS uni
+        |FROM p WHERE inter * 2 >= uni""".stripMargin,
 
     "q_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,
