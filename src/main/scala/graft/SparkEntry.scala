@@ -1608,6 +1608,47 @@ object SparkEntry {
         .filter(col("inter") * 2 >= col("uni"))
     }),
 
+    // #204: deterministic weighted negative sampling (word2vec /
+    // contrastive-training noise draws): k negatives per token
+    // occurrence from the capped-unigram noise distribution
+    // w(t) = min(count, 64) — capping flattens the head like the
+    // classic ^0.75 but stays INTEGER-exact, so the whole draw
+    // replays in SQL. Inverse-CDF over the cumulative vocab weight
+    // table: the cumulative runs over the vocab-bounded table, each
+    // 60-bit md5 draw maps to u ∈ [0, W), and the interval lookup is
+    // the binned range join (intervals explode to ≤ 3 width-64 bins;
+    // draws equi-join their bin) — no broadcast nested loop, no
+    // global sort of draws. Output: the induced noise distribution
+    // (top-50 drawn tokens), which converges on w(t)/W.
+    "q_neg_sampling" -> ((s, dir) => {
+      val k = 2
+      val tok = tp(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextAnalysis.tokens(lower(col("text")))))
+        .toDF("doc_id", "j", "token")
+      val wv = Window.orderBy(col("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .withColumn("w", least(col("c"), lit(64L)))
+        .withColumn("hi", sum(col("w")).over(wv))
+        .withColumn("lo", col("hi") - col("w"))
+      val tot = vocab.agg(sum(col("w")).as("bigW"))
+      val bins = vocab.withColumn("bin",
+        explode(sequence(shiftright(col("lo"), 6),
+          shiftright(col("hi") - 1, 6))))
+      val draws = tok
+        .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
+        .crossJoin(broadcast(tot))
+        .select((conv(substring(md5(concat(lit("neg:"), col("doc_id"),
+          lit(":"), col("j"), lit(":"), col("i"))), 1, 15), 16, 10)
+          .cast("long") % col("bigW")).as("u"))
+        .withColumn("bin", shiftright(col("u"), 6))
+      draws.join(bins, Seq("bin"))
+        .filter(col("u") >= col("lo") && col("u") < col("hi"))
+        .groupBy(col("token"), col("w"))
+        .agg(count(lit(1)).as("n_drawn"))
+        .orderBy(col("n_drawn").desc, col("token").asc).limit(50)
+    }),
+
     // #87: chunk-level exact dedup — 32-token chunks hashed (md5 of the
     // space-joined slice), repeated chunks counted across the corpus;
     // the paragraph-dedup shape of C4-style cleaning. Shuffle carries
@@ -4782,6 +4823,29 @@ object SparkEntry {
         |SELECT id1, id2, CAST(inter AS BIGINT) AS inter,
         |  CAST(uni AS BIGINT) AS uni
         |FROM p WHERE inter * 2 >= uni""".stripMargin,
+
+    "q_neg_sampling" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, j, tk[j + 1] AS token
+        |  FROM (SELECT doc_id, tk, unnest(range(len(tk))) AS j FROM t)),
+        |vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(least(count(*), 64) AS BIGINT) AS w
+        |  FROM tok GROUP BY token),
+        |cum AS (SELECT token, w,
+        |    CAST(SUM(w) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+        |  FROM vocab),
+        |iv AS (SELECT token, w, hi - w AS lo, hi FROM cum),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS bigW FROM vocab),
+        |draws AS (SELECT (('0x' || substring(md5('neg:'
+        |      || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+        |      || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) % bigW AS u
+        |  FROM tok CROSS JOIN (SELECT unnest([0, 1]) AS i) CROSS JOIN tot)
+        |SELECT iv.token, iv.w, CAST(count(*) AS BIGINT) AS n_drawn
+        |FROM draws JOIN iv ON draws.u >= iv.lo AND draws.u < iv.hi
+        |GROUP BY iv.token, iv.w
+        |ORDER BY n_drawn DESC, token LIMIT 50""".stripMargin,
 
     "q_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,
