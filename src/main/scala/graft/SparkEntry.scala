@@ -1649,6 +1649,75 @@ object SparkEntry {
         .orderBy(col("n_drawn").desc, col("token").asc).limit(50)
     }),
 
+    // #205: Benford first-digit audit (fraud / synthetic-data smell
+    // test on monetary columns): leading digit comes from the STRING
+    // of exact integer cents — integer→string is engine-identical,
+    // where log10-of-double digit extraction would wobble at powers of
+    // ten; Benford probabilities are pre-computed double literals (not
+    // engine log10 calls), and the χ² contributions are one fixed IEEE
+    // tree over (count, N, p). One hash-agg over orders; 9-row output.
+    "q_benford" -> ((s, dir) => {
+      val probs = Seq(0.3010299956639812, 0.17609125905568124,
+        0.12493873660829992, 0.09691001300805642, 0.07918124604762482,
+        0.06694678963061322, 0.05799194697768673, 0.05115252244738129,
+        0.04575749056067514)
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * lit(100))
+        .cast("long")
+      val d = t(s, dir, "orders")
+        .select(substring(cents.cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = d.agg(sum(col("n")).as("nn"))
+      val p = probs.zipWithIndex.tail.foldLeft(
+        when(col("digit") === "1", lit(probs.head))) {
+        case (acc, (pr, i)) => acc.when(col("digit") === (i + 1).toString, lit(pr))
+      }.otherwise(lit(0.0))
+      val exp = col("nn").cast("double") * p
+      d.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"), round(exp, 6).as("expected"),
+          round((col("n").cast("double") - exp) * (col("n").cast("double") - exp)
+            / exp, 9).as("chi2"))
+        .orderBy(col("digit"))
+    }),
+
+    // #206: Jensen–Shannon divergence between all source pairs —
+    // the SYMMETRIC drift metric next to q_kl_sources (KL is
+    // asymmetric and blows up on one-sided tokens; JS is bounded
+    // [0,1]). One-sided vocabulary never joins: over SHARED tokens
+    // JS = ½Σ(p·log2(p/m)+q·log2(q/m)), and each side's absent-token
+    // mass enters in closed form as ½(1−Σ_sh p)+½(1−Σ_sh q) — so the
+    // pair join is inner on token, vocab-bounded shuffles only.
+    // Per-term doubles round(9) then sum in DECIMAL (order-free),
+    // final round(6) — the klFromCorpus float discipline.
+    "q_js_div" -> ((s, dir) => {
+      val tk = tp(s, dir, "documents").select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      val cst = tk.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val ns = cst.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val j = cst.join(broadcast(ns), "source")
+        .select(col("source"), col("token"),
+          (col("c").cast("double") / col("n").cast("double")).as("p"))
+      val m = (col("pa") + col("pb")) / lit(2.0)
+      j.select(col("source").as("s1"), col("token"), col("p").as("pa"))
+        .join(j.select(col("source").as("s2"), col("token").as("t2"),
+          col("p").as("pb")),
+          col("token") === col("t2") && col("s1") < col("s2"))
+        .select(col("s1"), col("s2"),
+          round(col("pa") * log2(col("pa") / m) +
+            col("pb") * log2(col("pb") / m), 9)
+            .cast("decimal(28,9)").as("term"),
+          round(col("pa"), 9).cast("decimal(28,9)").as("pa9"),
+          round(col("pb"), 9).cast("decimal(28,9)").as("pb9"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(sum(col("term")).as("ts"), sum(col("pa9")).as("sp"),
+          sum(col("pb9")).as("sq"))
+        .select(col("s1"), col("s2"),
+          round(lit(0.5) * col("ts").cast("double") +
+            lit(0.5) * (lit(1.0) - col("sp").cast("double")) +
+            lit(0.5) * (lit(1.0) - col("sq").cast("double")), 6).as("js"))
+        .orderBy(col("s1"), col("s2"))
+    }),
+
     // #87: chunk-level exact dedup — 32-token chunks hashed (md5 of the
     // space-joined slice), repeated chunks counted across the corpus;
     // the paragraph-dedup shape of C4-style cleaning. Shuffle carries
@@ -4846,6 +4915,53 @@ object SparkEntry {
         |FROM draws JOIN iv ON draws.u >= iv.lo AND draws.u < iv.hi
         |GROUP BY iv.token, iv.w
         |ORDER BY n_drawn DESC, token LIMIT 50""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (SELECT substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM d),
+        |e AS (SELECT digit, n, CAST(nn AS DOUBLE) * (CASE digit
+        |    WHEN '1' THEN 0.3010299956639812
+        |    WHEN '2' THEN 0.17609125905568124
+        |    WHEN '3' THEN 0.12493873660829992
+        |    WHEN '4' THEN 0.09691001300805642
+        |    WHEN '5' THEN 0.07918124604762482
+        |    WHEN '6' THEN 0.06694678963061322
+        |    WHEN '7' THEN 0.05799194697768673
+        |    WHEN '8' THEN 0.05115252244738129
+        |    WHEN '9' THEN 0.04575749056067514
+        |    ELSE 0.0 END) AS exp
+        |  FROM d CROSS JOIN t)
+        |SELECT digit, n, ROUND(exp, 6) AS expected,
+        |  ROUND((CAST(n AS DOUBLE) - exp) * (CAST(n AS DOUBLE) - exp) / exp, 9)
+        |    AS chi2
+        |FROM e ORDER BY digit""".stripMargin,
+
+    "q_js_div" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |cst AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cst GROUP BY source),
+        |p AS (SELECT cst.source, token,
+        |    CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+        |  FROM cst JOIN ns ON ns.source = cst.source),
+        |j AS (SELECT a.source AS s1, b.source AS s2,
+        |    ROUND(a.p * log2(a.p / ((a.p + b.p) / 2.0))
+        |      + b.p * log2(b.p / ((a.p + b.p) / 2.0)), 9) AS term,
+        |    ROUND(a.p, 9) AS pa9, ROUND(b.p, 9) AS pb9
+        |  FROM p a JOIN p b ON a.token = b.token AND a.source < b.source),
+        |g AS (SELECT s1, s2, SUM(CAST(term AS DECIMAL(28,9))) AS ts,
+        |    SUM(CAST(pa9 AS DECIMAL(28,9))) AS sp,
+        |    SUM(CAST(pb9 AS DECIMAL(28,9))) AS sq
+        |  FROM j GROUP BY s1, s2)
+        |SELECT s1, s2, ROUND(0.5 * CAST(ts AS DOUBLE)
+        |  + 0.5 * (1.0 - CAST(sp AS DOUBLE))
+        |  + 0.5 * (1.0 - CAST(sq AS DOUBLE)), 6) AS js
+        |FROM g ORDER BY s1, s2""".stripMargin,
 
     "q_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,
