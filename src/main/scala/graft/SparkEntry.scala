@@ -2394,6 +2394,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nodes"))
     }),
 
+    // #207: k-core extraction by bounded-round peeling (community /
+    // spam-core mining; Matula–Beck peel, truncated): each round
+    // recomputes degrees WITHIN the surviving subgraph and drops
+    // nodes below k — two equi-joins + one hash-agg per round on
+    // node/edge-sized tables, the corpus scanned once up front. Four
+    // rounds is a documented truncation (the full decomposition
+    // iterates to fixpoint; at 100 TB you checkpoint per round like
+    // the BFS/pagerank operators) that both engines unroll
+    // identically. Output: the surviving subgraph's degree table.
+    "q_kcore" -> ((s, dir) => {
+      val k = 28; val rounds = 4
+      val tk = tp(s, dir, "documents")
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val und = tk.select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      var edges = und
+      var nodes = und.select(col("a").as("node"))
+        .union(und.select(col("b"))).distinct()
+      for (_ <- 1 to rounds) {
+        edges = edges.join(nodes.select(col("node").as("a")), "a")
+          .join(nodes.select(col("node").as("b")), "b")
+          .select(col("a"), col("b"))
+        nodes = edges.select(col("a").as("node"))
+          .union(edges.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("node"))
+      }
+      val fe = edges.join(nodes.select(col("node").as("a")), "a")
+        .join(nodes.select(col("node").as("b")), "b")
+      fe.select(col("a").as("node")).union(fe.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    }),
+
     // #129: type-token ratio + hapax share per doc (lexical-diversity
     // quality gate) — one explode + per-(doc,token) count; the division
     // is over two exact integers so it is bit-identical cross-engine
@@ -4938,6 +4979,39 @@ object SparkEntry {
         |  ROUND((CAST(n AS DOUBLE) - exp) * (CAST(n AS DOUBLE) - exp) / exp, 9)
         |    AS chi2
         |FROM e ORDER BY digit""".stripMargin,
+
+    "q_kcore" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |bgp AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS p
+        |  FROM t WHERE len(tk) >= 2),
+        |bg AS (SELECT string_split(p, ' ')[1] AS src, string_split(p, ' ')[2] AS dst
+        |  FROM bgp WHERE string_split(p, ' ')[1] <> string_split(p, ' ')[2]),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM bg),
+        |d1 AS (SELECT node, count(*) AS d FROM
+        |  (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY node),
+        |s1 AS (SELECT node FROM d1 WHERE d >= 28),
+        |e1 AS (SELECT a, b FROM und JOIN s1 x ON x.node = und.a
+        |  JOIN s1 y ON y.node = und.b),
+        |d2 AS (SELECT node, count(*) AS d FROM
+        |  (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY node),
+        |s2 AS (SELECT node FROM d2 WHERE d >= 28),
+        |e2 AS (SELECT a, b FROM e1 JOIN s2 x ON x.node = e1.a
+        |  JOIN s2 y ON y.node = e1.b),
+        |d3 AS (SELECT node, count(*) AS d FROM
+        |  (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY node),
+        |s3 AS (SELECT node FROM d3 WHERE d >= 28),
+        |e3 AS (SELECT a, b FROM e2 JOIN s3 x ON x.node = e2.a
+        |  JOIN s3 y ON y.node = e2.b),
+        |d4 AS (SELECT node, count(*) AS d FROM
+        |  (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY node),
+        |s4 AS (SELECT node FROM d4 WHERE d >= 28),
+        |e4 AS (SELECT a, b FROM e3 JOIN s4 x ON x.node = e3.a
+        |  JOIN s4 y ON y.node = e3.b)
+        |SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+        |GROUP BY node""".stripMargin,
 
     "q_js_div" ->
       """WITH tk AS (SELECT source,
