@@ -1210,6 +1210,83 @@ object SparkEntry {
           col("ci_lo"), col("ci_hi"))
     }),
 
+    // #208: one-vs-rest ranking AUC per arm — "how well does `value`
+    // rank arm membership" (offline classifier-eval shape). Ranks are
+    // never materialized: AUC = U/(n1·n0) with the tie-midrank U
+    // accumulated as 2U = Σ_v c1(v)·(2·cumlt0(v) + c0(v)) over the
+    // same 2-dp-quantized pooled value grid as q_ks_test — the
+    // cumulative windows run per-arm over the domain-sized grid (and
+    // the pooled strictly-below count is recovered as Σ_arms cumlt_a,
+    // so NO unpartitioned window anywhere); everything is integer /
+    // decimal until the single final division, so both engines agree
+    // bit-for-bit at round(9).
+    "q_auc" -> ((s, dir) => {
+      val h = t(s, dir, "events")
+        .select(col("event_type").as("arm"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("arm"), col("v")).agg(count(lit(1)).as("c"))
+      val grid = h.select(col("v")).distinct()
+        .crossJoin(broadcast(h.select(col("arm")).distinct()))
+      val filled = grid.join(h, Seq("arm", "v"), "left").na.fill(0, Seq("c"))
+      val wlt = Window.partitionBy(col("arm")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cl = filled.withColumn("cumlt",
+        coalesce(sum(col("c")).over(wlt), lit(0L)))
+      val vv = cl.groupBy(col("v")).agg(sum(col("c")).as("tc"),
+        sum(col("cumlt")).as("cumlt_tot"))
+      def d18(c: Column) = c.cast("decimal(18,0)")
+      val per = cl.join(vv, "v")
+        .groupBy(col("arm"))
+        .agg(sum(d18(col("c")) *
+            (d18(col("cumlt_tot") - col("cumlt")) * lit(2) +
+              d18(col("tc") - col("c")))).as("u2"),
+          sum(col("c")).cast("long").as("n_pos"))
+      val tot = h.agg(sum(col("c")).cast("long").as("nn"))
+      per.crossJoin(broadcast(tot))
+        .select(col("arm"), col("n_pos"),
+          (col("nn") - col("n_pos")).as("n_neg"),
+          round(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              (col("nn") - col("n_pos")).cast("double")), 9).as("auc"))
+        .orderBy(col("arm"))
+    }),
+
+    // #209: decile gains/lift table for `value` scoring 'purchase'
+    // (the campaign-targeting companion of q_auc): events are split
+    // into 10 equal-count score bands WITHOUT a global sort — the
+    // band of a value is floor(10·cumlt(v)/N) off the quantized-value
+    // histogram's strictly-below cumulative (ties share one band by
+    // construction, so the assignment is deterministic and
+    // engine-identical); per band, positive rate and lift vs the base
+    // rate are exact-integer ratios rounded once. Scans events once;
+    // every shuffle after the first agg is value-domain-sized.
+    "q_lift" -> ((s, dir) => {
+      val h = t(s, dir, "events")
+        .select(col("value").cast("decimal(18,2)").as("v"),
+          when(col("event_type") === "purchase", lit(1L))
+            .otherwise(lit(0L)).as("p"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"), sum(col("p")).as("cp"))
+      val wlt = Window.orderBy(col("v").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cl = h.withColumn("cumlt",
+        coalesce(sum(col("c")).over(wlt), lit(0L)))
+      val tot = h.agg(sum(col("c")).cast("long").as("nn"),
+        sum(col("cp")).cast("long").as("np"))
+      cl.crossJoin(broadcast(tot))
+        .withColumn("band",
+          least(lit(9L), floor(col("cumlt") * lit(10) / col("nn"))))
+        .groupBy(col("band"), col("nn"), col("np"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          sum(col("cp")).cast("long").as("n_pos"))
+        .select(col("band"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 9)
+            .as("rate"),
+          round((col("n_pos").cast("double") * col("nn").cast("double")) /
+            (col("n").cast("double") * col("np").cast("double")), 9)
+            .as("lift"))
+        .orderBy(col("band"))
+    }),
+
     // #63: arg-min/arg-max (max_by/min_by) with struct tie-break
     "q_arg_minmax" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -2395,16 +2472,15 @@ object SparkEntry {
     }),
 
     // #207: k-core extraction by bounded-round peeling (community /
-    // spam-core mining; Matula–Beck peel, truncated): each round
-    // recomputes degrees WITHIN the surviving subgraph and drops
-    // nodes below k — two equi-joins + one hash-agg per round on
-    // node/edge-sized tables, the corpus scanned once up front. Four
-    // rounds is a documented truncation (the full decomposition
-    // iterates to fixpoint; at 100 TB you checkpoint per round like
-    // the BFS/pagerank operators) that both engines unroll
-    // identically. Output: the surviving subgraph's degree table.
+    // spam-core mining; Matula–Beck peel, truncated at 4 rounds —
+    // a documented truncation both engines unroll identically; the
+    // full decomposition iterates to fixpoint). The peel itself is
+    // Graph.kcore: two node-keyed equi-joins + one hash-agg per round,
+    // localCheckpoint-truncated per round so the self-referential
+    // lineage never re-derives the corpus scan (inline it compounds to
+    // 3^rounds copies of the bigram subtree — measured 335 s vs
+    // seconds at sf0.01). Output: the surviving subgraph's degrees.
     "q_kcore" -> ((s, dir) => {
-      val k = 28; val rounds = 4
       val tk = tp(s, dir, "documents")
         .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
         .filter(size(col("tk")) >= 2)
@@ -2417,22 +2493,7 @@ object SparkEntry {
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
-      var edges = und
-      var nodes = und.select(col("a").as("node"))
-        .union(und.select(col("b"))).distinct()
-      for (_ <- 1 to rounds) {
-        edges = edges.join(nodes.select(col("node").as("a")), "a")
-          .join(nodes.select(col("node").as("b")), "b")
-          .select(col("a"), col("b"))
-        nodes = edges.select(col("a").as("node"))
-          .union(edges.select(col("b").as("node")))
-          .groupBy(col("node")).agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k).select(col("node"))
-      }
-      val fe = edges.join(nodes.select(col("node").as("a")), "a")
-        .join(nodes.select(col("node").as("b")), "b")
-      fe.select(col("a").as("node")).union(fe.select(col("b").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      graft.operators.Graph.kcore(und, k = 28, rounds = 4)
     }),
 
     // #129: type-token ratio + hapax share per doc (lexical-diversity
@@ -4614,6 +4675,50 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = 196 THEN m END) AS ci_hi
         |FROM rk JOIN st ON st.arm = rk.arm
         |GROUP BY st.arm, n, mean""".stripMargin,
+
+    "q_auc" ->
+      """WITH h AS (SELECT event_type AS arm, CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |grid AS (SELECT arm, v FROM (SELECT DISTINCT arm FROM h)
+        |  CROSS JOIN (SELECT DISTINCT v FROM h)),
+        |f AS (SELECT grid.arm, grid.v, COALESCE(h.c, 0) AS c FROM grid
+        |  LEFT JOIN h ON h.arm = grid.arm AND h.v = grid.v),
+        |cl AS (SELECT arm, v, c,
+        |    CAST(COALESCE(SUM(c) OVER (PARTITION BY arm ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumlt
+        |  FROM f),
+        |vv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS tc,
+        |    CAST(SUM(cumlt) AS BIGINT) AS cumlt_tot FROM cl GROUP BY v),
+        |per AS (SELECT arm,
+        |    SUM(CAST(cl.c AS DECIMAL(18,0)) *
+        |      (CAST(vv.cumlt_tot - cl.cumlt AS DECIMAL(18,0)) * 2 +
+        |       CAST(vv.tc - cl.c AS DECIMAL(18,0)))) AS u2,
+        |    CAST(SUM(cl.c) AS BIGINT) AS n_pos
+        |  FROM cl JOIN vv ON vv.v = cl.v GROUP BY arm),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM h)
+        |SELECT arm, n_pos, nn - n_pos AS n_neg,
+        |  ROUND(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
+        |    * CAST(nn - n_pos AS DOUBLE)), 9) AS auc
+        |FROM per, tot ORDER BY arm""".stripMargin,
+
+    "q_lift" ->
+      """WITH h AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cp
+        |  FROM events GROUP BY 1),
+        |cl AS (SELECT v, c, cp,
+        |    CAST(COALESCE(SUM(c) OVER (ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumlt
+        |  FROM h),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn,
+        |    CAST(SUM(cp) AS BIGINT) AS np FROM h),
+        |b AS (SELECT LEAST(9, CAST(FLOOR(cumlt * 10.0 / nn) AS BIGINT)) AS band,
+        |    c, cp, nn, np FROM cl, tot)
+        |SELECT band, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(cp) AS BIGINT) AS n_pos,
+        |  ROUND(CAST(SUM(cp) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 9) AS rate,
+        |  ROUND((CAST(SUM(cp) AS DOUBLE) * CAST(nn AS DOUBLE))
+        |    / (CAST(SUM(c) AS DOUBLE) * CAST(np AS DOUBLE)), 9) AS lift
+        |FROM b GROUP BY band, nn, np ORDER BY band""".stripMargin,
 
     "q_arg_minmax" ->
       """SELECT o_custkey,

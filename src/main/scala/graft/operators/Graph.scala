@@ -57,4 +57,38 @@ object Graph {
     e.unpersist(blocking = false)
     dist
   }
+
+  /** Bounded-round k-core peel (Matula–Beck, truncated): each round
+    * recomputes degrees WITHIN the surviving subgraph and drops nodes
+    * below `k` — two node-keyed equi-joins plus one hash-agg per round
+    * on node/edge-sized tables. `und` must be a deduplicated undirected
+    * edge list with columns (a, b), a < b. Returns the surviving
+    * subgraph's degree table (node, deg).
+    *
+    * The edge set is localCheckpoint'd per round: without truncation
+    * the peel's self-referential lineage re-derives the base edge
+    * subtree ~3× per round (once directly, twice through the two node
+    * joins), compounding to 3^rounds copies of the upstream scan —
+    * measured 335 s for 4 rounds at sf0.01 inline vs seconds when
+    * truncated. Spent rounds' blocks are dropped as soon as the next
+    * round lands (the BFS/DedupCluster lesson); the FINAL round's
+    * blocks back the returned frame and live until the caller's action
+    * completes, mirroring [[bfs]]. */
+  def kcore(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = und.select(col("a"), col("b")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val survivors = edges.select(col("a").as("node"))
+        .union(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("node"))
+      val pruned = edges
+        .join(survivors.select(col("node").as("a")), "a")
+        .join(survivors.select(col("node").as("b")), "b")
+        .select(col("a"), col("b")).localCheckpoint(true)
+      dropCheckpointBlocks(edges)
+      edges = pruned
+    }
+    edges.select(col("a").as("node")).union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+  }
 }
