@@ -1287,6 +1287,55 @@ object SparkEntry {
         .orderBy(col("band"))
     }),
 
+    // #210: quantile normalization across sources (Bolstad et al.
+    // 2003, the batch-effect-correction classic; here: aligning
+    // per-source doc-length distributions before mixing) — each
+    // (source, n_chars) value maps to the POOLED distribution's value
+    // at the same midrank fraction. Per-source CDFs ride the filled
+    // domain grid (source-partitioned windows only; the pooled
+    // inclusive cumulative is recovered as Σ_sources cum_src, no
+    // unpartitioned window); the target pooled rank is an integer
+    // ceil-div (never a float); and the rank→value lookup is the
+    // width-64 binned interval join (q_neg_sampling's shape — no
+    // broadcast nested loop). The oracle runs the literal BETWEEN
+    // range join, proving the binned rewrite. Output: the
+    // domain-sized (source, n_chars → norm) mapping table; applying
+    // it to docs is one broadcast equi-join.
+    "q_quantile_norm" -> ((s, dir) => {
+      val h = tp(s, dir, "documents")
+        .select(col("source").as("src"), col("n_chars").as("x"))
+        .groupBy(col("src"), col("x")).agg(count(lit(1)).as("c"))
+      val grid = h.select(col("x")).distinct()
+        .crossJoin(broadcast(h.select(col("src")).distinct()))
+      val filled = grid.join(h, Seq("src", "x"), "left").na.fill(0, Seq("c"))
+      val wlt = Window.partitionBy(col("src")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cc = filled
+        .withColumn("cumlt", coalesce(sum(col("c")).over(wlt), lit(0L)))
+        .withColumn("cum", col("cumlt") + col("c"))
+      val pooled = cc.groupBy(col("x"))
+        .agg(sum(col("c")).as("cp"), sum(col("cum")).as("cum_p"))
+      val iv = pooled.select(col("x").as("nx"),
+        (col("cum_p") - col("cp") + 1).as("lo"), col("cum_p").as("hi"))
+      val bins = iv.withColumn("bin",
+        explode(sequence(shiftright(col("lo") - 1, 6),
+          shiftright(col("hi") - 1, 6))))
+      val nSrc = h.groupBy(col("src")).agg(sum(col("c")).as("nsrc"))
+      val tot = h.agg(sum(col("c")).cast("long").as("nn"))
+      val kk = cc.filter(col("c") > 0)
+        .join(broadcast(nSrc), "src").crossJoin(broadcast(tot))
+        .withColumn("num",
+          (col("cumlt") * 2 + col("c") + 1) * col("nn"))
+        .withColumn("den", col("nsrc") * 2)
+        .withColumn("k", expr("(num + den - 1) div den"))
+        .withColumn("bin", shiftright(col("k") - 1, 6))
+      kk.join(bins, Seq("bin"))
+        .filter(col("k") >= col("lo") && col("k") <= col("hi"))
+        .select(col("src").as("source"), col("x").as("n_chars"),
+          col("nx").as("norm"))
+        .orderBy(col("source"), col("n_chars"))
+    }),
+
     // #63: arg-min/arg-max (max_by/min_by) with struct tie-break
     "q_arg_minmax" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -4719,6 +4768,30 @@ object SparkEntry {
         |  ROUND((CAST(SUM(cp) AS DOUBLE) * CAST(nn AS DOUBLE))
         |    / (CAST(SUM(c) AS DOUBLE) * CAST(np AS DOUBLE)), 9) AS lift
         |FROM b GROUP BY band, nn, np ORDER BY band""".stripMargin,
+
+    "q_quantile_norm" ->
+      """WITH h AS (SELECT source AS src, n_chars AS x,
+        |    CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT src, x FROM (SELECT DISTINCT src FROM h)
+        |  CROSS JOIN (SELECT DISTINCT x FROM h)),
+        |f AS (SELECT grid.src, grid.x, COALESCE(h.c, 0) AS c FROM grid
+        |  LEFT JOIN h ON h.src = grid.src AND h.x = grid.x),
+        |cc AS (SELECT src, x, c,
+        |    CAST(COALESCE(SUM(c) OVER (PARTITION BY src ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumlt,
+        |    CAST(COALESCE(SUM(c) OVER (PARTITION BY src ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c AS BIGINT) AS cum
+        |  FROM f),
+        |pooled AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cp,
+        |    CAST(SUM(cum) AS BIGINT) AS cum_p FROM cc GROUP BY x),
+        |ns AS (SELECT src, CAST(SUM(c) AS BIGINT) AS nsrc FROM h GROUP BY src),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM h),
+        |kk AS (SELECT cc.src, cc.x,
+        |    ((2 * cc.cumlt + cc.c + 1) * nn + 2 * ns.nsrc - 1) // (2 * ns.nsrc) AS k
+        |  FROM cc JOIN ns ON ns.src = cc.src, tot WHERE cc.c > 0)
+        |SELECT kk.src AS source, kk.x AS n_chars, p.x AS norm
+        |FROM kk JOIN pooled p ON kk.k BETWEEN p.cum_p - p.cp + 1 AND p.cum_p
+        |ORDER BY source, n_chars""".stripMargin,
 
     "q_arg_minmax" ->
       """SELECT o_custkey,
