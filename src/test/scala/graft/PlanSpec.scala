@@ -385,4 +385,32 @@ class PlanSpec extends SparkSpec {
       l.contains("FileScan parquet") && l.contains("lineitem"))
     assert(scans <= 2, s"lineitem scanned $scans times:\n$p")
   }
+
+  test("q_auc: every window is arm-partitioned — no corpus-sized single partition") {
+    val p = plan("q_auc")
+    // the pooled strictly-below count is recovered as Σ_arms cumlt_a,
+    // so no Window may run on an unpartitioned (global) exchange
+    val windows = p.linesIterator.filter(_.contains("Window ")).toList
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(_.contains("windowspecdefinition(arm")),
+      s"unpartitioned window in:\n${windows.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_quantile_norm: rank lookup is a binned equi-join, never a nested loop") {
+    val p = plan("q_quantile_norm")
+    // the rank→value interval lookup must equi-join on the width-64
+    // bin key (the range predicate only post-filters); a nested loop
+    // on (k BETWEEN lo AND hi) would be the literal range join the
+    // oracle runs. The single BroadcastNestedLoopJoin allowed is the
+    // one-row grand-total broadcast.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join [bin") || p.contains("Join [cast(bin"), p)
+    // the only nested loops allowed are the explicit bounded crosses
+    // (domain grid × 20 sources, one-row grand total) — never an
+    // Inner BNLJ carrying the range predicate
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toList
+    assert(bnlj.forall(_.contains("Cross")),
+      s"range predicate fell into a nested loop:\n${bnlj.mkString("\n")}")
+  }
 }
