@@ -1336,6 +1336,41 @@ object SparkEntry {
         .orderBy(col("source"), col("n_chars"))
     }),
 
+    // #211: single-changepoint detection per series (AMOC via the
+    // CUSUM mean-shift estimator): the changepoint is
+    // argmax_d |cs_d·N − S·cn_d| — the cumulative-sum deviation from
+    // the series' own linear trend, CROSS-MULTIPLIED so the argmax
+    // compares exact decimals (a per-day division would put a float
+    // argmax one ULP from flipping between engines; the repo's KS/MWU
+    // trick applied to time). One (arm → day) shuffle to daily
+    // decimal sums, day-domain-sized cumulative windows, rank-1 pick
+    // with earliest-day tie-break; the deviation is reported as a
+    // double only in the output (exact: |dev| < 2^53).
+    "q_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type").as("arm"), to_date(col("ts")).as("day"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("arm"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sd"))
+      val wc = Window.partitionBy(col("arm")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily
+        .withColumn("cn", sum(col("n")).over(wc))
+        .withColumn("cs", sum(col("sd")).over(wc))
+      val tot = daily.groupBy(col("arm"))
+        .agg(sum(col("n")).as("nn"), sum(col("sd")).as("ss"),
+          max(col("day")).as("last_day"))
+      val dev = cum.join(broadcast(tot), "arm")
+        .filter(col("day") < col("last_day"))
+        .withColumn("dev", abs(col("cs") * col("nn") - col("ss") * col("cn")))
+      val wr = Window.partitionBy(col("arm"))
+        .orderBy(col("dev").desc, col("day").asc)
+      dev.withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+        .select(col("arm"), col("day").as("cp_day"),
+          col("dev").cast("double").as("dev"))
+        .orderBy(col("arm"))
+    }),
+
     // #63: arg-min/arg-max (max_by/min_by) with struct tie-break
     "q_arg_minmax" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -4792,6 +4827,29 @@ object SparkEntry {
         |SELECT kk.src AS source, kk.x AS n_chars, p.x AS norm
         |FROM kk JOIN pooled p ON kk.k BETWEEN p.cum_p - p.cp + 1 AND p.cum_p
         |ORDER BY source, n_chars""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (SELECT event_type AS arm, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sd
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT arm, day, n, sd,
+        |    CAST(SUM(n) OVER (PARTITION BY arm ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+        |    SUM(sd) OVER (PARTITION BY arm ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS cs
+        |  FROM daily),
+        |tot AS (SELECT arm, CAST(SUM(n) AS BIGINT) AS nn, SUM(sd) AS ss,
+        |    MAX(day) AS last_day FROM daily GROUP BY arm),
+        |dev AS (SELECT cum.arm, cum.day,
+        |    ABS(cum.cs * tot.nn - tot.ss * cum.cn) AS dev
+        |  FROM cum JOIN tot ON tot.arm = cum.arm
+        |  WHERE cum.day < tot.last_day),
+        |rk AS (SELECT arm, day, dev,
+        |    row_number() OVER (PARTITION BY arm ORDER BY dev DESC, day ASC) AS rn
+        |  FROM dev)
+        |SELECT arm, day AS cp_day, CAST(dev AS DOUBLE) AS dev
+        |FROM rk WHERE rn = 1 ORDER BY arm""".stripMargin,
 
     "q_arg_minmax" ->
       """SELECT o_custkey,
