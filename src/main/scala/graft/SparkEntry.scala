@@ -3133,6 +3133,46 @@ object SparkEntry {
           last(col("v"), ignoreNulls = true).over(w).as("value"))
     }),
 
+    // #212: linear-interpolation resample (the analytic fill beside
+    // q_gapfill's forward fill — sensor/metric series where a gap
+    // means "the value moved linearly", not "held"): per-user daily
+    // grid (span-bounded sequence explode, never a cross join), then
+    // ONE exchange on user_id carries both bracketing windows —
+    // last-non-null (prev day+value) backward and first-non-null
+    // (next day+value) forward. Endpoint values are INTEGER CENTS, so
+    // (vn−vp)·(d−dp) is exact in both engines and the interpolation
+    // is a fixed 4-op IEEE tree rounded once at 9 dp; observed days
+    // short-circuit to their own value (dp = dn guard).
+    "q_interpolate" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id") < 30)
+        .select(col("user_id"), unix_date(col("ts").cast("date")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val daily = e.groupBy(col("user_id"), col("day"))
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wb = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val j = grid.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("vc",
+          (col("v").cast("decimal(18,2)") * lit(100)).cast("long"))
+        .withColumn("dp", last(when(col("vc").isNotNull, col("day")),
+          ignoreNulls = true).over(wb))
+        .withColumn("vp", last(col("vc"), ignoreNulls = true).over(wb))
+        .withColumn("dn", first(when(col("vc").isNotNull, col("day")),
+          ignoreNulls = true).over(wf))
+        .withColumn("vn", first(col("vc"), ignoreNulls = true).over(wf))
+      def nd(c: Column) = c.cast("double")
+      j.select(col("user_id"), col("day"),
+        round(when(col("dn") === col("dp"), nd(col("vp")) / lit(100.0))
+          .otherwise((nd(col("vp")) +
+            nd(col("vn") - col("vp")) * nd(col("day") - col("dp")) /
+              nd(col("dn") - col("dp"))) / lit(100.0)), 9).as("value"))
+    }),
+
     // #146: triangle counting on the token co-occurrence graph (the
     // clustering-coefficient numerator, the classic graph-analytics
     // benchmark beside PageRank). Edges canonicalized u < v, so each
@@ -6233,6 +6273,41 @@ object SparkEntry {
         |    ORDER BY grid.day ROWS UNBOUNDED PRECEDING) AS value
         |FROM grid LEFT JOIN daily
         |  ON grid.user_id = daily.user_id AND grid.day = daily.day""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH e AS (SELECT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    ts, event_id, value
+        |  FROM events WHERE user_id < 30),
+        |daily AS (SELECT user_id, day,
+        |    CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc FROM (
+        |    SELECT user_id, day, value AS v, row_number() OVER (
+        |      PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |g AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM g),
+        |br AS (SELECT grid.user_id, grid.day,
+        |    last_value(CASE WHEN daily.vc IS NOT NULL THEN grid.day END IGNORE NULLS)
+        |      OVER (PARTITION BY grid.user_id ORDER BY grid.day
+        |        ROWS UNBOUNDED PRECEDING) AS dp,
+        |    last_value(daily.vc IGNORE NULLS)
+        |      OVER (PARTITION BY grid.user_id ORDER BY grid.day
+        |        ROWS UNBOUNDED PRECEDING) AS vp,
+        |    first_value(CASE WHEN daily.vc IS NOT NULL THEN grid.day END IGNORE NULLS)
+        |      OVER (PARTITION BY grid.user_id ORDER BY grid.day
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dn,
+        |    first_value(daily.vc IGNORE NULLS)
+        |      OVER (PARTITION BY grid.user_id ORDER BY grid.day
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+        |  FROM grid LEFT JOIN daily
+        |    ON grid.user_id = daily.user_id AND grid.day = daily.day)
+        |SELECT user_id, day,
+        |  ROUND(CASE WHEN dn = dp THEN CAST(vp AS DOUBLE) / 100.0
+        |    ELSE (CAST(vp AS DOUBLE) +
+        |      CAST(vn - vp AS DOUBLE) * CAST(day - dp AS DOUBLE)
+        |        / CAST(dn - dp AS DOUBLE)) / 100.0 END, 9) AS value
+        |FROM br""".stripMargin,
 
     "q_triangles" ->
       """WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
