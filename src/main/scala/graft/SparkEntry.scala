@@ -3133,6 +3133,45 @@ object SparkEntry {
           last(col("v"), ignoreNulls = true).over(w).as("value"))
     }),
 
+    // #213: last-touch conversion attribution with a 7-day lookback
+    // (the ad-tech staple): each purchase credits the user's latest
+    // click/view in (ts−7d, ts]. The inequality join the problem
+    // states is rewritten as ONE (user → ts) exchange: touches and
+    // conversions union-tagged, a running last-non-null touch struct
+    // carried forward (touches sort before same-ts conversions), and
+    // the lookback bound checked on the carried value — the AsOfJoin
+    // union trick, so nothing user²-sized ever forms. Ties at the
+    // same ts break on event_id, deterministically. The oracle runs
+    // the LITERAL interval join + rank, proving the rewrite. Output:
+    // per-channel attributed conversions + decimal-exact value
+    // ('(none)' = no touch in window).
+    "q_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0).as("kind"), col("event_type").as("channel"),
+          lit(null).cast("decimal(18,2)").as("cv"))
+      val convs = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(1).as("kind"), lit(null).cast("string").as("channel"),
+          col("value").cast("decimal(18,2)").as("cv"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val carried = touches.union(convs)
+        .withColumn("lt", last(when(col("kind") === 0,
+          struct(col("ts").as("tts"), col("event_id").as("tid"),
+            col("channel").as("tch"))), ignoreNulls = true).over(w))
+      carried.filter(col("kind") === 1)
+        .select(coalesce(when(col("lt.tts") > col("ts") - expr("INTERVAL 7 DAYS"),
+            col("lt.tch")), lit("(none)")).as("channel"),
+          col("cv"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conv"),
+          sum(col("cv")).cast("double").as("attr_value"))
+        .orderBy(col("channel"))
+    }),
+
     // #212: linear-interpolation resample (the analytic fill beside
     // q_gapfill's forward fill — sensor/metric series where a gap
     // means "the value moved linearly", not "held"): per-user daily
@@ -6273,6 +6312,24 @@ object SparkEntry {
         |    ORDER BY grid.day ROWS UNBOUNDED PRECEDING) AS value
         |FROM grid LEFT JOIN daily
         |  ON grid.user_id = daily.user_id AND grid.day = daily.day""".stripMargin,
+
+    "q_attribution" ->
+      """WITH touches AS (SELECT user_id, ts, event_id, event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |convs AS (SELECT user_id, ts, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS cv
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.event_id AS cid, c.cv, t.channel,
+        |    row_number() OVER (PARTITION BY c.user_id, c.event_id
+        |      ORDER BY t.ts DESC, t.event_id DESC) AS rn
+        |  FROM convs c LEFT JOIN touches t
+        |    ON t.user_id = c.user_id AND t.ts <= c.ts
+        |    AND t.ts > c.ts - INTERVAL 7 DAY),
+        |a AS (SELECT COALESCE(channel, '(none)') AS channel, cv
+        |  FROM j WHERE rn = 1)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_conv,
+        |  CAST(SUM(cv) AS DOUBLE) AS attr_value
+        |FROM a GROUP BY channel ORDER BY channel""".stripMargin,
 
     "q_interpolate" ->
       """WITH e AS (SELECT user_id,
