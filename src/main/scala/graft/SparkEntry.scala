@@ -3133,6 +3133,35 @@ object SparkEntry {
           last(col("v"), ignoreNulls = true).over(w).as("value"))
     }),
 
+    // #214: movers-and-shakers leaderboard — biggest customer spend
+    // RANK improvements between the 1995-97 and 1998-2001 halves of
+    // the order history. Ranking runs on GroupRank.rowNumber (the
+    // distributed two-pass rank: range-repartition + driver-sized
+    // offset table), NOT row_number() over a 2-value partition key —
+    // a window partitioned by `period` funnels half the customer
+    // table through one task's sort at 100 TB. Spend sums are exact
+    // decimals; (−spend, custkey) is the total order, so ranks are
+    // engine-identical; the final top-20 is a limit, not a global
+    // sort of the join.
+    "q_movers" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("period",
+          when(year(col("o_orderdate")) <= 1997, lit("p1")).otherwise(lit("p2")))
+      val spend = o.groupBy(col("period"), col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        .withColumn("negspend", negate(col("spend")))
+      val ranked = graft.operators.GroupRank.rowNumber(
+        spend, Seq("period"), Seq("negspend", "o_custkey"), "rnk")
+      val p1 = ranked.filter(col("period") === "p1")
+        .select(col("o_custkey"), col("rnk").as("r1"))
+      val p2 = ranked.filter(col("period") === "p2")
+        .select(col("o_custkey"), col("rnk").as("r2"))
+      p1.join(p2, "o_custkey")
+        .select(col("o_custkey"), col("r1"), col("r2"),
+          (col("r1") - col("r2")).as("delta"))
+        .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
+    }),
+
     // #213: last-touch conversion attribution with a 7-day lookback
     // (the ad-tech staple): each purchase credits the user's latest
     // click/view in (ts−7d, ts]. The inequality join the problem
@@ -6312,6 +6341,20 @@ object SparkEntry {
         |    ORDER BY grid.day ROWS UNBOUNDED PRECEDING) AS value
         |FROM grid LEFT JOIN daily
         |  ON grid.user_id = daily.user_id AND grid.day = daily.day""".stripMargin,
+
+    "q_movers" ->
+      """WITH spend AS (SELECT
+        |    CASE WHEN year(o_orderdate) <= 1997 THEN 'p1' ELSE 'p2' END AS period,
+        |    o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |rk AS (SELECT period, o_custkey,
+        |    CAST(row_number() OVER (PARTITION BY period
+        |      ORDER BY spend DESC, o_custkey ASC) AS BIGINT) AS rnk
+        |  FROM spend)
+        |SELECT a.o_custkey, a.rnk AS r1, b.rnk AS r2, a.rnk - b.rnk AS delta
+        |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
+        |  AND a.period = 'p1' AND b.period = 'p2'
+        |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
 
     "q_attribution" ->
       """WITH touches AS (SELECT user_id, ts, event_id, event_type AS channel
