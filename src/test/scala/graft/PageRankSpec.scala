@@ -44,6 +44,42 @@ class PageRankSpec extends SparkSpec {
     assert(added.size <= 1, s"leaked RDDs: $added")
   }
 
+  private def kcoreOf(edges: Seq[(String, String)], k: Int,
+                      rounds: Int): Map[String, Long] = {
+    import SparkSpec.spark.implicits._
+    Graph.kcore(edges.toDF("a", "b"), k, rounds)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("kcore keeps exactly the 3-core of a clique with pendants") {
+    // K4 on a..d plus a pendant tail d-e-f: the 3-core is the clique
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "d" -> "e", "e" -> "f")
+    val core = kcoreOf(k4, 3, rounds = 3)
+    assert(core === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("kcore peels a path iteratively; bounded rounds truncate the peel") {
+    // path a-b-c-d-e under k=2: each round exposes the next endpoints,
+    // so the full peel to empty needs several rounds
+    val path = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e")
+    assert(kcoreOf(path, 2, rounds = 4) === Map.empty)
+    // one round only drops the current endpoints' edges: b-c-d survive
+    val once = kcoreOf(path, 2, rounds = 1)
+    assert(once.keySet === Set("b", "c", "d"))
+  }
+
+  test("kcore leaves no pinned checkpoint blocks behind except the result") {
+    import SparkSpec.spark.implicits._
+    val sc = SparkSpec.spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val res = Graph.kcore(Seq("a" -> "b", "a" -> "c", "b" -> "c")
+      .toDF("a", "b"), 2, rounds = 3)
+    res.count()
+    val added = sc.getPersistentRDDs.keySet -- before
+    assert(added.size <= 1, s"leaked RDDs: $added")
+  }
+
   private def ranksOf(edges: Seq[(String, String)],
                       iters: Int = 3): Map[String, Double] = {
     import SparkSpec.spark.implicits._
