@@ -3133,6 +3133,39 @@ object SparkEntry {
           last(col("v"), ignoreNulls = true).over(w).as("value"))
     }),
 
+    // #215: funnel time-to-convert (signup → first qualifying
+    // purchase) with exact discrete percentiles: latencies quantize
+    // to whole hours, so the p50/p90 are order statistics read off a
+    // latency-domain-sized histogram cumulative (the
+    // q_percentile_disc trick on a DERIVED duration) — no global sort
+    // of users, no interpolated quantiles. Second diffs and target
+    // ranks ceil(qN) are pure integer arithmetic in both engines; the
+    // per-user first-purchase-after-signup is one user-keyed join +
+    // min agg, user-sized shuffles only.
+    "q_funnel_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val lat = ev.filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts") >= col("s_ts"))
+        .groupBy(col("user_id"), col("s_ts")).agg(min(col("ts")).as("p_ts"))
+        .select(((unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts")))
+          .cast("long")).as("secs"))
+        .select(expr("secs div 3600").as("h"))
+      val hist = lat.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(wc))
+      val tot = hist.agg(sum(col("c")).cast("long").as("nn"))
+      val j = cum.crossJoin(broadcast(tot))
+      j.agg(max(col("nn")).as("n_users"),
+          min(when(col("cum") >= expr("(nn + 1) div 2"), col("h")))
+            .as("p50_hours"),
+          min(when(col("cum") >= expr("(9 * nn + 9) div 10"), col("h")))
+            .as("p90_hours"))
+    }),
+
     // #214: movers-and-shakers leaderboard — biggest customer spend
     // RANK improvements between the 1995-97 and 1998-2001 halves of
     // the order history. Ranking runs on GroupRank.rowNumber (the
@@ -6341,6 +6374,22 @@ object SparkEntry {
         |    ORDER BY grid.day ROWS UNBOUNDED PRECEDING) AS value
         |FROM grid LEFT JOIN daily
         |  ON grid.user_id = daily.user_id AND grid.day = daily.day""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH su AS (SELECT user_id, min(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |lat AS (SELECT (datediff('second', su.s_ts, min(e.ts)) // 3600) AS h
+        |  FROM events e JOIN su ON su.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.s_ts
+        |  GROUP BY e.user_id, su.s_ts),
+        |hist AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM lat GROUP BY h),
+        |cum AS (SELECT h, c, CAST(SUM(c) OVER (ORDER BY h
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM hist)
+        |SELECT max(nn) AS n_users,
+        |  min(CASE WHEN cum >= (nn + 1) // 2 THEN h END) AS p50_hours,
+        |  min(CASE WHEN cum >= (9 * nn + 9) // 10 THEN h END) AS p90_hours
+        |FROM cum, tot""".stripMargin,
 
     "q_movers" ->
       """WITH spend AS (SELECT
