@@ -42,6 +42,14 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (df.schema.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // micros with isAdjustedToUTC=false arrive as TIMESTAMP_NTZ; the
+    // whole library (and the UTC-pinned sessions) speak TimestampType,
+    // and NTZ refuses casts like ts::double that sessionization uses —
+    // normalize at the only ingress so both generations of the
+    // testdata present one type. Values are identical under UTC.
+    else if (df.schema.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType))
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 
