@@ -3195,6 +3195,61 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #216: linear multi-touch attribution (each purchase splits one
+    // unit of credit equally over ALL its click/view touches in
+    // (ts−7d, ts]) — the per-conversion touch COUNT needs the window's
+    // two endpoints, so beside each conversion row a PROBE row at
+    // ts−7d rides the same (user → ts, kind, id) exchange; per-channel
+    // running touch counts are window sums, and the in-window count is
+    // the difference of the two carried snapshots. Nothing user²-sized
+    // forms. Fractional credits are round(9) doubles SUMMED IN DECIMAL
+    // (the q_js_div order-free pattern), so the rollup is
+    // order-independent; the oracle runs the literal interval join +
+    // per-conversion count, proving the probe rewrite.
+    "q_attribution_linear" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("event_id"), col("event_type").as("ch"))
+      val convs0 = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val probes = convs0.select(col("user_id"),
+        (col("ts") - expr("INTERVAL 7 DAYS")).as("ts"), lit(1).as("kind"),
+        col("event_id"), lit(null).cast("string").as("ch"))
+      val convs = convs0.select(col("user_id"), col("ts"),
+        lit(2).as("kind"), col("event_id"), lit(null).cast("string").as("ch"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val counted = touches.union(probes).union(convs)
+        .withColumn("cc", sum(when(col("kind") === 0 &&
+          col("ch") === "click", 1L).otherwise(0L)).over(w))
+        .withColumn("cv", sum(when(col("kind") === 0 &&
+          col("ch") === "view", 1L).otherwise(0L)).over(w))
+      val p = counted.filter(col("kind") === 1)
+        .select(col("event_id").as("cid"), col("cc").as("cc0"),
+          col("cv").as("cv0"))
+      val c = counted.filter(col("kind") === 2)
+        .select(col("event_id").as("cid"), col("cc").as("cc1"),
+          col("cv").as("cv1"))
+      val per = c.join(p, "cid")
+        .withColumn("nc", col("cc1") - col("cc0"))
+        .withColumn("nv", col("cv1") - col("cv0"))
+        .withColumn("k", col("nc") + col("nv"))
+      def share(n: Column) = round(n.cast("double") /
+        col("k").cast("double"), 9).cast("decimal(20,9)")
+      val credits = per.filter(col("k") > 0)
+        .select(lit("click").as("channel"), share(col("nc")).as("share"))
+        .union(per.filter(col("k") > 0)
+          .select(lit("view").as("channel"), share(col("nv")).as("share")))
+        .union(per.filter(col("k") === 0)
+          .select(lit("(none)").as("channel"),
+            lit(java.math.BigDecimal.ONE).cast("decimal(20,9)").as("share")))
+      credits.groupBy(col("channel"))
+        .agg(sum(col("share")).cast("double").as("attr_convs"))
+        .orderBy(col("channel"))
+    }),
+
     // #213: last-touch conversion attribution with a 7-day lookback
     // (the ad-tech staple): each purchase credits the user's latest
     // click/view in (ts−7d, ts]. The inequality join the problem
@@ -6404,6 +6459,30 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_attribution_linear" ->
+      """WITH convs AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, ts, event_id, event_type AS ch FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |per AS (SELECT c.event_id AS cid,
+        |    CAST(count(CASE WHEN t.ch = 'click' THEN 1 END) AS BIGINT) AS nc,
+        |    CAST(count(CASE WHEN t.ch = 'view' THEN 1 END) AS BIGINT) AS nv
+        |  FROM convs c LEFT JOIN tch t ON t.user_id = c.user_id
+        |    AND t.ts <= c.ts AND t.ts > c.ts - INTERVAL 7 DAY
+        |  GROUP BY c.event_id),
+        |cr AS (
+        |  SELECT 'click' AS channel, CAST(ROUND(CAST(nc AS DOUBLE)
+        |      / CAST(nc + nv AS DOUBLE), 9) AS DECIMAL(20,9)) AS share
+        |    FROM per WHERE nc + nv > 0
+        |  UNION ALL
+        |  SELECT 'view', CAST(ROUND(CAST(nv AS DOUBLE)
+        |      / CAST(nc + nv AS DOUBLE), 9) AS DECIMAL(20,9))
+        |    FROM per WHERE nc + nv > 0
+        |  UNION ALL
+        |  SELECT '(none)', CAST(1 AS DECIMAL(20,9)) FROM per WHERE nc + nv = 0)
+        |SELECT channel, CAST(SUM(share) AS DOUBLE) AS attr_convs
+        |FROM cr GROUP BY channel ORDER BY channel""".stripMargin,
 
     "q_attribution" ->
       """WITH touches AS (SELECT user_id, ts, event_id, event_type AS channel
