@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnIvf, AnnLsh, AnnPq, Dedup}
+import graft.operators.{AnnIvf, AnnLsh, AnnPq, Attribution, Dedup}
 
 /** Scale soak: the dedup / ANN / join family timed at 1× and R× (default
   * 10×) the input, with the R× copy built by in-memory replication of
@@ -59,6 +59,13 @@ object Soak {
     val embOff = offsetOf(embBase, "vec_id")
     def docs(n: Int) = replicate(docBase, n, Map("doc_id" -> docOff), Some("text"))
     def embs(n: Int) = replicate(embBase, n, Map("vec_id" -> embOff), None)
+    val evBase = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val uOff = offsetOf(evBase, "user_id")
+    val eIdOff = offsetOf(evBase, "event_id")
+    def evs(n: Int) = replicate(evBase, n,
+      Map("user_id" -> uOff, "event_id" -> eIdOff), None)
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -125,7 +132,13 @@ object Soak {
         val e = embs(n)
         AnnPq.annTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
       }),
-      "join_agg" -> ((n: Int) => joinAgg(n)))
+      "join_agg" -> ((n: Int) => joinAgg(n)),
+      // per-replica user_id offsets keep every per-user stream its
+      // original length — the (user → ts) exchange + running-count
+      // windows of the attribution probe rewrite must scale with ROWS,
+      // never with users × conversions
+      "window_probe" -> ((n: Int) =>
+        Attribution.linear(evs(n), "click", "view", "purchase", 7)))
 
     family.map { case (name, mk) =>
       def time(n: Int): Double = {

@@ -3206,49 +3206,9 @@ object SparkEntry {
     // (the q_js_div order-free pattern), so the rollup is
     // order-independent; the oracle runs the literal interval join +
     // per-conversion count, proving the probe rewrite.
-    "q_attribution_linear" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val touches = ev.filter(col("event_type").isin("click", "view"))
-        .select(col("user_id"), col("ts"), lit(0).as("kind"),
-          col("event_id"), col("event_type").as("ch"))
-      val convs0 = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"))
-      val probes = convs0.select(col("user_id"),
-        (col("ts") - expr("INTERVAL 7 DAYS")).as("ts"), lit(1).as("kind"),
-        col("event_id"), lit(null).cast("string").as("ch"))
-      val convs = convs0.select(col("user_id"), col("ts"),
-        lit(2).as("kind"), col("event_id"), lit(null).cast("string").as("ch"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val counted = touches.union(probes).union(convs)
-        .withColumn("cc", sum(when(col("kind") === 0 &&
-          col("ch") === "click", 1L).otherwise(0L)).over(w))
-        .withColumn("cv", sum(when(col("kind") === 0 &&
-          col("ch") === "view", 1L).otherwise(0L)).over(w))
-      val p = counted.filter(col("kind") === 1)
-        .select(col("event_id").as("cid"), col("cc").as("cc0"),
-          col("cv").as("cv0"))
-      val c = counted.filter(col("kind") === 2)
-        .select(col("event_id").as("cid"), col("cc").as("cc1"),
-          col("cv").as("cv1"))
-      val per = c.join(p, "cid")
-        .withColumn("nc", col("cc1") - col("cc0"))
-        .withColumn("nv", col("cv1") - col("cv0"))
-        .withColumn("k", col("nc") + col("nv"))
-      def share(n: Column) = round(n.cast("double") /
-        col("k").cast("double"), 9).cast("decimal(20,9)")
-      val credits = per.filter(col("k") > 0)
-        .select(lit("click").as("channel"), share(col("nc")).as("share"))
-        .union(per.filter(col("k") > 0)
-          .select(lit("view").as("channel"), share(col("nv")).as("share")))
-        .union(per.filter(col("k") === 0)
-          .select(lit("(none)").as("channel"),
-            lit(java.math.BigDecimal.ONE).cast("decimal(20,9)").as("share")))
-      credits.groupBy(col("channel"))
-        .agg(sum(col("share")).cast("double").as("attr_convs"))
-        .orderBy(col("channel"))
-    }),
+    "q_attribution_linear" -> ((s, dir) =>
+      graft.operators.Attribution.linear(t(s, dir, "events"),
+        "click", "view", "purchase", lookbackDays = 7)),
 
     // #213: last-touch conversion attribution with a 7-day lookback
     // (the ad-tech staple): each purchase credits the user's latest
@@ -3262,32 +3222,9 @@ object SparkEntry {
     // the LITERAL interval join + rank, proving the rewrite. Output:
     // per-channel attributed conversions + decimal-exact value
     // ('(none)' = no touch in window).
-    "q_attribution" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val touches = ev.filter(col("event_type").isin("click", "view"))
-        .select(col("user_id"), col("ts"), col("event_id"),
-          lit(0).as("kind"), col("event_type").as("channel"),
-          lit(null).cast("decimal(18,2)").as("cv"))
-      val convs = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          lit(1).as("kind"), lit(null).cast("string").as("channel"),
-          col("value").cast("decimal(18,2)").as("cv"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("kind"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val carried = touches.union(convs)
-        .withColumn("lt", last(when(col("kind") === 0,
-          struct(col("ts").as("tts"), col("event_id").as("tid"),
-            col("channel").as("tch"))), ignoreNulls = true).over(w))
-      carried.filter(col("kind") === 1)
-        .select(coalesce(when(col("lt.tts") > col("ts") - expr("INTERVAL 7 DAYS"),
-            col("lt.tch")), lit("(none)")).as("channel"),
-          col("cv"))
-        .groupBy(col("channel"))
-        .agg(count(lit(1)).as("n_conv"),
-          sum(col("cv")).cast("double").as("attr_value"))
-        .orderBy(col("channel"))
-    }),
+    "q_attribution" -> ((s, dir) =>
+      graft.operators.Attribution.lastTouch(t(s, dir, "events"),
+        Seq("click", "view"), "purchase", lookbackDays = 7)),
 
     // #212: linear-interpolation resample (the analytic fill beside
     // q_gapfill's forward fill — sensor/metric series where a gap
