@@ -1179,7 +1179,10 @@ object SparkEntry {
         1060340297073263324L, 1131029650211480879L, 1148701988496035267L,
         1152236456152946145L, 1152825534095764625L, 1152909688087595836L,
         1152920207336574738L)
-      val ev = t(s, dir, "events")
+      // tp, not t: the B=200 explode + md5 draws run ABOVE the scan,
+      // and the testdata's single-row-group parquet would pin all 20M
+      // hashed rows to one task (measured 27 s vs ~2 s rebalanced)
+      val ev = tp(s, dir, "events")
         .select(col("event_type").as("arm"), col("event_id"),
           col("value").cast("decimal(18,2)").as("v"))
       val h = conv(substring(md5(concat(lit("boot:"), col("event_id"),
@@ -3193,6 +3196,37 @@ object SparkEntry {
         .select(col("o_custkey"), col("r1"), col("r2"),
           (col("r1") - col("r2")).as("delta"))
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
+    }),
+
+    // #217: revenue-concentration deciles (the Lorenz-curve TABLE
+    // beside q_gini's scalar): customers ranked by exact-decimal
+    // spend through GroupRank.rowNumber (distributed two-pass rank —
+    // no single-task global sort), banded by integer floor(10(r−1)/N),
+    // then per-band spend shares and the cumulative curve from exact
+    // decimal sums — the only doubles are the two final round(9)
+    // divisions, identical IEEE trees in both engines.
+    "q_lorenz" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        .withColumn("g", lit(1))
+      val ranked = graft.operators.GroupRank.rowNumber(
+        spend, Seq("g"), Seq("spend", "o_custkey"), "rnk")
+      val tot = spend.agg(count(lit(1)).cast("long").as("nn"),
+        sum(col("spend")).as("ts"))
+      val bands = ranked.crossJoin(broadcast(tot))
+        .withColumn("band", expr("(10 * (rnk - 1)) div nn"))
+        .groupBy(col("band"), col("ts"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("spend")).as("bs"))
+      val wc = Window.orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bands.withColumn("cs", sum(col("bs")).over(wc))
+        .select(col("band"), col("n_cust"),
+          round(col("bs").cast("double") / col("ts").cast("double"), 9)
+            .as("share"),
+          round(col("cs").cast("double") / col("ts").cast("double"), 9)
+            .as("cum_share"))
+        .orderBy(col("band"))
     }),
 
     // #216: linear multi-touch attribution (each purchase splits one
@@ -6396,6 +6430,25 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_lorenz" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (SELECT spend, CAST(row_number() OVER (
+        |    ORDER BY spend, o_custkey) AS BIGINT) AS rnk FROM spend),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, SUM(spend) AS ts
+        |  FROM spend),
+        |bands AS (SELECT (10 * (rnk - 1)) // nn AS band, ts,
+        |    CAST(count(*) AS BIGINT) AS n_cust, SUM(spend) AS bs
+        |  FROM rk, tot GROUP BY 1, 2),
+        |cum AS (SELECT band, ts, n_cust, bs,
+        |    SUM(bs) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) AS cs
+        |  FROM bands)
+        |SELECT band, n_cust,
+        |  ROUND(CAST(bs AS DOUBLE) / CAST(ts AS DOUBLE), 9) AS share,
+        |  ROUND(CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE), 9) AS cum_share
+        |FROM cum ORDER BY band""".stripMargin,
 
     "q_attribution_linear" ->
       """WITH convs AS (SELECT user_id, ts, event_id FROM events
