@@ -9,6 +9,52 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
+  /** Streaming last-touch attribution — the speed-layer counterpart of
+    * `operators.Attribution.lastTouch`: per-user state carries the
+    * latest touch (micros, channel); each conversion emits its
+    * attributed channel immediately, `(none)` if the carried touch is
+    * outside the lookback. State is ONE tuple per user regardless of
+    * history length. Timestamps compare at MICROsecond precision, so a
+    * boundary-straddling touch attributes identically to the batch
+    * operator (second-truncated comparisons would not). Within a batch
+    * group, rows sort by (ts, kind, event_id) — the batch operator's
+    * exact tie order; in-order delivery ACROSS batches is the caller's
+    * contract, as with [[streamingEwma]]. */
+  def streamingLastTouch(events: DataFrame, touchTypes: Seq[String],
+                         convType: String, lookbackDays: Int): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val lookbackUs = lookbackDays.toLong * 86400L * 1000000L
+    val touchSet = touchTypes.toSet
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, String)]) => {
+          var lastTouch = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+          rows.toSeq
+            .sortBy { case (_, us, eid, ty) =>
+              (us, if (touchSet(ty)) 0 else 1, eid) }
+            .foreach { case (_, us, eid, ty) =>
+              if (touchSet(ty)) lastTouch = Some((us, ty))
+              else if (ty == convType) {
+                val ch = lastTouch.collect {
+                  case (tus, c) if tus > us - lookbackUs => c
+                }.getOrElse("(none)")
+                out += ((user, eid, ch))
+              }
+            }
+          lastTouch.foreach(state.update)
+          out.iterator
+        })
+      .toDF("user_id", "conv_id", "channel")
+  }
+
   /** Event-time-bounded stream-stream inner join: left rows match right
     * rows with the same key whose timestamp lies in [leftTs - before,
     * leftTs + after]. Both sides carry watermarks and the join condition

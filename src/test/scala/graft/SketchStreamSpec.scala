@@ -293,4 +293,36 @@ class SketchStreamSpec extends SparkSpec {
       }
     }
   }
+
+  test("streamingLastTouch matches the batch attribution rollup across batches") {
+    import graft.operators.Attribution
+    // real sf0.001 events, globally time-ordered (ties resolved like the
+    // batch operator: touches before same-ts conversions, then event_id)
+    // and split into three micro-batches — per-user in-order delivery
+    val rows = table("events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+      .sortBy { case (eid, t, _, ty) =>
+        (t.getTime, if (ty == "click" || ty == "view") 0 else 1, eid) }
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = in.toDF.toDF("event_id", "ts", "user_id", "event_type")
+    val sm = StreamOps.streamingLastTouch(df, Seq("click", "view"),
+      "purchase", lookbackDays = 7)
+    val q = sm.writeStream.format("memory").queryName("slt")
+      .outputMode("append").start()
+    try {
+      chunks.foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val streamed = ss.sql("SELECT channel, count(*) FROM slt GROUP BY channel")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = Attribution.lastTouch(table("events"),
+          Seq("click", "view"), "purchase", 7)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch,
+        s"streaming $streamed != batch $batch")
+      assert(streamed.values.sum ===
+        table("events").filter(col("event_type") === "purchase").count())
+    } finally q.stop()
+  }
 }
