@@ -2073,6 +2073,21 @@ object SparkEntry {
           array_join(col("ids").cast("array<string>"), ",").as("ids_csv"))
     }),
 
+    // #220: codec round-trip — decode(encode(docs)) must equal the
+    // normalized source text with OOV tokens masked as <unk>. The
+    // Spark side runs the REAL encode→decode pair (ids materialize in
+    // between); the oracle computes the expected text directly from
+    // the vocab membership — so a hash match proves the round-trip
+    // identity, not just that two copies of one formula agree.
+    "q_decode_docs" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents")
+      val vocab = operators.Vocab.build(docs, "text", 2L)
+        .filter(col("tok_id") <= 1000)
+      val enc = operators.Vocab.encode(docs.filter(col("doc_id") < 100),
+        "doc_id", "text", broadcast(vocab))
+      operators.Vocab.decode(enc, "doc_id", "ids", broadcast(vocab))
+    }),
+
     // #100: event inter-arrival histogram (per-user gap distribution,
     // minutes capped at 60) — one window pass on (user, time), integer
     // seconds throughout
@@ -3196,6 +3211,31 @@ object SparkEntry {
         .select(col("o_custkey"), col("r1"), col("r2"),
           (col("r1") - col("r2")).as("delta"))
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
+    }),
+
+    // #219: day-of-week seasonality index per event series (the
+    // classical decomposition's seasonal factor): idx(dow) =
+    // mean(dow) / mean(overall), computed as the cross-multiplied
+    // (sd·tn)/(nd·ts) over exact decimal sums so the only float step
+    // is one shared 4-op IEEE tree rounded once. Day-of-week from the
+    // epoch-day arithmetic (d+4) mod 7 (Sunday=0) — locale-free and
+    // engine-identical, where each engine's dayofweek() disagrees on
+    // origin. One hash-agg over events; 35-row output.
+    "q_seasonal_index" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .select(col("event_type").as("arm"),
+          ((unix_date(to_date(col("ts"))) + lit(4)) % lit(7)).as("dow"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val byDow = base.groupBy(col("arm"), col("dow"))
+        .agg(count(lit(1)).as("nd"), sum(col("v")).as("sd"))
+      val byArm = base.groupBy(col("arm"))
+        .agg(count(lit(1)).as("tn"), sum(col("v")).as("ts"))
+      byDow.join(broadcast(byArm), "arm")
+        .select(col("arm"), col("dow"), col("nd").as("n"),
+          round((col("sd").cast("double") * col("tn").cast("double")) /
+            (col("nd").cast("double") * col("ts").cast("double")), 9)
+            .as("idx"))
+        .orderBy(col("arm"), col("dow"))
     }),
 
     // #217: revenue-concentration deciles (the Lorenz-curve TABLE
@@ -5588,6 +5628,25 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY cnt DESC, token ASC) AS tok_id FROM c)
         |WHERE tok_id <= 100""".stripMargin,
 
+    "q_decode_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |alltk AS (SELECT unnest(tk) AS token FROM t),
+        |c AS (SELECT token, count(*) AS cnt FROM alltk GROUP BY token
+        |  HAVING count(*) >= 2),
+        |v AS (SELECT token FROM (
+        |    SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS tok_id
+        |    FROM c)
+        |  WHERE tok_id <= 1000),
+        |e AS (SELECT doc_id, unnest(tk) AS token,
+        |    generate_subscripts(tk, 1) AS pos FROM t WHERE doc_id < 100),
+        |d AS (SELECT e.doc_id, e.pos,
+        |    CASE WHEN v.token IS NULL THEN '<unk>' ELSE e.token END AS tok
+        |  FROM e LEFT JOIN v ON v.token = e.token)
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+        |FROM d GROUP BY doc_id""".stripMargin,
+
     "q_encode_docs" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
@@ -6430,6 +6489,21 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_seasonal_index" ->
+      """WITH base AS (SELECT event_type AS arm,
+        |    (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |bd AS (SELECT arm, dow, CAST(count(*) AS BIGINT) AS nd,
+        |    SUM(v) AS sd FROM base GROUP BY 1, 2),
+        |ba AS (SELECT arm, CAST(count(*) AS BIGINT) AS tn,
+        |    SUM(v) AS ts FROM base GROUP BY 1)
+        |SELECT bd.arm, bd.dow, bd.nd AS n,
+        |  ROUND((CAST(sd AS DOUBLE) * CAST(tn AS DOUBLE))
+        |    / (CAST(nd AS DOUBLE) * CAST(ts AS DOUBLE)), 9) AS idx
+        |FROM bd JOIN ba ON ba.arm = bd.arm
+        |ORDER BY bd.arm, bd.dow""".stripMargin,
 
     "q_lorenz" ->
       """WITH spend AS (SELECT o_custkey,

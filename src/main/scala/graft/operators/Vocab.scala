@@ -49,6 +49,24 @@ object Vocab {
           coalesce(col("tok_id"), lit(0L)).as("tid")))),
         p => p.getField("tid")).as("ids"))
 
+  /** Inverse of [[encode]]: vocab-id sequences back to whitespace-joined
+    * token text. Id 0 (OOV) renders as `<unk>`, so
+    * decode(encode(docs)) equals the normalized source text with OOV
+    * tokens masked — the round-trip the codec API owes its callers.
+    * Same shape as encode: posexplode → vocab equi-join (broadcast-
+    * sized) → ordered regroup; one doc-keyed shuffle. */
+  def decode(encoded: DataFrame, idCol: String, idsCol: String,
+             vocab: DataFrame): DataFrame =
+    encoded
+      .select(col(idCol), posexplode(col(idsCol)).as(Seq("pos", "tid")))
+      .join(vocab.select(col("tok_id").as("tid"), col("token")),
+        Seq("tid"), "left")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("token"), lit("<unk>")).as("tok")))),
+        p => p.getField("tok")), " ").as("text"))
+
   /** Stateless encoder for streaming / map-only contexts: the vocab is
     * captured as a literal map (shipped to every task like a broadcast
     * var), so encoding is a pure projection — append-mode streamable
