@@ -3213,6 +3213,34 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #221: RFM customer segmentation (recency / frequency / monetary
+    // quintile codes, the classic CRM segmentation): each dimension's
+    // quintile comes from GroupRank.ntile's DISTRIBUTED tile
+    // assignment (range-repartition rank + per-group-count join —
+    // Spark's exact ntile semantics without any single-task global
+    // sort; the three passes each shuffle only the customer-sized
+    // table). Ties break on custkey so tiles are engine-identical;
+    // recency is the integer epoch-day of the last order. Output: the
+    // populated RFM cells with customer counts — the segmentation
+    // report a CRM publishes.
+    "q_rfm" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(unix_date(to_date(col("o_orderdate")))).as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        .withColumn("g", lit(1))
+      val withR = graft.operators.GroupRank.ntile(
+        base, Seq("g"), Seq("last_day", "o_custkey"), 5, "r")
+      val withF = graft.operators.GroupRank.ntile(
+        withR, Seq("g"), Seq("freq", "o_custkey"), 5, "f")
+      val withM = graft.operators.GroupRank.ntile(
+        withF, Seq("g"), Seq("spend", "o_custkey"), 5, "m")
+      withM.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("rfm"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("rfm"))
+    }),
+
     // #219: day-of-week seasonality index per event series (the
     // classical decomposition's seasonal factor): idx(dow) =
     // mean(dow) / mean(overall), computed as the cross-multiplied
@@ -6489,6 +6517,21 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_rfm" ->
+      """WITH base AS (SELECT o_custkey,
+        |    max(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT o_custkey,
+        |    CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS BIGINT) AS r,
+        |    CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY spend, o_custkey) AS BIGINT) AS m
+        |  FROM base)
+        |SELECT r * 100 + f * 10 + m AS rfm,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM t GROUP BY 1 ORDER BY rfm""".stripMargin,
 
     "q_seasonal_index" ->
       """WITH base AS (SELECT event_type AS arm,
