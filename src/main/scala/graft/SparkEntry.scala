@@ -3213,6 +3213,58 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #222: population-stability index (PSI, the MLOps drift monitor):
+    // how far has the order-value distribution drifted from the
+    // 1995-97 baseline to the 1998-2001 period? Bands are the
+    // BASELINE's own deciles (q_lift's histogram-cumulative banding),
+    // materialized as 10 cut values; both periods then band by
+    // counting cuts ≤ v against the broadcast 10-row cut table — a
+    // bounded fan-out, never a corpus-sized range join. Shares are
+    // exact-integer ratios; each band's (p−q)·ln(p/q) term is one
+    // fixed IEEE tree over round(9) shares (zero-count bands floor at
+    // 1e-6, the standard PSI guard), rounded once.
+    "q_psi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_totalprice").cast("decimal(18,2)").as("v"),
+          when(year(col("o_orderdate")) <= 1997, lit("p")).otherwise(lit("q"))
+            .as("per"))
+      val baseH = o.filter(col("per") === "p")
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("g", lit(1))
+      val nb = baseH.agg(sum(col("c")).cast("long").as("nbase"))
+      // strictly-below cumulative from the DISTRIBUTED prefix sum
+      // (GroupRank's range-repartition + offset stamp) — the baseline
+      // histogram is row-bounded, not domain-bounded, so a single
+      // unpartitioned window here would be the 100 TB regression
+      val cuts = graft.operators.GroupRank.prefixSum(
+          baseH, Seq("g"), Seq("v"), Some("c"), "cumlt")
+        .crossJoin(broadcast(nb))
+        .withColumn("band",
+          least(lit(9L), floor(col("cumlt") * lit(10) / col("nbase"))))
+        .groupBy(col("band")).agg(min(col("v")).as("cut"))
+      val perH = o.groupBy(col("per"), col("v")).agg(count(lit(1)).as("c"))
+      val banded = perH
+        .join(broadcast(cuts), col("cut") <= col("v"), "left")
+        .groupBy(col("per"), col("v"), col("c"))
+        .agg(count(col("cut")).as("ncuts"))
+        .withColumn("band", greatest(lit(0L), col("ncuts") - 1L))
+        .groupBy(col("band"))
+        .agg(sum(when(col("per") === "p", col("c")).otherwise(0L)).as("cp"),
+          sum(when(col("per") === "q", col("c")).otherwise(0L)).as("cq"))
+      val tots = o.groupBy().agg(
+        sum(when(col("per") === "p", 1L).otherwise(0L)).as("np"),
+        sum(when(col("per") === "q", 1L).otherwise(0L)).as("nq"))
+      val shares = banded.crossJoin(broadcast(tots))
+        .withColumn("ps", greatest(round(col("cp").cast("double") /
+          col("np").cast("double"), 9), lit(1e-6)))
+        .withColumn("qs", greatest(round(col("cq").cast("double") /
+          col("nq").cast("double"), 9), lit(1e-6)))
+      shares.select(col("band"), col("cp"), col("cq"),
+          round((col("ps") - col("qs")) * log(col("ps") / col("qs")), 9)
+            .as("psi_term"))
+        .orderBy(col("band"))
+    }),
+
     // #221: RFM customer segmentation (recency / frequency / monetary
     // quintile codes, the classic CRM segmentation): each dimension's
     // quintile comes from GroupRank.ntile's DISTRIBUTED tile
@@ -6517,6 +6569,39 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_psi" ->
+      """WITH o AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+        |    CASE WHEN year(o_orderdate) <= 1997 THEN 'p' ELSE 'q' END AS per
+        |  FROM orders),
+        |bh AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM o
+        |  WHERE per = 'p' GROUP BY v),
+        |nb AS (SELECT CAST(SUM(c) AS BIGINT) AS nbase FROM bh),
+        |cl AS (SELECT v, c, CAST(COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumlt
+        |  FROM bh),
+        |cuts AS (SELECT LEAST(9, CAST(FLOOR(cumlt * 10.0 / nbase) AS BIGINT)) AS band,
+        |    MIN(v) AS cut FROM cl, nb GROUP BY 1),
+        |ph AS (SELECT per, v, CAST(count(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+        |bd AS (SELECT ph.per, ph.v, ph.c,
+        |    GREATEST(0, CAST(count(cuts.cut) AS BIGINT) - 1) AS band
+        |  FROM ph LEFT JOIN cuts ON cuts.cut <= ph.v
+        |  GROUP BY ph.per, ph.v, ph.c),
+        |bands AS (SELECT band,
+        |    CAST(SUM(CASE WHEN per = 'p' THEN c ELSE 0 END) AS BIGINT) AS cp,
+        |    CAST(SUM(CASE WHEN per = 'q' THEN c ELSE 0 END) AS BIGINT) AS cq
+        |  FROM bd GROUP BY band),
+        |tots AS (SELECT
+        |    CAST(SUM(CASE WHEN per = 'p' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN per = 'q' THEN 1 ELSE 0 END) AS BIGINT) AS nq
+        |  FROM o),
+        |sh AS (SELECT band, cp, cq,
+        |    GREATEST(ROUND(CAST(cp AS DOUBLE) / CAST(np AS DOUBLE), 9), 1e-6) AS ps,
+        |    GREATEST(ROUND(CAST(cq AS DOUBLE) / CAST(nq AS DOUBLE), 9), 1e-6) AS qs
+        |  FROM bands, tots)
+        |SELECT band, cp, cq,
+        |  ROUND((ps - qs) * ln(ps / qs), 9) AS psi_term
+        |FROM sh ORDER BY band""".stripMargin,
 
     "q_rfm" ->
       """WITH base AS (SELECT o_custkey,
