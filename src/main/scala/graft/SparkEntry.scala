@@ -3213,6 +3213,55 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #223: Kaplan–Meier time-to-event estimator with right-censoring
+    // ("what fraction of users have NOT yet made a high-value
+    // purchase t days after their first activity?"): the event is the
+    // first purchase with value > 300; users who never convert are
+    // CENSORED at the observation horizon — they contribute at-risk
+    // time without an event, which is the estimator's whole point vs
+    // the naive converters-only CDF. S(t) = Π_{s≤t}(1 − d_s/n_s) runs
+    // as a log-space DECIMAL cumulative sum (a float cumprod would be
+    // order/association-dependent); at-risk counts come from the
+    // day-domain duration histogram's suffix sums — the windows ride
+    // a ≤31-row domain, never users. A d=n step pins S to 0 from
+    // there on (the ln(0) guard).
+    "q_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val horizon = ev.agg(max(unix_timestamp(col("ts"))).as("hz"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("first_s"),
+          min(when(col("event_type") === "purchase" && col("value") > 300.0,
+            unix_timestamp(col("ts")))).as("conv_s"))
+        .crossJoin(broadcast(horizon))
+        .select(expr(
+            "(coalesce(conv_s, hz) - first_s) div 86400").as("dur"),
+          col("conv_s").isNull.as("censored"))
+      val hd = users.groupBy(col("dur"))
+        .agg(count(lit(1)).as("all_n"),
+          sum(when(!col("censored"), 1L).otherwise(0L)).as("d"))
+      val tot = hd.agg(sum(col("all_n")).cast("long").as("nn"))
+      val wlt = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wc = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val atRisk = hd.crossJoin(broadcast(tot))
+        .withColumn("cumlt", coalesce(sum(col("all_n")).over(wlt), lit(0L)))
+        .withColumn("n", col("nn") - col("cumlt"))
+        .filter(col("d") > 0)
+      val terms = atRisk
+        .withColumn("lt", when(col("d") < col("n"),
+          round(log(lit(1.0) - col("d").cast("double") /
+            col("n").cast("double")), 9).cast("decimal(20,9)"))
+          .otherwise(lit(null).cast("decimal(20,9)")))
+        .withColumn("dead", max(when(col("d") === col("n"), 1L)
+          .otherwise(0L)).over(wc))
+        .withColumn("cum", sum(col("lt")).over(wc))
+      terms.select(col("dur"), col("d"), col("n"),
+          when(col("dead") === 1L, lit(0.0))
+            .otherwise(round(exp(col("cum").cast("double")), 6)).as("surv"))
+        .orderBy(col("dur"))
+    }),
+
     // #222: population-stability index (PSI, the MLOps drift monitor):
     // how far has the order-value distribution drifted from the
     // 1995-97 baseline to the 1998-2001 period? Bands are the
@@ -6569,6 +6618,37 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_survival" ->
+      """WITH hz AS (SELECT CAST(FLOOR(max(epoch(ts))) AS BIGINT) AS hz FROM events),
+        |u AS (SELECT
+        |    (COALESCE(CAST(FLOOR(min(CASE WHEN event_type = 'purchase'
+        |          AND value > 300.0 THEN epoch(ts) END)) AS BIGINT),
+        |        (SELECT hz FROM hz))
+        |      - CAST(FLOOR(min(epoch(ts))) AS BIGINT)) // 86400 AS dur,
+        |    (min(CASE WHEN event_type = 'purchase' AND value > 300.0
+        |        THEN epoch(ts) END) IS NULL) AS censored
+        |  FROM events GROUP BY user_id),
+        |hd AS (SELECT dur, CAST(count(*) AS BIGINT) AS all_n,
+        |    CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM u GROUP BY dur),
+        |tot AS (SELECT CAST(SUM(all_n) AS BIGINT) AS nn FROM hd),
+        |ar AS (SELECT dur, d, nn - CAST(COALESCE(SUM(all_n) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n
+        |  FROM hd, tot),
+        |ev AS (SELECT dur, d, n,
+        |    CASE WHEN d < n THEN CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+        |      / CAST(n AS DOUBLE)), 9) AS DECIMAL(20,9)) END AS lt
+        |  FROM ar WHERE d > 0),
+        |cm AS (SELECT dur, d, n,
+        |    MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (ORDER BY dur
+        |      ROWS UNBOUNDED PRECEDING) AS dead,
+        |    SUM(lt) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM ev)
+        |SELECT dur, d, n,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE ROUND(exp(CAST(cum AS DOUBLE)), 6) END AS surv
+        |FROM cm ORDER BY dur""".stripMargin,
 
     "q_psi" ->
       """WITH o AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
