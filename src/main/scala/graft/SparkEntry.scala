@@ -3213,6 +3213,45 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #224: Mann–Kendall trend test per series (the nonparametric
+    // is-there-a-monotonic-trend companion to q_trend_fit's OLS slope
+    // — robust to outliers and any monotone transform): S = Σ_{i<j}
+    // sgn(x_j − x_i) over DAILY decimal sums, so the pairwise
+    // self-join is day-domain² per series (≤ ~500 rows here, bounded
+    // by calendar span however large the corpus) and every sgn
+    // compares exact decimals. Tie-corrected variance and the
+    // continuity-corrected z are the only float steps, one shared
+    // tree rounded once.
+    "q_mann_kendall" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("event_type").as("arm"), to_date(col("ts")).as("day"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("arm"), col("day")).agg(sum(col("v")).as("x"))
+      val pairs = d.select(col("arm"), col("day").as("d1"), col("x").as("x1"))
+        .join(d.select(col("arm").as("arm2"), col("day").as("d2"),
+          col("x").as("x2")),
+          col("arm") === col("arm2") && col("d1") < col("d2"))
+      val sStat = pairs.groupBy(col("arm"))
+        .agg(sum(when(col("x2") > col("x1"), 1L)
+          .when(col("x2") < col("x1"), -1L).otherwise(0L)).as("s_stat"))
+      val nDays = d.groupBy(col("arm")).agg(count(lit(1)).as("n"))
+      val ties = d.groupBy(col("arm"), col("x")).agg(count(lit(1)).as("t"))
+        .groupBy(col("arm"))
+        .agg(sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L)).as("tie"))
+      def nd(c: Column) = c.cast("double")
+      val joined = sStat.join(nDays, "arm").join(ties, "arm")
+        .withColumn("vars",
+          (nd(col("n")) * (nd(col("n")) - lit(1.0)) *
+            (nd(col("n")) * lit(2.0) + lit(5.0)) - nd(col("tie"))) / lit(18.0))
+      joined.select(col("arm"), col("s_stat"), col("n"),
+          round(when(col("s_stat") > 0,
+              (nd(col("s_stat")) - lit(1.0)) / sqrt(col("vars")))
+            .when(col("s_stat") < 0,
+              (nd(col("s_stat")) + lit(1.0)) / sqrt(col("vars")))
+            .otherwise(lit(0.0)), 9).as("z_stat"))
+        .orderBy(col("arm"))
+    }),
+
     // #223: Kaplan–Meier time-to-event estimator with right-censoring
     // ("what fraction of users have NOT yet made a high-value
     // purchase t days after their first activity?"): the event is the
@@ -6618,6 +6657,29 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_mann_kendall" ->
+      """WITH d AS (SELECT event_type AS arm, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT a.arm,
+        |    CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |      WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM d a JOIN d b ON a.arm = b.arm AND a.day < b.day
+        |  GROUP BY a.arm),
+        |nd AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY arm),
+        |ties AS (SELECT arm, CAST(SUM(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tie
+        |  FROM (SELECT arm, x, CAST(count(*) AS BIGINT) AS t
+        |    FROM d GROUP BY arm, x) GROUP BY arm),
+        |j AS (SELECT s.arm, s_stat, n,
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |      * (CAST(n AS DOUBLE) * 2.0 + 5.0) - CAST(tie AS DOUBLE)) / 18.0 AS vars
+        |  FROM s JOIN nd ON nd.arm = s.arm JOIN ties ON ties.arm = s.arm)
+        |SELECT arm, s_stat, n,
+        |  ROUND(CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(vars)
+        |    WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(vars)
+        |    ELSE 0.0 END, 9) AS z_stat
+        |FROM j ORDER BY arm""".stripMargin,
 
     "q_survival" ->
       """WITH hz AS (SELECT CAST(FLOOR(max(epoch(ts))) AS BIGINT) AS hz FROM events),
