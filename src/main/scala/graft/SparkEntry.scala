@@ -3252,6 +3252,36 @@ object SparkEntry {
         .orderBy(col("arm"))
     }),
 
+    // #225: Theil–Sen robust slope per series (the estimator paired
+    // with row 224's Mann–Kendall test: median of all pairwise
+    // slopes, 29% breakdown point vs OLS's 0): the pair table is the
+    // same day-domain² join; each slope is one decimal-difference /
+    // integer-day division rounded at 9 so both engines rank the same
+    // doubles, ties broken on (d1, d2); the median is the rank
+    // ceil(m/2) order statistic via a window over the ≤500-row pair
+    // set per series — never a corpus-sized sort.
+    "q_theil_sen" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("event_type").as("arm"), to_date(col("ts")).as("day"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("arm"), col("day")).agg(sum(col("v")).as("x"))
+      val pairs = d.select(col("arm"), col("day").as("d1"), col("x").as("x1"))
+        .join(d.select(col("arm").as("arm2"), col("day").as("d2"),
+          col("x").as("x2")),
+          col("arm") === col("arm2") && col("d1") < col("d2"))
+        .withColumn("slope", round((col("x2") - col("x1")).cast("double") /
+          datediff(col("d2"), col("d1")).cast("double"), 9))
+      val wr = Window.partitionBy(col("arm"))
+        .orderBy(col("slope"), col("d1"), col("d2"))
+      val m = pairs.groupBy(col("arm")).agg(count(lit(1)).as("m"))
+      pairs.withColumn("rn", row_number().over(wr))
+        .join(broadcast(m), "arm")
+        .filter(col("rn") === expr("(m + 1) div 2"))
+        .select(col("arm"), col("m").as("n_pairs"),
+          col("slope").as("sen_slope"))
+        .orderBy(col("arm"))
+    }),
+
     // #223: Kaplan–Meier time-to-event estimator with right-censoring
     // ("what fraction of users have NOT yet made a high-value
     // purchase t days after their first activity?"): the event is the
@@ -6657,6 +6687,21 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_theil_sen" ->
+      """WITH d AS (SELECT event_type AS arm, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.arm, a.day AS d1, b.day AS d2,
+        |    ROUND(CAST(b.x - a.x AS DOUBLE)
+        |      / CAST(datediff('day', a.day, b.day) AS DOUBLE), 9) AS slope
+        |  FROM d a JOIN d b ON a.arm = b.arm AND a.day < b.day),
+        |r AS (SELECT arm, slope, CAST(row_number() OVER (PARTITION BY arm
+        |      ORDER BY slope, d1, d2) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY arm) AS BIGINT) AS m
+        |  FROM p)
+        |SELECT arm, m AS n_pairs, slope AS sen_slope
+        |FROM r WHERE rn = (m + 1) // 2 ORDER BY arm""".stripMargin,
 
     "q_mann_kendall" ->
       """WITH d AS (SELECT event_type AS arm, CAST(ts AS DATE) AS day,
