@@ -3213,6 +3213,39 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #226: 90% winsorized mean per arm (the robust location estimate
+    // beside q_mad's robust scale — heavy-tail-safe KPI averaging):
+    // p5/p95 are DISCRETE order statistics off the arm-partitioned
+    // value-histogram cumulative (integer ceil targets, the
+    // percentile_disc machinery), and the winsorized sum clamps each
+    // histogram VALUE row into [p5, p95] with greatest/least on exact
+    // decimals — corpus scanned once, all shuffles value-domain-sized,
+    // one final round(6) division.
+    "q_winsorized_mean" -> ((s, dir) => {
+      val h = t(s, dir, "events")
+        .select(col("event_type").as("arm"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("arm"), col("v")).agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy(col("arm")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum", sum(col("c")).over(wc))
+      val tot = h.groupBy(col("arm")).agg(sum(col("c")).cast("long").as("n"))
+      val cuts = cum.join(broadcast(tot), "arm")
+        .groupBy(col("arm"), col("n"))
+        .agg(min(when(col("cum") >= expr("(n + 19) div 20"), col("v")))
+            .as("p5"),
+          min(when(col("cum") >= expr("(19 * n + 19) div 20"), col("v")))
+            .as("p95"))
+      h.join(broadcast(cuts), "arm")
+        .withColumn("wv", greatest(col("p5"), least(col("p95"), col("v"))))
+        .groupBy(col("arm"), col("n"))
+        .agg(sum(col("wv") * col("c")).as("ws"))
+        .select(col("arm"), col("n"),
+          round(col("ws").cast("double") / col("n").cast("double"), 6)
+            .as("wmean"))
+        .orderBy(col("arm"))
+    }),
+
     // #224: Mann–Kendall trend test per series (the nonparametric
     // is-there-a-monotonic-trend companion to q_trend_fit's OLS slope
     // — robust to outliers and any monotone transform): S = Σ_{i<j}
@@ -6687,6 +6720,23 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_winsorized_mean" ->
+      """WITH h AS (SELECT event_type AS arm, CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |cum AS (SELECT arm, v, c, CAST(SUM(c) OVER (PARTITION BY arm
+        |    ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+        |tot AS (SELECT arm, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY arm),
+        |cuts AS (SELECT cum.arm, n,
+        |    MIN(CASE WHEN cum >= (n + 19) // 20 THEN v END) AS p5,
+        |    MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN v END) AS p95
+        |  FROM cum JOIN tot ON tot.arm = cum.arm GROUP BY cum.arm, n),
+        |w AS (SELECT h.arm, n,
+        |    GREATEST(p5, LEAST(p95, v)) AS wv, c
+        |  FROM h JOIN cuts ON cuts.arm = h.arm)
+        |SELECT arm, n,
+        |  ROUND(CAST(SUM(wv * c) AS DOUBLE) / CAST(n AS DOUBLE), 6) AS wmean
+        |FROM w GROUP BY arm, n ORDER BY arm""".stripMargin,
 
     "q_theil_sen" ->
       """WITH d AS (SELECT event_type AS arm, CAST(ts AS DATE) AS day,
