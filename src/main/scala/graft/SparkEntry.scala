@@ -3213,6 +3213,45 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #227: multi-lag autocorrelation function (lags 1..7) per daily
+    // series — the seasonality/persistence diagnostic beside
+    // q_autocorr's single per-user lag-1: pairs align on CALENDAR day
+    // + k via an equi-join on (arm, day+k) (gap days drop their
+    // pairs; no window over the corpus), so the pair table is
+    // calendar×7-bounded. Deviation products are per-term round(9)
+    // doubles SUMMED IN DECIMAL (order-free, the q_js_div pattern)
+    // against the full-series variance term, one final round(6).
+    "q_acf" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("event_type").as("arm"), to_date(col("ts")).as("day"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("arm"), col("day")).agg(sum(col("v")).as("x"))
+      val stats = d.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .withColumn("mean",
+          round(col("sx").cast("double") / col("n").cast("double"), 9))
+      val dm = d.join(broadcast(stats), "arm")
+      val den = dm.groupBy(col("arm"))
+        .agg(sum(round((col("x").cast("double") - col("mean")) *
+          (col("x").cast("double") - col("mean")), 9)
+          .cast("decimal(24,9)")).as("den"))
+      val probe = dm.withColumn("k", explode(sequence(lit(1), lit(7))))
+        .select(col("arm"), col("k"), date_add(col("day"), col("k")).as("day"),
+          col("x").as("x1"), col("mean"))
+      val pairs = probe.join(d.select(col("arm"), col("day"),
+        col("x").as("x2")), Seq("arm", "day"))
+      val num = pairs.groupBy(col("arm"), col("k"))
+        .agg(sum(round((col("x1").cast("double") - col("mean")) *
+          (col("x2").cast("double") - col("mean")), 9)
+          .cast("decimal(24,9)")).as("num"),
+          count(lit(1)).as("m"))
+      num.join(broadcast(den), "arm")
+        .select(col("arm"), col("k").cast("long").as("k"), col("m"),
+          round(col("num").cast("double") / col("den").cast("double"), 6)
+            .as("acf"))
+        .orderBy(col("arm"), col("k"))
+    }),
+
     // #226: 90% winsorized mean per arm (the robust location estimate
     // beside q_mad's robust scale — heavy-tail-safe KPI averaging):
     // p5/p95 are DISCRETE order statistics off the arm-partitioned
@@ -6720,6 +6759,32 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_acf" ->
+      """WITH d AS (SELECT event_type AS arm, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx
+        |  FROM d GROUP BY arm),
+        |stm AS (SELECT arm, ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9)
+        |    AS mean FROM st),
+        |dm AS (SELECT d.arm, d.day, d.x, mean FROM d
+        |  JOIN stm ON stm.arm = d.arm),
+        |den AS (SELECT arm, SUM(CAST(ROUND((CAST(x AS DOUBLE) - mean)
+        |    * (CAST(x AS DOUBLE) - mean), 9) AS DECIMAL(24,9))) AS den
+        |  FROM dm GROUP BY arm),
+        |pr AS (SELECT dm.arm, k, dm.day + CAST(k AS INTEGER) AS day2,
+        |    dm.x AS x1, mean
+        |  FROM dm CROSS JOIN (SELECT unnest(range(1, 8)) AS k)),
+        |pairs AS (SELECT pr.arm, pr.k, pr.x1, d.x AS x2, pr.mean
+        |  FROM pr JOIN d ON d.arm = pr.arm AND d.day = pr.day2),
+        |num AS (SELECT arm AS narm, k, SUM(CAST(ROUND((CAST(x1 AS DOUBLE) - mean)
+        |      * (CAST(x2 AS DOUBLE) - mean), 9) AS DECIMAL(24,9))) AS num,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM pairs GROUP BY arm, k)
+        |SELECT narm AS arm, CAST(k AS BIGINT) AS k, m,
+        |  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+        |FROM num JOIN den ON den.arm = num.narm ORDER BY arm, k""".stripMargin,
 
     "q_winsorized_mean" ->
       """WITH h AS (SELECT event_type AS arm, CAST(value AS DECIMAL(18,2)) AS v,
