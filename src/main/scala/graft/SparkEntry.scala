@@ -3213,6 +3213,39 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #228: bigram conditional entropy rate per source — H(Y|X) =
+    // −Σ_xy (c_xy/N)·ln(c_xy/c_x), the text-predictability metric
+    // that separates repetitive/templated corpora (low rate) from
+    // diverse prose (high) better than unigram entropy (row 94): a
+    // source can have rich vocabulary but formulaic transitions.
+    // Bigram and left-context counts are exact integers off one
+    // tokenize pass (vocab-bounded shuffles); each term is one
+    // round(9) IEEE tree summed IN DECIMAL (order-free), one final
+    // round(6).
+    "q_entropy_rate" -> ((s, dir) => {
+      val bg = tp(s, dir, "documents")
+        .select(col("source"), TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("source"), explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("source"), col("p.w1"), col("p.w2"))
+      val cxy = bg.groupBy(col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cxy"))
+      val cx = cxy.groupBy(col("source"), col("w1"))
+        .agg(sum(col("cxy")).as("cx"))
+      val nTot = cxy.groupBy(col("source")).agg(sum(col("cxy")).as("nb"))
+      cxy.join(cx, Seq("source", "w1")).join(broadcast(nTot), "source")
+        .groupBy(col("source"), col("nb"))
+        .agg(sum(round((col("cxy").cast("double") / col("nb").cast("double")) *
+          log(col("cx").cast("double") / col("cxy").cast("double")), 9)
+          .cast("decimal(24,9)")).as("h"))
+        .select(col("source"), col("nb").cast("long").as("n_bigrams"),
+          round(col("h").cast("double"), 6).as("h_rate"))
+        .orderBy(col("source"))
+    }),
+
     // #227: multi-lag autocorrelation function (lags 1..7) per daily
     // series — the seasonality/persistence diagnostic beside
     // q_autocorr's single per-user lag-1: pairs align on CALENDAR day
@@ -6759,6 +6792,29 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_entropy_rate" ->
+      """WITH t AS (SELECT source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (SELECT source,
+        |    string_split(p, chr(1))[1] AS w1, string_split(p, chr(1))[2] AS w2
+        |  FROM (SELECT source, unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || chr(1) || tk[i+1])) AS p
+        |    FROM t WHERE len(tk) >= 2)),
+        |cxy AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM bg GROUP BY 1, 2, 3),
+        |cx AS (SELECT source, w1, CAST(SUM(cxy) AS BIGINT) AS cx
+        |  FROM cxy GROUP BY 1, 2),
+        |nt AS (SELECT source, CAST(SUM(cxy) AS BIGINT) AS nb
+        |  FROM cxy GROUP BY 1)
+        |SELECT cxy.source, nb AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(ROUND((CAST(cxy.cxy AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      * ln(CAST(cx.cx AS DOUBLE) / CAST(cxy.cxy AS DOUBLE)), 9)
+        |    AS DECIMAL(24,9))) AS DOUBLE), 6) AS h_rate
+        |FROM cxy JOIN cx ON cx.source = cxy.source AND cx.w1 = cxy.w1
+        |JOIN nt ON nt.source = cxy.source
+        |GROUP BY cxy.source, nb ORDER BY cxy.source""".stripMargin,
 
     "q_acf" ->
       """WITH d AS (SELECT event_type AS arm, CAST(ts AS DATE) AS day,
