@@ -3213,6 +3213,39 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #229: Kneser–Ney smoothed bigram probabilities (the LM
+    // estimator behind every n-gram baseline — absolute discount
+    // d=0.75 plus the CONTINUATION-count unigram backoff, which fixes
+    // the "san francisco" pathology raw MLE and add-k share): all
+    // four count families (c_xy, c_x, N1+left(x), N1+right(y), B)
+    // are exact integers off ONE bigram table; p_KN is a single
+    // shared IEEE tree over those integers, round(9). Output: the 50
+    // most frequent bigrams (deterministic tie-break) with their
+    // smoothed probabilities.
+    "q_kneser_ney" -> ((s, dir) => {
+      val bg = tp(s, dir, "documents")
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val cxy = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+      val left = cxy.groupBy(col("w1"))
+        .agg(sum(col("cxy")).as("cx"), count(lit(1)).as("n1l"))
+      val right = cxy.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+      val types = cxy.agg(count(lit(1)).cast("long").as("bt"))
+      def nd(c: Column) = c.cast("double")
+      cxy.join(left, "w1").join(right, "w2").crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"), col("cxy"),
+          round((nd(col("cxy")) - lit(0.75)) / nd(col("cx")) +
+            (lit(0.75) * nd(col("n1l")) / nd(col("cx"))) *
+              (nd(col("n1r")) / nd(col("bt"))), 9).as("p_kn"))
+        .orderBy(col("cxy").desc, col("w1").asc, col("w2").asc)
+        .limit(50)
+    }),
+
     // #228: bigram conditional entropy rate per source — H(Y|X) =
     // −Σ_xy (c_xy/N)·ln(c_xy/c_x), the text-predictability metric
     // that separates repetitive/templated corpora (low rate) from
@@ -6792,6 +6825,28 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_kneser_ney" ->
+      """WITH t AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (SELECT
+        |    string_split(p, chr(1))[1] AS w1, string_split(p, chr(1))[2] AS w2
+        |  FROM (SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || chr(1) || tk[i+1])) AS p
+        |    FROM t WHERE len(tk) >= 2)),
+        |cxy AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+        |  FROM bg GROUP BY 1, 2),
+        |lt AS (SELECT w1, CAST(SUM(cxy) AS BIGINT) AS cx,
+        |    CAST(count(*) AS BIGINT) AS n1l FROM cxy GROUP BY 1),
+        |rt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1r FROM cxy GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM cxy)
+        |SELECT cxy.w1, cxy.w2, cxy.cxy,
+        |  ROUND((CAST(cxy.cxy AS DOUBLE) - 0.75) / CAST(cx AS DOUBLE)
+        |    + (0.75 * CAST(n1l AS DOUBLE) / CAST(cx AS DOUBLE))
+        |      * (CAST(n1r AS DOUBLE) / CAST(bt AS DOUBLE)), 9) AS p_kn
+        |FROM cxy JOIN lt ON lt.w1 = cxy.w1 JOIN rt ON rt.w2 = cxy.w2, ty
+        |ORDER BY cxy.cxy DESC, cxy.w1 ASC, cxy.w2 ASC LIMIT 50""".stripMargin,
 
     "q_entropy_rate" ->
       """WITH t AS (SELECT source,
