@@ -3213,6 +3213,78 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #230: Cohen's kappa of the language-ID heuristic against the
+    // gold labels — agreement BEYOND CHANCE, the metric that keeps a
+    // majority-class-happy classifier honest (zh docs have no gold
+    // counterpart in the heuristic's label set, so raw accuracy
+    // overstates). Confusion, marginal, and agreement counts are all
+    // exact integers; po, pe and kappa are one shared IEEE tree
+    // rounded once. Confusion-matrix-sized shuffles only.
+    "q_cohen_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      val conf = d.groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("c"))
+      val tot = conf.agg(sum(col("c")).cast("long").as("nn"))
+      val agree = conf.filter(col("lang") === col("pred"))
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("po_n"))
+      val pe = conf.groupBy(col("lang")).agg(sum(col("c")).as("rt"))
+        .join(conf.groupBy(col("pred")).agg(sum(col("c")).as("ct")),
+          col("lang") === col("pred"))
+        .agg(coalesce(sum(col("rt") * col("ct")), lit(0L)).cast("long")
+          .as("pe_n"))
+      def nd(c: Column) = c.cast("double")
+      tot.crossJoin(agree).crossJoin(pe)
+        .select(col("nn"),
+          round(nd(col("po_n")) / nd(col("nn")), 9).as("po"),
+          round((nd(col("po_n")) / nd(col("nn")) -
+              nd(col("pe_n")) / (nd(col("nn")) * nd(col("nn")))) /
+            (lit(1.0) - nd(col("pe_n")) / (nd(col("nn")) * nd(col("nn")))), 9)
+            .as("kappa"))
+    }),
+
+    // #231: threshold classification metrics (precision / recall / F1
+    // / MCC) for "value ≥ discrete median" predicting 'purchase' —
+    // the threshold-eval companion to q_auc's ranking eval. The
+    // threshold is the exact discrete p50 off the value histogram,
+    // the confusion quadrant counts are one conditional aggregation
+    // over the corpus, and every metric is one shared IEEE tree over
+    // those four integers, rounded once.
+    "q_threshold_metrics" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("value").cast("decimal(18,2)").as("v"),
+          (col("event_type") === "purchase").as("y"))
+      val h = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = h.agg(sum(col("c")).cast("long").as("nn"))
+      val med = h.withColumn("cum", sum(col("c")).over(wc))
+        .crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") >= expr("(nn + 1) div 2"), col("v")))
+          .as("p50"))
+      val cm = ev.crossJoin(broadcast(med))
+        .agg(sum(when(col("y") && col("v") >= col("p50"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(!col("y") && col("v") >= col("p50"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("y") && col("v") < col("p50"), 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(!col("y") && col("v") < col("p50"), 1L)
+            .otherwise(0L)).as("tn"))
+      def nd(c: Column) = c.cast("double")
+      cm.select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(nd(col("tp")) / (nd(col("tp")) + nd(col("fp"))), 9)
+          .as("precision"),
+        round(nd(col("tp")) / (nd(col("tp")) + nd(col("fn"))), 9)
+          .as("recall"),
+        round(lit(2.0) * nd(col("tp")) /
+          (lit(2.0) * nd(col("tp")) + nd(col("fp")) + nd(col("fn"))), 9)
+          .as("f1"),
+        round((nd(col("tp")) * nd(col("tn")) - nd(col("fp")) * nd(col("fn"))) /
+          sqrt((nd(col("tp")) + nd(col("fp"))) * (nd(col("tp")) + nd(col("fn"))) *
+            (nd(col("tn")) + nd(col("fp"))) * (nd(col("tn")) + nd(col("fn")))), 9)
+          .as("mcc"))
+    }),
+
     // #229: Kneser–Ney smoothed bigram probabilities (the LM
     // estimator behind every n-gram baseline — absolute discount
     // d=0.75 plus the CONTINUATION-count unigram backoff, which fixes
@@ -6825,6 +6897,70 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_cohen_kappa" ->
+      ("""WITH b AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS en,
+        |  len(list_filter(toks, x -> x IN ('el','la','de','y','que'))) AS es,
+        |  len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS de,
+        |  len(list_filter(toks, x -> x IN ('le','les','et','des','une'))) AS fr
+        |  FROM b),
+        |lang_pred AS (SELECT doc_id,
+        |  CASE WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |       WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |       WHEN de >= fr AND de > 0 THEN 'de'
+        |       WHEN fr > 0 THEN 'fr'
+        |       ELSE 'unknown' END AS lang_pred
+        |FROM sc)""".stripMargin +
+      """, conf AS (SELECT d.lang, p.lang_pred AS pred,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents d JOIN lang_pred p ON p.doc_id = d.doc_id
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM conf),
+        |agree AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS po_n
+        |  FROM conf WHERE lang = pred),
+        |pe AS (SELECT CAST(COALESCE(SUM(rt * ct), 0) AS BIGINT) AS pe_n FROM
+        |  (SELECT lang, CAST(SUM(c) AS BIGINT) AS rt FROM conf GROUP BY lang) r
+        |  JOIN (SELECT pred, CAST(SUM(c) AS BIGINT) AS ct FROM conf
+        |    GROUP BY pred) cc ON cc.pred = r.lang)
+        |SELECT nn, ROUND(CAST(po_n AS DOUBLE) / CAST(nn AS DOUBLE), 9) AS po,
+        |  ROUND((CAST(po_n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |      - CAST(pe_n AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))
+        |    / (1.0 - CAST(pe_n AS DOUBLE)
+        |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))), 9) AS kappa
+        |FROM tot, agree, pe""".stripMargin),
+
+    "q_threshold_metrics" ->
+      """WITH ev AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    event_type = 'purchase' AS y FROM events),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY v),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM h),
+        |med AS (SELECT MIN(CASE WHEN cum >= (nn + 1) // 2 THEN v END) AS p50
+        |  FROM (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h), tot),
+        |cm AS (SELECT
+        |    CAST(SUM(CASE WHEN y AND v >= p50 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN NOT y AND v >= p50 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN y AND v < p50 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN NOT y AND v < p50 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM ev, med)
+        |SELECT tp, fp, fn, tn,
+        |  ROUND(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)), 9)
+        |    AS precision,
+        |  ROUND(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)), 9)
+        |    AS recall,
+        |  ROUND(2.0 * CAST(tp AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE)
+        |    + CAST(fp AS DOUBLE) + CAST(fn AS DOUBLE)), 9) AS f1,
+        |  ROUND((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        |      - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+        |    / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+        |      * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+        |      * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+        |      * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))), 9) AS mcc
+        |FROM cm""".stripMargin,
 
     "q_kneser_ney" ->
       """WITH t AS (SELECT
