@@ -3213,6 +3213,26 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #232: top behavioral trigram paths (the sequential-pattern step
+    // past q_transitions' bigram matrix — "view→click→purchase"-style
+    // micro-journeys): two leads over ONE (user → ts, id) exchange
+    // build consecutive event-type triples in place (no self-joins),
+    // then a hash-agg counts paths; top-20 through per-partition
+    // heaps. Deterministic tie order on the path string.
+    "q_session_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc).limit(20)
+    }),
+
     // #230: Cohen's kappa of the language-ID heuristic against the
     // gold labels — agreement BEYOND CHANCE, the metric that keeps a
     // majority-class-happy classifier honest (zh docs have no gold
@@ -6897,6 +6917,17 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_session_paths" ->
+      """WITH s AS (SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
 
     "q_cohen_kappa" ->
       ("""WITH b AS (SELECT doc_id,
