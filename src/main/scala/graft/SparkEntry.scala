@@ -3213,6 +3213,49 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #233: daily growth accounting (new / retained / resurrected /
+    // churned + quick ratio — the growth-analytics decomposition of
+    // DAU beside row 131's cohort retention): classify each (user,
+    // active-day) row against the user's PREVIOUS active day (lag)
+    // and charge churn to the day AFTER an activity gap (lead), so
+    // the whole report rides one (user → day) exchange with two
+    // window functions — no day×user matrix, no self-joins. Counts
+    // are exact integers; the quick ratio is the only float,
+    // round(9), null on churn-free days.
+    "q_growth_accounting" -> ((s, dir) => {
+      val da = t(s, dir, "events")
+        .select(col("user_id"), unix_date(to_date(col("ts"))).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val flagged = da
+        .withColumn("prev", lag(col("day"), 1).over(w))
+        .withColumn("nxt", lead(col("day"), 1).over(w))
+      val maxDay = da.agg(max(col("day")).as("max_day"))
+      val states = flagged
+        .withColumn("state", when(col("prev").isNull, lit("new"))
+          .when(col("prev") === col("day") - 1, lit("retained"))
+          .otherwise(lit("resurrected")))
+      val active = states.groupBy(col("day"))
+        .agg(sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("state") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+      val churn = flagged.crossJoin(broadcast(maxDay))
+        .filter((col("nxt").isNull || col("nxt") > col("day") + 1) &&
+          col("day") + 1 <= col("max_day"))
+        .groupBy((col("day") + 1).as("day"))
+        .agg(count(lit(1)).as("n_churned"))
+      active.join(churn, Seq("day"), "left")
+        .na.fill(0L, Seq("n_churned"))
+        .select(col("day"), col("n_new"), col("n_retained"),
+          col("n_resurrected"), col("n_churned"),
+          when(col("n_churned") > 0,
+            round((col("n_new") + col("n_resurrected")).cast("double") /
+              col("n_churned").cast("double"), 9)).as("quick_ratio"))
+        .orderBy(col("day"))
+    }),
+
     // #232: top behavioral trigram paths (the sequential-pattern step
     // past q_transitions' bigram matrix — "view→click→purchase"-style
     // micro-journeys): two leads over ONE (user → ts, id) exchange
@@ -6917,6 +6960,32 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_growth_accounting" ->
+      """WITH da AS (SELECT DISTINCT user_id,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, day,
+        |    lag(day) OVER w AS prev, lead(day) OVER w AS nxt
+        |  FROM da WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+        |md AS (SELECT max(day) AS max_day FROM da),
+        |act AS (SELECT day,
+        |    CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_resurrected
+        |  FROM f GROUP BY day),
+        |ch AS (SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM f, md
+        |  WHERE (nxt IS NULL OR nxt > day + 1) AND day + 1 <= max_day
+        |  GROUP BY day + 1)
+        |SELECT act.day, n_new, n_retained, n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned,
+        |  CASE WHEN COALESCE(n_churned, 0) > 0
+        |    THEN ROUND(CAST(n_new + n_resurrected AS DOUBLE)
+        |      / CAST(n_churned AS DOUBLE), 9) END AS quick_ratio
+        |FROM act LEFT JOIN ch ON ch.day = act.day
+        |ORDER BY act.day""".stripMargin,
 
     "q_session_paths" ->
       """WITH s AS (SELECT user_id, event_type AS e1,
