@@ -3213,6 +3213,32 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #234: token burstiness (Church–Gale variance-to-mean ratio over
+    // per-doc counts, zeros included): VMR ≈ 1 means Poisson-scattered
+    // (function words); ≫ 1 means clumpy content words — the signal
+    // behind burstiness-aware term weighting and template detection.
+    // Absent-doc zeros never materialize: with integer sums s1 = Σc,
+    // s2 = Σc² over PRESENT docs and D total docs, VMR cross-
+    // multiplies to (D·s2 − s1²)/(D·s1) — exact integers to one final
+    // round(9) division. Top-50 tokens by count, deterministic
+    // tie-break; vocab-bounded shuffles.
+    "q_burstiness" -> ((s, dir) => {
+      val td = tp(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text"))))
+          .as("token"))
+        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
+      val d = tp(s, dir, "documents").agg(count(lit(1)).cast("long").as("dd"))
+      val perTok = td.groupBy(col("token"))
+        .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+      perTok.crossJoin(broadcast(d))
+        .select(col("token"), col("s1").cast("long").as("n_occ"),
+          round((col("dd").cast("double") * col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double")) /
+            (col("dd").cast("double") * col("s1").cast("double")), 9)
+            .as("vmr"))
+        .orderBy(col("n_occ").desc, col("token").asc).limit(50)
+    }),
+
     // #233: daily growth accounting (new / retained / resurrected /
     // churned + quick ratio — the growth-analytics decomposition of
     // DAU beside row 131's cohort retention): classify each (user,
@@ -6960,6 +6986,21 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_burstiness" ->
+      """WITH td AS (SELECT doc_id, unnest(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM td GROUP BY 1, 2),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS dd FROM documents),
+        |pt AS (SELECT token, CAST(SUM(c) AS BIGINT) AS s1,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2 FROM c GROUP BY token)
+        |SELECT token, s1 AS n_occ,
+        |  ROUND((CAST(dd AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    / (CAST(dd AS DOUBLE) * CAST(s1 AS DOUBLE)), 9) AS vmr
+        |FROM pt, d ORDER BY n_occ DESC, token ASC LIMIT 50""".stripMargin,
 
     "q_growth_accounting" ->
       """WITH da AS (SELECT DISTINCT user_id,
