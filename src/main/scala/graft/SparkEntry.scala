@@ -3213,6 +3213,61 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #235: CUPED variance reduction (Deng et al. WSDM'13, the
+    // industry-standard experiment-sensitivity trick): adjust each
+    // arm's experiment-period mean by θ·(pre-period deviation), with
+    // θ = cov(pre, post)/var(pre) pooled across arms. Assignment is
+    // the deterministic md5-hash arm (replayable in SQL, like
+    // q_folds); per-user pre/post sums and all four pooled moments
+    // are exact decimals off ONE pass; θ, the adjusted means, and the
+    // variance-reduction fraction (corr²) are closed-form doubles on
+    // those exact sums, round(9). User-sized shuffles only.
+    "q_cuped" -> ((s, dir) => {
+      val mid = lit("2024-01-16").cast("date")
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(to_date(col("ts")) < mid,
+            col("value").cast("decimal(18,2)")).otherwise(lit(0)
+            .cast("decimal(18,2)"))).as("pre"),
+          sum(when(to_date(col("ts")) >= mid,
+            col("value").cast("decimal(18,2)")).otherwise(lit(0)
+            .cast("decimal(18,2)"))).as("post"))
+        .withColumn("arm",
+          (conv(substring(md5(concat(lit("cuped:"), col("user_id"))), 1, 15),
+            16, 10).cast("long") % 2).cast("int"))
+      val d28 = "decimal(28,4)"
+      val g = per.agg(count(lit(1)).as("n"),
+        sum(col("pre").cast(d28)).as("sx"),
+        sum(col("post").cast(d28)).as("sy"),
+        sum((col("pre") * col("pre")).cast(d28)).as("sxx"),
+        sum((col("pre") * col("post")).cast(d28)).as("sxy"),
+        sum((col("post") * col("post")).cast(d28)).as("syy"))
+      def nd(c: Column) = c.cast("double")
+      val theta = g.select(col("n"), nd(col("sx")).as("sx"),
+        nd(col("sy")).as("sy"), nd(col("sxx")).as("sxx"),
+        nd(col("sxy")).as("sxy"), nd(col("syy")).as("syy"))
+        .withColumn("th", (nd(col("n")) * col("sxy") - col("sx") * col("sy")) /
+          (nd(col("n")) * col("sxx") - col("sx") * col("sx")))
+        .withColumn("mx", col("sx") / nd(col("n")))
+        .withColumn("vr",
+          ((nd(col("n")) * col("sxy") - col("sx") * col("sy")) *
+            (nd(col("n")) * col("sxy") - col("sx") * col("sy"))) /
+          ((nd(col("n")) * col("sxx") - col("sx") * col("sx")) *
+            (nd(col("n")) * col("syy") - col("sy") * col("sy"))))
+      val arms = per.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_arm"),
+          sum(col("pre").cast(d28)).as("sxa"),
+          sum(col("post").cast(d28)).as("sya"))
+      arms.crossJoin(broadcast(theta.select(col("th"), col("mx"), col("vr"))))
+        .select(col("arm"), col("n_arm"),
+          round(nd(col("sya")) / nd(col("n_arm")), 9).as("mean_post"),
+          round(nd(col("sya")) / nd(col("n_arm")) -
+            col("th") * (nd(col("sxa")) / nd(col("n_arm")) - col("mx")), 9)
+            .as("adj_mean"),
+          round(col("vr"), 9).as("var_reduction"))
+        .orderBy(col("arm"))
+    }),
+
     // #234: token burstiness (Church–Gale variance-to-mean ratio over
     // per-doc counts, zeros included): VMR ≈ 1 means Poisson-scattered
     // (function words); ≫ 1 means clumpy content words — the signal
@@ -6986,6 +7041,42 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_cuped" ->
+      """WITH per AS (SELECT user_id,
+        |    SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS pre,
+        |    SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS post
+        |  FROM events GROUP BY user_id),
+        |pa AS (SELECT pre, post,
+        |    CAST(('0x' || substring(md5('cuped:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS INTEGER) AS arm
+        |  FROM per),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(pre AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(post AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(pre * pre AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(pre * post AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(post * post AS DECIMAL(28,4))) AS DOUBLE) AS syy
+        |  FROM pa),
+        |th AS (SELECT
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n AS DOUBLE) * sxx - sx * sx) AS th,
+        |    sx / CAST(n AS DOUBLE) AS mx,
+        |    ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+        |      / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |        * (CAST(n AS DOUBLE) * syy - sy * sy)) AS vr
+        |  FROM g),
+        |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+        |    CAST(SUM(CAST(pre AS DECIMAL(28,4))) AS DOUBLE) AS sxa,
+        |    CAST(SUM(CAST(post AS DECIMAL(28,4))) AS DOUBLE) AS sya
+        |  FROM pa GROUP BY arm)
+        |SELECT arm, n_arm,
+        |  ROUND(sya / CAST(n_arm AS DOUBLE), 9) AS mean_post,
+        |  ROUND(sya / CAST(n_arm AS DOUBLE)
+        |    - th * (sxa / CAST(n_arm AS DOUBLE) - mx), 9) AS adj_mean,
+        |  ROUND(vr, 9) AS var_reduction
+        |FROM arms, th ORDER BY arm""".stripMargin,
 
     "q_burstiness" ->
       """WITH td AS (SELECT doc_id, unnest(list_filter(
