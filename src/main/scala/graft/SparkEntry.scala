@@ -3213,6 +3213,62 @@ object SparkEntry {
         .orderBy(col("delta").desc, col("o_custkey").asc).limit(20)
     }),
 
+    // #237: empirical-Bayes shrinkage of per-source long-doc rates
+    // (beta-binomial, method-of-moments prior — the small-sample
+    // leaderboard fix: a 3-doc source's 100% rate shouldn't outrank a
+    // 500-doc source's 80%): per-source (x, n) are exact integers;
+    // the prior moments over the 20 source rates use the per-term
+    // round(9) decimal-sum pattern (order-free), and the shrunk rate
+    // (x+α)/(n+α+β) is one shared closed-form tree, round(6).
+    "q_eb_shrinkage" -> ((s, dir) => {
+      val src = tp(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("x"))
+        .withColumn("rate",
+          round(col("x").cast("double") / col("n").cast("double"), 9))
+      val k = src.agg(count(lit(1)).as("kk"),
+        sum(col("rate").cast("decimal(24,9)")).as("sr"))
+      def nd(c: Column) = c.cast("double")
+      val m = src.crossJoin(broadcast(k))
+        .withColumn("m", nd(col("sr")) / nd(col("kk")))
+      val v = m.agg(max(col("m")).as("m"), max(nd(col("kk"))).as("kk"),
+        sum(round((col("rate") - col("m")) * (col("rate") - col("m")), 9)
+          .cast("decimal(24,9)")).as("sv"))
+        .withColumn("v", nd(col("sv")) / col("kk"))
+        .withColumn("ab", col("m") * (lit(1.0) - col("m")) / col("v") - lit(1.0))
+        .select(col("m"), (col("m") * col("ab")).as("alpha"),
+          ((lit(1.0) - col("m")) * col("ab")).as("beta"))
+      src.crossJoin(broadcast(v))
+        .select(col("source"), col("n"), col("x"), col("rate"),
+          round((nd(col("x")) + col("alpha")) /
+            (nd(col("n")) + col("alpha") + col("beta")), 6).as("shrunk"))
+        .orderBy(col("source"))
+    }),
+
+    // #236: DP-style noisy count release (ε=1 Laplace mechanism, the
+    // privacy-pipeline counterpart of q_pii_redact's masking): the
+    // Laplace draw comes from the deterministic 60-bit md5 uniform by
+    // inverse CDF — L = −sgn(u−½)·ln(1−2|u−½|)/ε — so the "noise" is
+    // bit-replayable in SQL (the repo's seeded-randomness pattern;
+    // a production release would swap in a secret seed, the PLUMBING
+    // is what's exercised). True counts are exact integers; the draw
+    // and the noisy release are one shared IEEE tree, round(6).
+    "q_dp_counts" -> ((s, dir) => {
+      val eps = 1.0
+      val u = conv(substring(md5(concat(lit("dp:"), col("event_type"))),
+        1, 15), 16, 10).cast("long").cast("double") /
+        lit(1152921504606846976.0)
+      val lap = -signum(u - lit(0.5)) *
+        log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))) / lit(eps)
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("true_n"))
+        .select(col("event_type"),
+          round(col("true_n").cast("double") + lap, 6).as("noisy_n"))
+        .orderBy(col("event_type"))
+    }),
+
     // #235: CUPED variance reduction (Deng et al. WSDM'13, the
     // industry-standard experiment-sensitivity trick): adjust each
     // arm's experiment-period mean by θ·(pre-period deviation), with
@@ -7041,6 +7097,39 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_eb_shrinkage" ->
+      """WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, n, x,
+        |    ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 9) AS rate FROM src),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS kk,
+        |    SUM(CAST(rate AS DECIMAL(24,9))) AS sr FROM r),
+        |m AS (SELECT CAST(sr AS DOUBLE) / CAST(kk AS DOUBLE) AS m,
+        |    CAST(kk AS DOUBLE) AS kk FROM k),
+        |v AS (SELECT m.m, m.kk,
+        |    CAST(SUM(CAST(ROUND((rate - m.m) * (rate - m.m), 9)
+        |      AS DECIMAL(24,9))) AS DOUBLE) / m.kk AS v
+        |  FROM r, m GROUP BY m.m, m.kk),
+        |ab AS (SELECT m, m * (1.0 - m) / v - 1.0 AS ab FROM v),
+        |pr AS (SELECT m * ab AS alpha, (1.0 - m) * ab AS beta FROM ab)
+        |SELECT source, n, x, rate,
+        |  ROUND((CAST(x AS DOUBLE) + alpha)
+        |    / (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk
+        |FROM r, pr ORDER BY source""".stripMargin,
+
+    "q_dp_counts" ->
+      """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+        |  FROM events GROUP BY event_type),
+        |u AS (SELECT event_type, true_n,
+        |    CAST(('0x' || substring(md5('dp:' || event_type), 1, 15))::BIGINT
+        |      AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM c)
+        |SELECT event_type,
+        |  ROUND(CAST(true_n AS DOUBLE)
+        |    + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) / 1.0), 6) AS noisy_n
+        |FROM u ORDER BY event_type""".stripMargin,
 
     "q_cuped" ->
       """WITH per AS (SELECT user_id,
