@@ -3246,6 +3246,39 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // #238: additive seasonal decomposition of the daily revenue
+    // series (STL-lite: trend = centered 7-day moving average,
+    // seasonal = day-of-week mean of the detrended part, residual =
+    // remainder — the anomaly input that raw z-scores get wrong on
+    // weekly-patterned data): daily sums exact decimals; the trend
+    // window is a ±3-row frame on the day-domain table; detrended
+    // values round(9) then the seasonal means use the decimal-sum
+    // pattern (order-free); interior days only (full MA support).
+    "q_decompose" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(unix_date(to_date(col("ts"))).as("day"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("day")).agg(sum(col("v")).as("x"))
+      val wm = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val wn = Window.orderBy(col("day"))
+      val tr = daily
+        .withColumn("nw", count(lit(1)).over(wm))
+        .withColumn("trend", round(sum(col("x")).over(wm).cast("double") /
+          col("nw").cast("double"), 9))
+        .filter(col("nw") === 7)
+        .withColumn("det", round(col("x").cast("double") - col("trend"), 9))
+        .withColumn("dow", (col("day") + lit(4)) % lit(7))
+      val seas = tr.groupBy(col("dow"))
+        .agg(round(sum(col("det").cast("decimal(24,9)")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("seasonal"))
+      tr.join(broadcast(seas), "dow")
+        .select(col("day"), col("x").cast("double").as("revenue"),
+          col("trend"), col("seasonal"),
+          round(col("det") - col("seasonal"), 9).as("residual"))
+        .orderBy(col("day"))
+    }),
+
     // #236: DP-style noisy count release (ε=1 Laplace mechanism, the
     // privacy-pipeline counterpart of q_pii_redact's masking): the
     // Laplace draw comes from the deterministic 60-bit md5 uniform by
@@ -7097,6 +7130,30 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_decompose" ->
+      """WITH daily AS (SELECT
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |tr AS (SELECT day, x,
+        |    CAST(count(*) OVER w AS BIGINT) AS nw,
+        |    ROUND(CAST(SUM(x) OVER w AS DOUBLE)
+        |      / CAST(count(*) OVER w AS DOUBLE), 9) AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT day, x, trend,
+        |    ROUND(CAST(x AS DOUBLE) - trend, 9) AS det,
+        |    (day + 4) % 7 AS dow
+        |  FROM tr WHERE nw = 7),
+        |seas AS (SELECT dow,
+        |    ROUND(CAST(SUM(CAST(det AS DECIMAL(24,9))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE), 9) AS seasonal
+        |  FROM dt GROUP BY dow)
+        |SELECT day, CAST(x AS DOUBLE) AS revenue, trend, seasonal,
+        |  ROUND(det - seasonal, 9) AS residual
+        |FROM dt JOIN seas ON seas.dow = dt.dow
+        |ORDER BY day""".stripMargin,
 
     "q_eb_shrinkage" ->
       """WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
