@@ -3246,6 +3246,41 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // #239: peak concurrent sessions per day (capacity planning /
+    // load-envelope metric): classic +1/−1 boundary sweep over the
+    // Sessionize intervals, day-clipped so the cumulative runs
+    // per-day. Boundaries aggregate per (day, second) FIRST — running
+    // concurrency after a tick's arrivals is cum_prev + plus, which
+    // makes the sweep deterministic under timestamp ties (row-level
+    // prefix sums inside a tie group are permutation-dependent;
+    // group-level ones are not). End-exclusive at ce+1; peak time is
+    // the earliest tick attaining the max.
+    "q_concurrency" -> ((s, dir) => {
+      val sess = Sessionize.sessions(t(s, dir, "events"),
+        "user_id", "ts", "event_id", 1800.0)
+      val clipped = sess
+        .withColumn("d", explode(sequence(expr("start_s div 86400"),
+          expr("end_s div 86400"))))
+        .withColumn("cs", greatest(col("start_s"), col("d") * 86400L))
+        .withColumn("ce", least(col("end_s"), col("d") * 86400L + 86399L))
+      val bounds = clipped
+        .select(col("d"), col("cs").as("t"), lit(1L).as("delta"))
+        .union(clipped.select(col("d"), (col("ce") + 1L).as("t"),
+          lit(-1L).as("delta")))
+        .groupBy(col("d"), col("t"))
+        .agg(sum(col("delta")).as("net"),
+          sum(when(col("delta") > 0, col("delta")).otherwise(0L)).as("plus"))
+      val wc = Window.partitionBy(col("d")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val swept = bounds.withColumn("cum", sum(col("net")).over(wc))
+        .withColumn("gm", col("cum") - col("net") + col("plus"))
+      swept.groupBy(col("d"))
+        .agg(max(col("gm")).as("peak"),
+          max_by(col("t"), struct(col("gm"), negate(col("t")))).as("at_s"))
+        .select(col("d").as("day"), col("peak"), col("at_s"))
+        .orderBy(col("day"))
+    }),
+
     // #238: additive seasonal decomposition of the daily revenue
     // series (STL-lite: trend = centered 7-day moving average,
     // seasonal = day-of-week mean of the detrended part, residual =
@@ -7130,6 +7165,46 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch(ts) AS sec,
+        |    CASE WHEN lag(epoch(ts)) OVER w IS NULL
+        |           OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, sec,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM x
+        |), sess AS (
+        |  SELECT CAST(FLOOR(MIN(sec)) AS BIGINT) AS start_s,
+        |    CAST(FLOOR(MAX(sec)) AS BIGINT) AS end_s
+        |  FROM y GROUP BY user_id, session_seq
+        |), clipped AS (
+        |  SELECT d, GREATEST(start_s, d * 86400) AS cs,
+        |    LEAST(end_s, d * 86400 + 86399) AS ce
+        |  FROM (SELECT start_s, end_s,
+        |      unnest(generate_series(start_s // 86400, end_s // 86400)) AS d
+        |    FROM sess)
+        |), bounds AS (
+        |  SELECT d, t, CAST(SUM(delta) AS BIGINT) AS net,
+        |    CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS BIGINT) AS plus
+        |  FROM (SELECT d, cs AS t, 1 AS delta FROM clipped
+        |    UNION ALL SELECT d, ce + 1 AS t, -1 AS delta FROM clipped)
+        |  GROUP BY d, t
+        |), swept AS (
+        |  SELECT d, t, net, plus,
+        |    CAST(SUM(net) OVER (PARTITION BY d ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM bounds
+        |), gm AS (SELECT d, t, cum - net + plus AS gm FROM swept),
+        |mx AS (SELECT d, t, gm, MAX(gm) OVER (PARTITION BY d) AS mxg FROM gm)
+        |SELECT d AS day, CAST(MAX(gm) AS BIGINT) AS peak,
+        |  MIN(CASE WHEN gm = mxg THEN t END) AS at_s
+        |FROM mx GROUP BY d ORDER BY day""".stripMargin,
 
     "q_decompose" ->
       """WITH daily AS (SELECT
