@@ -3246,6 +3246,36 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // #240: experiment power planning — minimum detectable effect per
+    // arm at α=0.05, power=0.80 (z-sum 1.959964+0.841621 as literal
+    // constants, like q_benford's probability literals — no engine
+    // erf): MDE_abs = (z_{α/2}+z_β)·√(2s²/n) for an equal-split
+    // two-sample test at current traffic, MDE_rel over the arm mean.
+    // Sample variance from ONE decimal-exact moment pass; the z
+    // constants and the two outputs are one shared IEEE tree,
+    // round(9). The planning companion to q_welch_ttest's inference.
+    "q_power" -> ((s, dir) => {
+      val zsum = 2.801585
+      val d28 = "decimal(28,4)"
+      def nd(c: Column) = c.cast("double")
+      t(s, dir, "events")
+        .select(col("event_type").as("arm"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(d28)).as("sx"),
+          sum((col("v") * col("v")).cast(d28)).as("sx2"))
+        .withColumn("s2", (nd(col("n")) * nd(col("sx2")) -
+          nd(col("sx")) * nd(col("sx"))) /
+          (nd(col("n")) * (nd(col("n")) - lit(1.0))))
+        .select(col("arm"), col("n"),
+          round(lit(zsum) * sqrt(lit(2.0) * col("s2") / nd(col("n"))), 9)
+            .as("mde_abs"),
+          round(lit(zsum) * sqrt(lit(2.0) * col("s2") / nd(col("n"))) /
+            (nd(col("sx")) / nd(col("n"))), 9).as("mde_rel"))
+        .orderBy(col("arm"))
+    }),
+
     // #239: peak concurrent sessions per day (capacity planning /
     // load-envelope metric): classic +1/−1 boundary sweep over the
     // Sessionize intervals, day-clipped so the cumulative runs
@@ -7165,6 +7195,22 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_power" ->
+      """WITH g AS (SELECT event_type AS arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+        |      AS DECIMAL(28,4))) AS DOUBLE) AS sx2
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT arm, n, sx,
+        |    (CAST(n AS DOUBLE) * sx2 - sx * sx)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS s2
+        |  FROM g)
+        |SELECT arm, n,
+        |  ROUND(2.801585 * sqrt(2.0 * s2 / CAST(n AS DOUBLE)), 9) AS mde_abs,
+        |  ROUND(2.801585 * sqrt(2.0 * s2 / CAST(n AS DOUBLE))
+        |    / (sx / CAST(n AS DOUBLE)), 9) AS mde_rel
+        |FROM v ORDER BY arm""".stripMargin,
 
     "q_concurrency" ->
       """WITH x AS (
