@@ -3246,6 +3246,31 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // #241: forecastability baseline — sMAPE of the persistence
+    // (naive x̂_t = x_{t−1}) forecast per daily series: the floor any
+    // real forecasting model must beat, and the standard first
+    // question before investing in one. One lag over the day-domain
+    // series; each symmetric error term 2|Δ|/(|x_t|+|x_{t−1}|) is a
+    // round(9) IEEE tree on exact decimals, summed IN DECIMAL
+    // (order-free), one final round(6) mean.
+    "q_smape" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("event_type").as("arm"), to_date(col("ts")).as("day"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("arm"), col("day")).agg(sum(col("v")).as("x"))
+      val w = Window.partitionBy(col("arm")).orderBy(col("day"))
+      def nd(c: Column) = c.cast("double")
+      d.withColumn("prev", lag(col("x"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("term", round(lit(2.0) * abs(nd(col("x")) - nd(col("prev"))) /
+          (abs(nd(col("x"))) + abs(nd(col("prev")))), 9).cast("decimal(24,9)"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_days"),
+          round(sum(col("term")).cast("double") /
+            count(lit(1)).cast("double"), 6).as("smape"))
+        .orderBy(col("arm"))
+    }),
+
     // #240: experiment power planning — minimum detectable effect per
     // arm at α=0.05, power=0.80 (z-sum 1.959964+0.841621 as literal
     // constants, like q_benford's probability literals — no engine
@@ -7195,6 +7220,20 @@ object SparkEntry {
         |FROM rk a JOIN rk b ON a.o_custkey = b.o_custkey
         |  AND a.period = 'p1' AND b.period = 'p2'
         |ORDER BY delta DESC, a.o_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_smape" ->
+      """WITH d AS (SELECT event_type AS arm, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT arm, x, lag(x) OVER (PARTITION BY arm ORDER BY day) AS prev
+        |  FROM d),
+        |t AS (SELECT arm, CAST(ROUND(2.0 * abs(CAST(x AS DOUBLE) - CAST(prev AS DOUBLE))
+        |    / (abs(CAST(x AS DOUBLE)) + abs(CAST(prev AS DOUBLE))), 9)
+        |    AS DECIMAL(24,9)) AS term
+        |  FROM l WHERE prev IS NOT NULL)
+        |SELECT arm, CAST(count(*) AS BIGINT) AS n_days,
+        |  ROUND(CAST(SUM(term) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS smape
+        |FROM t GROUP BY arm ORDER BY arm""".stripMargin,
 
     "q_power" ->
       """WITH g AS (SELECT event_type AS arm, CAST(count(*) AS BIGINT) AS n,
