@@ -94,6 +94,18 @@ object Bench {
     val soakJson = soak
       .map { case (n, t1, tR) => "\"" + n + "\":[" + fmt(t1) + "," + fmt(tR) + "]" }
       .mkString("{", ",", "}")
+    // 30× point for the tightest-headroom families (r7 verdict item 7):
+    // substring dedup's 10× ratio (~5×) left the least margin, and the
+    // bpe-encode / kmeans-assign paths were the round's parity fixes —
+    // their scale curves get a deeper sample. Skipped with the soak.
+    val soak30: Seq[(String, Double, Double)] =
+      if (skipSoak || soakError.nonEmpty) Seq.empty
+      else try Soak.runAt(spark, sfDir,
+        Set("substring_dedup", "bpe_encode", "kmeans_assign"), 30)
+      catch { case _: Throwable => Seq.empty }
+    val soak30Json = soak30
+      .map { case (n, t1, tR) => "\"" + n + "\":[" + fmt(t1) + "," + fmt(tR) + "]" }
+      .mkString("{", ",", "}")
     val soakErrJson = soakError.fold("")(m =>
       ",\"soak_error\":\"" + m.flatMap {
         case '"' => "\\\""
@@ -110,6 +122,7 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
       s"""{"metric":"top10","value":${fmt(flagship)},"unit":"sec","sf":"$sfDir",""" +
         s""""queries":{$qs},"soak_1x_vs_10x_sec":$soakJson$soakErrJson,""" +
+        s""""soak_1x_vs_30x_sec":$soak30Json,""" +
         s""""_total":${fmt(total)},"_n":${results.size}}"""
     }
     try java.nio.file.Files.writeString(

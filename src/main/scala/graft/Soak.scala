@@ -51,7 +51,19 @@ object Soak {
     df.agg(max(col(c))).head().getLong(0) + 1L
 
   /** (name, seconds@1x, seconds@Rx) per family member. */
-  def run(spark: SparkSession, sfDir: String, repl: Int): Seq[(String, Double, Double)] = {
+  def run(spark: SparkSession, sfDir: String, repl: Int): Seq[(String, Double, Double)] =
+    runFamilies(spark, families(spark, sfDir), repl)
+
+  /** Soak a NAMED SUBSET at a (typically higher) replication factor —
+    * the 30× extension point for the families whose 10× ratios left
+    * the least headroom (substring dedup ~5×, plus the r7-red bpe
+    * encode and kmeans assignment paths). */
+  def runAt(spark: SparkSession, sfDir: String, names: Set[String],
+            repl: Int): Seq[(String, Double, Double)] =
+    runFamilies(spark, families(spark, sfDir).filter(f => names(f._1)), repl)
+
+  private def families(spark: SparkSession,
+                       sfDir: String): Seq[(String, Int => DataFrame)] = {
     val docBase = Tables.loadParallel(spark, sfDir, "documents")
       .select("doc_id", "text")
     val embBase = Tables.loadParallel(spark, sfDir, "embeddings")
@@ -66,9 +78,6 @@ object Soak {
     val eIdOff = offsetOf(evBase, "event_id")
     def evs(n: Int) = replicate(evBase, n,
       Map("user_id" -> uOff, "event_id" -> eIdOff), None)
-
-    def noop(df: DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
 
     // join family: the q_tpch_q3 core over consistently-shifted keys —
     // the SAME per-replica offset on both sides of each key (customer ×
@@ -138,8 +147,44 @@ object Soak {
       // windows of the attribution probe rewrite must scale with ROWS,
       // never with users × conversions
       "window_probe" -> ((n: Int) =>
-        Attribution.linear(evs(n), "click", "view", "purchase", 7)))
+        Attribution.linear(evs(n), "click", "view", "purchase", 7)),
+      // the BPE ENCODE path (r7-red family): an 8-merge table learned
+      // ONCE from the base corpus (model fitting is setup, not encode
+      // cost), then the per-word leftmost-non-overlapping fold over the
+      // replicated corpus — pure projection + per-source agg, so the
+      // ratio must track rows
+      "bpe_encode" -> {
+        lazy val merges = graft.operators.Bpe
+          .learnMerges(docBase, "text", 8).orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        (n: Int) => {
+          val words = docs(n).select(col("doc_id"),
+            explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
+          graft.operators.Bpe.segment(words, "w", merges)
+            .groupBy(col("doc_id") % 1024)
+            .agg(sum(size(col("pieces")).cast("long")).as("n_pieces"))
+        }
+      },
+      // the KMEANS ASSIGNMENT path (r7-red family): centroids fixed
+      // from the base corpus (fit is vocab-sized setup), the broadcast
+      // argmax-cosine assign + membership rollup over the replicated
+      // vectors — the corpus-scale half of every Lloyd pass
+      "kmeans_assign" -> {
+        lazy val centroids = AnnIvf.fitExact(embBase, "vec_id", "embedding", 8, 1)
+        (n: Int) =>
+          AnnIvf.assign(embs(n), centroids, "vec_id", "embedding",
+              simRound = Some(9))
+            .groupBy(col("cid"))
+            .agg(count(lit(1)).as("n_members"))
+      })
+    family
+  }
 
+  private def runFamilies(spark: SparkSession,
+                          family: Seq[(String, Int => DataFrame)],
+                          repl: Int): Seq[(String, Double, Double)] = {
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     family.map { case (name, mk) =>
       def time(n: Int): Double = {
         val t0 = System.nanoTime()

@@ -378,12 +378,18 @@ object SparkEntry {
       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rn
       |  FROM sc) WHERE rn <= 10""".stripMargin
 
-  /** BPE-encode replay: the same fixed 8-merge model as q_bpe_encode,
-    * each merge one chained CTE stage; the leftmost-non-overlapping
-    * fold runs as list_reduce with a space-joined string accumulator
-    * (symbols never contain spaces; the end-of-word marker is
-    * chr(57344) = Bpe.Marker). Suffix checks use substr, not LIKE, so
-    * merge symbols need no wildcard escaping. */
+  /** BPE-encode replay: the merge table is the LEARNED one — the same
+    * 8-round learning CTE chain as q_bpe_merges (BpeLearnCtes) feeds
+    * the encode stages, exactly as the Spark side runs learnMerges →
+    * segment, so the oracle never hardcodes a model. Each merge is one
+    * chained CTE stage; the leftmost-non-overlapping fold runs as
+    * list_reduce with a space-joined string accumulator (symbols never
+    * contain spaces — words are whitespace-split; the end-of-word
+    * marker is chr(57344) = Bpe.Marker). Suffix checks use substr, not
+    * LIKE, so merge symbols need no wildcard escaping. A round that
+    * learned no merge (best_k empty) LEFT-JOINs to NULL and the stage
+    * passes rows through unchanged — mirroring the Spark fold over a
+    * shorter learned-merge list. */
   private val BpeEncodeSql: String = {
     val fold =
       """list_reduce(string_split(s, ' '), (acc, x) -> CASE
@@ -394,19 +400,22 @@ object SparkEntry {
         |           ELSE left(acc, len(acc) - len(m.l) - 1) || ' ' || m.l || m.r END
         |      ELSE acc || ' ' || x END)""".stripMargin
     val stages = (1 to 8).map { i =>
-      s"""s$i AS (SELECT source, $fold AS s
-         |  FROM s${i - 1}, m WHERE m.rank = $i)""".stripMargin
+      s"""s$i AS (SELECT source,
+         |    CASE WHEN m.l IS NULL THEN s ELSE $fold END AS s
+         |  FROM s${i - 1} LEFT JOIN m ON m.rank = $i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH m AS (SELECT * FROM (VALUES
-      |    (1, 't', 'a'), (2, 'ta', 'b'), (3, 'tab', 'l'), (4, 'tabl', 'e'),
-      |    (5, 'e', chr(57344)), (6, 'k', 'e'), (7, 'ke', 'y'), (8, 's', 'p')
-      |  ) AS m(rank, l, r)),
+    val learned = (1 to 8)
+      .map(k => s"SELECT $k AS rank, l, r FROM best_$k")
+      .mkString("\n    UNION ALL ")
+    s"""WITH
+      |$BpeLearnCtes,
+      |m AS ($learned),
       |w AS (SELECT source,
-      |    unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS wd
+      |    unnest(list_filter(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')) AS wd
       |  FROM documents),
       |s0 AS (SELECT source,
       |    array_to_string(list_concat(
-      |      list_filter(string_split(replace(wd, chr(57344), ''), ''), c -> c <> ''),
+      |      regexp_extract_all(replace(wd, chr(57344), ''), '(?s).'),
       |      [chr(57344)]), ' ') AS s
       |  FROM w),
       |$stages
@@ -499,7 +508,18 @@ object SparkEntry {
     * see Bpe.learnMerges' prefix-rule proof. */
   private val BpeOracle: String = {
     val n = 8
-    def round(k: Int): String =
+    val finals = (1 to n).map(k =>
+      s"""SELECT $k AS rank, l AS "left", r AS "right",
+         |  CAST(pc AS BIGINT) AS pair_count FROM best_$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH
+       |$BpeLearnCtes
+       |$finals""".stripMargin
+  }
+
+  /** One unrolled BPE merge round (argmax pair + leftmost-non-
+    * overlapping application) — shared by BpeOracle and BpeEncodeSql. */
+  private def BpeRound(k: Int): String =
       s"""pairs_$k AS (
          |  SELECT v.syms[g.i] AS l, v.syms[g.i+1] AS r, SUM(cnt) AS pc
          |  FROM vocab_$k v, UNNEST(generate_series(1, len(v.syms)-1)) AS g(i)
@@ -533,21 +553,24 @@ object SparkEntry {
          |    ORDER BY i) AS syms
          |  FROM emit_$k WHERE consumed = 0
          |  GROUP BY syms, cnt)""".stripMargin
-    val finals = (1 to n).map(k =>
-      s"""SELECT $k AS rank, l AS "left", r AS "right",
-         |  CAST(pc AS BIGINT) AS pair_count FROM best_$k""".stripMargin)
-      .mkString("\nUNION ALL\n")
-    s"""WITH
-       |vocab_1 AS (
+
+  /** The BPE learning CTE chain shared by BpeOracle (q_bpe_merges) and
+    * BpeEncodeSql (q_bpe_encode): seed vocab from CODE-POINT symbol
+    * lists (regexp_extract_all('(?s).') — RE2 `.` consumes one rune,
+    * matching the Java-regex split on the Spark side; string_split('')
+    * would split grapheme clusters here but UTF-16 units there), then
+    * `n` unrolled merge rounds. */
+  private def BpeLearnCtes: String = {
+    val n = 8
+    s"""vocab_1 AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
-       |    list_append(string_split(replace(w, chr(57344), ''), ''),
+       |    list_append(regexp_extract_all(replace(w, chr(57344), ''), '(?s).'),
        |      chr(57344)) AS syms
        |  FROM (SELECT t.w FROM documents,
-       |    UNNEST(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    UNNEST(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'),
        |      x -> len(x) > 0)) AS t(w))
        |  GROUP BY w),
-       |${(1 to n).map(round).mkString(",\n")}
-       |$finals""".stripMargin
+       |${(1 to n).map(BpeRound).mkString(",\n")}""".stripMargin
   }
 
   // ---------------------------------------------------------------------------
@@ -802,7 +825,9 @@ object SparkEntry {
           size(array_distinct(col("tk"))).as("n_uniq"),
           array_contains(col("tk"), "spark").as("has_spark"),
           size(slice(col("tk"), 1, 5)).as("first5"),
-          element_at(col("tk"), 1).as("first_tok"))),
+          // try_element_at: NULL on an empty token array (ANSI
+          // element_at throws), matching DuckDB's tk[1] out-of-bounds
+          try_element_at(col("tk"), lit(1)).as("first_tok"))),
 
     // #27b: IN subquery (shared ANSI text)
     "q_in_subquery" -> ((s, dir) => {
@@ -854,7 +879,7 @@ object SparkEntry {
     // #31: exact dedup on normalized-text hash, keep-first
     "q_dedup_exact" -> ((s, dir) =>
       t(s, dir, "documents")
-        .groupBy(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("h"))
+        .groupBy(md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ")).as("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
         .select("keep_id", "dups")),
 
@@ -966,7 +991,11 @@ object SparkEntry {
     "q_kmeans" -> ((s, dir) => {
       val e = tp(s, dir, "embeddings")
       val centroids = AnnIvf.fitExact(e, "vec_id", "embedding", 8, 1)
-      AnnIvf.assign(e, centroids, "vec_id", "embedding")
+      // simRound=9: the argmax-cosine assignment is tie-safe across
+      // engines (round-then-argmax, low-cid tie-break) — a raw-double
+      // near-tie between two centroids would otherwise flip membership
+      // on whichever engine's float tree lands a ULP apart
+      AnnIvf.assign(e, centroids, "vec_id", "embedding", simRound = Some(9))
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"), sum(col("id")).as("id_checksum"))
     }),
@@ -1325,11 +1354,17 @@ object SparkEntry {
           shiftright(col("hi") - 1, 6))))
       val nSrc = h.groupBy(col("src")).agg(sum(col("c")).as("nsrc"))
       val tot = h.agg(sum(col("c")).cast("long").as("nn"))
+      // decimal(38,0) cross-multiply: the pooled-rank numerator is
+      // O(N²) and would silently overflow int64 near ~2e9 pooled rows;
+      // decimal keeps the ceil-div midrank exact at any scale (the
+      // q_auc/q_changepoint rule), and `div` on decimals yields the
+      // exact integral quotient as a long
       val kk = cc.filter(col("c") > 0)
         .join(broadcast(nSrc), "src").crossJoin(broadcast(tot))
         .withColumn("num",
-          (col("cumlt") * 2 + col("c") + 1) * col("nn"))
-        .withColumn("den", col("nsrc") * 2)
+          (col("cumlt") * 2 + col("c") + 1).cast("decimal(38,0)") *
+            col("nn").cast("decimal(38,0)"))
+        .withColumn("den", (col("nsrc") * 2).cast("decimal(38,0)"))
         .withColumn("k", expr("(num + den - 1) div den"))
         .withColumn("bin", shiftright(col("k") - 1, 6))
       kk.join(bins, Seq("bin"))
@@ -1752,7 +1787,7 @@ object SparkEntry {
       val wWin = 10
       val docs = tp(s, dir, "documents")
         .select(col("doc_id"),
-          regexp_replace(trim(lower(col("text"))), "\\s+", " ").as("norm"))
+          regexp_replace(trim(lower(col("text"))), "[ \\t\\n\\x0B\\f\\r]+", " ").as("norm"))
         .withColumn("bkey", substring(col("norm"), 1, 16))
       val ranked = graft.operators.DenseId
         .assign(docs, Seq("bkey", "doc_id"), "rnk")
@@ -2214,7 +2249,7 @@ object SparkEntry {
         .select(col("doc_id"),
           trim(regexp_replace(lower(graft.functions.NativeExpressions.nfc(
             concat(col("text"), lit("  CAFÉ  niño\t")))),
-            "\\s+", " ")).as("norm"))
+            "[ \\t\\n\\x0B\\f\\r]+", " ")).as("norm"))
         .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
           length(col("norm")).as("n_chars_norm"))),
 
@@ -2274,16 +2309,21 @@ object SparkEntry {
       operators.Bpe.learnMerges(tp(s, dir, "documents"), "text", 8)),
 
     // #182: BPE ENCODE — the inference half of the tokenizer
-    // (Bpe.segment): replay a fixed 8-merge model (models ship as
-    // artifacts; the learning side is oracle-checked by q_bpe_merges)
-    // over every corpus word, leftmost-non-overlapping fold per word.
-    // Broadcast-side model, pure per-row projection, no shuffle until
-    // the final per-source agg. Output = the tokenizer's fertility.
+    // (Bpe.segment), driven by the LEARNED merge table: learnMerges on
+    // the corpus (the q_bpe_merges path — 8 rows, driver-collected
+    // exactly like a shipped tokenizer artifact) feeds segment's
+    // rank-ordered fold, and the oracle re-derives the same table from
+    // its own learning CTE chain, so multi-char merge interactions are
+    // exercised on whatever the corpus actually learns. Leftmost-non-
+    // overlapping fold per word, broadcast-side model, pure per-row
+    // projection, no shuffle until the final per-source agg. Output =
+    // the tokenizer's fertility.
     "q_bpe_encode" -> ((s, dir) => {
-      val merges = Seq("t" -> "a", "ta" -> "b", "tab" -> "l",
-        "tabl" -> "e", "e" -> operators.Bpe.Marker, "k" -> "e",
-        "ke" -> "y", "s" -> "p")
-      val words = tp(s, dir, "documents")
+      val docs = tp(s, dir, "documents")
+      val merges = operators.Bpe.learnMerges(docs, "text", 8)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = docs
         .select(col("source"),
           explode(TextAnalysis.tokens(col("text"))).as("w"))
       operators.Bpe.segment(words, "w", merges)
@@ -3917,29 +3957,27 @@ object SparkEntry {
     }),
 
     // #221: RFM customer segmentation (recency / frequency / monetary
-    // quintile codes, the classic CRM segmentation): each dimension's
-    // quintile comes from GroupRank.ntile's DISTRIBUTED tile
-    // assignment (range-repartition rank + per-group-count join —
-    // Spark's exact ntile semantics without any single-task global
-    // sort; the three passes each shuffle only the customer-sized
-    // table). Ties break on custkey so tiles are engine-identical;
-    // recency is the integer epoch-day of the last order. Output: the
-    // populated RFM cells with customer counts — the segmentation
-    // report a CRM publishes.
+    // quintile codes, the classic CRM segmentation): all three
+    // quintiles come from ONE GroupRank.ntileMany pass — the r/f/m
+    // dimensions are stacked as (dim, value, custkey) rows and ranked
+    // by a single range-repartition (each dim its own contiguous key
+    // range), then pivoted back: one Exchange of 3n rows where the
+    // previous chain of three ntile calls paid three (r7 verdict
+    // item 8; the pattern generalizes to any multi-dimension quantile
+    // segmentation). Spark's exact ntile semantics, no single-task
+    // global sort. Ties break on custkey so tiles are
+    // engine-identical; recency is the integer epoch-day of the last
+    // order. Output: the populated RFM cells with customer counts —
+    // the segmentation report a CRM publishes.
     "q_rfm" -> ((s, dir) => {
       val base = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(unix_date(to_date(col("o_orderdate")))).as("last_day"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-        .withColumn("g", lit(1))
-      val withR = graft.operators.GroupRank.ntile(
-        base, Seq("g"), Seq("last_day", "o_custkey"), 5, "r")
-      val withF = graft.operators.GroupRank.ntile(
-        withR, Seq("g"), Seq("freq", "o_custkey"), 5, "f")
-      val withM = graft.operators.GroupRank.ntile(
-        withF, Seq("g"), Seq("spend", "o_custkey"), 5, "m")
-      withM.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("rfm"))
+      val tiles = graft.operators.GroupRank.ntileMany(base, Seq("o_custkey"),
+        Seq("last_day" -> "r", "freq" -> "f", "spend" -> "m"), 5)
+      tiles.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("rfm"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("rfm"))
     }),
@@ -4874,18 +4912,18 @@ object SparkEntry {
 
     "q_top10_tokens" ->
       """SELECT token, count(*) AS cnt
-        |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents)
+        |FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token FROM documents)
         |GROUP BY token
         |ORDER BY cnt DESC, token ASC
         |LIMIT 10""".stripMargin,
 
     "q_token_explode" ->
-      """SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+      """SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |FROM documents""".stripMargin,
 
     "q_hashtag_count" ->
       """SELECT token, count(*) AS cnt
-        |FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token FROM documents)
+        |FROM (SELECT unnest(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token FROM documents)
         |GROUP BY token""".stripMargin,
 
     "q_sort" ->
@@ -4999,7 +5037,7 @@ object SparkEntry {
 
     "q_array_funcs" ->
       """WITH b AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents)
+        |  list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents)
         |SELECT doc_id, len(list_distinct(tk)) AS n_uniq,
         |  list_contains(tk, 'spark') AS has_spark,
         |  len(tk[1:5]) AS first5, tk[1] AS first_tok
@@ -5094,7 +5132,7 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups
-        |FROM (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+        |FROM (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS h
         |      FROM documents)
         |GROUP BY h""".stripMargin,
 
@@ -5102,8 +5140,8 @@ object SparkEntry {
 
     "q_fertility" ->
       """WITH b AS (SELECT source,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws,
-        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
+        |    len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS ws,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS bpe,
         |    octet_length(encode(text)) AS by
         |  FROM documents)
         |SELECT source,
@@ -5116,7 +5154,7 @@ object SparkEntry {
 
     "q_ngram_novelty" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
@@ -5135,7 +5173,7 @@ object SparkEntry {
     // the q_dedup_cluster equivalence) labeled and rolled up.
     "q_dup_matrix" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
@@ -5163,10 +5201,10 @@ object SparkEntry {
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id >= 10),
         |keep1 AS (SELECT min(doc_id) AS doc_id FROM corpus
-        |  GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+        |  GROUP BY md5(regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g'))),
         |e1 AS (SELECT c.doc_id, c.text FROM corpus c JOIN keep1 USING (doc_id)),
         |t1 AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM e1),
         |sh3 AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
@@ -5184,7 +5222,7 @@ object SparkEntry {
         |e2 AS (SELECT e1.doc_id, e1.text FROM e1 LEFT JOIN comp ON comp.id = e1.doc_id
         |  WHERE LEAST(COALESCE(comp.mn, e1.doc_id), e1.doc_id) = e1.doc_id),
         |tb AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents WHERE doc_id < 10),
         |bench5 AS (SELECT DISTINCT unnest(list_distinct(list_transform(
         |    range(1, len(tk) - 3),
@@ -5192,7 +5230,7 @@ object SparkEntry {
         |      || ' ' || tk[i+4]))) AS g
         |  FROM tb WHERE len(tk) >= 5),
         |t2 AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM e2),
         |cont AS (SELECT DISTINCT s.doc_id FROM (
         |    SELECT doc_id, unnest(list_distinct(list_transform(
@@ -5205,7 +5243,7 @@ object SparkEntry {
         |  LEFT JOIN cont ON cont.doc_id = e2.doc_id WHERE cont.doc_id IS NULL),
         |q AS (SELECT doc_id, text,
         |    CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS n,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         |  FROM e3),
         |e4 AS (SELECT doc_id, text FROM q
         |  WHERE (LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0) * 0.25
@@ -5266,7 +5304,7 @@ object SparkEntry {
     // scalar log-ratio expression, round(6) on the per-doc mean
     "q_dsir_weights" ->
       """WITH tk AS (SELECT doc_id, source,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
         |      x -> x <> '')) AS token
         |  FROM documents),
         |tb AS (SELECT doc_id, source,
@@ -5299,7 +5337,7 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, d_id) AS rsem
         |  FROM sem0) WHERE rsem <= 20),
         |t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |shl AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
@@ -5336,7 +5374,7 @@ object SparkEntry {
     "q_dedup_simhash" ->
       """WITH tk AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         |  FROM documents),
         |th AS (
         |  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
@@ -5419,8 +5457,11 @@ object SparkEntry {
         |GROUP BY bf.q_id""".stripMargin,
 
     // spherical k-means replay: stride init (row_number over vec_id %
-    // stride), argmax-cosine assignment (tie → low cid), decimal-exact
-    // per-dim mean, reassign, aggregate
+    // stride), TIE-SAFE argmax-cosine assignment (round(sim, 9) before
+    // the argmax, tie → low cid — mirrors AnnIvf.assign simRound=9; a
+    // raw-double ORDER BY would let a ULP gap between the two engines'
+    // cosine trees flip a near-tie), decimal-exact per-dim mean,
+    // reassign, aggregate
     "q_kmeans" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
         |st AS (SELECT GREATEST(COUNT(*) // 8, 1) AS stride FROM e),
@@ -5430,7 +5471,7 @@ object SparkEntry {
         |a1 AS (SELECT vec_id, ve, cid FROM (
         |    SELECT e.vec_id, e.ve, init.cid,
         |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.ve, init.c) DESC, init.cid ASC) AS rn
+        |        ORDER BY round(list_cosine_similarity(e.ve, init.c), 9) DESC, init.cid ASC) AS rn
         |    FROM e, init) WHERE rn = 1),
         |ex AS (SELECT cid, unnest(ve) AS v, unnest(range(1, len(ve) + 1)) AS pos FROM a1),
         |upd AS (SELECT cid, pos,
@@ -5440,7 +5481,7 @@ object SparkEntry {
         |a2 AS (SELECT vec_id, cid FROM (
         |    SELECT e.vec_id, c1.cid,
         |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.ve, c1.c) DESC, c1.cid ASC) AS rn
+        |        ORDER BY round(list_cosine_similarity(e.ve, c1.c), 9) DESC, c1.cid ASC) AS rn
         |    FROM e, c1) WHERE rn = 1)
         |SELECT cid, COUNT(*) AS n_members, SUM(vec_id) AS id_checksum
         |FROM a2 GROUP BY cid""".stripMargin,
@@ -5461,7 +5502,7 @@ object SparkEntry {
 
     "q_lang_id" ->
       """WITH b AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         |  FROM documents),
         |sc AS (SELECT doc_id,
         |  len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS en,
@@ -5480,7 +5521,7 @@ object SparkEntry {
     "q_quality_score" ->
       """WITH b AS (SELECT doc_id, text AS t,
         |  CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS n,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         |  FROM documents)
         |SELECT doc_id,
         |  LEAST(CAST(LENGTH(t) AS DOUBLE) / 500.0, 1.0) * 0.25
@@ -5493,13 +5534,13 @@ object SparkEntry {
 
     "q_token_count" ->
       """SELECT doc_id,
-        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |  len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_bpe
         |FROM documents""".stripMargin,
 
     "q_dedup_minhash" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents),
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
         |sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
@@ -5514,7 +5555,7 @@ object SparkEntry {
 
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents WHERE doc_id < 40),
         |sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
@@ -5525,16 +5566,19 @@ object SparkEntry {
         |  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
         |FROM sh a, sh b WHERE a.doc_id < b.doc_id""".stripMargin,
 
-    // duplicated-span replay: grams by string (the Spark side groups by
-    // xxhash64 of the gram — identical grouping absent a 64-bit
-    // collision), same ≥2 occurrence rule, same window-merge coverage
+    // duplicated-span replay: gram identity is the md5-prefix 60-bit
+    // hash on BOTH engines (the q_fingerprint construction) — grouping
+    // parity holds even under a hash collision, because both engines
+    // collide identically; same ≥2 occurrence rule, same window-merge
+    // coverage
     "q_substring_dedup" ->
       """WITH tk AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |g AS (SELECT doc_id, len(tk) AS n_tokens,
         |    CASE WHEN len(tk) >= 10 THEN
-        |      list_transform(range(1, len(tk) - 8), i -> array_to_string(tk[i:i+9], ' '))
+        |      list_transform(range(1, len(tk) - 8),
+        |        i -> ('0x' || substring(md5(array_to_string(tk[i:i+9], ' ')), 1, 15))::BIGINT)
         |    ELSE [] END AS grams
         |  FROM tk),
         |e AS (SELECT doc_id, unnest(grams) AS gram,
@@ -5760,7 +5804,8 @@ object SparkEntry {
         |ns AS (SELECT src, CAST(SUM(c) AS BIGINT) AS nsrc FROM h GROUP BY src),
         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM h),
         |kk AS (SELECT cc.src, cc.x,
-        |    ((2 * cc.cumlt + cc.c + 1) * nn + 2 * ns.nsrc - 1) // (2 * ns.nsrc) AS k
+        |    (CAST(2 * cc.cumlt + cc.c + 1 AS HUGEINT) * nn + 2 * ns.nsrc - 1)
+        |      // (2 * ns.nsrc) AS k
         |  FROM cc JOIN ns ON ns.src = cc.src, tot WHERE cc.c > 0)
         |SELECT kk.src AS source, kk.x AS n_chars, p.x AS norm
         |FROM kk JOIN pooled p ON kk.k BETWEEN p.cum_p - p.cp + 1 AND p.cum_p
@@ -5812,13 +5857,13 @@ object SparkEntry {
         |  1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE)
         |    AS dup_ratio
         |FROM (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents)
         |WHERE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE) > 0.5""".stripMargin,
 
     "q_contamination" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents),
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
         |sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 3),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])) AS sh
@@ -5880,7 +5925,7 @@ object SparkEntry {
         |      ln((CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 0.5)
         |         / CAST(1152921504606846976 AS DOUBLE)) / CAST(n_chars AS DOUBLE) DESC,
         |      doc_id ASC) AS INT) AS rnk
-        |  FROM documents)
+        |  FROM documents WHERE n_chars > 0)
         |WHERE rnk <= 5""".stripMargin,
 
     // per-user event gaps are >> 1 µs, so Spark's µs timestamps and
@@ -5902,7 +5947,7 @@ object SparkEntry {
 
     "q_dedup_cluster" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents),
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
         |sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
@@ -5933,7 +5978,7 @@ object SparkEntry {
 
     "q_tfidf" ->
       """WITH terms AS (SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS term
         |  FROM documents WHERE doc_id < 200),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
@@ -5955,7 +6000,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "q_bigrams" ->
-      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |bg AS (SELECT unnest(list_transform(range(1, len(tk)),
         |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
@@ -5965,7 +6010,7 @@ object SparkEntry {
 
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
+        |    len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS nt
         |  FROM documents),
         |p AS (SELECT source, nt,
         |    CAST((SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
@@ -5986,7 +6031,7 @@ object SparkEntry {
 
     "q_vocab_top_per_source" ->
       """WITH c AS (SELECT source,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |  FROM documents),
         |g AS (SELECT source, token, COUNT(*) AS cnt FROM c GROUP BY source, token),
         |r AS (SELECT source, token, cnt,
@@ -6029,7 +6074,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_cooccur" ->
-      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents WHERE doc_id < 200),
         |s AS (SELECT tk, len(tk) AS n FROM t WHERE len(tk) >= 2),
         |p AS (SELECT unnest(flatten(list_transform(range(1, n),
@@ -6041,7 +6086,7 @@ object SparkEntry {
 
     "q_vocab_overlap" ->
       """WITH d AS (SELECT source,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |  FROM documents WHERE source IN ('src0', 'src1')),
         |g AS (SELECT token,
         |    MAX(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
@@ -6056,7 +6101,7 @@ object SparkEntry {
       """WITH tok AS (SELECT DISTINCT source,
         |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
         |  FROM (SELECT source,
-        |      unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |      unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |    FROM documents)),
         |sk AS (SELECT source, (list(h ORDER BY h))[1:256] AS mins
         |  FROM tok GROUP BY source),
@@ -6080,7 +6125,7 @@ object SparkEntry {
       """WITH tok AS (SELECT token,
         |    ('0x' || substring(md5(token), 1, 15))::BIGINT AS h
         |  FROM (SELECT
-        |      unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |      unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |    FROM documents)),
         |bc AS (SELECT i, (h >> (i * 12)) & 4095 AS b, CAST(count(*) AS BIGINT) AS c
         |  FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
@@ -6094,10 +6139,10 @@ object SparkEntry {
 
     "q_snm_dedup" ->
       """WITH d AS (SELECT doc_id,
-        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+        |    regexp_replace(trim(lower(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS norm
         |  FROM documents),
         |r AS (SELECT doc_id,
-        |    list_distinct(list_filter(string_split_regex(norm, '\s+'), x -> x <> '')) AS tk,
+        |    list_distinct(list_filter(string_split_regex(norm, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tk,
         |    row_number() OVER (ORDER BY substring(norm, 1, 16), doc_id) - 1 AS rnk
         |  FROM d),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -6110,7 +6155,7 @@ object SparkEntry {
 
     "q_neg_sampling" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |tok AS (SELECT doc_id, j, tk[j + 1] AS token
         |  FROM (SELECT doc_id, tk, unnest(range(len(tk))) AS j FROM t)),
@@ -6155,7 +6200,7 @@ object SparkEntry {
         |FROM e ORDER BY digit""".stripMargin,
 
     "q_kcore" ->
-      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |bgp AS (SELECT unnest(list_transform(range(1, len(tk)),
         |    i -> tk[i] || ' ' || tk[i+1])) AS p
@@ -6189,7 +6234,7 @@ object SparkEntry {
 
     "q_js_div" ->
       """WITH tk AS (SELECT source,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |  FROM documents),
         |cst AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
         |  FROM tk GROUP BY 1, 2),
@@ -6213,7 +6258,7 @@ object SparkEntry {
 
     "q_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |s AS (SELECT doc_id, tk, len(tk) AS nt FROM t WHERE len(tk) >= 32),
         |hh AS (SELECT unnest(list_transform(range(0, nt // 32),
@@ -6261,7 +6306,7 @@ object SparkEntry {
 
     "q_token_chunks" ->
       """WITH t AS (SELECT doc_id,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS nt
+        |    len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS nt
         |  FROM documents),
         |c AS (SELECT doc_id, nt, unnest(range(0, (nt + 31) // 32)) AS chunk_idx
         |  FROM t WHERE nt > 0)
@@ -6293,7 +6338,7 @@ object SparkEntry {
 
     "q_unigram_logprob" ->
       """WITH tk AS (SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |  FROM documents),
         |c AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM c)
@@ -6302,7 +6347,7 @@ object SparkEntry {
         |GROUP BY doc_id""".stripMargin,
 
     "q_pmi" ->
-      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents WHERE doc_id < 200),
         |s AS (SELECT tk, len(tk) AS n FROM t),
         |p AS (SELECT unnest(flatten(list_transform(range(1, n),
@@ -6327,7 +6372,7 @@ object SparkEntry {
 
     "q_cluster_sizes" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM documents),
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
         |sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
@@ -6350,7 +6395,7 @@ object SparkEntry {
         |GROUP BY cluster_size""".stripMargin,
 
     "q_vocab_ids" ->
-      """WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+      """WITH tk AS (SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |  FROM documents),
         |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token
         |  HAVING count(*) >= 2)
@@ -6361,7 +6406,7 @@ object SparkEntry {
 
     "q_decode_docs" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |alltk AS (SELECT unnest(tk) AS token FROM t),
         |c AS (SELECT token, count(*) AS cnt FROM alltk GROUP BY token
@@ -6380,7 +6425,7 @@ object SparkEntry {
 
     "q_encode_docs" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |alltk AS (SELECT unnest(tk) AS token FROM t),
         |c AS (SELECT token, count(*) AS cnt FROM alltk GROUP BY token
@@ -6407,7 +6452,7 @@ object SparkEntry {
 
     "q_source_ngrams" ->
       """WITH t AS (SELECT source,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |g AS (SELECT source, unnest(list_transform(range(1, len(tk) - 1),
         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
@@ -6428,7 +6473,7 @@ object SparkEntry {
       """WITH RECURSIVE d AS (SELECT doc_id, text, n_chars FROM documents
         |  WHERE doc_id < 300),
         |t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk FROM d),
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM d),
         |sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
@@ -6489,7 +6534,7 @@ object SparkEntry {
 
     "q_containment" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
@@ -6507,7 +6552,7 @@ object SparkEntry {
 
     "q_vocab_growth" ->
       """WITH tk AS (SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |  FROM documents),
         |f AS (SELECT token, min(doc_id) AS fd FROM tk GROUP BY token)
         |SELECT CAST(n AS BIGINT) AS n, count(*) AS vocab_size
@@ -6516,7 +6561,7 @@ object SparkEntry {
 
     "q_oov_rate" ->
       """WITH tk AS (SELECT source,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |  FROM documents),
         |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
         |v AS (SELECT token FROM (
@@ -6534,7 +6579,7 @@ object SparkEntry {
     // and the hex compare replays Spark's filter verbatim.
     "q_source_mix" ->
       """WITH s AS (SELECT source, count(*) AS n,
-        |    round(sqrt(CAST(CAST(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS DOUBLE)), 6) AS w
+        |    round(sqrt(CAST(CAST(sum(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> ''))) AS BIGINT) AS DOUBLE)), 6) AS w
         |  FROM documents GROUP BY source),
         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot, CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS sw FROM s),
         |thr AS (SELECT source, CAST(floor((floor(CAST(ntot AS DOUBLE) * 0.3) * w / (sw * CAST(n AS DOUBLE))) * 4294967296.0) AS BIGINT) AS t
@@ -6552,12 +6597,12 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |    trim(regexp_replace(lower(nfc_normalize(
         |      text || '  CAFE' || chr(769) || '  nin' || chr(771) || 'o' || chr(9))),
-        |      '\s+', ' ', 'g')) AS norm
+        |      '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm
         |  FROM documents)""".stripMargin,
 
     "q_kl_sources" ->
       """WITH tk AS (SELECT source AS stratum,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |  FROM documents),
         |cst AS (SELECT stratum, token, count(*) AS c FROM tk GROUP BY stratum, token),
         |ns AS (SELECT stratum, CAST(sum(c) AS BIGINT) AS n FROM cst GROUP BY stratum),
@@ -6572,7 +6617,7 @@ object SparkEntry {
 
     "q_zipf" ->
       """WITH c AS (SELECT token, count(*) AS cnt FROM (
-        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |    FROM documents) GROUP BY token),
         |rk AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk FROM c),
         |t AS (SELECT CAST(rnk AS DOUBLE) AS rd, CAST(cnt AS DOUBLE) AS cd FROM rk WHERE rnk <= 500),
@@ -6588,7 +6633,7 @@ object SparkEntry {
         |FROM m""".stripMargin,
 
     "q_bigram_logprob" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t WHERE len(tk) >= 2),
         |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
         |cu AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1)
@@ -6599,7 +6644,7 @@ object SparkEntry {
         |WHERE doc_id < 300 GROUP BY doc_id""".stripMargin,
 
     "q_ppl_filter" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t WHERE len(tk) >= 2),
         |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY bg),
         |cu AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
@@ -6623,7 +6668,7 @@ object SparkEntry {
 
     "q_postings" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |tf AS (SELECT DISTINCT doc_id, term
         |  FROM (SELECT doc_id, unnest(tk) AS term FROM t))
@@ -6633,7 +6678,7 @@ object SparkEntry {
 
     "q_bm25" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |dl AS (SELECT doc_id, len(tk) AS dl FROM t),
         |stats AS (SELECT count(*) AS n_docs,
@@ -6657,7 +6702,7 @@ object SparkEntry {
 
     "q_sparse_cosine" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents WHERE doc_id < 40),
         |tf AS (SELECT doc_id, term, count(*) AS tf
         |  FROM (SELECT doc_id, unnest(tk) AS term FROM t) GROUP BY doc_id, term),
@@ -6675,7 +6720,7 @@ object SparkEntry {
 
     "q_cdc_chunks" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos FROM t),
         |f AS (SELECT doc_id, pos, tok,
@@ -6704,7 +6749,7 @@ object SparkEntry {
 
     "q_minhash_est" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents WHERE doc_id < 40),
         |sh AS (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
@@ -6756,7 +6801,7 @@ object SparkEntry {
         |WHERE sd > 0 AND abs(round((value - mean) / sd, 6)) >= 2.5""".stripMargin,
 
     "q_pagerank" ->
-      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |bgp AS (SELECT DISTINCT unnest(list_transform(range(1, len(tk)),
         |    i -> tk[i] || ' ' || tk[i+1])) AS p
@@ -6793,7 +6838,7 @@ object SparkEntry {
         |SELECT node, round(CAST(rank AS DOUBLE), 9) AS rank FROM r3""".stripMargin,
 
     "q_graph_degree" ->
-      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |bgp AS (SELECT DISTINCT unnest(list_transform(range(1, len(tk)),
         |    i -> tk[i] || ' ' || tk[i+1])) AS p
@@ -6804,7 +6849,7 @@ object SparkEntry {
         |SELECT od AS degree, count(*) AS n_nodes FROM od GROUP BY degree""".stripMargin,
 
     "q_bfs" ->
-      """WITH RECURSIVE t AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+      """WITH RECURSIVE t AS (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |bgp AS (SELECT DISTINCT unnest(list_transform(range(1, len(tk)),
         |    i -> tk[i] || ' ' || tk[i+1])) AS p
@@ -6820,7 +6865,7 @@ object SparkEntry {
 
     "q_ttr" ->
       """WITH ex AS (SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS tok
         |  FROM documents),
         |c AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY doc_id, tok),
         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
@@ -6883,7 +6928,7 @@ object SparkEntry {
 
     "q_gopher_rules" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
         |    CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS BIGINT) AS sum_len,
@@ -7075,8 +7120,8 @@ object SparkEntry {
     // full recompute — exactly what the incremental merge must equal
     "q_incr_agg" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS tok_sum,
-        |  ROUND(CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS DOUBLE)
+        |  CAST(SUM(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> ''))) AS BIGINT) AS tok_sum,
+        |  ROUND(CAST(SUM(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> ''))) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 9) AS avg_tokens
         |FROM documents GROUP BY source""".stripMargin,
 
@@ -7158,7 +7203,7 @@ object SparkEntry {
     // ground truth the prefix filter must equal: all-pairs exact Jaccard
     "q_prefix_join" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents WHERE doc_id < 600),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
@@ -7386,7 +7431,7 @@ object SparkEntry {
 
     "q_burstiness" ->
       """WITH td AS (SELECT doc_id, unnest(list_filter(
-        |      string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token
+        |      string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
         |  FROM documents),
         |c AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c
         |  FROM td GROUP BY 1, 2),
@@ -7438,7 +7483,7 @@ object SparkEntry {
 
     "q_cohen_kappa" ->
       ("""WITH b AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks
         |  FROM documents),
         |sc AS (SELECT doc_id,
         |  len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS en,
@@ -7502,7 +7547,7 @@ object SparkEntry {
 
     "q_kneser_ney" ->
       """WITH t AS (SELECT
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |bg AS (SELECT
         |    string_split(p, chr(1))[1] AS w1, string_split(p, chr(1))[2] AS w2
@@ -7524,7 +7569,7 @@ object SparkEntry {
 
     "q_entropy_rate" ->
       """WITH t AS (SELECT source,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |bg AS (SELECT source,
         |    string_split(p, chr(1))[1] AS w1, string_split(p, chr(1))[2] AS w2
@@ -7817,7 +7862,7 @@ object SparkEntry {
         |FROM br""".stripMargin,
 
     "q_triangles" ->
-      """WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      """WITH tk AS (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
         |      x -> x <> '') AS tk
         |  FROM documents WHERE doc_id < 50),
         |p AS (SELECT unnest(list_transform(range(1, len(tk)),
@@ -7858,7 +7903,7 @@ object SparkEntry {
     // exact regime: per-source vocabulary ≤ the 64-counter budget
     "q_freq_grouped" ->
       """WITH tk AS (SELECT source,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
         |      x -> x <> '')) AS item
         |  FROM documents)
         |SELECT source, item, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -8017,7 +8062,7 @@ object SparkEntry {
     // ground truth: all near-dup pairs whose redundant side is incoming
     "q_dedup_incremental" ->
       """WITH t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh

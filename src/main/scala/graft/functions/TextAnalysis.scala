@@ -18,12 +18,21 @@ object TextAnalysis {
   val PunctClass = "[!-/:-@\\[-`{-~]"
 
   /** BPE-ish token pattern: letter runs, digit runs, single
-    * punctuation/symbol chars — a cheap proxy for BPE pre-tokenization. */
-  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    * punctuation/symbol chars — a cheap proxy for BPE pre-tokenization.
+    * The whitespace exclusion is the EXPLICIT Java-`\s` class
+    * [ \t\n\x0B\f\r] (identical semantics in Java here) so the oracle
+    * can use the same literal class: RE2's `\s` omits \x0B, and inside
+    * a NEGATED class that difference would turn a vertical tab into a
+    * token on one engine only. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
-  /** Whitespace tokens, empties removed. */
+  /** Whitespace tokens, empties removed. The split class is written
+    * out explicitly ([ \t\n\x0B\f\r] — exactly Java's `\s`, so this is
+    * a semantic no-op for Spark) because the DuckDB oracle must use
+    * the same literal class: RE2's `\s` omits \x0B, and a corpus with
+    * a vertical tab would otherwise tokenize differently per engine. */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => length(t) > 0)
+    filter(split(text, "[ \\t\\n\\x0B\\f\\r]+"), t => length(t) > 0)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

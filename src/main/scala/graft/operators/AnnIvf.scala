@@ -16,32 +16,54 @@ import graft.functions.Vectors
   */
 object AnnIvf {
 
-  /** Deterministic init: every ⌈n/k⌉-th vector by id order. */
+  /** Deterministic init: every ⌈n/k⌉-th vector by id order. The cid is
+    * stamped on the DRIVER over the collected ≤ k rows (they are about
+    * to be `localized` anyway) — a row_number window here would be a
+    * single-partition WindowExec whose warning then drowns out REAL
+    * regressions of that class in driver logs, and
+    * monotonically_increasing_id depends on physical partitioning, not
+    * reproducible in an external oracle. */
   private def initCentroids(df: DataFrame, idCol: String, vecCol: String,
                             k: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val n = df.count()
     val stride = math.max(n / k, 1L)
-    // cid from a row_number in id order — monotonically_increasing_id
-    // depends on the physical partitioning and is not reproducible in
-    // an external oracle; the window runs on ≤ k rows post-limit.
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    df.filter(pmod(col(idCol), lit(stride)) === 0)
+    val spark = df.sparkSession
+    val picked = df.filter(pmod(col(idCol), lit(stride)) === 0)
       .orderBy(col(idCol)).limit(k)
-      .select((row_number().over(w) - 1).cast("long").as("cid"),
-        col(vecCol).cast("array<double>").as("centroid"))
+      .select(col(vecCol).cast("array<double>").as("centroid"))
+    val rows = picked.collect().zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(i.toLong, r.get(0))
+    }.toSeq
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType, nullable = false))).add(
+      picked.schema.fields(0).copy(name = "centroid")))
   }
 
   /** Assign each vector to its max-cosine centroid (centroids broadcast;
-    * max_by keeps the argmax without a second shuffle). */
+    * max_by keeps the argmax without a second shuffle).
+    *
+    * `simRound`: round the similarity to that many decimals BEFORE the
+    * argmax. Two engines computing cosine through different float
+    * expression trees can disagree by a few ULP; on a near-tie between
+    * two centroids that flips the assignment. Rounding to 9 decimals
+    * collapses the near-tie to an exact tie on BOTH engines, and the
+    * low-cid tie-break then resolves it identically — the repo-wide
+    * round(9) parity rule applied to an ORDERING key. The oracle-exact
+    * paths (fitExact / q_kmeans) pass Some(9); the engine-internal ANN
+    * paths keep the raw double (their oracles replay the same tree). */
   def assign(df: DataFrame, centroids: DataFrame, idCol: String,
-             vecCol: String): DataFrame =
+             vecCol: String, simRound: Option[Int] = None): DataFrame = {
+    val rawSim = Vectors.cosine(col("vec"), col("centroid"))
+    val sim = simRound.map(d => round(rawSim, d)).getOrElse(rawSim)
     df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"), col("cid"),
-        Vectors.cosine(col("vec"), col("centroid")).as("sim"))
+      .select(col("id"), col("vec"), col("cid"), sim.as("sim"))
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
         first(col("vec")).as("vec"))
+  }
 
   /** Lloyd update: elementwise mean per cell via posexplode + regroup
     * (array_sort on (pos, mean) structs keeps element order exact). */
@@ -100,13 +122,16 @@ object AnnIvf {
 
   /** `fit` with the oracle-exact Lloyd update: identical distributed
     * shape (scan + shuffle per pass, localized centroids), results
-    * reproducible in external SQL. The path `q_kmeans` runs. */
+    * reproducible in external SQL. The path `q_kmeans` runs. The
+    * assignment inside each pass uses the tie-safe round(9) argmax
+    * (see `assign`) so a near-tie between centroids resolves the same
+    * on any engine replaying the pass. */
   def fitExact(df: DataFrame, idCol: String, vecCol: String, nlist: Int,
                iters: Int): DataFrame = {
     var centroids = localized(df.sparkSession, initCentroids(df, idCol, vecCol, nlist))
     for (_ <- 0 until iters)
       centroids = localized(df.sparkSession,
-        recenterExact(assign(df, centroids, idCol, vecCol)))
+        recenterExact(assign(df, centroids, idCol, vecCol, simRound = Some(9))))
     centroids
   }
 
@@ -137,6 +162,22 @@ object AnnIvf {
       .filter(col("rn") <= k)
       .select("q_id", "rn", "n_id", "sim")
   }
+
+  /** Persist a fitted centroid table as a parquet ARTIFACT — the
+    * fit-once/serve-many contract of a production vector index: a
+    * pipeline fits centroids on one corpus snapshot, saves them, and
+    * every later query (or streaming ingest) loads the same quantizer
+    * instead of re-fitting per job. The table is nlist × dim doubles —
+    * one tiny file; coalesce(1) keeps the artifact a single object. */
+  def saveIndex(centroids: DataFrame, path: String): Unit =
+    centroids.select(col("cid"), col("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted centroid table. Centroids are broadcast-sized by
+    * construction, so the read is one footer + one row group; the
+    * returned frame drops straight into [[assign]]/[[search]]. */
+  def loadIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("cid"), col("centroid"))
 
   /** Convenience: fit + assign + search in one call (test/bench path).
     * iters = 0 keeps the deterministic stride-init centroids with no

@@ -87,6 +87,20 @@ object AnnPq {
       .groupBy(col("id"), col("m"))
       .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("code"))
 
+  /** Persist fitted codebooks as a parquet artifact (m, cid, centroid)
+    * — the PQ half of the fit-once/serve-many contract (see
+    * AnnIvf.saveIndex): encode jobs and streaming ingest load the SAME
+    * quantizer codebooks instead of re-fitting, so codes stay
+    * comparable across batches. m × ksub sub-vectors — one tiny file. */
+  def saveCodebooks(codebooks: DataFrame, path: String): Unit =
+    codebooks.select(col("m"), col("cid"), col("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load persisted codebooks for [[encode]]/[[annTopK]] reuse. */
+  def loadCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path).select(col("m"), col("cid"), col("centroid"))
+
   /** Top-k by ADC inner-product score: LUT = dot(q_m, centroid) per
     * (query, subspace, cid); score = exact decimal sum of the m code
     * lookups. Returns (q_id, rn, n_id). */

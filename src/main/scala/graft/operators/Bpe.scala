@@ -68,14 +68,16 @@ object Bpe {
     val words = docs
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    // seed symbols: characters, with the end-of-word marker so merges
-    // can distinguish "er" mid-word from word-final "er"+Marker; the
-    // marker char is stripped from the input first so it stays outside
-    // the symbol alphabet (see Marker)
+    // seed symbols: CODE POINTS (regexp_extract_all('(?s).') — Java
+    // regex `.` matches one code point, so a surrogate pair stays one
+    // symbol; `split(w, "")` semantics vary per engine on non-BMP
+    // text), with the end-of-word marker so merges can distinguish
+    // "er" mid-word from word-final "er"+Marker; the marker char is
+    // stripped from the input first so it stays outside the symbol
+    // alphabet (see Marker)
     var vocab = words
       .select(col("cnt"),
-        concat(filter(split(regexp_replace(col("w"), Marker, ""), ""),
-            s => length(s) > 0),
+        concat(codepoints(regexp_replace(col("w"), Marker, "")),
           array(lit(Marker))).as("syms"))
       .localCheckpoint(true)
 
@@ -199,11 +201,18 @@ object Bpe {
     * way Vocab.encoderFor ships its vocab). */
   def segment(docs: DataFrame, textCol: String, merges: Seq[(String, String)],
               outCol: String = "pieces"): DataFrame = {
-    val start = concat(filter(
-        split(regexp_replace(col(textCol), Marker, ""), ""),
-        s => length(s) > 0),
+    val start = concat(codepoints(regexp_replace(col(textCol), Marker, "")),
       array(lit(Marker)))
     val folded = merges.foldLeft(start) { case (acc, (l, r)) => applyMerge(acc, l, r) }
     docs.withColumn(outCol, folded)
   }
+
+  /** Code-point split: one array element per Unicode code point.
+    * `regexp_extract_all('(?s).')` — Java regex `.` consumes a whole
+    * code point (a surrogate pair stays together), DOTALL so newlines
+    * count too; the identical RE2 pattern in an external oracle yields
+    * the same rune split, unlike `split(s, "")` (UTF-16 units on some
+    * engines, grapheme clusters on others). */
+  private[graft] def codepoints(c: Column): Column =
+    regexp_extract_all(c, lit("(?s)."), lit(0))
 }

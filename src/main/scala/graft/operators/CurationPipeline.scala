@@ -43,7 +43,7 @@ object CurationPipeline {
   /** Stage-1 keeper ids: the min id per normalized-text hash. */
   private def exactKeepers(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .groupBy(md5(regexp_replace(trim(lower(col(textCol))), "\\s+", " ")).as("h"))
+      .groupBy(md5(regexp_replace(trim(lower(col(textCol))), "[ \\t\\n\\x0B\\f\\r]+", " ")).as("h"))
       .agg(min(col(idCol)).as("keep_id"))
       .select(col("keep_id").as(idCol))
 

@@ -141,7 +141,14 @@ object Dedup {
     // re-shingles the corpus. MEMORY_AND_DISK is the scale posture
     // too: a 100 TB pipeline materializes shingles/signatures once
     // and spills rather than recomputing the scan per use.
+    // Empty-shingle docs (fewer than shingleN tokens) are excluded up
+    // front: set Jaccard is undefined on an empty set — keeping them
+    // would pair every empty doc with every other via the constant
+    // empty-input MinHash signature and then divide 0/0 in the verify
+    // (found by the adversarial-corpus gate). The oracle replay applies
+    // the same `len(tk) >= n` exclusion.
     val sh = shingleDf(docs, idCol, textCol, shingleN)
+      .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = numHashes / bands
     val banded = sh
@@ -190,6 +197,7 @@ object Dedup {
                               shingleN: Int, minContainment: Double)
       : (DataFrame, DataFrame) = {
     val sh = shingleDf(docs, idCol, textCol, shingleN)
+      .filter(size(col("sh")) > 0) // empty sets excluded, as in minHashPlan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("id").as("i"), size(col("sh")).as("size_i"))
     val ex = sh.select(col("id"), explode(col("sh")).as("g"))
@@ -217,6 +225,7 @@ object Dedup {
                            shingleN: Int = 3, numHashes: Int = 16,
                            maxId: Long = 40L): DataFrame = {
     val sh = shingleDf(docs.filter(col(idCol) < maxId), idCol, textCol, shingleN)
+      .filter(size(col("sh")) > 0) // mirror the oracle's len(tk) >= n
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col("id"), col("sh"),
       transform(sequence(lit(0), lit(numHashes - 1)),
@@ -238,6 +247,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, maxId: Long): DataFrame = {
     val sh = shingleDf(docs.filter(col(idCol) < maxId), idCol, textCol, shingleN)
+      .filter(size(col("sh")) > 0) // mirror the oracle's len(tk) >= n
     sh.select(col("id").as("i"), col("sh").as("sh_i")).join(
       sh.select(col("id").as("j"), col("sh").as("sh_j")),
       col("i") < col("j"))
@@ -354,14 +364,20 @@ object Dedup {
     * duplicated; per doc, the merged covered-token count is the
     * "memorized text" budget a span-dedup pass would remove.
     *
-    * Scale shape: the shuffle carries (gram-hash, doc, pos) — 8 bytes
-    * of xxhash64, never gram text. Occurrence counting is a hash agg
-    * with map-side combine; the duplicated-gram set joins back on the
-    * hash key (broadcast under AQE when the dup set is small — the
-    * common case on clean corpora). Span merging is a per-doc window
-    * (partitioned by doc id, no global sort). 64-bit fingerprints
-    * collide at ~4B distinct grams; at 100 TB, key on a second-seed
-    * xxhash64 pair for an effective 128-bit fingerprint. */
+    * Scale shape: the shuffle carries (gram-hash, doc, pos) — 8 bytes,
+    * never gram text. The gram identity is the md5-PREFIX 60-bit hash
+    * (`conv(substring(md5(gram),1,15),16,10)`), the q_fingerprint
+    * construction: an external SQL oracle can replay it exactly
+    * (`('0x' || substring(md5(g),1,15))::BIGINT`), so grouping parity
+    * is PROVABLE — even a hash collision collides identically on both
+    * engines, unlike an engine-private xxhash64 whose collision
+    * behavior the oracle cannot reproduce. Occurrence counting is a
+    * hash agg with map-side combine; the duplicated-gram set joins
+    * back on the hash key (broadcast under AQE when the dup set is
+    * small — the common case on clean corpora). Span merging is a
+    * per-doc window (partitioned by doc id, no global sort). 60-bit
+    * fingerprints collide at ~1B distinct grams; at 100 TB, widen to
+    * two md5 prefix words for an effective 120-bit fingerprint. */
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
                       w: Int): DataFrame = {
     val tk = docs.select(col(idCol).as("doc_id"),
@@ -369,7 +385,8 @@ object Dedup {
     val grams = tk.select(col("doc_id"),
       when(size(col("tk")) >= w,
         transform(sequence(lit(1), size(col("tk")) - lit(w - 1)),
-          i => xxhash64(concat_ws(" ", slice(col("tk"), i, lit(w))))))
+          i => conv(substring(md5(concat_ws(" ", slice(col("tk"), i, lit(w)))),
+            1, 15), 16, 10).cast("long")))
         .otherwise(array().cast("array<long>")).as("gh"))
     val wins = grams.select(col("doc_id"),
       posexplode(col("gh")).as(Seq("pos", "g")))
@@ -436,7 +453,9 @@ object Dedup {
     * (EXACT, not probabilistic) without an n² compare. */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 7): DataFrame =
-    simHashBlockJoin(simHashDf(docs, idCol, textCol), maxHamming)
+    simHashBlockJoin(simHashDf(
+      docs.filter(size(TextAnalysis.tokens(lower(col(textCol)))) > 0),
+      idCol, textCol), maxHamming)
 
   /** simHashNearDups over the md5-prefix token hash (SimHash64Md5) —
     * identical pigeonhole chunk join, but the signature is reproducible
@@ -445,9 +464,15 @@ object Dedup {
     * probabilistic: any pair within the radius shares a whole chunk). */
   def simHashNearDupsMd5(docs: DataFrame, idCol: String, textCol: String,
                          maxHamming: Int = 7): DataFrame = {
+    // zero-token docs are excluded: the empty token array hashes to
+    // the constant all-zero signature, so every empty doc would pair
+    // with every other at hamming 0 — contentless "duplicates" the
+    // oracle (whose per-token unnest naturally drops empty docs) never
+    // sees. Same exclusion rule as minHashPlan.
     val sigs = docs
       .select(col(idCol).as("id"),
         TextAnalysis.tokens(lower(col(textCol))).as("tk"))
+      .filter(size(col("tk")) > 0)
       .select(col("id"),
         graft.functions.NativeExpressions.simHash64Md5(col("tk")).as("sig"))
     simHashBlockJoin(sigs, maxHamming)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.{col, count, floor, lit, when}
+import org.apache.spark.sql.functions.{col, count, floor, lit, max, when}
 import org.apache.spark.sql.types.LongType
 
 /** Distributed per-group rank / prefix-sum — the scale-safe replacement
@@ -139,5 +139,32 @@ object GroupRank {
     ranked.join(counts, groupCols)
       .withColumn(outCol, tile)
       .drop("__grp_rn", "__grp_n")
+  }
+
+  /** Multi-dimension ntile in ONE range shuffle: stacks the dimensions
+    * as (dim-id, value, id) rows, ranks them all with a single
+    * range-repartition keyed (dim-id, value, id...) — each dimension is
+    * its own contiguous key range, so this is one sort of d·n rows, not
+    * d sorts of n — then pivots the tile ids back to one row per id.
+    * The scale win over chaining `ntile` d times: one Exchange instead
+    * of d, and the pivot is a plain hash agg. Values are compared as
+    * decimal(38,9) (order-preserving for ints/longs/decimals ≤ 29
+    * integer digits); ties break on `idCols`, matching
+    * `ntile(df, g, Seq(dim) ++ idCols, ...)` exactly.
+    *
+    * Returns `idCols` plus one tile column (1..k) per dimension —
+    * join back to the source if other columns are needed. */
+  def ntileMany(df: DataFrame, idCols: Seq[String],
+                dims: Seq[(String, String)], k: Int): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    val melted = dims.zipWithIndex.map { case ((orderCol, _), i) =>
+      df.select((idCols.map(col) :+ lit(i).as("__dim") :+
+        col(orderCol).cast("decimal(38,9)").as("__v")): _*)
+    }.reduce(_.unionAll(_))
+    val tiled = ntile(melted, Seq("__dim"), "__v" +: idCols, k, "__tile")
+    val aggCols = dims.zipWithIndex.map { case ((_, outCol), i) =>
+      max(when(col("__dim") === i, col("__tile"))).as(outCol)
+    }
+    tiled.groupBy(idCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
   }
 }

@@ -57,7 +57,12 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(esKey.desc, col(keyCol).asc)
-    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    // ES-sampling is defined for POSITIVE weights only — a zero-weight
+    // row would divide by zero (ANSI throw here, engine-dependent
+    // NULL/inf elsewhere); it has zero selection probability anyway,
+    // so it is excluded, and the oracle applies the same predicate.
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   /** Per-stratum deterministic rates: stratum -> 4-hex-digit threshold,

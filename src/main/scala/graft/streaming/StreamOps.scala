@@ -19,7 +19,12 @@ object StreamOps {
     * operator (second-truncated comparisons would not). Within a batch
     * group, rows sort by (ts, kind, event_id) — the batch operator's
     * exact tie order; in-order delivery ACROSS batches is the caller's
-    * contract, as with [[streamingEwma]]. */
+    * contract, as with [[streamingEwma]]. Scale caveat: that in-batch
+    * sort materializes ONE USER's micro-batch rows in task memory
+    * (`rows.toSeq.sortBy`) — fine under the bounded-events-per-user-
+    * per-batch assumption every keyed-state operator here makes, but a
+    * single pathologically hot user in one batch buffers on one task;
+    * cap per-user batch volume upstream if that can occur. */
   def streamingLastTouch(events: DataFrame, touchTypes: Seq[String],
                          convType: String, lookbackDays: Int): DataFrame = {
     val ss = events.sparkSession

@@ -66,6 +66,38 @@ class AnnSpec extends SparkSpec {
     assert(trained > 0.2, s"trained PQ recall $trained")
   }
 
+  test("IVF index artifact round-trips: loaded centroids serve identical results") {
+    // fit-once/serve-many: a production pipeline fits the quantizer on
+    // one snapshot, persists it, and every later query job loads the
+    // SAME centroids — results must be identical to the fitting session
+    val dir = tmpDir("ivfidx")
+    val centroids = AnnIvf.fit(emb, "vec_id", "embedding", 16)
+    AnnIvf.saveIndex(centroids, s"$dir/centroids")
+    val loaded = AnnIvf.loadIndex(spark, s"$dir/centroids")
+    def results(c: org.apache.spark.sql.DataFrame) =
+      AnnIvf.search(AnnIvf.assign(emb, c, "vec_id", "embedding"), c,
+          queries, "vec_id", "embedding", 10, 4)
+        .select("q_id", "rn", "n_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(results(loaded) === results(centroids))
+    assert(loaded.count() === 16)
+  }
+
+  test("PQ codebook artifact round-trips: loaded codebooks encode identically") {
+    val dir = tmpDir("pqidx")
+    val cb = AnnPq.trainCodebooks(emb,
+      AnnPq.fitCodebooks(emb, "vec_id", "embedding", 8, 8, 16),
+      "vec_id", "embedding", 8, 8, iters = 1)
+    AnnPq.saveCodebooks(cb, s"$dir/codebooks")
+    val loaded = AnnPq.loadCodebooks(spark, s"$dir/codebooks")
+    def codes(c: org.apache.spark.sql.DataFrame) =
+      AnnPq.encode(emb, c, "vec_id", "embedding", 8, 8).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // parquet round-trips doubles bit-exactly, so codes match 1:1 even
+    // after Lloyd training produced non-trivial float centroids
+    assert(codes(loaded) === codes(cb))
+  }
+
   test("IVF assigns every vector to exactly one cell") {
     val centroids = AnnIvf.fit(emb, "vec_id", "embedding", 16)
     val assigned = AnnIvf.assign(emb, centroids, "vec_id", "embedding")

@@ -120,4 +120,44 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.learnMerges(docs, "text", 5).collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("seed symbols are CODE POINTS: astral chars and odd whitespace survive intact") {
+    // the r7 driver-red class: split("") yields UTF-16 code units, so a
+    // surrogate pair became two broken symbols and any engine splitting
+    // by code points (or graphemes) desynced. The codepoint split must
+    // keep 😀-style chars whole, and segment must round-trip every word.
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val docs = Seq(
+      "😀data 😀😀 x𝕊x café café",
+      "alphabeta nb sp prepost tab\tsep",
+      "😀data 😀😀 repeat repeat repeat").toDF("text")
+    val merges = Bpe.learnMerges(docs, "text", 6, minCount = 1L)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty)
+    // no learned symbol may contain a LONE surrogate (a split pair)
+    def wellFormed(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1))) return false
+          i += 2
+        } else if (Character.isLowSurrogate(c)) return false
+        else i += 1
+      }
+      true
+    }
+    merges.foreach { case (l, r) =>
+      assert(wellFormed(l), s"lone surrogate in left symbol: ${l.toSeq}")
+      assert(wellFormed(r), s"lone surrogate in right symbol: ${r.toSeq}")
+    }
+    // segment round-trips: concatenated pieces minus the marker == word
+    val words = Seq("😀data", "café", "prepost", "x").toDF("w")
+    val joined = Bpe.segment(words, "w", merges)
+      .select(col("w"), concat_ws("", col("pieces")).as("glued")).collect()
+    joined.foreach { r =>
+      val expect = r.getString(0).replace(Bpe.Marker, "") + Bpe.Marker
+      assert(r.getString(1) === expect, s"round-trip failed for ${r.getString(0).toSeq}")
+    }
+  }
 }

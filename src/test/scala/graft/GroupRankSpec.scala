@@ -80,6 +80,29 @@ class GroupRankSpec extends SparkSpec {
     } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  test("ntileMany matches d chained ntile calls in one range shuffle") {
+    val s = spark
+    import s.implicits._
+    // three dimensions with different orders + ties — the RFM shape
+    val df = (1 to 600).map { i =>
+      (i.toLong, (i * 2654435761L % 40).toInt, (i * 40503L % 17).toInt,
+        (i * 97L % 1000).toInt)
+    }.toDF("id", "a", "b", "c")
+    val fused = GroupRank.ntileMany(df, Seq("id"),
+      Seq("a" -> "ta", "b" -> "tb", "c" -> "tc"), 5)
+      .select("id", "ta", "tb", "tc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val g = df.withColumn("g", lit(1))
+    val chained = GroupRank.ntile(
+      GroupRank.ntile(
+        GroupRank.ntile(g, Seq("g"), Seq("a", "id"), 5, "ta"),
+        Seq("g"), Seq("b", "id"), 5, "tb"),
+      Seq("g"), Seq("c", "id"), 5, "tc")
+      .select("id", "ta", "tb", "tc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fused === chained)
+  }
+
   test("no cached blocks survive a prefixSum/ntile/q_spearman/q_gini run") {
     val sc = SparkSpec.spark.sparkContext
     def persisted = sc.getPersistentRDDs.size

@@ -319,10 +319,11 @@ class PlanSpec extends SparkSpec {
 
   test("q_substring_dedup: gram shuffle carries hashes, not gram text") {
     val p = plan("q_substring_dedup")
-    // occurrence count aggregates on the xxhash64 key with map-side
-    // partial_count; no cartesian anywhere; span-merge window is
-    // partitioned (per-doc), not global
-    assert(p.contains("xxhash64"), p)
+    // occurrence count aggregates on the md5-prefix 60-bit key (the
+    // oracle-replayable gram identity, r8) with map-side partial_count;
+    // the gram STRING must be hashed before any exchange; no cartesian
+    // anywhere; span-merge window is partitioned (per-doc), not global
+    assert(p.contains("conv(substring(md5("), p)
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
@@ -412,5 +413,35 @@ class PlanSpec extends SparkSpec {
     val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toList
     assert(bnlj.forall(_.contains("Cross")),
       s"range predicate fell into a nested loop:\n${bnlj.mkString("\n")}")
+  }
+
+  test("q_rollup: one Expand + partial-agg before a single data exchange") {
+    // the canonical grouping-sets shape: Expand (3 replicas: (rf, ls),
+    // (rf), ()) feeds a PARTIAL hash aggregate, then exactly one
+    // hash-partitioned exchange on the expanded keys, then the final
+    // aggregate. Pinned because the r7 driver bench showed a 17×
+    // outlier here — the plan itself is two-exchange-free of anything
+    // data-sized beyond that single shuffle, so any such number is
+    // environment, not plan. (The rollup's Expand tripling the scan's
+    // row count BEFORE partial agg is inherent to grouping sets.)
+    val p = plan("q_rollup")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val dataExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("spec_"))
+    val allHashExchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(dataExchanges == 1 || allHashExchanges == 1,
+      s"expected exactly one data exchange, plan:\n$p")
+  }
+
+  test("q_rfm: the three quantile dimensions share ONE range exchange") {
+    // ntileMany stacks r/f/m as (dim, value, custkey) rows and ranks
+    // them in a single range-repartition — the r7 fusion. Three
+    // separate RangePartitionings here would mean the fusion regressed.
+    val p = plan("q_rfm")
+    val ranges = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(ranges <= 1, s"expected ≤1 range exchange, got $ranges:\n$p")
   }
 }

@@ -304,7 +304,11 @@ class SketchStreamSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
       .sortBy { case (eid, t, _, ty) =>
-        (t.getTime, if (ty == "click" || ty == "view") 0 else 1, eid) }
+        // FULL microsecond precision (getTime is ms-truncated): the
+        // operator compares unix_micros, so two same-millisecond events
+        // must not be split across micro-batches in the wrong order
+        (t.getTime * 1000 + (t.getNanos / 1000) % 1000,
+          if (ty == "click" || ty == "view") 0 else 1, eid) }
     val chunks = rows.grouped((rows.length + 2) / 3).toSeq
     val in = MemoryStream[(Long, Timestamp, Long, String)]
     val df = in.toDF.toDF("event_id", "ts", "user_id", "event_type")

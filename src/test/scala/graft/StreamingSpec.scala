@@ -280,7 +280,13 @@ class StreamingSpec extends SparkSpec {
     val dir = tmpDir("pqstream")
     val emb = table("embeddings")
     emb.write.mode("overwrite").parquet(s"$dir/in")
-    val cb = graft.operators.AnnPq.fitCodebooks(emb, "vec_id", "embedding", 8, 8, 16)
+    // fit offline, PERSIST the artifact, and let the streaming job load
+    // it — the fit-once/serve-many contract: the stream encodes against
+    // the saved quantizer, not a refit
+    graft.operators.AnnPq.saveCodebooks(
+      graft.operators.AnnPq.fitCodebooks(emb, "vec_id", "embedding", 8, 8, 16),
+      s"$dir/codebooks")
+    val cb = graft.operators.AnnPq.loadCodebooks(spark, s"$dir/codebooks")
     val stream = spark.readStream.schema(emb.schema).parquet(s"$dir/in")
     val codes = graft.operators.AnnPq.encode(stream, cb, "vec_id", "embedding", 8, 8)
     val q = codes.writeStream.format("memory").queryName("pq_codes")
