@@ -1773,6 +1773,159 @@ object SparkEntry {
         .select(col("token"), col("exact_n"), est.as("est_n"))
     }),
 
+    // #242: mergeable QUANTILE sketch (§2.5 family) — the deterministic
+    // bottom-k-by-hash value sample (functions.QuantileSample): per
+    // event arm, p50/p90 from a 256-value uniform sample beside the
+    // exact bounded-histogram percentiles (the q_cms_counts est-vs-
+    // exact contract, carried to order statistics). Each partition
+    // ships ≤ k (hash, value) pairs per arm — no per-group data sort;
+    // sample determinism (bottom-k of a content hash is a set
+    // function) is what lets the SAMPLED quantiles be oracle-checked
+    // value-for-value, not just bounds-tested.
+    "q_quantile_sketch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val h = conv(substring(md5(concat(lit("qs:"), col("event_id"))), 1, 15),
+        16, 10).cast("long")
+      val sk = ev.groupBy(col("event_type"))
+        .agg(graft.functions.QuantileSample
+          .quantileSample(h, col("value"), 256).as("smp"))
+        .select(col("event_type"),
+          size(col("smp")).cast("long").as("n_sample"),
+          element_at(col("smp"),
+            ceil(size(col("smp")) * 0.5).cast("int")).as("sp50"),
+          element_at(col("smp"),
+            ceil(size(col("smp")) * 0.9).cast("int")).as("sp90"))
+      val hist = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("tot",
+          sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      def cut(p: Int): Column =
+        min(when(col("cum") * 100 >= col("tot") * p, col("value")))
+      val exact = cum.groupBy(col("event_type"))
+        .agg(cut(50).as("ep50"), cut(90).as("ep90"))
+      sk.join(exact, "event_type").orderBy(col("event_type"))
+    }),
+
+    // #243: per-dimension embedding statistics (feature-drift monitor —
+    // the vector-pipeline health check a 100 TB embedding store runs
+    // per ingest batch): mean and population std per dimension from
+    // ONE posexplode + hash agg with decimal-exact moment sums; the
+    // only float steps are the two shared closed-form trees, round(9).
+    "q_vector_stats" -> ((s, dir) =>
+      tp(s, dir, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).cast("double").as("nd"),
+          sum(col("v").cast("decimal(18,12)")).cast("double").as("sx"),
+          sum((col("v").cast("decimal(18,12)") *
+            col("v").cast("decimal(18,12)")).cast("decimal(38,24)"))
+            .cast("double").as("sx2"))
+        .select(col("dim").cast("int").as("dim"),
+          round(col("sx") / col("nd"), 9).as("mean"),
+          round(sqrt(col("sx2") * col("nd") - col("sx") * col("sx")) /
+            col("nd"), 9).as("std"))
+        .orderBy(col("dim"))),
+
+    // #244: token-budget CURRICULUM staging (easy→hard training order,
+    // Bengio et al. 2009 shape): docs ordered by a difficulty proxy
+    // (length, tie doc_id), packed into stages of 50k tokens each via
+    // the DISTRIBUTED exclusive prefix-sum of token counts
+    // (GroupRank.prefixSum — range repartition + offset stamp, no
+    // single-partition window over the corpus); stage = cum // budget
+    // (4k tokens/stage ⇒ a few stages at the test corpus size).
+    // The same construction stages by any integer difficulty score.
+    "q_curriculum" -> ((s, dir) => {
+      val budget = 4000L
+      val docs = tp(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("g", lit(1))
+      graft.operators.GroupRank
+        .prefixSum(docs, Seq("g"), Seq("n_chars", "doc_id"), Some("n_tok"), "cum")
+        .withColumn("stage", expr(s"cum div ${budget}L"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("stage"))
+    }),
+
+    // #245: Johnson–Lindenstrauss random projection (Achlioptas 2003
+    // ±1 variant) — the cheap dimensionality reduction ahead of ANN /
+    // clustering at 100 TB: 64-dim embeddings → 16 components via a
+    // DETERMINISTIC Rademacher matrix (sign from the md5-60bit hash of
+    // (component, dim), so the projection replays on any engine with
+    // no shipped matrix). Inputs are 1e-6-quantized (the
+    // q_dedup_embedding rule) and the ±sums run in exact decimal — the
+    // projection is integer-exact arithmetic end to end, one fan-out
+    // projection + hash agg, no shuffle of the raw vectors.
+    "q_random_projection" -> ((s, dir) =>
+      tp(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("d", "x")))
+        .select(col("vec_id"), col("d"),
+          round(col("x"), 6).cast("decimal(18,6)").as("q"),
+          explode(sequence(lit(0), lit(15))).as("j"))
+        .withColumn("sgn",
+          when(conv(substring(md5(concat(lit("rp:"), col("j"), lit(":"),
+            col("d"))), 1, 15), 16, 10).cast("long") % 2 === 0, 1)
+            .otherwise(-1))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(when(col("sgn") === 1, col("q")).otherwise(-col("q")))
+          .cast("double").as("comp"))
+        .orderBy(col("vec_id"), col("j"))),
+
+    // #246: median-of-means robust mean (the heavy-tail-robust
+    // estimator; Nemirovsky–Yudin shape): b=16 deterministic hash
+    // buckets per arm, decimal-exact bucket means, exact DISCRETE
+    // median of the bucket means (element_at of the sorted bucket-mean
+    // array — 16 rows per arm, engine-stable). Beside it the plain
+    // mean, so the report shows what the outliers moved. Scale: one
+    // hash agg to 16×arms rows; the median never touches data-sized
+    // state.
+    "q_mom_mean" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val bkt = conv(substring(md5(concat(lit("mom:"), col("event_id"))), 1, 15),
+        16, 10).cast("long") % 16
+      val bm = ev.groupBy(col("event_type"), bkt.as("b"))
+        .agg(round(sum(col("value").cast("decimal(18,2)"))
+          .cast("double") / count(lit(1)), 9).as("m"),
+          count(lit(1)).as("c"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+      bm.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_buckets"),
+          element_at(array_sort(collect_list(col("m"))),
+            ceil(count(lit(1)) * 0.5).cast("int")).as("mom_mean"),
+          round(sum(col("sv")).cast("double") /
+            sum(col("c")), 9).as("plain_mean"))
+        .orderBy(col("event_type"))
+    }),
+
+    // #247: sample-ratio-mismatch (SRM) guardrail — the experiment
+    // health check that must pass before any metric read (Fabijan et
+    // al. 2019): users assigned to two arms by content hash, observed
+    // split vs 50/50 expected as a chi-square stat (integer counts,
+    // one shared closed-form tree, round 9) and the α=0.05 flag.
+    "q_srm" -> ((s, dir) => {
+      val users = t(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("arm",
+          conv(substring(md5(concat(lit("srm:"), col("user_id"))), 1, 15),
+            16, 10).cast("long") % 2)
+      users.agg(
+        count_if(col("arm") === 0).as("n_a"),
+        count_if(col("arm") === 1).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          round((col("n_a") - col("n_b")).cast("double") *
+            (col("n_a") - col("n_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double"), 9).as("chi2"),
+          ((col("n_a") - col("n_b")).cast("double") *
+            (col("n_a") - col("n_b")).cast("double") /
+            (col("n_a") + col("n_b")).cast("double") > 3.841).as("srm_flag"))
+    }),
+
     // #203: sorted-neighborhood dedup (Hernández–Stolfo SIGMOD'95) —
     // the record-linkage BLOCKING family's order-based member, next to
     // the hash-based blockers (LSH bands, simhash blocks, prefix
@@ -6136,6 +6289,115 @@ object SparkEntry {
         |SELECT token, exact_n, MIN(c) AS est_n
         |FROM ex JOIN bc ON ((ex.h >> (bc.i * 12)) & 4095) = bc.b
         |GROUP BY token, exact_n""".stripMargin,
+
+    // quantile-sketch replay: the bottom-256-by-hash sample IS
+    // row_number() OVER (ORDER BY hash) <= 256 — a set function, so
+    // the sampled order statistics replay exactly; exact side is the
+    // bounded value-domain histogram cumulative
+    "q_quantile_sketch" ->
+      """WITH h AS (SELECT event_type, value,
+        |    ('0x' || substring(md5('qs:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM events),
+        |s AS (SELECT event_type, value FROM (
+        |    SELECT event_type, value,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |    FROM h) WHERE rn <= 256),
+        |sq AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
+        |    (list_sort(list(value)))[CAST(ceil(COUNT(*) * 0.5) AS INT)] AS sp50,
+        |    (list_sort(list(value)))[CAST(ceil(COUNT(*) * 0.9) AS INT)] AS sp90
+        |  FROM s GROUP BY event_type),
+        |hist AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, value, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS tot
+        |  FROM hist),
+        |ex AS (SELECT event_type,
+        |    MIN(CASE WHEN cum * 100 >= tot * 50 THEN value END) AS ep50,
+        |    MIN(CASE WHEN cum * 100 >= tot * 90 THEN value END) AS ep90
+        |  FROM cum GROUP BY event_type)
+        |SELECT sq.event_type, n_sample, sp50, sp90, ep50, ep90
+        |FROM sq JOIN ex ON sq.event_type = ex.event_type
+        |ORDER BY sq.event_type""".stripMargin,
+
+    // per-dimension moment replay: decimal-exact sums, one shared
+    // closed-form IEEE tree per statistic, round(9)
+    "q_vector_stats" ->
+      """WITH e AS (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(range(0, len(embedding))) AS dim
+        |  FROM embeddings),
+        |m AS (SELECT CAST(dim AS INT) AS dim, CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,12))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(CAST(v AS DECIMAL(18,12)) * CAST(v AS DECIMAL(18,12))
+        |      AS DECIMAL(38,24))) AS DOUBLE) AS sx2
+        |  FROM e GROUP BY dim)
+        |SELECT dim, ROUND(sx / nd, 9) AS mean,
+        |  ROUND(sqrt(sx2 * nd - sx * sx) / nd, 9) AS std
+        |FROM m ORDER BY dim""".stripMargin,
+
+    // curriculum replay: global exclusive running sum of token counts
+    // in (n_chars, doc_id) order, integer stage = cum // budget
+    "q_curriculum" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY n_chars, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d)
+        |SELECT cum // 4000 AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    // JL projection replay: deterministic Rademacher signs from the
+    // md5-60bit hash of (component, dim); 1e-6-quantized inputs summed
+    // in exact decimal — integer-exact arithmetic end to end
+    "q_random_projection" ->
+      """WITH e AS (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |    unnest(range(0, len(embedding))) AS d
+        |  FROM embeddings WHERE vec_id < 200),
+        |q AS (SELECT vec_id, CAST(d AS INT) AS d,
+        |    CAST(round(x, 6) AS DECIMAL(18,6)) AS qv FROM e),
+        |js AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS j),
+        |s AS (SELECT vec_id, js.j,
+        |    CASE WHEN ('0x' || substring(md5('rp:' || CAST(js.j AS VARCHAR)
+        |        || ':' || CAST(q.d AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |      THEN qv ELSE -qv END AS term
+        |  FROM q, js)
+        |SELECT vec_id, j, CAST(SUM(term) AS DOUBLE) AS comp
+        |FROM s GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+
+    // median-of-means replay: 16 hash buckets, round(9) bucket means,
+    // discrete median via sorted-list indexing
+    "q_mom_mean" ->
+      """WITH b AS (SELECT event_type,
+        |    ('0x' || substring(md5('mom:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS b,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 9) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS c,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  (list_sort(list(m)))[CAST(ceil(COUNT(*) * 0.5) AS INT)] AS mom_mean,
+        |  round(CAST(SUM(sv) AS DOUBLE) / SUM(c), 9) AS plain_mean
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // SRM replay: two-arm chi-square reduces to (n_a - n_b)^2 / n
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT user_id,
+        |    ('0x' || substring(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm
+        |  FROM u),
+        |c AS (SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM a)
+        |SELECT n_a, n_b,
+        |  round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE), 9) AS chi2,
+        |  (CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |    / CAST(n_a + n_b AS DOUBLE) > 3.841) AS srm_flag
+        |FROM c""".stripMargin,
 
     "q_snm_dedup" ->
       """WITH d AS (SELECT doc_id,

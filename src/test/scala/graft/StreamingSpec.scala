@@ -61,6 +61,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile sample: incremental state equals the batch sketch") {
+    // the bottom-k-by-hash value sample is a set function, so the
+    // streamed sketch must equal the batch one whatever the batch
+    // boundaries — same contract as the KMV test, with payloads
+    val in = MemoryStream[(Long, Double)]
+    val sk = in.toDF().toDF("h", "v")
+      .agg(graft.functions.QuantileSample
+        .quantileSample(col("h"), col("v"), 3).as("smp"))
+    val q = sk.writeStream.format("memory").queryName("qsmp")
+      .outputMode("complete").start()
+    try {
+      in.addData((9L, 90.0), (3L, 30.0), (5L, 50.0))
+      q.processAllAvailable()
+      in.addData((1L, 10.0), (7L, 70.0), (11L, 110.0))
+      q.processAllAvailable()
+      val out = spark.table("qsmp").collect().head.getSeq[Double](0)
+      // hashes 1, 3, 5 are the 3 smallest → values 10, 30, 50 ascending
+      assert(out === Seq(10.0, 30.0, 50.0))
+    } finally q.stop()
+  }
+
   test("streaming CMS sketch: incremental state equals the batch sketch") {
     // element-wise-add merge means the counter matrix is identical
     // however the rows are split across micro-batches
