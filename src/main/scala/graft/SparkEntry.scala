@@ -1878,6 +1878,91 @@ object SparkEntry {
           .cast("double").as("comp"))
         .orderBy(col("vec_id"), col("j"))),
 
+    // #248: OHLC candles per (event_type, day) — the market-data /
+    // metrics rollup: open/close via min_by/max_by on (ts, event_id)
+    // so the whole candle is ONE hash agg over the events scan (no
+    // per-group window sort); high/low/volume ride the same agg.
+    "q_ohlc" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("volume"))
+        .orderBy(col("event_type"), col("day"))),
+
+    // #249: time-weighted average value per user (the monitoring /
+    // position-exposure average where sample spacing is uneven): each
+    // value is weighted by its holding interval to the NEXT event —
+    // one (user → ts, event_id) window pass for the lead timestamp,
+    // decimal-exact value×µs products, one shared final division
+    // rounded 9. Single-event users (zero total duration) drop.
+    "q_twa" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("value").cast("decimal(18,2)").as("v"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum((col("v") * (col("next_us") - col("us"))
+            .cast("decimal(20,0)")).cast("decimal(38,2)")).as("wsum"),
+          sum(col("next_us") - col("us")).as("dur"))
+        .filter(col("dur") > 0)
+        .select(col("user_id"), col("n_intervals"),
+          round(col("wsum").cast("double") / col("dur").cast("double"), 9)
+            .as("twa"))
+        .orderBy(col("user_id"))
+    }),
+
+    // #250: NDCG@10 of the LSH index against the brute-force ranking —
+    // the GRADED companion of q_ann_recall (recall counts hits; NDCG
+    // scores their positions): relevance = 11 − true rank, per-term
+    // rel/log2(pos+1) rounded 9 THEN summed in exact decimal (order-
+    // free, a 1-ULP log2 wobble cannot move the sum), one shared
+    // final division.
+    "q_ndcg" -> ((s, dir) => {
+      val e = tp(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+        .select(col("q_id"), col("n_id"), (lit(11) - col("rn")).as("rel"))
+      val ls = AnnLsh.annTopKExact(e, q, "vec_id", "embedding", 10)
+        .select(col("q_id").as("lq"), col("n_id").as("ln"), col("rn").as("pos"))
+      val dcg = ls.join(bf,
+          col("lq") === bf("q_id") && col("ln") === bf("n_id"), "left")
+        .groupBy(col("lq").as("qid"))
+        .agg(sum(round(coalesce(col("rel"), lit(0)).cast("double") /
+          log2(col("pos") + 1), 9).cast("decimal(18,9)")).as("dcg"))
+      val idcg = bf.groupBy(col("q_id"))
+        .agg(sum(round(col("rel").cast("double") /
+          log2(col("rel") * -1 + 12), 9).cast("decimal(18,9)")).as("idcg"))
+      dcg.join(idcg, col("qid") === idcg("q_id"))
+        .select(col("qid").as("q_id"),
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 9)
+            .as("ndcg"))
+        .orderBy(col("q_id"))
+    }),
+
+    // #251: per-doc script-mix profile (mixed-script spam detection /
+    // language routing): character counts per explicit Unicode range
+    // class — ASCII letters, digits, CJK, Cyrillic — as length deltas
+    // of class-strip regexes. Integer counts, literal-range classes
+    // identical in Java and RE2, one projection scan.
+    "q_script_mix" -> ((s, dir) => {
+      def n(c: Column, cls: String): Column =
+        (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+      t(s, dir, "documents").select(col("doc_id"),
+        n(col("text"), "[A-Za-z]").as("n_latin"),
+        n(col("text"), "[0-9]").as("n_digit"),
+        n(col("text"), "[一-鿿]").as("n_cjk"),
+        n(col("text"), "[Ѐ-ӿ]").as("n_cyrillic"))
+    }),
+
     // #246: median-of-means robust mean (the heavy-tail-robust
     // estimator; Nemirovsky–Yudin shape): b=16 deterministic hash
     // buckets per arm, decimal-exact bucket means, exact DISCRETE
@@ -6367,6 +6452,66 @@ object SparkEntry {
         |  FROM q, js)
         |SELECT vec_id, j, CAST(SUM(term) AS DOUBLE) AS comp
         |FROM s GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+
+    // OHLC replay: open/close via first/last row_number per candle
+    "q_ohlc" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value
+        |  FROM events),
+        |r AS (SELECT e.*,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS ro,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY ts DESC, event_id DESC) AS rc
+        |  FROM e)
+        |SELECT event_type, day,
+        |  MAX(CASE WHEN ro = 1 THEN value END) AS open,
+        |  MAX(CASE WHEN rc = 1 THEN value END) AS close,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS volume
+        |FROM r GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+
+    // time-weighted average replay: lead-interval weights in exact
+    // decimal, one shared final division
+    "q_twa" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(value AS DECIMAL(18,2)) AS v, epoch_us(ts) AS us
+        |  FROM events),
+        |l AS (SELECT user_id, v, us,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+        |  FROM e),
+        |g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |    SUM(CAST(v * CAST(next_us - us AS DECIMAL(20,0)) AS DECIMAL(38,2))) AS wsum,
+        |    CAST(SUM(next_us - us) AS BIGINT) AS dur
+        |  FROM l WHERE next_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_intervals,
+        |  round(CAST(wsum AS DOUBLE) / CAST(dur AS DOUBLE), 9) AS twa
+        |FROM g WHERE dur > 0 ORDER BY user_id""".stripMargin,
+
+    // NDCG replay over the shared brute-force/LSH arm CTEs: per-term
+    // round(9) then decimal sum (order-free), one final division
+    "q_ndcg" ->
+      s"""WITH bf AS (SELECT q_id, n_id, 11 - rn AS rel FROM ($AnnBruteSql)),
+        |ls AS (SELECT q_id AS lq, n_id AS ln, rn AS pos FROM ($AnnLshSql)),
+        |d AS (SELECT ls.lq AS q_id,
+        |    SUM(CAST(round(CAST(COALESCE(bf.rel, 0) AS DOUBLE)
+        |      / log2(ls.pos + 1), 9) AS DECIMAL(18,9))) AS dcg
+        |  FROM ls LEFT JOIN bf ON ls.lq = bf.q_id AND ls.ln = bf.n_id
+        |  GROUP BY ls.lq),
+        |i AS (SELECT q_id,
+        |    SUM(CAST(round(CAST(rel AS DOUBLE) / log2(12 - rel), 9)
+        |      AS DECIMAL(18,9))) AS idcg
+        |  FROM bf GROUP BY q_id)
+        |SELECT d.q_id, round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 9) AS ndcg
+        |FROM d JOIN i ON d.q_id = i.q_id ORDER BY d.q_id""".stripMargin,
+
+    // script-mix replay: identical literal-range classes, global flag
+    "q_script_mix" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT) AS n_cjk,
+        |  CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic
+        |FROM documents""".stripMargin,
 
     // median-of-means replay: 16 hash buckets, round(9) bucket means,
     // discrete median via sorted-list indexing
