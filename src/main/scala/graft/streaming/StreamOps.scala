@@ -302,4 +302,43 @@ object StreamOps {
         count(lit(1)).as("n_events"))
       .select(col("window.start").as("win_start"),
         col("n_users"), col("n_events"))
+
+  /** Streaming CUSUM drift detector (Page 1954) — the metric-shift
+    * alarm of a monitoring pipeline: per key, the one-sided cumulative
+    * sums S⁺ = max(0, S⁺ + (x − μ₀ − slack)) and
+    * S⁻ = max(0, S⁻ + (μ₀ − x − slack)) accumulate evidence of an
+    * upward/downward mean shift; crossing `threshold` emits an alert
+    * row and resets that side. State is TWO doubles per key however
+    * long the stream runs — same bounded-state contract as
+    * [[streamingEwma]], and like it the in-batch order is (ts, value)
+    * with cross-batch in-order delivery the caller's contract.
+    * Output: (key, ts_sec, direction, statistic) alert rows only —
+    * the quiet hot path emits nothing. */
+  def streamingCusum(events: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, mu0: Double, slack: Double,
+                     threshold: Double): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col(keyCol).cast("long"),
+        unix_timestamp(col(tsCol)).as("ts_sec"), col(valCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Double, Double)]) => {
+          var (sPos, sNeg) = state.getOption.getOrElse((0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Double)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
+            sPos = math.max(0.0, sPos + (v - mu0 - slack))
+            sNeg = math.max(0.0, sNeg + (mu0 - v - slack))
+            if (sPos > threshold) { out += ((key, ts, "up", sPos)); sPos = 0.0 }
+            if (sNeg > threshold) { out += ((key, ts, "down", sNeg)); sNeg = 0.0 }
+          }
+          state.update((sPos, sNeg))
+          out.iterator
+        })
+      .toDF("key", "ts_sec", "direction", "statistic")
+  }
 }

@@ -61,6 +61,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUSUM fires on a mean shift and stays quiet otherwise") {
+    import java.sql.Timestamp
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val df = in.toDF().toDF("user_id", "ts", "value")
+    // mu0=10, slack=1, threshold=5: values at 10 accumulate nothing;
+    // a shift to 13 adds +2 per event -> alert on the 3rd shifted event
+    val alerts = graft.streaming.StreamOps.streamingCusum(
+      df, "user_id", "ts", "value", mu0 = 10.0, slack = 1.0, threshold = 5.0)
+    val q = alerts.writeStream.format("memory").queryName("cusum")
+      .outputMode("append").start()
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    try {
+      // batch 1: in-control for key 1, first two shifted rows for key 2
+      in.addData((1L, t(1), 10.0), (1L, t(2), 10.2), (2L, t(1), 13.0), (2L, t(2), 13.0))
+      q.processAllAvailable()
+      assert(spark.table("cusum").count() === 0) // S+ for key 2 is 4.0 < 5
+      // batch 2: the third shifted event crosses (4 + 2 = 6 > 5);
+      // state carried ACROSS the batch boundary is what fires it
+      in.addData((2L, t(3), 13.0), (1L, t(3), 9.9))
+      q.processAllAvailable()
+      val rows = spark.table("cusum").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      assert(rows.length === 1)
+      val (key, _, dir, stat) = rows.head
+      assert(key === 2L && dir === "up" && math.abs(stat - 6.0) < 1e-9)
+      // after the reset, one more shifted event must NOT re-fire yet
+      in.addData((2L, t(4), 13.0))
+      q.processAllAvailable()
+      assert(spark.table("cusum").count() === 1)
+    } finally q.stop()
+  }
+
   test("streaming quantile sample: incremental state equals the batch sketch") {
     // the bottom-k-by-hash value sample is a set function, so the
     // streamed sketch must equal the batch one whatever the batch
