@@ -517,6 +517,47 @@ object SparkEntry {
        |$finals""".stripMargin
   }
 
+  /** DuckDB replay of q_mmr's greedy selection, 10 unrolled stages
+    * (the BpeOracle idiom): candidates = brute-force top-20 with RAW-
+    * sim rank but round(9) relevance; pair sims round(9); stage i
+    * picks argmax round(0.7·rel − (1 − 0.7)·maxp, 9) with low-id
+    * tie-break over the not-yet-selected candidates. `(1 - 0.7)`
+    * stays an explicit subtraction so DuckDB computes the SAME double
+    * the Scala side's `1.0 - lambda` produces (0.30000000000000004 —
+    * a literal 0.3 would NOT match). */
+  private val MmrOracle: String = {
+    val k = 10
+    val stages = (2 to k).map { i =>
+      s"""sel_$i AS (SELECT q_id, $i AS pick, n_id FROM (
+         |    SELECT c.q_id, c.n_id, row_number() OVER (PARTITION BY c.q_id
+         |      ORDER BY round(0.7 * c.rel - (1 - 0.7) * mp.maxp, 9) DESC, c.n_id) AS r
+         |    FROM cand c
+         |    JOIN (SELECT ps.q_id, ps.n_id, MAX(ps.psim) AS maxp
+         |          FROM ps JOIN all_${i - 1} s ON ps.q_id = s.q_id AND ps.s_id = s.n_id
+         |          GROUP BY ps.q_id, ps.n_id) mp
+         |      ON mp.q_id = c.q_id AND mp.n_id = c.n_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM all_${i - 1} s2
+         |        WHERE s2.q_id = c.q_id AND s2.n_id = c.n_id)) WHERE r = 1),
+         |all_$i AS (SELECT * FROM all_${i - 1} UNION ALL SELECT * FROM sel_$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |cand AS MATERIALIZED (SELECT q_id, n_id, rel, nv FROM (
+      |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |      round(list_cosine_similarity(a.ve, b.ve), 9) AS rel, b.ve AS nv,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY list_cosine_similarity(a.ve, b.ve) DESC, b.vec_id) AS rn
+      |    FROM e a JOIN e b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) WHERE rn <= 20),
+      |ps AS MATERIALIZED (SELECT a.q_id, a.n_id, b.n_id AS s_id,
+      |    round(list_cosine_similarity(a.nv, b.nv), 9) AS psim
+      |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+      |sel_1 AS (SELECT q_id, 1 AS pick, n_id FROM (
+      |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY rel DESC, n_id) AS r FROM cand) WHERE r = 1),
+      |all_1 AS (SELECT * FROM sel_1),
+      |$stages
+      |SELECT q_id, pick, n_id FROM all_$k ORDER BY q_id, pick""".stripMargin
+  }
+
   /** One unrolled BPE merge round (argmax pair + leftmost-non-
     * overlapping application) — shared by BpeOracle and BpeEncodeSql. */
   private def BpeRound(k: Int): String =
@@ -1877,6 +1918,76 @@ object SparkEntry {
         .agg(sum(when(col("sgn") === 1, col("q")).otherwise(-col("q")))
           .cast("double").as("comp"))
         .orderBy(col("vec_id"), col("j"))),
+
+    // #252: maximal-marginal-relevance diversity re-rank (Carbonell &
+    // Goldstein SIGIR'98) — after the index returns 20 candidates per
+    // query, greedily pick 10 maximizing λ·rel − (1−λ)·max-sim-to-
+    // selected: the dedup-aware retrieval that keeps a training batch
+    // from being 10 copies of the same neighborhood. Greedy loop runs
+    // on queries×20 rows only; round(9) sims + low-id tie-breaks make
+    // the whole greedy TRAJECTORY engine-replayable (oracle = 10
+    // unrolled CTE stages).
+    "q_mmr" -> ((s, dir) => {
+      val e = tp(s, dir, "embeddings")
+      Ann.mmrTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nCand = 20)
+        .orderBy(col("q_id"), col("pick"))
+    }),
+
+    // #253: continuous (interpolated) percentile per group — the
+    // PERCENTILE_CONT semantics beside q_percentile_disc's discrete
+    // ones, still from the bounded value-domain histogram (no
+    // per-group sort of data): pos = q·(n−1) held as INTEGER
+    // hundredths, neighbors by cumulative-count rank, one shared
+    // lo + (hi−lo)·frac tree round(9).
+    "q_percentile_cont" -> ((s, dir) => {
+      val hist = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("tot",
+          sum(col("c")).over(Window.partitionBy(col("l_returnflag"))))
+      def pct(p: Int): Column = {
+        val pos = lit(p.toLong) * (col("tot") - 1) // integer hundredths
+        val loRank = expr(s"($p * (tot - 1)) div 100 + 1")
+        val frac = (pos % 100).cast("double") / 100.0
+        val lo = min(when(col("cum") >= loRank, col("v")))
+        val hi = coalesce(min(when(col("cum") >= loRank + 1, col("v"))), lo)
+        round(lo + (hi - lo) * max(frac), 9)
+      }
+      cum.groupBy(col("l_returnflag"))
+        .agg(pct(50).as("p50"), pct(90).as("p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // #254: difference-in-differences estimator — the quasi-
+    // experimental lift read when randomization isn't available:
+    // hash-assigned arms × a fixed pre/post cutoff, decimal-exact cell
+    // means, DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre)
+    // as one shared closed-form tree round(9). One events scan to a
+    // 4-cell table.
+    "q_did" -> ((s, dir) => {
+      val cells = t(s, dir, "events")
+        .withColumn("arm",
+          conv(substring(md5(concat(lit("did:"), col("user_id"))), 1, 15),
+            16, 10).cast("long") % 2)
+        .withColumn("period",
+          when(col("ts") < lit("2024-01-15").cast("timestamp"), 0).otherwise(1))
+        .groupBy(col("arm"), col("period"))
+        .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), 9).as("m"))
+      def cell(a: Int, p: Int): Column =
+        max(when(col("arm") === a && col("period") === p, col("m")))
+      cells.agg(cell(0, 0).as("ctrl_pre"), cell(0, 1).as("ctrl_post"),
+          cell(1, 0).as("treat_pre"), cell(1, 1).as("treat_post"))
+        .select(col("ctrl_pre"), col("ctrl_post"),
+          col("treat_pre"), col("treat_post"),
+          round((col("treat_post") - col("treat_pre")) -
+            (col("ctrl_post") - col("ctrl_pre")), 9).as("did"))
+    }),
 
     // #248: OHLC candles per (event_type, day) — the market-data /
     // metrics rollup: open/close via min_by/max_by on (ts, event_id)
@@ -6452,6 +6563,53 @@ object SparkEntry {
         |  FROM q, js)
         |SELECT vec_id, j, CAST(SUM(term) AS DOUBLE) AS comp
         |FROM s GROUP BY vec_id, j ORDER BY vec_id, j""".stripMargin,
+
+    // MMR replay: 10 unrolled greedy stages (the BpeOracle idiom);
+    // round(9) sims and (1 - 0.7) — the literal Scala 1.0 - lambda
+    // subtraction — keep the greedy trajectory engine-identical
+    "q_mmr" -> MmrOracle,
+
+    // PERCENTILE_CONT replay: integer-hundredths position, histogram
+    // cumulative neighbors, shared interpolation tree
+    "q_percentile_cont" ->
+      """WITH hist AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, v, c,
+        |    SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(c) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM hist)
+        |SELECT l_returnflag,
+        |  round(MIN(CASE WHEN cum >= (50 * (tot - 1)) // 100 + 1 THEN v END)
+        |    + (COALESCE(MIN(CASE WHEN cum >= (50 * (tot - 1)) // 100 + 2 THEN v END),
+        |         MIN(CASE WHEN cum >= (50 * (tot - 1)) // 100 + 1 THEN v END))
+        |       - MIN(CASE WHEN cum >= (50 * (tot - 1)) // 100 + 1 THEN v END))
+        |      * MAX(CAST((50 * (tot - 1)) % 100 AS DOUBLE) / 100.0), 9) AS p50,
+        |  round(MIN(CASE WHEN cum >= (90 * (tot - 1)) // 100 + 1 THEN v END)
+        |    + (COALESCE(MIN(CASE WHEN cum >= (90 * (tot - 1)) // 100 + 2 THEN v END),
+        |         MIN(CASE WHEN cum >= (90 * (tot - 1)) // 100 + 1 THEN v END))
+        |       - MIN(CASE WHEN cum >= (90 * (tot - 1)) // 100 + 1 THEN v END))
+        |      * MAX(CAST((90 * (tot - 1)) % 100 AS DOUBLE) / 100.0), 9) AS p90
+        |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DiD replay: 4 decimal-exact cell means, one closed-form tree
+    "q_did" ->
+      """WITH c AS (SELECT
+        |    ('0x' || substring(md5('did:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2 AS arm,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END AS period,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 9) AS m
+        |  FROM events GROUP BY 1, 2)
+        |SELECT
+        |  MAX(CASE WHEN arm = 0 AND period = 0 THEN m END) AS ctrl_pre,
+        |  MAX(CASE WHEN arm = 0 AND period = 1 THEN m END) AS ctrl_post,
+        |  MAX(CASE WHEN arm = 1 AND period = 0 THEN m END) AS treat_pre,
+        |  MAX(CASE WHEN arm = 1 AND period = 1 THEN m END) AS treat_post,
+        |  round((MAX(CASE WHEN arm = 1 AND period = 1 THEN m END)
+        |       - MAX(CASE WHEN arm = 1 AND period = 0 THEN m END))
+        |      - (MAX(CASE WHEN arm = 0 AND period = 1 THEN m END)
+        |       - MAX(CASE WHEN arm = 0 AND period = 0 THEN m END)), 9) AS did
+        |FROM c""".stripMargin,
 
     // OHLC replay: open/close via first/last row_number per candle
     "q_ohlc" ->

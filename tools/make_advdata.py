@@ -29,8 +29,33 @@ out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
 os.makedirs(out, exist_ok=True)
 
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events"]:
+          "lineitem"]:
     shutil.copyfile(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+
+# ---------------------------------------------------------------- events
+# hostile event stream: same-timestamp ties (every (ts, event_id)
+# tie-break in the window family must resolve identically per engine),
+# zero and negative values (decimal paths, CUSUM/EWMA edges), and a
+# burst of events in the same microsecond for one hot user
+ev = pq.read_table(f"{src}/events.parquet").to_pydict()
+ne = len(ev["event_id"])
+for i in range(50, 60):          # ten events share one timestamp
+    ev["ts"][i] = ev["ts"][50]
+for i in range(60, 64):          # same user, same microsecond, burst
+    ev["ts"][i] = ev["ts"][60]
+    ev["user_id"][i] = ev["user_id"][60]
+ev["value"][70] = 0.0
+ev["value"][71] = -12.5
+ev["value"][72] = 0.01
+evschema = pa.schema([pa.field("event_id", pa.int64()),
+                      pa.field("ts", pa.timestamp("us")),
+                      pa.field("user_id", pa.int64()),
+                      pa.field("event_type", pa.string()),
+                      pa.field("value", pa.float64()),
+                      pa.field("props", pa.string())])
+pq.write_table(pa.table({k: ev[k] for k in ["event_id", "ts", "user_id",
+                                            "event_type", "value", "props"]},
+                        schema=evschema), f"{out}/events.parquet")
 
 # ---------------------------------------------------------------- documents
 docs = pq.read_table(f"{src}/documents.parquet").to_pydict()
