@@ -101,7 +101,7 @@ object Bench {
     val soak30: Seq[(String, Double, Double)] =
       if (skipSoak || soakError.nonEmpty) Seq.empty
       else try Soak.runAt(spark, sfDir,
-        Set("substring_dedup", "bpe_encode", "kmeans_assign"), 30)
+        Set("substring_dedup", "bpe_encode", "bpe_encode_cv", "kmeans_assign"), 30)
       catch { case _: Throwable => Seq.empty }
     val soak30Json = soak30
       .map { case (n, t1, tR) => "\"" + n + "\":[" + fmt(t1) + "," + fmt(tR) + "]" }

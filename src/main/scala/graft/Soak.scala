@@ -165,6 +165,28 @@ object Soak {
             .agg(sum(size(col("pieces")).cast("long")).as("n_pieces"))
         }
       },
+      // CONSTANT-VOCAB control for bpe_encode (the r8 30×-soak
+      // superlinearity root-cause probe): replicas keep the base text
+      // VERBATIM — no per-replica token suffix — so the distinct-word
+      // set, every word's length, and the timed plan (no suffix
+      // transform) are identical at 1× and R×; only the row count
+      // grows. segment is a per-row projection, so THIS ratio is the
+      // operator's true scale curve; the gap to plain bpe_encode is
+      // the replication artifact (30× distinct words + 1-3 extra
+      // chars/word + the suffix transform itself in the timed region).
+      "bpe_encode_cv" -> {
+        lazy val merges = graft.operators.Bpe
+          .learnMerges(docBase, "text", 8).orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        (n: Int) => {
+          val words = replicate(docBase, n, Map("doc_id" -> docOff), None)
+            .select(col("doc_id"),
+              explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
+          graft.operators.Bpe.segment(words, "w", merges)
+            .groupBy(col("doc_id") % 1024)
+            .agg(sum(size(col("pieces")).cast("long")).as("n_pieces"))
+        }
+      },
       // the KMEANS ASSIGNMENT path (r7-red family): centroids fixed
       // from the base corpus (fit is vocab-sized setup), the broadcast
       // argmax-cosine assign + membership rollup over the replicated

@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextAnalysis, Vectors}
-import graft.operators.{Ann, AnnIvf, AnnLsh, AnnPq, AsOfJoin, Dedup, DedupCluster, Fingerprint, Multimodal, RangeJoin, Sampling, Sessionize, Tfidf, TopK}
+import graft.operators.{Ann, AnnIvf, AnnLsh, AnnPq, AsOfJoin, BoundedWindow, Dedup, DedupCluster, Fingerprint, Multimodal, RangeJoin, Sampling, Sessionize, Tfidf, TopK}
+import graft.operators.BoundedWindow.boundedGlobal
 import graft.sources.TimeWindow
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -438,7 +439,7 @@ object SparkEntry {
       |w AS (SELECT event_type, bucket, o,
       |    CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE) AS rt,
       |    CAST(SUM(o) OVER (PARTITION BY bucket) AS DOUBLE) AS ct,
-      |    CAST(SUM(o) OVER () AS DOUBLE) AS n
+      |    CAST(SUM(o) OVER (PARTITION BY 'bounded: 8-cell contingency table') AS DOUBLE) AS n
       |  FROM c)
       |SELECT event_type, bucket, o,
       |  ROUND(rt * ct / n, 9) AS expected,
@@ -501,11 +502,16 @@ object SparkEntry {
     * application as pure window SQL — raw match positions, runs of
     * consecutive matches kept at even offsets (gaps-and-islands; runs
     * only arise when l = r, the "aaa" case), matched starts emit l||r,
-    * the position after a kept match is consumed. `syms` is a valid
-    * per-word key at every round because join('', syms) always recovers
-    * word + marker (chr(57344) = Bpe.Marker, stripped from the input
-    * first so it stays outside the symbol alphabet). Parity with the batched Spark learner is exact —
-    * see Bpe.learnMerges' prefix-rule proof. */
+    * the position after a kept match is consumed. The ORIGINAL word `w`
+    * is carried through every round as the window partition key and the
+    * vocab GROUP BY — two DISTINCT words whose symbol lists coincide
+    * after the marker strip (chr(57344) = Bpe.Marker, e.g.
+    * 'pre\\ue000post' vs 'prepost') must stay separate rows, exactly as
+    * the Spark learner keeps one row per word and SUMs their counts
+    * into the pair table; keying on `syms` would collapse (or, worse,
+    * interleave in one window partition) such pairs. Parity with the
+    * batched Spark learner is exact — see Bpe.learnMerges'
+    * prefix-rule proof. */
   private val BpeOracle: String = {
     val n = 8
     val finals = (1 to n).map(k =>
@@ -524,11 +530,16 @@ object SparkEntry {
     * tie-break over the not-yet-selected candidates. `(1 - 0.7)`
     * stays an explicit subtraction so DuckDB computes the SAME double
     * the Scala side's `1.0 - lambda` produces (0.30000000000000004 —
-    * a literal 0.3 would NOT match). */
+    * a literal 0.3 would NOT match). Every sel_i/all_i stage is
+    * MATERIALIZED: stage i references all_{i-1} THREE times (JOIN +
+    * NOT EXISTS + UNION ALL), so without materialization DuckDB
+    * inlines the chain into ~3^k subplans and never terminates
+    * (unlike q_kcore/q_bpe whose stages reference the previous stage
+    * once — linear inlining, safe). */
   private val MmrOracle: String = {
     val k = 10
     val stages = (2 to k).map { i =>
-      s"""sel_$i AS (SELECT q_id, $i AS pick, n_id FROM (
+      s"""sel_$i AS MATERIALIZED (SELECT q_id, $i AS pick, n_id FROM (
          |    SELECT c.q_id, c.n_id, row_number() OVER (PARTITION BY c.q_id
          |      ORDER BY round(0.7 * c.rel - (1 - 0.7) * mp.maxp, 9) DESC, c.n_id) AS r
          |    FROM cand c
@@ -538,7 +549,7 @@ object SparkEntry {
          |      ON mp.q_id = c.q_id AND mp.n_id = c.n_id
          |    WHERE NOT EXISTS (SELECT 1 FROM all_${i - 1} s2
          |        WHERE s2.q_id = c.q_id AND s2.n_id = c.n_id)) WHERE r = 1),
-         |all_$i AS (SELECT * FROM all_${i - 1} UNION ALL SELECT * FROM sel_$i)""".stripMargin
+         |all_$i AS MATERIALIZED (SELECT * FROM all_${i - 1} UNION ALL SELECT * FROM sel_$i)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
       |cand AS MATERIALIZED (SELECT q_id, n_id, rel, nv FROM (
@@ -550,10 +561,10 @@ object SparkEntry {
       |ps AS MATERIALIZED (SELECT a.q_id, a.n_id, b.n_id AS s_id,
       |    round(list_cosine_similarity(a.nv, b.nv), 9) AS psim
       |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id),
-      |sel_1 AS (SELECT q_id, 1 AS pick, n_id FROM (
+      |sel_1 AS MATERIALIZED (SELECT q_id, 1 AS pick, n_id FROM (
       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
       |      ORDER BY rel DESC, n_id) AS r FROM cand) WHERE r = 1),
-      |all_1 AS (SELECT * FROM sel_1),
+      |all_1 AS MATERIALIZED (SELECT * FROM sel_1),
       |$stages
       |SELECT q_id, pick, n_id FROM all_$k ORDER BY q_id, pick""".stripMargin
   }
@@ -570,30 +581,30 @@ object SparkEntry {
          |  SELECT l, r, pc FROM pairs_$k WHERE pc >= 2
          |  ORDER BY pc DESC, l, r LIMIT 1),
          |pos_$k AS (
-         |  SELECT v.syms, v.cnt, g.i, v.syms[g.i] AS s, b.l, b.r,
+         |  SELECT v.w, v.syms, v.cnt, g.i, v.syms[g.i] AS s, b.l, b.r,
          |    CASE WHEN g.i < len(v.syms) AND v.syms[g.i] = b.l
          |        AND v.syms[g.i+1] = b.r THEN 1 ELSE 0 END AS m
          |  FROM vocab_$k v LEFT JOIN best_$k b ON TRUE,
          |    UNNEST(generate_series(1, len(v.syms))) AS g(i)),
          |isl_$k AS (
-         |  SELECT syms, cnt, i, s, l, r, m,
-         |    i - ROW_NUMBER() OVER (PARTITION BY syms, m ORDER BY i) AS island
+         |  SELECT w, cnt, i, s, l, r, m,
+         |    i - ROW_NUMBER() OVER (PARTITION BY w, m ORDER BY i) AS island
          |  FROM pos_$k),
          |kept_$k AS (
-         |  SELECT syms, cnt, i, s, l, r,
+         |  SELECT w, cnt, i, s, l, r,
          |    CASE WHEN m = 1 AND
-         |        (i - min(i) OVER (PARTITION BY syms, m, island)) % 2 = 0
+         |        (i - min(i) OVER (PARTITION BY w, m, island)) % 2 = 0
          |      THEN 1 ELSE 0 END AS kept
          |  FROM isl_$k),
          |emit_$k AS (
-         |  SELECT syms, cnt, i, s, l, r, kept,
-         |    COALESCE(lag(kept) OVER (PARTITION BY syms ORDER BY i), 0) AS consumed
+         |  SELECT w, cnt, i, s, l, r, kept,
+         |    COALESCE(lag(kept) OVER (PARTITION BY w ORDER BY i), 0) AS consumed
          |  FROM kept_$k),
          |vocab_${k + 1} AS (
-         |  SELECT cnt, list(CASE WHEN kept = 1 THEN l || r ELSE s END
+         |  SELECT w, cnt, list(CASE WHEN kept = 1 THEN l || r ELSE s END
          |    ORDER BY i) AS syms
          |  FROM emit_$k WHERE consumed = 0
-         |  GROUP BY syms, cnt)""".stripMargin
+         |  GROUP BY w, cnt)""".stripMargin
 
   /** The BPE learning CTE chain shared by BpeOracle (q_bpe_merges) and
     * BpeEncodeSql (q_bpe_encode): seed vocab from CODE-POINT symbol
@@ -604,7 +615,7 @@ object SparkEntry {
   private def BpeLearnCtes: String = {
     val n = 8
     s"""vocab_1 AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    list_append(regexp_extract_all(replace(w, chr(57344), ''), '(?s).'),
        |      chr(57344)) AS syms
        |  FROM (SELECT t.w FROM documents,
@@ -1339,7 +1350,8 @@ object SparkEntry {
           when(col("event_type") === "purchase", lit(1L))
             .otherwise(lit(0L)).as("p"))
         .groupBy(col("v")).agg(count(lit(1)).as("c"), sum(col("p")).as("cp"))
-      val wlt = Window.orderBy(col("v").desc)
+      val wlt = boundedGlobal("2-dec value histogram, |distinct prices| rows")
+        .orderBy(col("v").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val cl = h.withColumn("cumlt",
         coalesce(sum(col("c")).over(wlt), lit(0L)))
@@ -1641,7 +1653,8 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), h.as("h"))
         .orderBy(col("h"), col("doc_id")).limit(100)
         .select(col("doc_id"),
-          row_number().over(Window.orderBy(col("h"), col("doc_id"))).as("rnk"))
+          row_number().over(boundedGlobal("top-100 prefix after limit")
+            .orderBy(col("h"), col("doc_id"))).as("rnk"))
     }),
 
     // #75: doc-length histogram (64-char buckets, integer-exact)
@@ -2173,7 +2186,8 @@ object SparkEntry {
       val tok = tp(s, dir, "documents")
         .select(col("doc_id"), posexplode(TextAnalysis.tokens(lower(col("text")))))
         .toDF("doc_id", "j", "token")
-      val wv = Window.orderBy(col("token"))
+      val wv = boundedGlobal("vocab table, |distinct tokens| rows")
+        .orderBy(col("token"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
         .withColumn("w", least(col("c"), lit(64L)))
@@ -2632,7 +2646,8 @@ object SparkEntry {
       val d = tp(s, dir, "documents")
       val sur = operators.TextStats.bigramSurprisal(d, "doc_id", "text")
       val hist = sur.groupBy(col("surprisal")).agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("surprisal"))
+      val w = boundedGlobal("round(6)-quantized surprisal histogram")
+        .orderBy(col("surprisal"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum(col("c")).over(w))
       val tot = hist.agg(sum(col("c")).as("tot"))
@@ -3230,7 +3245,8 @@ object SparkEntry {
     "q_len_deciles" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       val hist = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
-      val w = Window.orderBy(col("n_chars"))
+      val w = boundedGlobal("doc-length histogram, |distinct n_chars| rows")
+        .orderBy(col("n_chars"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum(col("c")).over(w))
       val tot = hist.agg(sum(col("c")).as("tot"))
@@ -3482,7 +3498,9 @@ object SparkEntry {
       val ex = sh.select(col("id"), explode(col("sh")).as("g"))
       val rank = ex.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
         .select(col("g"),
-          row_number().over(Window.orderBy(col("cnt"), col("g"))).as("rnk"))
+          row_number().over(
+            boundedGlobal("gram-frequency table of a <=600-doc id range")
+              .orderBy(col("cnt"), col("g"))).as("rnk"))
       val pref = ex.join(rank, "g")
         .groupBy(col("id"))
         .agg(array_sort(collect_list(struct(col("rnk"), col("g")))).as("st"))
@@ -3561,7 +3579,8 @@ object SparkEntry {
           .cast("long")).as("secs"))
         .select(expr("secs div 3600").as("h"))
       val hist = lat.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      val wc = Window.orderBy(col("h"))
+      val wc = boundedGlobal("hour-latency histogram, |distinct hours| rows")
+        .orderBy(col("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum(col("c")).over(wc))
       val tot = hist.agg(sum(col("c")).cast("long").as("nn"))
@@ -3739,8 +3758,10 @@ object SparkEntry {
         .select(unix_date(to_date(col("ts"))).as("day"),
           col("value").cast("decimal(18,2)").as("v"))
         .groupBy(col("day")).agg(sum(col("v")).as("x"))
-      val wm = Window.orderBy(col("day")).rowsBetween(-3, 3)
-      val wn = Window.orderBy(col("day"))
+      val wm = boundedGlobal("day table, one row per day")
+        .orderBy(col("day")).rowsBetween(-3, 3)
+      val wn = boundedGlobal("day table, one row per day")
+        .orderBy(col("day"))
       val tr = daily
         .withColumn("nw", count(lit(1)).over(wm))
         .withColumn("trend", round(sum(col("x")).over(wm).cast("double") /
@@ -3966,7 +3987,8 @@ object SparkEntry {
         .select(col("value").cast("decimal(18,2)").as("v"),
           (col("event_type") === "purchase").as("y"))
       val h = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
-      val wc = Window.orderBy(col("v"))
+      val wc = boundedGlobal("2-dec value histogram, |distinct values| rows")
+        .orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = h.agg(sum(col("c")).cast("long").as("nn"))
       val med = h.withColumn("cum", sum(col("c")).over(wc))
@@ -4231,9 +4253,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("all_n"),
           sum(when(!col("censored"), 1L).otherwise(0L)).as("d"))
       val tot = hd.agg(sum(col("all_n")).cast("long").as("nn"))
-      val wlt = Window.orderBy(col("dur"))
+      val wlt = boundedGlobal("duration-day histogram, |distinct days| rows")
+        .orderBy(col("dur"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val wc = Window.orderBy(col("dur"))
+      val wc = boundedGlobal("duration-day histogram, |distinct days| rows")
+        .orderBy(col("dur"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val atRisk = hd.crossJoin(broadcast(tot))
         .withColumn("cumlt", coalesce(sum(col("all_n")).over(wlt), lit(0L)))
@@ -4376,7 +4400,8 @@ object SparkEntry {
         .withColumn("band", expr("(10 * (rnk - 1)) div nn"))
         .groupBy(col("band"), col("ts"))
         .agg(count(lit(1)).as("n_cust"), sum(col("spend")).as("bs"))
-      val wc = Window.orderBy(col("band"))
+      val wc = boundedGlobal("10-row decile-band table")
+        .orderBy(col("band"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       bands.withColumn("cs", sum(col("bs")).over(wc))
         .select(col("band"), col("n_cust"),
@@ -4512,6 +4537,7 @@ object SparkEntry {
     // expected/contrib expressions touch doubles (shared text, round 9)
     "q_chi2" -> ((s, dir) => {
       Tables.registerAll(s, dir)
+      BoundedWindow.ensureRuleExcluded() // the SQL spells its bounded window inline
       s.sql(Chi2Query)
     }),
 
@@ -4633,7 +4659,8 @@ object SparkEntry {
         .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
           .cast("long").as("ym"))
         .agg(dsum(col("o_totalprice")).as("rev"))
-      val w = Window.orderBy(col("ym"))
+      val w = boundedGlobal("month table, one row per year-month")
+        .orderBy(col("ym"))
       m.withColumn("prev", lag(col("rev"), 1).over(w))
         .filter(col("prev").isNotNull)
         .select(col("ym"), col("rev"),
@@ -4680,7 +4707,8 @@ object SparkEntry {
       val d = t(s, dir, "orders")
         .groupBy(unix_date(col("o_orderdate").cast("date")).cast("long").as("day"))
         .agg(dsum(col("o_totalprice")).as("rev"))
-      val w = Window.orderBy(col("day"))
+      val w = boundedGlobal("day table, one row per day")
+        .orderBy(col("day"))
       d.withColumn("rn", row_number().over(w))
         .withColumn("med", element_at(
           array_sort(collect_list(col("rev")).over(w.rowsBetween(-6, 0))), 4))
@@ -6494,10 +6522,12 @@ object SparkEntry {
       """WITH h AS (SELECT event_type, value,
         |    ('0x' || substring(md5('qs:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hv
         |  FROM events),
+        |hd AS (SELECT event_type, hv, MIN(value) AS value
+        |  FROM h GROUP BY event_type, hv),
         |s AS (SELECT event_type, value FROM (
         |    SELECT event_type, value,
         |      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
-        |    FROM h) WHERE rn <= 256),
+        |    FROM hd) WHERE rn <= 256),
         |sq AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sample,
         |    (list_sort(list(value)))[CAST(ceil(COUNT(*) * 0.5) AS INT)] AS sp50,
         |    (list_sort(list(value)))[CAST(ceil(COUNT(*) * 0.9) AS INT)] AS sp90

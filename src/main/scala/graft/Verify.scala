@@ -2,12 +2,35 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Modes:
+  *   Verify <sfDir> <outDir>                    — full matrix (the driver's call)
+  *   Verify <sfDir> <outDir> <query...>         — named subset (local iteration)
+  *   Verify <sfDir> <outDir> --changed          — incremental gate: re-run only
+  *     queries whose CANONICALIZED logical plan or oracle SQL changed since
+  *     the manifest stored in <outDir>/verify_manifest.json, plus a fixed
+  *     smoke set. Plan hashing is engine-level change detection — an edit to
+  *     a shared operator re-runs every query whose plan it shifts, which a
+  *     git-line-range diff of SparkEntry.scala would miss. Use a PERSISTENT
+  *     outDir so unchanged queries keep their previous parquet (the full
+  *     oracle_sql.json is always written, so oracle_check still compares
+  *     the whole matrix — only the Spark re-execution is skipped).
+  */
 object Verify {
+
+  /** Always re-run: the end-to-end canaries that exercise scan, shuffle,
+    * broadcast join, dedup, and the custom-aggregate path even when no
+    * plan changed (catches environment/jar drift the hash can't see). */
+  private val Smoke = Set("q1_agg", "q_top10_tokens", "q_star_join",
+    "q_dedup_exact", "q_quantile_sketch")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args
+    val changedMode = rest.contains("--changed")
     // optional trailing query names: verify just those (local iteration)
-    val wanted: Option[Set[String]] = if (rest.isEmpty) None else Some(rest.toSet)
+    val named = rest.filterNot(_ == "--changed").toSet
+    val wanted: Option[Set[String]] = if (named.isEmpty) None else Some(named)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -18,21 +41,53 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => wanted.forall(_(kv._1))).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
+
+    val manifestPath = Paths.get(s"$outDir/verify_manifest.json")
+    val oldManifest: Map[String, String] =
+      if (changedMode && Files.exists(manifestPath))
+        "\"([^\"]+)\"\\s*:\\s*\"([a-f0-9]+)\"".r
+          .findAllMatchIn(Files.readString(manifestPath))
+          .map(m => m.group(1) -> m.group(2)).toMap
+      else Map.empty
+
+    def planHash(name: String): Option[String] =
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.analyzed.canonicalized.toString
+        val body = plan + "|" + SparkEntry.oracleSql.getOrElse(name, "")
+        Some(org.apache.commons.codec.digest.DigestUtils.md5Hex(body))
+      } catch { case _: Throwable => None } // run it; let the run report
+
+    val newManifest = scala.collection.mutable.LinkedHashMap[String, String]()
+    val toRun: String => Boolean =
+      if (!changedMode) name => wanted.forall(_(name))
+      else { name =>
+        val h = planHash(name)
+        h.foreach(newManifest(name) = _)
+        Smoke(name) || h.isEmpty || !oldManifest.get(name).contains(h.get)
       }
-      // dedup operators persist intermediates (shingle tables, CC labels)
-      // that outlive their query; running all of them in one session
-      // would otherwise accumulate cached blocks
-      spark.catalog.clearCache()
+
+    var ran = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (toRun(name)) {
+        ran += 1
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        // dedup operators persist intermediates (shingle tables, CC labels)
+        // that outlive their query; running all of them in one session
+        // would otherwise accumulate cached blocks
+        spark.catalog.clearCache()
+      }
     }
+    if (changedMode)
+      System.err.println(s"[verify] --changed: ran $ran of ${SparkEntry.queries.size}")
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -45,10 +100,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // --changed writes the FULL oracle map (the compare stays whole-matrix);
+    // a named subset writes just that subset (and, per the workflow notes,
+    // should not feed a full oracle_check).
     val json = SparkEntry.oracleSql
-      .filter(kv => wanted.forall(_(kv._1)))
+      .filter(kv => changedMode || wanted.forall(_(kv._1)))
+      .toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (changedMode)
+      Files.writeString(manifestPath, newManifest
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }

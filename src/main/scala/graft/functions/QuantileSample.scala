@@ -112,17 +112,24 @@ object QuantileSample {
       buf
     }
 
-    /** Insert, keeping only the k smallest distinct hashes (a repeat
-      * hash keeps the FIRST value — with a unique row key feeding the
-      * hash, repeats only arise from a 60-bit collision). Skips the
-      * insert when the hash is ≥ the current k-th smallest. */
+    /** Insert, keeping only the k smallest distinct hashes. A repeat
+      * hash (only possible via a 60-bit collision when a unique row
+      * key feeds the hash) keeps the MIN value — a commutative,
+      * merge-order-independent tie-break, so the buffer stays a pure
+      * function of the input SET even in the collision case, and the
+      * oracle replays it as min(value) GROUP BY hash before the
+      * bottom-k rank. Skips the insert when the hash is a new key ≥
+      * the current k-th smallest. */
     private def add(buf: Buffer, h: Long, v: Double): Unit = {
       val key = java.lang.Long.valueOf(h)
-      if (buf.size() < k) { buf.putIfAbsent(key, java.lang.Double.valueOf(v)); () }
-      else if (h < buf.lastKey().longValue()) {
-        if (buf.putIfAbsent(key, java.lang.Double.valueOf(v)) == null) {
-          buf.pollLastEntry(); ()
-        }
+      val cur = buf.get(key)
+      if (cur != null) {
+        if (v < cur.doubleValue()) { buf.put(key, java.lang.Double.valueOf(v)); () }
+      } else if (buf.size() < k) {
+        buf.put(key, java.lang.Double.valueOf(v)); ()
+      } else if (h < buf.lastKey().longValue()) {
+        buf.put(key, java.lang.Double.valueOf(v))
+        buf.pollLastEntry(); ()
       }
     }
 

@@ -68,17 +68,109 @@ object Ann {
     * AND far from what is already selected.
     *
     * Scale shape: the expensive part is candidate generation (the ANN
-    * index — here the brute-force baseline); the greedy loop runs on
-    * queries × nCand rows ONLY (pair sims are per-query nCand², never
-    * corpus-sized), k bounded iterations of tiny joins, selection
-    * localCheckpoint'd per round so the plan stays flat. All
-    * similarities are round(9)-collapsed with low-id tie-breaks (the
-    * repo's float-ordering rule), so the greedy trajectory — and
-    * therefore the whole output — replays identically on any engine.
+    * index — here the brute-force baseline); the greedy is
+    * embarrassingly per-query over ≤ nCand rows, so it runs as ONE
+    * flatMapGroups job — each group holds its nCand candidates, the
+    * nCand² pair sims and the k greedy rounds are a local loop, and
+    * nothing corpus-sized ever shuffles twice. All similarities are
+    * round(9)-collapsed with low-id tie-breaks (the repo's
+    * float-ordering rule), and the local loop replays the EXACT
+    * engine arithmetic (same sequential double accumulation as the
+    * codegen'd cosine, Spark's BigDecimal HALF_UP round, NaN-greatest
+    * double ordering) — so the greedy trajectory, and therefore the
+    * whole output, replays identically on any engine.
     * Output: (q_id, pick, n_id), pick 1-based in selection order. */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCand: Int,
               lambda: Double = 0.7): DataFrame = {
+    val session = corpus.sparkSession
+    import session.implicits._
+    val mu = 1.0 - lambda // the explicit subtraction the oracle mirrors
+    val cand = bruteForceTopK(corpus, queries, idCol, vecCol, nCand)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 9).as("rel"))
+      .join(corpus.select(col(idCol).as("n_id"),
+        col(vecCol).cast("array<double>").as("n_vec")), "n_id")
+      .select(col("q_id").cast("long"), col("n_id").cast("long"),
+        col("rel"), col("n_vec"))
+      .as[(Long, Long, Double, Seq[Double])]
+    cand.groupByKey(_._1)
+      .flatMapGroups { (qId: Long, rows: Iterator[(Long, Long, Double, Seq[Double])]) =>
+        val cs = rows.toArray // ≤ nCand by construction
+        val n = cs.length
+        val ids = cs.map(_._2)
+        val rel = cs.map(_._3)
+        val vecs = cs.map(_._4.toArray)
+        // (score desc, id asc) argmax under Spark's double ordering
+        // (NaN greatest, -0.0 < 0.0) = java.lang.Double.compare
+        def beats(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+          val c = java.lang.Double.compare(s1, s2)
+          c > 0 || (c == 0 && id1 < id2)
+        }
+        val isSel = new Array[Boolean](n)
+        // running max pair-sim to the selected set, per candidate
+        val maxp = Array.fill(n)(Double.NegativeInfinity)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long)](math.min(k, n))
+        var pick = 1
+        while (pick <= k && pick <= n) {
+          var best = -1
+          var bestScore = 0.0
+          var j = 0
+          while (j < n) {
+            if (!isSel(j)) {
+              val score =
+                if (pick == 1) rel(j)
+                else round9(lambda * rel(j) - mu * maxp(j))
+              if (best < 0 || beats(score, ids(j), bestScore, ids(best))) {
+                best = j; bestScore = score
+              }
+            }
+            j += 1
+          }
+          isSel(best) = true
+          out += ((qId, pick, ids(best)))
+          j = 0
+          while (j < n) {
+            if (!isSel(j)) {
+              val p = round9(cosineLocal(vecs(j), vecs(best)))
+              if (java.lang.Double.compare(p, maxp(j)) > 0) maxp(j) = p
+            }
+            j += 1
+          }
+          pick += 1
+        }
+        out
+      }
+      .toDF("q_id", "pick", "n_id")
+  }
+
+  /** Spark's `round(x, 9)` replayed locally: BigDecimal.valueOf +
+    * HALF_UP, NaN/Inf pass through (RoundBase's DoubleType branch). */
+  private def round9(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** NativeExpressions.CosineSim's exact loop (same sequential
+    * accumulation order → bit-identical doubles). */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The k-round unrolled DataFrame formulation of [[mmrTopK]] — k
+    * sequential jobs of tiny joins with per-round localCheckpoints.
+    * Kept as the cross-formulation parity reference (AnnSpec asserts
+    * row-identical output); the fused flatMapGroups version above is
+    * the production path (one job instead of k). */
+  def mmrTopKUnrolled(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nCand: Int,
+                      lambda: Double = 0.7): DataFrame = {
     val cand = bruteForceTopK(corpus, queries, idCol, vecCol, nCand)
       .select(col("q_id"), col("n_id"), round(col("sim"), 9).as("rel"))
       .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")), "n_id")

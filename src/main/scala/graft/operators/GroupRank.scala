@@ -152,8 +152,15 @@ object GroupRank {
     * integer digits); ties break on `idCols`, matching
     * `ntile(df, g, Seq(dim) ++ idCols, ...)` exactly.
     *
+    * PRECONDITION: `idCols` must uniquely key `df`. With duplicate id
+    * rows the final pivot (max over `__tile` per id) would collapse
+    * them to one row carrying the max tile — silently diverging from
+    * d chained `ntile` calls, which keep every row. GroupRankSpec
+    * asserts this contract.
+    *
     * Returns `idCols` plus one tile column (1..k) per dimension —
-    * join back to the source if other columns are needed. */
+    * join back to the source if other columns are needed (a join on
+    * the unique `idCols` key cannot fan out). */
   def ntileMany(df: DataFrame, idCols: Seq[String],
                 dims: Seq[(String, String)], k: Int): DataFrame = {
     require(dims.nonEmpty, "dims must be non-empty")

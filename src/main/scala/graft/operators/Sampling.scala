@@ -57,10 +57,11 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(esKey.desc, col(keyCol).asc)
-    // ES-sampling is defined for POSITIVE weights only — a zero-weight
-    // row would divide by zero (ANSI throw here, engine-dependent
-    // NULL/inf elsewhere); it has zero selection probability anyway,
-    // so it is excluded, and the oracle applies the same predicate.
+    // ES-sampling is defined for POSITIVE weights only — zero/negative
+    // weights have zero selection probability, and their sort keys are
+    // -Inf/NaN (double division never throws, even under ANSI) whose
+    // ordering placement is engine-dependent; they are excluded, and
+    // the oracle applies the same predicate.
     df.filter(col(weightCol).cast("double") > 0)
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }

@@ -78,8 +78,9 @@ object Search {
       .agg(round(sum(idf * tfNorm), 9).as("score"))
     // TakeOrderedAndProject prefix, then rank over topK rows only
     scored.orderBy(col("score").desc, col("doc_id").asc).limit(topK)
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .withColumn("rnk", row_number().over(
+        BoundedWindow.boundedGlobal(s"top-K prefix <= $topK rows")
+          .orderBy(col("score").desc, col("doc_id").asc)))
   }
 
   /** All-pairs sparse TF-IDF cosine over a bounded id range, via the

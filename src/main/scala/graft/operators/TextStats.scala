@@ -126,7 +126,7 @@ object TextStats {
     * those exact sums. The rank window runs on the vocab-sized count
     * table, never the corpus. */
   def zipfFit(docs: DataFrame, textCol: String, topK: Int = 500): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val w = BoundedWindow.boundedGlobal(s"top-K vocab prefix <= $topK rows")
       .orderBy(col("cnt").desc, col("token").asc)
     // top-K first via orderBy+limit (TakeOrderedAndProject: distributed
     // per-partition heaps, driver merges k·p rows) so the unpartitioned

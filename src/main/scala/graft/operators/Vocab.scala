@@ -28,7 +28,8 @@ object Vocab {
       .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    val w = BoundedWindow.boundedGlobal("vocab table, |distinct tokens| rows")
+      .orderBy(col("cnt").desc, col("token").asc)
     counts.select(col("token"), col("cnt"),
       row_number().over(w).cast("long").as("tok_id"))
   }

@@ -126,6 +126,45 @@ object StreamOps {
     }
   }
 
+  /** Streaming MMR retrieval serving — the speed-layer twin of
+    * `operators.Ann.mmrTopK` (the batch/speed symmetry every family
+    * here keeps): arriving QUERY vectors re-rank against a LOADED
+    * corpus/index artifact in foreachBatch and append their
+    * (q_id, pick, n_id) selections to `outPath`. The corpus is the
+    * fit-once/serve-many artifact (e.g. `spark.read.parquet` of the
+    * saved embedding store, exactly like streaming IVF/PQ encode
+    * serves AnnIvf.loadIndex / AnnPq.loadCodebooks) — it is scanned
+    * per batch but never re-shuffled, and the greedy itself is the
+    * fused one-job flatMapGroups over batch-queries × nCand rows.
+    *
+    * MMR is per-query independent, so batch ≡ stream EXACTLY: the
+    * union of micro-batch outputs equals one batch mmrTopK over the
+    * union of the queries (StreamingSpec asserts row identity).
+    *
+    * Exactly-once note: foreachBatch can replay a batch after a
+    * failure, so the append is made idempotent the nearDupIngest way —
+    * queries whose q_id already has served rows in `outPath` are
+    * anti-joined out before re-ranking. */
+  def mmrServe(queryStream: DataFrame, corpus: DataFrame, idCol: String,
+               vecCol: String, k: Int, nCand: Int, outPath: String,
+               lambda: Double = 0.7)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    queryStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val served: DataFrame =
+        try spark.read.parquet(outPath).select(col("q_id")).distinct()
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          spark.emptyDataFrame.select(lit(0L).as("q_id")).filter(lit(false)) }
+      // replay guard: a half-completed earlier attempt already served these
+      val fresh = batch.join(served,
+        batch(idCol).cast("long") === served("q_id"), "left_anti")
+      if (!fresh.isEmpty)
+        graft.operators.Ann.mmrTopK(corpus, fresh, idCol, vecCol, k, nCand, lambda)
+          .write.mode("append").parquet(outPath)
+      ()
+    }
+  }
+
   /** Streaming per-key EWMA — the truly-recursive smoothing the batch
     * q_ewma truncates to 5 taps: state is ONE double per key (the last
     * smoothed value), carried across micro-batches by

@@ -104,4 +104,25 @@ class AnnSpec extends SparkSpec {
     assert(assigned.count() === emb.count())
     assert(assigned.select("id").distinct().count() === emb.count())
   }
+
+  test("MMR fused flatMapGroups == unrolled k-job formulation, row for row") {
+    // The one-job production path must replay the unrolled DataFrame
+    // greedy EXACTLY — same rel/pair rounding, same (score desc, id
+    // asc) tie-breaks — or the engine-replayable-trajectory claim dies.
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+      df.select(col("q_id").cast("long"), col("pick").cast("int"),
+          col("n_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fused = rows(Ann.mmrTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCand = 20))
+    val unrolled = rows(Ann.mmrTopKUnrolled(emb, queries, "vec_id", "embedding",
+      k = 10, nCand = 20))
+    assert(fused === unrolled)
+    assert(fused.size === 50) // 5 queries × 10 picks
+    // and the fused path is ONE shuffle-bounded job: the plan carries a
+    // single flatMapGroups (no per-round checkpoint lineage)
+    val plan = Ann.mmrTopK(emb, queries, "vec_id", "embedding", 10, 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"), "fused MMR must not checkpoint")
+  }
 }

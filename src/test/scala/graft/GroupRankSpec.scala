@@ -103,6 +103,21 @@ class GroupRankSpec extends SparkSpec {
     assert(fused === chained)
   }
 
+  test("ntileMany precondition: idCols must uniquely key df (duplicates collapse)") {
+    val s = spark
+    import s.implicits._
+    // Documents the stated contract: with a DUPLICATE id, the pivot
+    // collapses the two rows to one carrying the max tile — unlike
+    // chained ntile, which would keep both rows. Callers must pass a
+    // unique key; this pins the observable behavior if they don't.
+    val dup = Seq((1L, 10), (1L, 990), (2L, 500), (3L, 700))
+      .toDF("id", "a")
+    val out = GroupRank.ntileMany(dup, Seq("id"), Seq("a" -> "ta"), 2)
+    assert(out.count() === 3, "duplicate ids collapse to one output row")
+    val t1 = out.filter($"id" === 1L).select("ta").as[Long].head()
+    assert(t1 === 2L, "collapsed row carries the MAX tile of the duplicates")
+  }
+
   test("no cached blocks survive a prefixSum/ntile/q_spearman/q_gini run") {
     val sc = SparkSpec.spark.sparkContext
     def persisted = sc.getPersistentRDDs.size

@@ -41,6 +41,26 @@ class QuantileSampleSpec extends SparkSpec {
     assert(a === b && b === c && a.size === 256)
   }
 
+  test("hash collision keeps the MIN value, independent of merge order") {
+    val s = spark; import s.implicits._
+    // Force collisions by feeding a NON-unique hash: two ids share each
+    // hash value. The buffer must keep min(value) per hash whatever
+    // order partitions merge in — the set-function property the oracle
+    // (min(value) GROUP BY hv, then bottom-k rank) replays.
+    val rows = (1L to 40L).map(i => (i % 7, (100 - i).toDouble)) // 7 hashes
+    val df = rows.toDF("hv", "v")
+    def run(parts: Int): Seq[Double] =
+      df.repartition(parts)
+        .agg(QuantileSample.quantileSample(col("hv"), col("v"), 5).as("s"))
+        .collect().head.getSeq[Double](0)
+    // expected: per hash h in 0..6 the min value; 5 smallest hashes 0..4
+    val want = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val exp = (0L to 4L).map(want).sorted
+    assert(run(1) === exp)
+    assert(run(4) === exp)
+    assert(run(17) === exp)
+  }
+
   test("sampled median is rank-accurate within ~3/sqrt(k)") {
     val s = spark; import s.implicits._
     val n = 50000

@@ -420,6 +420,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mmrServe: streamed query vectors re-rank identically to batch mmrTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("mmr").toFile
+    val out = new java.io.File(dir, "served").getAbsolutePath
+    val corpus = table("embeddings")
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.mmrServe(in.toDF().toDF("vec_id", "embedding"),
+      corpus, "vec_id", "embedding", k = 10, nCand = 20, out).start()
+    try {
+      // two micro-batches, then a REPLAY of batch 1 (idempotency)
+      in.addData(queries.take(2).toSeq)
+      q.processAllAvailable()
+      in.addData(queries.drop(2).toSeq)
+      q.processAllAvailable()
+      in.addData(queries.take(2).toSeq)
+      q.processAllAvailable()
+      val streamed = SparkSpec.spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = graft.operators.Ann.mmrTopK(corpus,
+          corpus.filter(col("vec_id") < 5), "vec_id", "embedding", 10, 20)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // per-query independence ⇒ micro-batch union == one batch run;
+      // the replay guard means the re-added queries appended NOTHING
+      assert(streamed === batch)
+      assert(streamed.size === 50)
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("nearDupIngest appends only novel docs across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("ndi").toFile
     val corpus = new java.io.File(dir, "corpus").getAbsolutePath

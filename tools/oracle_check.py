@@ -1,21 +1,63 @@
 #!/usr/bin/env python3
 """Local simulation of the driver's DuckDB-oracle compare.
 
-Usage: oracle_check.py <sfDir> <verifyOutDir>
+Usage: oracle_check.py <sfDir> <verifyOutDir> [timeout_sec]
 
 For each <name> dir in verifyOutDir: load spark result parquet, run
 oracle_sql.json[name] in DuckDB over the sfDir tables, sort columns by
 name, sort rows, compare values.
+
+Each oracle runs under a per-query wall-clock timeout (default 180 s —
+the slowest legitimate oracle, q_curation_funnel's composed-pipeline
+replay, runs ~45 s idle and must survive a contended box): a hanging
+oracle (e.g. an exponentially-inlined CTE chain) produces ONE printed
+FAIL and the harness moves on with a fresh connection — it can never
+zero out the whole run.
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+TIMEOUT = float(sys.argv[3]) if len(sys.argv) > 3 else 180.0
+
+def fresh_con():
+    c = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return c
+
+con = fresh_con()
+
+def run_bounded(sql):
+    """Run sql with a wall-clock bound. Returns (df, err). On timeout,
+    interrupt the connection; if the worker still doesn't return
+    (e.g. stuck in planning), abandon the daemon thread and swap in a
+    fresh connection so later queries are unaffected."""
+    global con
+    box = {}
+    my_con = con
+    def work():
+        try:
+            box["df"] = my_con.execute(sql).df()
+        except Exception as e:
+            box["err"] = str(e)
+    th = threading.Thread(target=work, daemon=True)
+    th.start()
+    th.join(TIMEOUT)
+    if th.is_alive():
+        try:
+            my_con.interrupt()
+        except Exception:
+            pass
+        th.join(10)
+        if th.is_alive():
+            con = fresh_con()  # abandon the stuck thread + connection
+        return None, f"timeout after {TIMEOUT:.0f}s"
+    if "err" in box:
+        return None, box["err"]
+    return box.get("df"), None
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
@@ -25,10 +67,9 @@ for name, sql in sorted(oracles.items()):
         print(f"FAIL {name}: no spark result dir"); fails += 1; continue
     files = glob.glob(f"{res_dir}/*.parquet")
     spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-    try:
-        duck_df = con.execute(sql).df()
-    except Exception as e:
-        print(f"FAIL {name}: duckdb error: {e}"); fails += 1; continue
+    duck_df, err = run_bounded(sql)
+    if err is not None:
+        print(f"FAIL {name}: duckdb error: {err}"); fails += 1; continue
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
         df = df.sort_values(by=list(df.columns), ignore_index=True)
