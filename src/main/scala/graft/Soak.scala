@@ -240,7 +240,11 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    run(spark, sfDir, repl).foreach { case (n, t1, tR) =>
+    // SPARK_GRAFT_SOAK_ONLY=a,b,c restricts to named families (local triage)
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val out = only.fold(run(spark, sfDir, repl))(runAt(spark, sfDir, _, repl))
+    out.foreach { case (n, t1, tR) =>
       println(f"$n%-16s t1=$t1%6.2fs t$repl%d=$tR%6.2fs ratio=${tR / t1}%5.1f")
     }
     spark.stop()

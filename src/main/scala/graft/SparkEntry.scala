@@ -97,6 +97,17 @@ object SparkEntry {
 
   /** Brute-force cosine top-10 ranks (q_id, rn, n_id) — shared by
     * q_ann_bruteforce and as the ground-truth side of q_ann_recall. */
+  /** Truncated-RBO depth weights (1−p)·p^(d−1) for p = 0.9, d = 1..10,
+    * as EXACT decimal strings — 0.9^k is a terminating decimal, so both
+    * engines parse the identical correctly-rounded double; a runtime
+    * pow(0.9, d−1) would lean on libm trees that may differ by a ULP.
+    * Shared by the q_rbo Spark side (10-row broadcast dim) and its
+    * oracle's VALUES list. */
+  private val RboWeights: Seq[(Int, String)] = {
+    var w = BigDecimal("0.1")
+    (1 to 10).map { d => val r = (d, w.toString); w *= BigDecimal("0.9"); r }
+  }
+
   private val AnnBruteSql =
     """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
       |           FROM embeddings WHERE vec_id < 5),
@@ -2070,6 +2081,150 @@ object SparkEntry {
           round(col("dcg").cast("double") / col("idcg").cast("double"), 9)
             .as("ndcg"))
         .orderBy(col("q_id"))
+    }),
+
+    // #255: rank-biased overlap @10 (Webber et al. TOIS'10) between the
+    // LSH index ranking and the exact brute-force ranking — the graded
+    // POSITION-SENSITIVE index-quality metric beside recall@10 (set
+    // overlap) and NDCG@10 (relevance discount): truncated RBO with
+    // p=0.9, no extrapolation. A doc at LSH rank i / true rank j joins
+    // the overlap for every depth d >= max(i,j), so ov_d is one count
+    // per (query, depth); the (1−p)·p^(d−1) weights are EXACT decimal
+    // literals shipped as a 10-row broadcast dim (no pow() — libm
+    // trees differ across engines), each depth term rounds 9 then
+    // decimal-sums (order-free).
+    "q_rbo" -> ((s, dir) => {
+      import s.implicits._
+      val e = tp(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+        .select(col("q_id"), col("n_id"), col("rn").as("bpos"))
+      val ls = AnnLsh.annTopKExact(e, q, "vec_id", "embedding", 10)
+        .select(col("q_id").as("lq"), col("n_id").as("ln"), col("rn").as("apos"))
+      val wdf = RboWeights.toDF("d", "wv")
+      val matched = ls.join(bf,
+          col("lq") === col("q_id") && col("ln") === col("n_id"))
+        .select(col("lq").as("qid"), greatest(col("apos"), col("bpos")).as("m"))
+      val terms = matched.join(broadcast(wdf), col("d") >= col("m"))
+        .groupBy(col("qid"), col("d"), col("wv"))
+        .agg(count(lit(1)).as("ov"))
+        .select(col("qid"),
+          round(col("wv").cast("double") * col("ov").cast("double") /
+            col("d").cast("double"), 9).cast("decimal(18,9)").as("term"))
+      ls.select(col("lq").as("qid")).distinct()
+        .join(terms.groupBy(col("qid")).agg(sum(col("term")).as("srbo")),
+          Seq("qid"), "left")
+        .select(col("qid").as("q_id"),
+          coalesce(col("srbo").cast("double"), lit(0.0)).as("rbo"))
+        .orderBy(col("q_id"))
+    }),
+
+    // #256: cross-source 5-gram overlap matrix — the training-data
+    // hygiene read BEFORE mixing sources (shared boilerplate, syndicated
+    // text, cross-source contamination): per source pair, shared
+    // distinct gram count + exact Jaccard. Grams hash to the md5-60bit
+    // identity before the distinct and the self-join, so shuffles carry
+    // 8-byte keys, never gram text (the substring-dedup rule); the
+    // matrix is |sources|²-bounded. Zero-overlap pairs don't emit (the
+    // matrix is sparse by construction on both engines).
+    "q_source_overlap" -> ((s, dir) => {
+      val sg = Dedup.shingleDf(tp(s, dir, "documents"), "source", "text", 5)
+        .select(col("id").as("source"), explode(col("sh")).as("g"))
+        .select(col("source"),
+          conv(substring(md5(concat(lit("so:"), col("g"))), 1, 15), 16, 10)
+            .cast("long").as("gh"))
+        .distinct()
+      val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      sg.as("a").join(sg.as("b"),
+          col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("n").as("na"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("n").as("nb"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            (col("na") + col("nb") - col("n_shared")).cast("double"), 9)
+            .as("jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // #257: token burstiness (index of dispersion) for the top-100
+    // tokens — the contagion/clumpiness signal that separates topical
+    // words (bursty: all occurrences in few docs) from function words
+    // (Poisson-ish spread), a spam/boilerplate diagnostic: per token,
+    // var/mean of the per-doc count over ALL docs (zeros included)
+    // collapses to the EXACT integer ratio (Q·N − S²)/(N·S) with
+    // S = Σc, Q = Σc² over nonzero docs and N = corpus doc count — one
+    // token-keyed agg + a broadcast scalar, one shared division
+    // round(9). Sums ride decimal(38,0); inputs are < 2^53 so the
+    // final double casts are exact.
+    "q_burstiness" -> ((s, dir) => {
+      val perDoc = tp(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
+      val stats = perDoc.groupBy(col("token"))
+        .agg(sum(col("c")).cast("decimal(38,0)").as("sc"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("qc"),
+          count(lit(1)).as("n_docs"))
+      val nd = t(s, dir, "documents")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("nd"))
+      stats.crossJoin(broadcast(nd))
+        .orderBy(col("sc").desc, col("token").asc).limit(100)
+        .select(col("token"), col("sc").cast("long").as("n_occ"), col("n_docs"),
+          round((col("qc") * col("nd") - col("sc") * col("sc")).cast("double") /
+            (col("nd") * col("sc")).cast("double"), 9).as("burstiness"))
+        .orderBy(col("n_occ").desc, col("token").asc)
+    }),
+
+    // #258: vocabulary coverage curve — what fraction of all token
+    // OCCURRENCES the top-k vocab covers (the OOV-rate-vs-vocab-size
+    // read that sizes a tokenizer): ranks come from GroupRank's
+    // DISTRIBUTED two-pass rank over the vocab table (no single-task
+    // window over a 100M-row vocab), coverage is one conditional agg —
+    // exact integer sums, two shared divisions round(9).
+    "q_vocab_coverage" -> ((s, dir) => {
+      val vocab = tp(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .withColumn("g", lit(1)).withColumn("neg", -col("cnt"))
+      operators.GroupRank.rowNumber(vocab, Seq("g"), Seq("neg", "token"), "rnk")
+        .agg(count(lit(1)).as("vocab_size"),
+          sum(col("cnt")).cast("decimal(38,0)").as("tot"),
+          sum(when(col("rnk") <= 100, col("cnt")).otherwise(0L))
+            .cast("decimal(38,0)").as("s100"),
+          sum(when(col("rnk") <= 1000, col("cnt")).otherwise(0L))
+            .cast("decimal(38,0)").as("s1000"))
+        .select(col("vocab_size"),
+          round(col("s100").cast("double") / col("tot").cast("double"), 9)
+            .as("cov_100"),
+          round(col("s1000").cast("double") / col("tot").cast("double"), 9)
+            .as("cov_1000"))
+    }),
+
+    // #259: Simpson diversity (repeat-concentration λ, unbiased form)
+    // of each source's token distribution — the lexical-diversity
+    // mixture read beside entropy/TTR: λ = Σ n_t(n_t−1) / (N(N−1)),
+    // the probability two tokens drawn without replacement coincide.
+    // Integer numerator and denominator (decimal(38,0) sums), one
+    // shared division round(9); one token-keyed agg per source.
+    "q_simpson" -> ((s, dir) => {
+      val tc = tp(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      tc.groupBy(col("source"))
+        .agg(sum(col("c")).cast("decimal(38,0)").as("nt"),
+          count(lit(1)).as("vocab"),
+          sum((col("c") * (col("c") - 1)).cast("decimal(38,0)")).as("num"))
+        .filter(col("nt") > 1)
+        .select(col("source"), col("nt").cast("long").as("n_tokens"),
+          col("vocab"),
+          round(col("num").cast("double") /
+            (col("nt") * (col("nt") - lit(1))).cast("double"), 9).as("simpson"))
+        .orderBy(col("source"))
     }),
 
     // #251: per-doc script-mix profile (mixed-script spam detection /
@@ -6691,6 +6846,104 @@ object SparkEntry {
         |  FROM bf GROUP BY q_id)
         |SELECT d.q_id, round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 9) AS ndcg
         |FROM d JOIN i ON d.q_id = i.q_id ORDER BY d.q_id""".stripMargin,
+
+    // truncated-RBO replay: same exact-decimal weight VALUES list, the
+    // same max(rank_a, rank_b) >= d overlap expansion, round(9) terms
+    // decimal-summed
+    "q_rbo" ->
+      s"""WITH bf AS (SELECT q_id, n_id, rn AS bpos FROM ($AnnBruteSql)),
+        |ls AS (SELECT q_id AS lq, n_id AS ln, rn AS apos FROM ($AnnLshSql)),
+        |w(d, wv) AS (VALUES ${RboWeights.map { case (d, w) => s"($d, '$w')" }.mkString(", ")}),
+        |m AS (SELECT ls.lq AS qid, greatest(ls.apos, bf.bpos) AS m
+        |  FROM ls JOIN bf ON ls.lq = bf.q_id AND ls.ln = bf.n_id),
+        |t AS (SELECT qid, d,
+        |    CAST(round(CAST(wv AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+        |      / CAST(d AS DOUBLE), 9) AS DECIMAL(18,9)) AS term
+        |  FROM m JOIN w ON w.d >= m.m GROUP BY qid, d, wv),
+        |qs AS (SELECT DISTINCT lq AS qid FROM ls),
+        |sr AS (SELECT qid, SUM(term) AS srbo FROM t GROUP BY qid)
+        |SELECT qs.qid AS q_id,
+        |  COALESCE(CAST(sr.srbo AS DOUBLE), 0.0) AS rbo
+        |FROM qs LEFT JOIN sr ON qs.qid = sr.qid
+        |ORDER BY q_id""".stripMargin,
+
+    // source-overlap replay: the q_contamination gram construction per
+    // source, md5-60bit gram identity, distinct per source, equi-join
+    // on the hash with source_a < source_b
+    "q_source_overlap" ->
+      """WITH t AS (SELECT source,
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (SELECT source, unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))) AS g
+        |  FROM t WHERE len(tk) >= 5),
+        |sg AS (SELECT DISTINCT source,
+        |    ('0x' || substring(md5('so:' || g), 1, 15))::BIGINT AS gh FROM sh),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY source),
+        |iv AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM sg a JOIN sg b ON a.gh = b.gh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE)
+        |    / CAST(na.n + nb.n - n_shared AS DOUBLE), 9) AS jaccard
+        |FROM iv JOIN sz na ON na.source = iv.source_a
+        |  JOIN sz nb ON nb.source = iv.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    // burstiness replay: exact integer (Q*N - S^2)/(N*S), decimal sums,
+    // one shared division round(9); top-100 by (occurrences, token)
+    "q_burstiness" ->
+      """WITH pd AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+        |        x -> x <> '')) AS token
+        |    FROM documents) GROUP BY token, doc_id),
+        |st AS (SELECT token,
+        |    CAST(SUM(c) AS DECIMAL(38,0)) AS sc,
+        |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qc,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM pd GROUP BY token),
+        |nd AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS nd FROM documents),
+        |top AS (SELECT token, sc, qc, n_docs, nd.nd FROM st, nd
+        |  ORDER BY sc DESC, token LIMIT 100)
+        |SELECT token, CAST(sc AS BIGINT) AS n_occ, n_docs,
+        |  round(CAST(qc * nd - sc * sc AS DOUBLE)
+        |    / CAST(nd * sc AS DOUBLE), 9) AS burstiness
+        |FROM top ORDER BY n_occ DESC, token""".stripMargin,
+
+    // vocab-coverage replay: row_number by (cnt desc, token) over the
+    // vocab table, conditional integer sums, shared divisions round(9)
+    "q_vocab_coverage" ->
+      """WITH v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> x <> '')) AS token
+        |    FROM documents) GROUP BY token),
+        |r AS (SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM v)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+        |  round(CAST(CAST(SUM(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END) AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(CAST(SUM(cnt) AS DECIMAL(38,0)) AS DOUBLE), 9) AS cov_100,
+        |  round(CAST(CAST(SUM(CASE WHEN rnk <= 1000 THEN cnt ELSE 0 END) AS DECIMAL(38,0)) AS DOUBLE)
+        |    / CAST(CAST(SUM(cnt) AS DECIMAL(38,0)) AS DOUBLE), 9) AS cov_1000
+        |FROM r""".stripMargin,
+
+    // Simpson replay: integer n_t(n_t-1) numerator and N(N-1)
+    // denominator, one shared division round(9)
+    "q_simpson" ->
+      """WITH tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+        |        x -> x <> '')) AS token
+        |    FROM documents) GROUP BY source, token),
+        |ag AS (SELECT source,
+        |    CAST(SUM(c) AS DECIMAL(38,0)) AS nt,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(CAST(c * (c - 1) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS num
+        |  FROM tc GROUP BY source)
+        |SELECT source, CAST(nt AS BIGINT) AS n_tokens, vocab,
+        |  round(CAST(num AS DOUBLE) / CAST(nt * (nt - 1) AS DOUBLE), 9) AS simpson
+        |FROM ag WHERE nt > 1 ORDER BY source""".stripMargin,
 
     // script-mix replay: identical literal-range classes, global flag
     "q_script_mix" ->
