@@ -2083,6 +2083,115 @@ object SparkEntry {
         .orderBy(col("q_id"))
     }),
 
+    // #269: CUSUM change-point on daily revenue — the batch twin of
+    // the streaming CUSUM detector (64k): argmax_t |Σ_{≤t}(x − x̄)|.
+    // The mean is a RATIONAL, so the deviation scales exactly:
+    // n·S_t = n·cumsum_t − t·total is decimal-EXACT — the argmax
+    // compares exact decimals (no float tree at all), tie-break
+    // earliest day; only the reported magnitude divides out n,
+    // round(9). Day-table-sized after the rollup.
+    "q_change_point" -> ((s, dir) => {
+      val d = t(s, dir, "orders")
+        .groupBy(unix_date(col("o_orderdate").cast("date")).cast("long").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val wc = boundedGlobal("day table, one row per day").orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = boundedGlobal("day table, one row per day").orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = d
+        .withColumn("t", count(lit(1)).over(wr))
+        .withColumn("cs", sum(col("rev")).over(wc))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("nn"),
+          sum(col("rev")).as("tot"))))
+        .select(col("day"), col("nn"),
+          abs(col("cs") * col("nn") - col("tot") * col("t")).as("devn"))
+      cum.orderBy(col("devn").desc, col("day").asc).limit(1)
+        .select(col("day").as("change_day"),
+          round(col("devn").cast("double") / col("nn").cast("double"), 9)
+            .as("max_dev"))
+    }),
+
+    // #260: sliding-window text chunking (the RAG / context-window
+    // preprocessing step): 64-token windows at stride 48 (16-token
+    // overlap) per doc — chunk starts at token 48·i+1 while that is in
+    // range, the last chunk may run short. Pure per-row projection +
+    // explode (no shuffle at all until the output sort); each chunk
+    // emits its token count and an md5-60bit fingerprint of the
+    // space-joined window, so downstream chunk-level dedup joins on
+    // 8-byte keys, never chunk text.
+    "q_chunk_text" -> ((s, dir) => {
+      val d = tp(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("tk"))
+        .filter(size(col("tk")) > 0)
+      d.select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0),
+            floor((size(col("tk")) - 1) / lit(48)).cast("int"))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("tk"), col("chunk_id") * lit(48) + lit(1), lit(64)).as("ck"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ck")).cast("long").as("n_tok"),
+          conv(substring(md5(concat_ws(" ", col("ck"))), 1, 15), 16, 10)
+            .cast("long").as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // #261: Heaps' law fit — vocab growth V ~ k·N^β across sources
+    // (each source is one (tokens, distinct-tokens) sample point; β
+    // near 0.5 is natural text, near 1 means unbounded novelty — the
+    // dedup/synthetic-data health check beside the Zipf slope). The
+    // zipfFit regression idiom: per-point log2 coordinates, per-term
+    // round(9) decimal moment sums, one closed-form IEEE tree round(6).
+    "q_heaps" -> ((s, dir) => {
+      val pts = tp(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+      val x = log2(col("n").cast("double"))
+      val y = log2(col("v").cast("double"))
+      def dsum9(c: Column): Column =
+        sum(round(c, 9).cast("decimal(28,9)")).cast("double")
+      val m = pts.agg(count(lit(1)).cast("double").as("np"),
+        dsum9(x).as("sx"), dsum9(y).as("sy"),
+        dsum9(x * y).as("sxy"), dsum9(x * x).as("sxx"))
+      m.select(m("np").cast("long").as("n_sources"),
+        round((m("np") * m("sxy") - m("sx") * m("sy")) /
+          (m("np") * m("sxx") - m("sx") * m("sx")), 6).as("beta"),
+        round((m("sy") - (m("np") * m("sxy") - m("sx") * m("sy")) /
+          (m("np") * m("sxx") - m("sx") * m("sx")) * m("sx")) / m("np"), 6)
+          .as("intercept"))
+    }),
+
+    // #264: Kendall τ-b between doc length and token count over a
+    // bounded id range — the tie-aware rank-correlation beside
+    // q_spearman (whose ρ needs distinct ranks to be comparable;
+    // τ-b's tie corrections don't): C/D/tie counts from the all-pairs
+    // join (id-bounded ⇒ pairs bounded; at scale the same counts come
+    // from a merge-sort inversion pass), every count an exact integer,
+    // τ-b one shared sqrt/division tree round(9) — IEEE sqrt is
+    // correctly rounded on every engine, unlike pow/log.
+    "q_kendall" -> ((s, dir) => {
+      val d = tp(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          col("n_chars").cast("long").as("x"),
+          size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("y"))
+      val pairs = d.as("a").join(d.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select((col("a.x") - col("b.x")).as("dx"),
+          (col("a.y") - col("b.y")).as("dy"))
+      val cnt = pairs.agg(
+        count(lit(1)).as("n0"),
+        count_if(col("dx") * col("dy") > 0).as("c"),
+        count_if(col("dx") * col("dy") < 0).as("d"),
+        count_if(col("dx") === 0).as("n1"),
+        count_if(col("dy") === 0).as("n2"))
+      cnt.select(col("n0").as("n_pairs"), col("c").as("concordant"),
+        col("d").as("discordant"),
+        round((col("c") - col("d")).cast("double") /
+          sqrt((col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")).cast("double")), 9).as("tau_b"))
+    }),
+
     // #255: rank-biased overlap @10 (Webber et al. TOIS'10) between the
     // LSH index ranking and the exact brute-force ranking — the graded
     // POSITION-SENSITIVE index-quality metric beside recall@10 (set
@@ -2148,35 +2257,6 @@ object SparkEntry {
             (col("na") + col("nb") - col("n_shared")).cast("double"), 9)
             .as("jaccard"))
         .orderBy(col("source_a"), col("source_b"))
-    }),
-
-    // #257: token burstiness (index of dispersion) for the top-100
-    // tokens — the contagion/clumpiness signal that separates topical
-    // words (bursty: all occurrences in few docs) from function words
-    // (Poisson-ish spread), a spam/boilerplate diagnostic: per token,
-    // var/mean of the per-doc count over ALL docs (zeros included)
-    // collapses to the EXACT integer ratio (Q·N − S²)/(N·S) with
-    // S = Σc, Q = Σc² over nonzero docs and N = corpus doc count — one
-    // token-keyed agg + a broadcast scalar, one shared division
-    // round(9). Sums ride decimal(38,0); inputs are < 2^53 so the
-    // final double casts are exact.
-    "q_burstiness" -> ((s, dir) => {
-      val perDoc = tp(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
-        .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
-      val stats = perDoc.groupBy(col("token"))
-        .agg(sum(col("c")).cast("decimal(38,0)").as("sc"),
-          sum((col("c") * col("c")).cast("decimal(38,0)")).as("qc"),
-          count(lit(1)).as("n_docs"))
-      val nd = t(s, dir, "documents")
-        .agg(count(lit(1)).cast("decimal(38,0)").as("nd"))
-      stats.crossJoin(broadcast(nd))
-        .orderBy(col("sc").desc, col("token").asc).limit(100)
-        .select(col("token"), col("sc").cast("long").as("n_occ"), col("n_docs"),
-          round((col("qc") * col("nd") - col("sc") * col("sc")).cast("double") /
-            (col("nd") * col("sc")).cast("double"), 9).as("burstiness"))
-        .orderBy(col("n_occ").desc, col("token").asc)
     }),
 
     // #258: vocabulary coverage curve — what fraction of all token
@@ -6847,6 +6927,81 @@ object SparkEntry {
         |SELECT d.q_id, round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 9) AS ndcg
         |FROM d JOIN i ON d.q_id = i.q_id ORDER BY d.q_id""".stripMargin,
 
+    // change-point replay: exact-decimal n*S_t = n*cumsum - t*total
+    // argmax with earliest-day tie-break; magnitude divides out n once
+    "q_change_point" ->
+      """WITH d AS (SELECT
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |c AS (SELECT day,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    SUM(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM d),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn, SUM(rev) AS tot FROM d),
+        |dev AS (SELECT day, g.nn, abs(cs * g.nn - g.tot * t) AS devn FROM c, g)
+        |SELECT day AS change_day,
+        |  round(CAST(devn AS DOUBLE) / CAST(nn AS DOUBLE), 9) AS max_dev
+        |FROM dev ORDER BY devn DESC, day LIMIT 1""".stripMargin,
+
+    // chunking replay: same 64/48 window arithmetic, 1-based inclusive
+    // list slice, md5-60bit fingerprint of the space-joined window
+    "q_chunk_text" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |    unnest(range(0, ((len(tk) - 1) // 48) + 1)) AS chunk_id
+        |  FROM d WHERE len(tk) > 0)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(len(list_slice(tk, chunk_id*48 + 1, chunk_id*48 + 64)) AS BIGINT) AS n_tok,
+        |  ('0x' || substring(md5(array_to_string(
+        |    list_slice(tk, chunk_id*48 + 1, chunk_id*48 + 64), ' ')), 1, 15))::BIGINT AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Heaps replay: per-source (N, V) points, zipf's round(9) decimal
+    // moment sums, closed-form slope/intercept round(6)
+    "q_heaps" ->
+      """WITH tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT source,
+        |      unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+        |        x -> x <> '')) AS token
+        |    FROM documents) GROUP BY source, token),
+        |pt AS (SELECT source, SUM(c) AS n, CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM tc GROUP BY source),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+        |    CAST(SUM(CAST(round(log2(CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(round(log2(CAST(v AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(round(log2(CAST(n AS DOUBLE)) * log2(CAST(v AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(round(log2(CAST(n AS DOUBLE)) * log2(CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+        |  FROM pt)
+        |SELECT CAST(np AS BIGINT) AS n_sources,
+        |  round((np * sxy - sx * sy) / (np * sxx - sx * sx), 6) AS beta,
+        |  round((sy - (np * sxy - sx * sy) / (np * sxx - sx * sx) * sx) / np, 6) AS intercept
+        |FROM m""".stripMargin,
+
+    // Kendall tau-b replay: integer pair counts, one shared
+    // sqrt/division tree round(9)
+    "q_kendall" ->
+      """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+        |      t -> t <> '')) AS BIGINT) AS y
+        |  FROM documents WHERE doc_id < 200),
+        |p AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM p)
+        |SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+        |  round(CAST(c - d AS DOUBLE)
+        |    / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)), 9) AS tau_b
+        |FROM c""".stripMargin,
+
     // truncated-RBO replay: same exact-decimal weight VALUES list, the
     // same max(rank_a, rank_b) >= d overlap expansion, round(9) terms
     // decimal-summed
@@ -6890,27 +7045,6 @@ object SparkEntry {
         |FROM iv JOIN sz na ON na.source = iv.source_a
         |  JOIN sz nb ON nb.source = iv.source_b
         |ORDER BY source_a, source_b""".stripMargin,
-
-    // burstiness replay: exact integer (Q*N - S^2)/(N*S), decimal sums,
-    // one shared division round(9); top-100 by (occurrences, token)
-    "q_burstiness" ->
-      """WITH pd AS (SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM (
-        |    SELECT doc_id,
-        |      unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
-        |        x -> x <> '')) AS token
-        |    FROM documents) GROUP BY token, doc_id),
-        |st AS (SELECT token,
-        |    CAST(SUM(c) AS DECIMAL(38,0)) AS sc,
-        |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS qc,
-        |    CAST(COUNT(*) AS BIGINT) AS n_docs
-        |  FROM pd GROUP BY token),
-        |nd AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS nd FROM documents),
-        |top AS (SELECT token, sc, qc, n_docs, nd.nd FROM st, nd
-        |  ORDER BY sc DESC, token LIMIT 100)
-        |SELECT token, CAST(sc AS BIGINT) AS n_occ, n_docs,
-        |  round(CAST(qc * nd - sc * sc AS DOUBLE)
-        |    / CAST(nd * sc AS DOUBLE), 9) AS burstiness
-        |FROM top ORDER BY n_occ DESC, token""".stripMargin,
 
     // vocab-coverage replay: row_number by (cnt desc, token) over the
     // vocab table, conditional integer sums, shared divisions round(9)

@@ -40,6 +40,27 @@ class SurveySpec extends AnyFunSuite {
       s"SURVEY §2 references unknown query keys (stale rows): ${stale.toSeq.sorted.mkString(", ")}")
   }
 
+  test("no duplicate query keys in the SparkEntry source") {
+    // A Scala Map literal silently keeps the LAST binding for a
+    // repeated key — a new query accidentally reusing an existing name
+    // would shadow one of the two with no compile error and no runtime
+    // signal (caught live in r9: five added queries collided with
+    // existing ones and vanished). Guard at the SOURCE level: every
+    // `"name" ->` key may appear at most twice (once in `queries`,
+    // once in `oracleSql`).
+    val text = {
+      val src = scala.io.Source.fromFile(
+        "src/main/scala/graft/SparkEntry.scala", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val counts = "\"(q_[a-z0-9_]+|q1_agg)\" ->".r.findAllMatchIn(text)
+      .map(_.group(1)).toSeq.groupBy(identity).view.mapValues(_.size)
+    val dups = counts.filter(_._2 > 2).keys.toSeq.sorted
+    assert(dups.isEmpty,
+      s"query keys bound more than twice in SparkEntry.scala (map " +
+        s"last-wins shadowing): ${dups.mkString(", ")}")
+  }
+
   test("every query key has an oracle or a documented rows-only check") {
     // Every key in `queries` should either carry an oracle or be a
     // deliberate rows-only entry. Today every q_* key is oracled;
