@@ -2113,27 +2113,15 @@ object SparkEntry {
 
     // #260: sliding-window text chunking (the RAG / context-window
     // preprocessing step): 64-token windows at stride 48 (16-token
-    // overlap) per doc — chunk starts at token 48·i+1 while that is in
-    // range, the last chunk may run short. Pure per-row projection +
-    // explode (no shuffle at all until the output sort); each chunk
-    // emits its token count and an md5-60bit fingerprint of the
-    // space-joined window, so downstream chunk-level dedup joins on
+    // overlap) per doc via operators.Chunking — a stateless pure
+    // projection, so the identical plan serves structured streaming
+    // unchanged (StreamingSpec asserts batch ≡ stream); chunk
+    // fingerprints are md5-60bit so chunk-level dedup joins move
     // 8-byte keys, never chunk text.
-    "q_chunk_text" -> ((s, dir) => {
-      val d = tp(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("tk"))
-        .filter(size(col("tk")) > 0)
-      d.select(col("doc_id"), col("tk"),
-          explode(sequence(lit(0),
-            floor((size(col("tk")) - 1) / lit(48)).cast("int"))).as("chunk_id"))
-        .select(col("doc_id"), col("chunk_id"),
-          slice(col("tk"), col("chunk_id") * lit(48) + lit(1), lit(64)).as("ck"))
-        .select(col("doc_id"), col("chunk_id"),
-          size(col("ck")).cast("long").as("n_tok"),
-          conv(substring(md5(concat_ws(" ", col("ck"))), 1, 15), 16, 10)
-            .cast("long").as("chunk_hash"))
-        .orderBy(col("doc_id"), col("chunk_id"))
-    }),
+    "q_chunk_text" -> ((s, dir) =>
+      operators.Chunking.slidingChunks(tp(s, dir, "documents"),
+          "doc_id", "text", window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))),
 
     // #261: Heaps' law fit — vocab growth V ~ k·N^β across sources
     // (each source is one (tokens, distinct-tokens) sample point; β

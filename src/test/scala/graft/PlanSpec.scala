@@ -444,4 +444,33 @@ class PlanSpec extends SparkSpec {
     val ranges = p.linesIterator.count(_.contains("Exchange rangepartitioning"))
     assert(ranges <= 1, s"expected ≤1 range exchange, got $ranges:\n$p")
   }
+
+  test("q_chunk_text: chunking is a pure projection — only the output sort shuffles") {
+    // the stated scale claim: windows explode per row with no
+    // data-sized shuffle; the single exchange is the deterministic
+    // output ordering's range partition
+    val p = plan("q_chunk_text")
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"expected ≤1 exchange (the sort), got $exchanges:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q_vocab_coverage: ranks come from GroupRank, never a global Window") {
+    val p = plan("q_vocab_coverage")
+    assert(!p.contains("Window"), s"vocab rank must not plan a Window:\n$p")
+  }
+
+  test("q_source_overlap: per-source size tables broadcast back") {
+    val p = plan("q_source_overlap")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_rbo: only the 10-row weight dim rides a nested-loop broadcast") {
+    // the d >= m depth expansion joins a 10-row weights dim — a
+    // BroadcastNestedLoopJoin over a CONSTANT-sized side is the
+    // intended plan; a cartesian product would not be
+    val p = plan("q_rbo")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -453,6 +453,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chunking is stateless: the batch projection streams unchanged") {
+    // Chunking.slidingChunks is a pure projection + explode — the SAME
+    // call compiles to a streaming plan with no state store, and the
+    // union of micro-batch outputs equals the batch run row-for-row.
+    val docs = table("documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Chunking
+      .slidingChunks(in.toDF().toDF("doc_id", "text"), "doc_id", "text", 64, 48)
+      .writeStream.format("memory").queryName("chunks").outputMode("append")
+      .start()
+    try {
+      in.addData(rows.take(20).toSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(20).toSeq)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      val streamed = spark.table("chunks").collect().map(key).toSet
+      val batch = graft.operators.Chunking
+        .slidingChunks(docs, "doc_id", "text", 64, 48).collect().map(key).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("nearDupIngest appends only novel docs across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("ndi").toFile
     val corpus = new java.io.File(dir, "corpus").getAbsolutePath
