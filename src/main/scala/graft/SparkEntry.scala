@@ -2083,6 +2083,38 @@ object SparkEntry {
         .orderBy(col("q_id"))
     }),
 
+    // #270: k-anonymity release (generalize-then-suppress) — the
+    // privacy gate beside q_pii_redact (row-level masking) and
+    // q_dp_counts (noisy release): quasi-identifier classes
+    // (nation, segment) publish only at size ≥ k = 10; failing
+    // classes generalize segment → '*' (one ladder step), what still
+    // fails is suppressed into a single ('*','*') bucket, so every
+    // published row is k-anonymous and nothing is silently dropped
+    // (the suppressed mass stays countable). Three hash-aggs, each
+    // over the class table — nothing data-sized after the first.
+    "q_k_anonymity" -> ((s, dir) => {
+      val k = 10L
+      val g0 = t(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"))
+        .groupBy(col("nation"), col("segment")).agg(count(lit(1)).as("n"))
+      val keep0 = g0.filter(col("n") >= k)
+        .select(col("nation").cast("string").as("nation_out"),
+          col("segment").as("segment_out"), col("n"), lit(0).as("level"))
+      val g1 = g0.filter(col("n") < k)
+        .groupBy(col("nation")).agg(sum(col("n")).as("n"))
+      val keep1 = g1.filter(col("n") >= k)
+        .select(col("nation").cast("string").as("nation_out"),
+          lit("*").as("segment_out"), col("n"), lit(1).as("level"))
+      val rest = g1.filter(col("n") < k)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+        .filter(col("n") > 0)
+        .select(lit("*").as("nation_out"), lit("*").as("segment_out"),
+          col("n"), lit(2).as("level"))
+      keep0.unionAll(keep1).unionAll(rest)
+        .orderBy(col("level"), col("nation_out"), col("segment_out"))
+    }),
+
     // #269: CUSUM change-point on daily revenue — the batch twin of
     // the streaming CUSUM detector (64k): argmax_t |Σ_{≤t}(x − x̄)|.
     // The mean is a RATIONAL, so the deviation scales exactly:
@@ -6914,6 +6946,25 @@ object SparkEntry {
         |  FROM bf GROUP BY q_id)
         |SELECT d.q_id, round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 9) AS ndcg
         |FROM d JOIN i ON d.q_id = i.q_id ORDER BY d.q_id""".stripMargin,
+
+    // k-anonymity replay: identical class counts, generalization
+    // ladder, and suppressed-mass rollup
+    "q_k_anonymity" ->
+      """WITH g0 AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |    c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |keep0 AS (SELECT CAST(nation AS VARCHAR) AS nation_out,
+        |    segment AS segment_out, n, 0 AS level FROM g0 WHERE n >= 10),
+        |g1 AS (SELECT nation, SUM(n) AS n FROM g0 WHERE n < 10 GROUP BY nation),
+        |keep1 AS (SELECT CAST(nation AS VARCHAR) AS nation_out,
+        |    '*' AS segment_out, CAST(n AS BIGINT) AS n, 1 AS level
+        |  FROM g1 WHERE n >= 10),
+        |rest AS (SELECT '*' AS nation_out, '*' AS segment_out,
+        |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n, 2 AS level
+        |  FROM g1 WHERE n < 10 HAVING COALESCE(SUM(n), 0) > 0)
+        |SELECT * FROM keep0 UNION ALL SELECT * FROM keep1
+        |UNION ALL SELECT * FROM rest
+        |ORDER BY level, nation_out, segment_out""".stripMargin,
 
     // change-point replay: exact-decimal n*S_t = n*cumsum - t*total
     // argmax with earliest-day tie-break; magnitude divides out n once
