@@ -71,6 +71,20 @@ object NativeBench {
           shiftleft(col("y").bitwiseAND(lit(1L << bb)), bb + 1)
       }.reduce(_ + _)
       ord.select(z.as("z")).agg(bit_xor(col("z"))).head(); ord.count() }
+    // md5-60bit identity: fused native vs conv(substring(md5)) —
+    // interleaved A/B/A/B on one synthetic relation so box noise hits
+    // both variants equally
+    val ids = spark.range(5000000L)
+      .select(concat(lit("boot:"), col("id"), lit(":"), col("id") % 200).as("s"))
+      .cache(); ids.count()
+    for (round <- 1 to 2) {
+      time(s"md5-60 native (r$round)") { ids.select(
+        graft.functions.NativeExpressions.md5Prefix60(col("s")).as("h"))
+        .agg(bit_xor(col("h"))).head(); ids.count() }
+      time(s"md5-60 composition (r$round)") { ids.select(
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+        .agg(bit_xor(col("h"))).head(); ids.count() }
+    }
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextAnalysis, Vectors}
+import graft.functions.{NativeExpressions, TextAnalysis, Vectors}
 import graft.operators.{Ann, AnnIvf, AnnLsh, AnnPq, AsOfJoin, BoundedWindow, Dedup, DedupCluster, Fingerprint, Multimodal, RangeJoin, Sampling, Sessionize, Tfidf, TopK}
 import graft.operators.BoundedWindow.boundedGlobal
 import graft.sources.TimeWindow
@@ -1277,8 +1277,12 @@ object SparkEntry {
       val ev = tp(s, dir, "events")
         .select(col("event_type").as("arm"), col("event_id"),
           col("value").cast("decimal(18,2)").as("v"))
-      val h = conv(substring(md5(concat(lit("boot:"), col("event_id"),
-        lit(":"), col("r"))), 1, 15), 16, 10).cast("long")
+      // fused native md5-60bit: the B×n draw is THE hot path here
+      // (20M hashes at sf0.1); value-identical to the
+      // conv(substring(md5)) composition the oracle replays
+      // (NativeExprSpec), minus the hex-string round trip
+      val h = NativeExpressions.md5Prefix60(concat(lit("boot:"),
+        col("event_id"), lit(":"), col("r")))
       val w = thr.tail.zipWithIndex.foldLeft(when(h < lit(thr.head), 0)) {
         case (acc, (tk, i)) => acc.when(h < lit(tk), i + 1)
       }.otherwise(9)
@@ -1787,7 +1791,7 @@ object SparkEntry {
         .select(col("source"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
         .select(col("source"),
-          conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("h"))
+          NativeExpressions.md5Prefix60(col("token")).as("h"))
       val sk = tok.groupBy(col("source"))
         .agg(graft.functions.KmvSketch.kmv(col("h"), k).as("mins"))
       val a = sk.select(col("source").as("s1"), col("mins").as("m1"))
@@ -1824,7 +1828,7 @@ object SparkEntry {
       val tok = tp(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
         .select(col("token"),
-          conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("h"))
+          NativeExpressions.md5Prefix60(col("token")).as("h"))
       val sketch = tok.agg(graft.functions.CmsSketch.cms(col("h"), d, wth).as("sk"))
       val top = tok.groupBy(col("token"), col("h"))
         .agg(count(lit(1)).as("exact_n"))
@@ -1849,8 +1853,7 @@ object SparkEntry {
     // value-for-value, not just bounds-tested.
     "q_quantile_sketch" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val h = conv(substring(md5(concat(lit("qs:"), col("event_id"))), 1, 15),
-        16, 10).cast("long")
+      val h = NativeExpressions.md5Prefix60(concat(lit("qs:"), col("event_id")))
       val sk = ev.groupBy(col("event_type"))
         .agg(graft.functions.QuantileSample
           .quantileSample(h, col("value"), 256).as("smp"))
@@ -1935,8 +1938,8 @@ object SparkEntry {
           round(col("x"), 6).cast("decimal(18,6)").as("q"),
           explode(sequence(lit(0), lit(15))).as("j"))
         .withColumn("sgn",
-          when(conv(substring(md5(concat(lit("rp:"), col("j"), lit(":"),
-            col("d"))), 1, 15), 16, 10).cast("long") % 2 === 0, 1)
+          when(NativeExpressions.md5Prefix60(concat(lit("rp:"), col("j"),
+            lit(":"), col("d"))) % 2 === 0, 1)
             .otherwise(-1))
         .groupBy(col("vec_id"), col("j"))
         .agg(sum(when(col("sgn") === 1, col("q")).otherwise(-col("q")))
@@ -1996,8 +1999,7 @@ object SparkEntry {
     "q_did" -> ((s, dir) => {
       val cells = t(s, dir, "events")
         .withColumn("arm",
-          conv(substring(md5(concat(lit("did:"), col("user_id"))), 1, 15),
-            16, 10).cast("long") % 2)
+          NativeExpressions.md5Prefix60(concat(lit("did:"), col("user_id"))) % 2)
         .withColumn("period",
           when(col("ts") < lit("2024-01-15").cast("timestamp"), 0).otherwise(1))
         .groupBy(col("arm"), col("period"))
@@ -2260,8 +2262,7 @@ object SparkEntry {
       val sg = Dedup.shingleDf(tp(s, dir, "documents"), "source", "text", 5)
         .select(col("id").as("source"), explode(col("sh")).as("g"))
         .select(col("source"),
-          conv(substring(md5(concat(lit("so:"), col("g"))), 1, 15), 16, 10)
-            .cast("long").as("gh"))
+          NativeExpressions.md5Prefix60(concat(lit("so:"), col("g"))).as("gh"))
         .distinct()
       val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
       sg.as("a").join(sg.as("b"),
@@ -2352,8 +2353,8 @@ object SparkEntry {
     // state.
     "q_mom_mean" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val bkt = conv(substring(md5(concat(lit("mom:"), col("event_id"))), 1, 15),
-        16, 10).cast("long") % 16
+      val bkt = NativeExpressions.md5Prefix60(
+        concat(lit("mom:"), col("event_id"))) % 16
       val bm = ev.groupBy(col("event_type"), bkt.as("b"))
         .agg(round(sum(col("value").cast("decimal(18,2)"))
           .cast("double") / count(lit(1)), 9).as("m"),
@@ -2376,8 +2377,7 @@ object SparkEntry {
     "q_srm" -> ((s, dir) => {
       val users = t(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("arm",
-          conv(substring(md5(concat(lit("srm:"), col("user_id"))), 1, 15),
-            16, 10).cast("long") % 2)
+          NativeExpressions.md5Prefix60(concat(lit("srm:"), col("user_id"))) % 2)
       users.agg(
         count_if(col("arm") === 0).as("n_a"),
         count_if(col("arm") === 1).as("n_b"))
@@ -2455,9 +2455,9 @@ object SparkEntry {
       val draws = tok
         .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
         .crossJoin(broadcast(tot))
-        .select((conv(substring(md5(concat(lit("neg:"), col("doc_id"),
-          lit(":"), col("j"), lit(":"), col("i"))), 1, 15), 16, 10)
-          .cast("long") % col("bigW")).as("u"))
+        .select((NativeExpressions.md5Prefix60(concat(lit("neg:"),
+          col("doc_id"), lit(":"), col("j"), lit(":"), col("i")))
+          % col("bigW")).as("u"))
         .withColumn("bin", shiftright(col("u"), 6))
       draws.join(bins, Seq("bin"))
         .filter(col("u") >= col("lo") && col("u") < col("hi"))
@@ -4044,8 +4044,8 @@ object SparkEntry {
     // and the noisy release are one shared IEEE tree, round(6).
     "q_dp_counts" -> ((s, dir) => {
       val eps = 1.0
-      val u = conv(substring(md5(concat(lit("dp:"), col("event_type"))),
-        1, 15), 16, 10).cast("long").cast("double") /
+      val u = NativeExpressions.md5Prefix60(concat(lit("dp:"),
+        col("event_type"))).cast("double") /
         lit(1152921504606846976.0)
       val lap = -signum(u - lit(0.5)) *
         log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))) / lit(eps)
@@ -4077,8 +4077,8 @@ object SparkEntry {
             col("value").cast("decimal(18,2)")).otherwise(lit(0)
             .cast("decimal(18,2)"))).as("post"))
         .withColumn("arm",
-          (conv(substring(md5(concat(lit("cuped:"), col("user_id"))), 1, 15),
-            16, 10).cast("long") % 2).cast("int"))
+          (NativeExpressions.md5Prefix60(concat(lit("cuped:"),
+            col("user_id"))) % 2).cast("int"))
       val d28 = "decimal(28,4)"
       val g = per.agg(count(lit(1)).as("n"),
         sum(col("pre").cast(d28)).as("sx"),

@@ -23,6 +23,52 @@ object NativeExpressions {
   private val XXF = "org.apache.spark.sql.catalyst.expressions.XxHash64Function"
   private val DTS = "org.apache.spark.sql.types.DataTypes"
 
+  /** The repo's md5-60bit hash identity, fused: equals
+    * `conv(substring(md5(s), 1, 15), 16, 10)` cast to long — the first
+    * 15 hex digits of the MD5 digest are its first 60 BITS, i.e. the
+    * big-endian long of bytes 0-7 shifted right 4 unsigned — WITHOUT
+    * materializing the 32-char hex string, the substring copy, or
+    * conv's base-16 string parse. The identity stays externally
+    * replayable (any engine's md5 hex prefix parses to the same
+    * value); this expression only removes the string detour on the
+    * Spark side. Used on draw-heavy paths (bootstrap's B×n replicate
+    * draws); NativeExprSpec asserts value-identity against the
+    * built-in composition. */
+  case class Md5Prefix60(child: Expression)
+      extends UnaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_md5_60"
+
+    override def nullSafeEval(s: Any): Any =
+      Md5Prefix60.hash(s.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        s => s"graft.functions.NativeExpressions.Md5Prefix60.hash($s)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  object Md5Prefix60 {
+    private val md = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+    /** First 60 bits of MD5(s) as a non-negative long. */
+    def hash(s: UTF8String): Long = {
+      val d = md.get()
+      d.reset()
+      val digest = d.digest(s.getBytes)
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+      v >>> 4
+    }
+  }
+
   /** Cosine similarity over two numeric-array columns, one fused loop
     * (float arrays arrive via an implicit array cast). */
   case class CosineSim(left: Expression, right: Expression)
@@ -570,6 +616,11 @@ object NativeExpressions {
 
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(e(a), e(b)))
+
+  /** Fused md5-60bit identity: == conv(substring(md5(s),1,15),16,10)
+    * cast long, minus the hex-string detour. */
+  def md5Prefix60(s: Column): Column =
+    GraftBridge.column(Md5Prefix60(e(s)))
 
   def hamming(a: Column, b: Column): Column =
     GraftBridge.column(HammingDist(e(a), e(b)))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.NativeExpressions.md5Prefix60
 import graft.functions.TextAnalysis
 
 /** Sliding-window text chunking — the RAG / context-window
@@ -37,7 +38,6 @@ object Chunking {
           .as("ck"))
       .select(col(idCol), col("chunk_id"),
         size(col("ck")).cast("long").as("n_tok"),
-        conv(substring(md5(concat_ws(" ", col("ck"))), 1, 15), 16, 10)
-          .cast("long").as("chunk_hash"))
+        md5Prefix60(concat_ws(" ", col("ck"))).as("chunk_hash"))
   }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
+import graft.functions.NativeExpressions.md5Prefix60
 
 /** Near-duplicate detection for LLM training-data pipelines.
   *
@@ -230,8 +231,7 @@ object Dedup {
     val sig = sh.select(col("id"), col("sh"),
       transform(sequence(lit(0), lit(numHashes - 1)),
         i => array_min(transform(col("sh"), s =>
-          conv(substring(md5(concat(i.cast("string"), lit(":"), s)), 1, 15),
-            16, 10).cast("long")))).as("sig"))
+          md5Prefix60(concat(i.cast("string"), lit(":"), s))))).as("sig"))
     sig.select(col("id").as("i"), col("sh").as("sh_i"), col("sig").as("sig_i"))
       .join(sig.select(col("id").as("j"), col("sh").as("sh_j"), col("sig").as("sig_j")),
         col("i") < col("j"))
@@ -338,7 +338,7 @@ object Dedup {
     val tok = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(lower(col(textCol))).as("tk"))
       .select(col("id"), posexplode(col("tk")).as(Seq("pos", "tok")))
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val h = md5Prefix60(col("tok"))
     val flagged = tok.withColumn("b",
       when(h % avgChunkTokens === 0, lit(1L)).otherwise(lit(0L)))
     // chunk = count of boundaries strictly BEFORE this token
@@ -385,8 +385,7 @@ object Dedup {
     val grams = tk.select(col("doc_id"),
       when(size(col("tk")) >= w,
         transform(sequence(lit(1), size(col("tk")) - lit(w - 1)),
-          i => conv(substring(md5(concat_ws(" ", slice(col("tk"), i, lit(w)))),
-            1, 15), 16, 10).cast("long")))
+          i => md5Prefix60(concat_ws(" ", slice(col("tk"), i, lit(w))))))
         .otherwise(array().cast("array<long>")).as("gh"))
     val wins = grams.select(col("doc_id"),
       posexplode(col("gh")).as(Seq("pos", "g")))

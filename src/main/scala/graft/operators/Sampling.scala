@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.NativeExpressions.md5Prefix60
+
 /** Deterministic content-hash sampling for training-data curation.
   *
   * `sample()`/`TABLESAMPLE` draw a different subset on every run and
@@ -49,8 +51,12 @@ object Sampling {
     * and it decides only the ORDER, never an emitted value. */
   def weightedSample(df: DataFrame, keyCol: String, stratumCol: String,
                      weightCol: String, k: Int): DataFrame = {
-    val h = conv(substring(md5(concat(lit("ws:"),
-      col(keyCol).cast("string"))), 1, 15), 16, 10).cast("double")
+    // fused native md5-60bit (value-identical to the
+    // conv(substring(md5)) composition the oracles replay; the
+    // long->double and decimal-string->double conversions both
+    // correctly round the same 60-bit integer)
+    val h = md5Prefix60(concat(lit("ws:"),
+      col(keyCol).cast("string"))).cast("double")
     val esKey = log((h + lit(0.5)) /
       lit(1152921504606846976L).cast("double")) /
       col(weightCol).cast("double")
@@ -86,8 +92,7 @@ object Sampling {
   def kFold(df: DataFrame, keyCol: String, k: Int,
             foldCol: String = "fold"): DataFrame =
     df.withColumn(foldCol,
-      conv(substring(md5(concat(lit("fold:"), col(keyCol).cast("string"))), 1, 15),
-        16, 10).cast("long") % k)
+      md5Prefix60(concat(lit("fold:"), col(keyCol).cast("string"))) % k)
 
   /** Temperature-weighted source mixing — the pretraining-mixture draw:
     * stratum s gets a sampling budget ∝ tokens(s)^0.5 (temperature
@@ -152,7 +157,7 @@ object Sampling {
   /** The md5-mod token-bucket id — shared by the batch scorer and the
     * streaming literal-map scorer so both hash identically. */
   private def bucketOf(token: Column, buckets: Int): Column =
-    conv(substring(md5(token), 1, 15), 16, 10).cast("long") % buckets
+    md5Prefix60(token) % buckets
 
   /** (doc_id, is_t, b): one row per token occurrence. */
   private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,

@@ -190,4 +190,19 @@ class NativeExprSpec extends SparkSpec {
       .filter(col("zn") =!= col("ze")).count()
     assert(mismatches === 0L)
   }
+
+  test("native md5Prefix60 equals conv(substring(md5(s),1,15),16,10) everywhere") {
+    val ss = SparkSpec.spark
+    import ss.implicits._
+    // corpus strings (incl. any unicode the table carries) + hostile
+    // hand-picks: empty, astral, NUL, marker char, long runs
+    val hand = Seq("", "a", " ", "😀 astral", "prepost",
+      "x" * 10000, "boot:123:45", "  ").toDF("s")
+    val corpus = table("documents").select(col("text").as("s"))
+    val both = corpus.unionAll(hand)
+      .select(NativeExpressions.md5Prefix60(col("s")).as("n"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("b"))
+    assert(both.filter(col("n") =!= col("b")).count() === 0L)
+    assert(both.filter(col("n") < 0).count() === 0L) // 60 bits: never negative
+  }
 }

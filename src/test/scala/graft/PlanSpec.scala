@@ -320,10 +320,11 @@ class PlanSpec extends SparkSpec {
   test("q_substring_dedup: gram shuffle carries hashes, not gram text") {
     val p = plan("q_substring_dedup")
     // occurrence count aggregates on the md5-prefix 60-bit key (the
-    // oracle-replayable gram identity, r8) with map-side partial_count;
-    // the gram STRING must be hashed before any exchange; no cartesian
+    // oracle-replayable gram identity, r8 — since r9 the fused native
+    // graft_md5_60 expression) with map-side partial_count; the gram
+    // STRING must be hashed before any exchange; no cartesian
     // anywhere; span-merge window is partitioned (per-doc), not global
-    assert(p.contains("conv(substring(md5("), p)
+    assert(p.contains("graft_md5_60("), p)
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
