@@ -43,6 +43,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))),
+    // graft_md5_60(s): the repo's replayable md5-60bit hash identity,
+    // fused (== conv(substring(md5(s),1,15),16,10) cast long)
+    (FunctionIdentifier("graft_md5_60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_md5_60"),
+      (es: Seq[Expression]) => Md5Prefix60(es(0))),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       (es: Seq[Expression]) => NfcNormalize(es(0))),

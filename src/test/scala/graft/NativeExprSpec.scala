@@ -172,6 +172,11 @@ class NativeExprSpec extends SparkSpec {
     assert(buckets.length === 8 && buckets.forall(k => k >= 0 && k < 64))
     val z = spark.sql("SELECT graft_zorder(3L, 5L, 10) AS z").head().getLong(0)
     assert(z === ((1L << 0) + (1L << 2)) + ((1L << 1) + (1L << 5))) // x bits -> 2b, y bits -> 2b+1
+    val m = spark.sql(
+      """SELECT graft_md5_60('abc') AS n,
+        |  CAST(conv(substring(md5('abc'), 1, 15), 16, 10) AS BIGINT) AS b""".stripMargin)
+      .head()
+    assert(m.getLong(0) === m.getLong(1))
   }
 
   test("native zorder equals the static mask-shift expansion") {
