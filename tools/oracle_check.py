@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local simulation of the driver's DuckDB-oracle compare.
 
-Usage: oracle_check.py <sfDir> <verifyOutDir> [timeout_sec]
+Usage: oracle_check.py <sfDir> <verifyOutDir> [timeout_sec] [workers]
 
 For each <name> dir in verifyOutDir: load spark result parquet, run
 oracle_sql.json[name] in DuckDB over the sfDir tables, sort columns by
@@ -11,38 +11,51 @@ Each oracle runs under a per-query wall-clock timeout (default 180 s —
 the slowest legitimate oracle, q_curation_funnel's composed-pipeline
 replay, runs ~45 s idle and must survive a contended box): a hanging
 oracle (e.g. an exponentially-inlined CTE chain) produces ONE printed
-FAIL and the harness moves on with a fresh connection — it can never
+FAIL and the worker moves on with a fresh connection — it can never
 zero out the whole run.
+
+Queries shard across a PROCESS pool (default 8 workers, each with its
+own DuckDB connection over the same parquet views) — the full compare
+is embarrassingly parallel and was the slowest gate stage serial.
+Results print in sorted-name order regardless of completion order, so
+logs stay diffable.
 """
 import sys, json, glob, os, threading
-import duckdb
-import pandas as pd
+from concurrent.futures import ProcessPoolExecutor
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 TIMEOUT = float(sys.argv[3]) if len(sys.argv) > 3 else 180.0
+WORKERS = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+_con = None
+
 
 def fresh_con():
+    import duckdb
     c = duckdb.connect()
-    for t in ["region","nation","customer","supplier","part","orders",
-              "lineitem","events","documents","embeddings"]:
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return c
 
-con = fresh_con()
 
 def run_bounded(sql):
-    """Run sql with a wall-clock bound. Returns (df, err). On timeout,
-    interrupt the connection; if the worker still doesn't return
-    (e.g. stuck in planning), abandon the daemon thread and swap in a
-    fresh connection so later queries are unaffected."""
-    global con
+    """Run sql with a wall-clock bound on this worker's connection.
+    Returns (df, err). On timeout, interrupt; if the thread still
+    doesn't return (e.g. stuck in planning), abandon it and swap in a
+    fresh connection so the worker's later queries are unaffected."""
+    global _con
+    if _con is None:
+        _con = fresh_con()
     box = {}
-    my_con = con
+    my_con = _con
+
     def work():
         try:
             box["df"] = my_con.execute(sql).df()
         except Exception as e:
             box["err"] = str(e)
+
     th = threading.Thread(target=work, daemon=True)
     th.start()
     th.join(TIMEOUT)
@@ -53,51 +66,78 @@ def run_bounded(sql):
             pass
         th.join(10)
         if th.is_alive():
-            con = fresh_con()  # abandon the stuck thread + connection
+            _con = fresh_con()  # abandon the stuck thread + connection
         return None, f"timeout after {TIMEOUT:.0f}s"
     if "err" in box:
         return None, box["err"]
     return box.get("df"), None
 
-oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-fails = 0
-for name, sql in sorted(oracles.items()):
+
+def check_one(item):
+    """(name, sql) -> (name, ok, lines_to_print)."""
+    import pandas as pd
+    name, sql = item
     res_dir = f"{out_dir}/{name}"
     if not os.path.isdir(res_dir):
-        print(f"FAIL {name}: no spark result dir"); fails += 1; continue
+        return name, False, [f"FAIL {name}: no spark result dir"]
     files = glob.glob(f"{res_dir}/*.parquet")
     spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     duck_df, err = run_bounded(sql)
     if err is not None:
-        print(f"FAIL {name}: duckdb error: {err}"); fails += 1; continue
+        return name, False, [f"FAIL {name}: duckdb error: {err}"]
+
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
-        df = df.sort_values(by=list(df.columns), ignore_index=True)
-        return df
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+
     s, d = norm(spark_df), norm(duck_df)
     if list(s.columns) != list(d.columns):
-        print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
-        fails += 1; continue
+        return name, False, [
+            f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}"]
     if len(s) != len(d):
-        print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); fails += 1; continue
-    mismatch = False
+        return name, False, [f"FAIL {name}: rows spark={len(s)} duck={len(d)}"]
+    out = []
     for c in s.columns:
         sv, dv = s[c], d[c]
         try:
-            if str(sv.dtype).startswith(("float", "Float")) or str(dv.dtype).startswith(("float", "Float")):
+            if str(sv.dtype).startswith(("float", "Float")) or \
+               str(dv.dtype).startswith(("float", "Float")):
                 import numpy as np
-                eq = np.allclose(sv.astype(float), dv.astype(float), rtol=0, atol=0, equal_nan=True)
+                eq = np.allclose(sv.astype(float), dv.astype(float),
+                                 rtol=0, atol=0, equal_nan=True)
             else:
                 eq = sv.astype(str).equals(dv.astype(str))
         except Exception as e:
-            print(f"  col {c} compare error: {e}"); eq = False
+            out.append(f"  col {c} compare error: {e}")
+            eq = False
         if not eq:
-            mismatch = True
-            print(f"FAIL {name}: col {c} differs")
-            print("   spark:", sv.head(5).tolist())
-            print("   duck: ", dv.head(5).tolist())
-    if not mismatch:
-        print(f"OK   {name} ({len(s)} rows)")
+            out.append(f"FAIL {name}: col {c} differs")
+            out.append(f"   spark: {sv.head(5).tolist()}")
+            out.append(f"   duck:  {dv.head(5).tolist()}")
+    if out:
+        return name, False, out
+    return name, True, [f"OK   {name} ({len(s)} rows)"]
+
+
+def main():
+    oracles = sorted(json.load(open(f"{out_dir}/oracle_sql.json")).items())
+    results = {}
+    if WORKERS <= 1:
+        for item in oracles:
+            name, ok, lines = check_one(item)
+            results[name] = (ok, lines)
     else:
-        fails += 1
-sys.exit(1 if fails else 0)
+        with ProcessPoolExecutor(max_workers=WORKERS) as pool:
+            for name, ok, lines in pool.map(check_one, oracles):
+                results[name] = (ok, lines)
+    fails = 0
+    for name, _ in oracles:
+        ok, lines = results[name]
+        print("\n".join(lines))
+        if not ok:
+            fails += 1
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
