@@ -72,6 +72,19 @@ object Demo {
     println(s"demo: curated ${curated.count()} of ${docs.count()} docs, " +
       s"vocab ${vocab.count()} tokens, packed into $bins bins of 512 tokens " +
       s"across 4 shards")
+
+    // 6. fit-once/serve-many retrieval: fit IVF+PQ quantizers, persist
+    // the four index artifacts, then serve hybrid (dense IVF arm +
+    // lexical 3-gram arm, RRF-fused) purely from the artifact dir —
+    // what a production vector store does across sessions
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    operators.IndexedSearch.fit(embs, "vec_id", "embedding", s"$outDir/index")
+    val served = operators.IndexedSearch.serveHybrid(spark, s"$outDir/index",
+      docs, "doc_id", "text", nQueries = 3)
+    println("demo: hybrid top-3 per query (q_id,rn,d_id): " +
+      served.filter(col("rn") <= 3).orderBy(col("q_id"), col("rn")).collect()
+        .map(r => s"(${r.getLong(0)},${r.getInt(1)},${r.getLong(2)})")
+        .mkString(", "))
     spark.stop()
   }
 }

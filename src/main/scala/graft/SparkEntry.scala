@@ -432,7 +432,7 @@ object SparkEntry {
       |  FROM w),
       |$stages
       |SELECT source, COUNT(*) AS n_words,
-      |  SUM(len(string_split(s, ' '))) AS n_pieces,
+      |  CAST(SUM(len(string_split(s, ' '))) AS BIGINT) AS n_pieces,
       |  round(CAST(SUM(len(string_split(s, ' '))) AS DOUBLE) /
       |    CAST(COUNT(*) AS DOUBLE), 9) AS fertility
       |FROM s8 GROUP BY source""".stripMargin
@@ -6115,7 +6115,8 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY e.vec_id
         |        ORDER BY round(list_cosine_similarity(e.ve, c1.c), 9) DESC, c1.cid ASC) AS rn
         |    FROM e, c1) WHERE rn = 1)
-        |SELECT cid, COUNT(*) AS n_members, SUM(vec_id) AS id_checksum
+        |SELECT cid, COUNT(*) AS n_members,
+        |  CAST(SUM(vec_id) AS BIGINT) AS id_checksum
         |FROM a2 GROUP BY cid""".stripMargin,
 
     // IVF replayed: stride-init centroids (no Lloyd refinement → no
@@ -6222,7 +6223,7 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
         |  FROM dw),
         |agg AS (SELECT doc_id,
-        |    SUM(pos + 10 - GREATEST(pos, COALESCE(prev_end, pos))) AS n_dup_tokens,
+        |    CAST(SUM(pos + 10 - GREATEST(pos, COALESCE(prev_end, pos))) AS BIGINT) AS n_dup_tokens,
         |    COUNT(*) AS n_dup_windows
         |  FROM cov GROUP BY doc_id)
         |SELECT g.doc_id, g.n_tokens,
@@ -6827,7 +6828,8 @@ object SparkEntry {
         |    COALESCE(SUM(n_tok) OVER (ORDER BY n_chars, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
         |  FROM d)
-        |SELECT cum // 4000 AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |SELECT CAST(cum // 4000 AS BIGINT) AS stage,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1 ORDER BY stage""".stripMargin,
 

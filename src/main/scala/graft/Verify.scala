@@ -16,6 +16,9 @@ import java.nio.file.{Files, Paths}
   *     outDir so unchanged queries keep their previous parquet (the full
   *     oracle_sql.json is always written, so oracle_check still compares
   *     the whole matrix — only the Spark re-execution is skipped).
+  *   Verify <sfDir> <outDir> --changed <query...> — --changed restricted
+  *     to the named queries; every other query's old manifest hash is
+  *     carried forward unchanged.
   */
 object Verify {
 
@@ -62,9 +65,17 @@ object Verify {
     val toRun: String => Boolean =
       if (!changedMode) name => wanted.forall(_(name))
       else { name =>
-        val h = planHash(name)
-        h.foreach(newManifest(name) = _)
-        Smoke(name) || h.isEmpty || !oldManifest.get(name).contains(h.get)
+        if (!wanted.forall(_(name))) {
+          // --changed restricted to named queries: carry the old hash
+          // forward for everything else so a changed-but-unnamed query
+          // still re-runs on the next unrestricted --changed pass.
+          oldManifest.get(name).foreach(newManifest(name) = _)
+          false
+        } else {
+          val h = planHash(name)
+          h.foreach(newManifest(name) = _)
+          Smoke(name) || h.isEmpty || !oldManifest.get(name).contains(h.get)
+        }
       }
 
     var ran = 0
@@ -78,6 +89,10 @@ object Verify {
           System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // a crashing query must NOT persist its new plan hash — drop
+          // it from the manifest so the next --changed pass re-runs it
+          // instead of comparing the stale parquet of an older success
+          if (changedMode) newManifest -= name
         }
         // dedup operators persist intermediates (shingle tables, CC labels)
         // that outlive their query; running all of them in one session
@@ -88,29 +103,14 @@ object Verify {
     if (changedMode)
       System.err.println(s"[verify] --changed: ran $ran of ${SparkEntry.queries.size}")
 
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     // --changed writes the FULL oracle map (the compare stays whole-matrix);
     // a named subset writes just that subset (and, per the workflow notes,
     // should not feed a full oracle_check).
-    val json = SparkEntry.oracleSql
-      .filter(kv => changedMode || wanted.forall(_(kv._1)))
-      .toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val json = JsonUtil.obj(SparkEntry.oracleSql
+      .filter(kv => changedMode || wanted.forall(_(kv._1))))
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     if (changedMode)
-      Files.writeString(manifestPath, newManifest
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+      Files.writeString(manifestPath, JsonUtil.obj(newManifest.toMap))
     spark.stop()
   }
 }

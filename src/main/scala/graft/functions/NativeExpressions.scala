@@ -41,32 +41,23 @@ object NativeExpressions {
     override def prettyName: String = "graft_md5_60"
 
     override def nullSafeEval(s: Any): Any =
-      Md5Prefix60.hash(s.asInstanceOf[UTF8String])
+      Md5Impl.hash60(s.asInstanceOf[UTF8String])
 
+    // Generated Java must reference the TOP-LEVEL Md5Impl object —
+    // nested Scala module methods (NativeExpressions.Md5Prefix60.hash)
+    // have no static forwarder, so Janino fails to compile and the
+    // whole stage silently falls back to interpreted mode (r9 ADVICE).
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev,
-        s => s"graft.functions.NativeExpressions.Md5Prefix60.hash($s)")
+        s => s"graft.functions.Md5Impl.hash60($s)")
 
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
 
   object Md5Prefix60 {
-    private val md = new ThreadLocal[java.security.MessageDigest] {
-      override def initialValue(): java.security.MessageDigest =
-        java.security.MessageDigest.getInstance("MD5")
-    }
-
     /** First 60 bits of MD5(s) as a non-negative long. */
-    def hash(s: UTF8String): Long = {
-      val d = md.get()
-      d.reset()
-      val digest = d.digest(s.getBytes)
-      var v = 0L
-      var i = 0
-      while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
-      v >>> 4
-    }
+    def hash(s: UTF8String): Long = Md5Impl.hash60(s)
   }
 
   /** Cosine similarity over two numeric-array columns, one fused loop

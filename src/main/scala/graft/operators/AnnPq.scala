@@ -101,16 +101,14 @@ object AnnPq {
                     path: String): DataFrame =
     spark.read.parquet(path).select(col("m"), col("cid"), col("centroid"))
 
-  /** Top-k by ADC inner-product score: LUT = dot(q_m, centroid) per
-    * (query, subspace, cid); score = exact decimal sum of the m code
-    * lookups. Returns (q_id, rn, n_id). */
-  def annTopK(df: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, m: Int = 8, subDim: Int = 8,
-              ksub: Int = 16, iters: Int = 0): DataFrame = {
-    val codebooks = trainCodebooks(df,
-      fitCodebooks(df, idCol, vecCol, m, subDim, ksub),
-      idCol, vecCol, m, subDim, iters)
-    val enc = encode(df, codebooks, idCol, vecCol, m, subDim)
+  /** The ADC serve half against an ALREADY-ENCODED corpus — the
+    * fit-once/serve-many entry: `enc` and `codebooks` are typically
+    * loaded parquet artifacts (see IndexedSearch). LUT =
+    * dot(q_m, centroid) per (query, subspace, cid); score = exact
+    * decimal sum of the m code lookups. Returns (q_id, rn, n_id). */
+  def searchEncoded(enc: DataFrame, codebooks: DataFrame,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, m: Int = 8, subDim: Int = 8): DataFrame = {
     val lut = subspaces(queries, idCol, vecCol, m, subDim)
       .withColumnRenamed("id", "q_id").withColumnRenamed("sub", "qs")
       .join(broadcast(codebooks), "m")
@@ -127,5 +125,18 @@ object AnnPq {
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("rn"), col("n_id"))
+  }
+
+  /** Top-k by ADC inner-product score, fitting codebooks inline
+    * (test/bench path; production persists artifacts and serves via
+    * [[searchEncoded]]). Returns (q_id, rn, n_id). */
+  def annTopK(df: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, m: Int = 8, subDim: Int = 8,
+              ksub: Int = 16, iters: Int = 0): DataFrame = {
+    val codebooks = trainCodebooks(df,
+      fitCodebooks(df, idCol, vecCol, m, subDim, ksub),
+      idCol, vecCol, m, subDim, iters)
+    val enc = encode(df, codebooks, idCol, vecCol, m, subDim)
+    searchEncoded(enc, codebooks, queries, idCol, vecCol, k, m, subDim)
   }
 }

@@ -32,7 +32,10 @@ object BoundedWindow {
     * exist in this codebase ONLY as boundedGlobal markers, the
     * physical plan is identical either way (one exchange to one
     * populated partition), and a genuinely unpartitioned window still
-    * warns — the regression signal this helper exists to protect. */
+    * warns — the regression signal this helper exists to protect.
+    * The "only as boundedGlobal markers" invariant is ASSERTED by
+    * PlanSpec ("every foldable window partition key is a boundedGlobal
+    * marker"), which walks every query's analyzed plan. */
   private val ElimRule =
     "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions"
 

@@ -154,10 +154,21 @@ object Search {
         Window.partitionBy("q_id").orderBy(col("sim").desc, col("d_id").asc)))
       .select(col("q_id"), col("d_id"), col("rsem"))
 
-    // sparse arm: 3-gram Jaccard vs the query doc's shingles; shared
-    // counts from the per-shingle equi-join, sizes joined back
+    fuseRrf(sem, lexicalArm(docs, docId, textCol, col("id") < nQueries, armK),
+      rrfC, k)
+  }
+
+  /** The sparse retrieval arm: 3-gram Jaccard vs the query docs'
+    * shingles — shared counts from the per-shingle equi-join (docs
+    * sharing ≥ 1 shingle; zero-overlap docs never pair), sizes joined
+    * back, GroupTopK prune, integer ranks. `qPred` selects the query
+    * docs on the shingle table's `id` column (a pushed filter, so the
+    * query side never shuffles the corpus).
+    * @return (q_id, d_id, rlex) with rlex = 1..armK */
+  def lexicalArm(docs: DataFrame, docId: String, textCol: String,
+                 qPred: org.apache.spark.sql.Column, armK: Int): DataFrame = {
     val sh = Dedup.shingleDf(docs, docId, textCol, 3)
-    val qx = sh.filter(col("id") < nQueries)
+    val qx = sh.filter(qPred)
       .select(col("id").as("q_id"), size(col("sh")).as("qn"),
         explode(col("sh")).as("g"))
     val cx = sh.select(col("id").as("d_id"), size(col("sh")).as("dn"),
@@ -171,11 +182,19 @@ object Search {
           (col("qn") + col("dn") - col("shared")).cast("double")).as("jac"))
     val lexTop = graft.plans.GroupTopK.topKPerGroup(lexScored, armK,
       Seq(col("q_id")), Seq(col("jac").desc, col("d_id").asc))
-    val lex = lexTop.withColumn("rlex", row_number().over(
+    lexTop.withColumn("rlex", row_number().over(
         Window.partitionBy("q_id").orderBy(col("jac").desc, col("d_id").asc)))
       .select(col("q_id"), col("d_id"), col("rlex"))
+  }
 
-    // fuse: full outer on (q_id, d_id); each arm contributes 1/(c+rank)
+  /** RRF fusion of two integer-ranked arms on the shared
+    * (q_id, d_id, rank) contract: full outer on (q_id, d_id), each arm
+    * contributes 1/(c+rank), re-rank by (rrf desc, d_id). Exactly TWO
+    * IEEE doubles sum per row (never an accumulation), so scores are
+    * bit-identical across engines. Arm ranks surface 0-coalesced
+    * (0 = not retrieved by that arm).
+    * @return (q_id, rn, d_id, rsem, rlex), rn = 1..k in fused order */
+  def fuseRrf(sem: DataFrame, lex: DataFrame, rrfC: Int, k: Int): DataFrame = {
     val fused = sem.join(lex, Seq("q_id", "d_id"), "full_outer")
       .select(col("q_id"), col("d_id"),
         coalesce(col("rsem"), lit(0)).as("rsem"),

@@ -83,6 +83,49 @@ class AnnSpec extends SparkSpec {
     assert(loaded.count() === 16)
   }
 
+  test("IndexedSearch: fit once, serve many — all three modes match the fitting session") {
+    // the end-to-end artifact contract: fit + persist EVERYTHING in
+    // one session; a fresh "query job" (same spark here, but only the
+    // artifact dir as input) serves IVF / PQ / hybrid results identical
+    // to the composition run directly in the fitting session
+    import graft.operators.{IndexedSearch, Search}
+    val docs = table("documents")
+    val dir = tmpDir("idxsearch")
+    IndexedSearch.fit(emb, "vec_id", "embedding", dir)
+
+    // in-session references (same params as IndexedSearch defaults)
+    val centroids = AnnIvf.fit(emb, "vec_id", "embedding", 16)
+    val assigned = AnnIvf.assign(emb, centroids, "vec_id", "embedding")
+    val refIvf = AnnIvf.search(assigned, centroids, queries,
+        "vec_id", "embedding", 10, 4)
+      .select("q_id", "rn", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val gotIvf = IndexedSearch.serveIvf(spark, dir, queries,
+        "vec_id", "embedding", 10)
+      .select("q_id", "rn", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotIvf === refIvf)
+
+    val refPq = neighborSets(AnnPq.annTopK(emb, queries,
+      "vec_id", "embedding", 10, iters = 1))
+    val gotPq = neighborSets(IndexedSearch.servePq(spark, dir, queries,
+      "vec_id", "embedding", 10))
+    assert(gotPq === refPq)
+
+    val semRef = AnnIvf.search(assigned, centroids,
+        emb.filter(col("vec_id") < 5).select(col("vec_id").as("id"),
+          col("embedding").as("vec")), "id", "vec", 20, 4)
+      .select(col("q_id"), col("n_id").as("d_id"), col("rn").as("rsem"))
+    val refHybrid = Search.fuseRrf(semRef,
+        Search.lexicalArm(docs, "doc_id", "text", col("id") < 5, 20), 60, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val gotHybrid = IndexedSearch.serveHybrid(spark, dir, docs,
+        "doc_id", "text", nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotHybrid === refHybrid)
+    assert(gotHybrid.nonEmpty)
+  }
+
   test("PQ codebook artifact round-trips: loaded codebooks encode identically") {
     val dir = tmpDir("pqidx")
     val cb = AnnPq.trainCodebooks(emb,

@@ -196,6 +196,37 @@ class NativeExprSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("graft_md5_60 whole-stage codegen COMPILES (no interpreted fallback)") {
+    // r9 ADVICE: the emitted Java referenced a nested Scala module with
+    // no static forwarder; Janino failed and every stage containing
+    // graft_md5_60 silently fell back to interpreted projections while
+    // value tests stayed green. Disable the silent fallback so a
+    // codegen compile failure fails THIS test, and assert the emitted
+    // call site resolves to the top-level forwarder object.
+    val ss = SparkSpec.spark
+    val oldFb = ss.conf.get("spark.sql.codegen.fallback")
+    val oldAqe = ss.conf.get("spark.sql.adaptive.enabled")
+    ss.conf.set("spark.sql.codegen.fallback", "false")
+    // no AQE: the collapsed WSCG plan is then visible at planning time
+    // (under AQE the stages live behind leaf QueryStageExec nodes)
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = table("documents")
+        .select(NativeExpressions.md5Prefix60(col("text")).as("h"))
+        .agg(max(col("h")).as("s")) // max, not sum: 60-bit hashes overflow ANSI long sums
+      val wscg = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+      assert(wscg.nonEmpty,
+        s"no WholeStageCodegen subtree:\n${df.queryExecution.executedPlan}")
+      val gen = wscg.map(_.doCodeGen()._2.body).mkString
+      assert(gen.contains("graft.functions.Md5Impl.hash60"))
+      assert(df.collect()(0).getLong(0) !== 0L) // executes under no-fallback
+    } finally {
+      ss.conf.set("spark.sql.codegen.fallback", oldFb)
+      ss.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
   test("native md5Prefix60 equals conv(substring(md5(s),1,15),16,10) everywhere") {
     val ss = SparkSpec.spark
     import ss.implicits._

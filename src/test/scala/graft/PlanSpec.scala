@@ -467,11 +467,62 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_bootstrap_ci: fused hash in codegen, map-side partials, no cartesian") {
+    val p = plan("q_bootstrap_ci")
+    // the B×n Poisson draw rides the native graft_md5_60 (the 1.5×
+    // NativeBench win); replicate sums must combine before the exchange
+    assert(p.contains("graft_md5_60("), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_bfs: hops are checkpointed equi-joins — lineage stays O(1)") {
+    val p = plan("q_bfs")
+    // each hop localCheckpoints (the k-core 335 s -> 8 s lesson): the
+    // final plan reads the materialized frontier, not a 3-hop lineage
+    assert(p.contains("ExistingRDD"), s"bfs frontier not checkpointed:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_basket_pairs: pairs expand in-row — no self-join, top-30 via heaps") {
+    val p = plan("q_basket_pairs")
+    // pair generation is transform×slice inside the basket array; the
+    // only nested-loop broadcast is the one-row order-total dim
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_rbo: only the 10-row weight dim rides a nested-loop broadcast") {
     // the d >= m depth expansion joins a 10-row weights dim — a
     // BroadcastNestedLoopJoin over a CONSTANT-sized side is the
     // intended plan; a cartesian product would not be
     val p = plan("q_rbo")
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("every foldable window partition key is a boundedGlobal marker") {
+    // BoundedWindow.ensureRuleExcluded disables Spark 4's
+    // EliminateWindowPartitions SESSION-WIDE; that is only safe while
+    // foldable window partition keys exist solely as boundedGlobal's
+    // self-documenting "bounded: <why>" literals. This asserts that
+    // invariant over every query's analyzed plan (r9 ADVICE), so a
+    // future constant-partitioned window that ISN'T a documented bound
+    // fails here instead of silently losing the optimization for user
+    // SQL on the shared session.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        SparkEntry.queries(name)(spark, sf).queryExecution.analyzed.collect {
+          case w: LWindow => w.partitionSpec.filter(_.foldable).collect {
+            case e if !String.valueOf(e.eval()).startsWith("bounded: ") =>
+              s"$name: foldable window key ${e.eval()}"
+          }
+        }.flatten
+      } catch { case _: Throwable => Nil } // build failures fail their own specs
+      finally spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 }

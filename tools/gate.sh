@@ -35,6 +35,7 @@ if [ "$MODE" = "--changed" ]; then
   run_jvm graft.Verify "$SF" target/verify_inc --changed
   echo "== gate: oracle compare (sf0.01, full matrix) =="
   python3 tools/oracle_check.py "$SF" target/verify_inc
+  ORACLE_JSON=target/verify_inc/oracle_sql.json
 else
   echo "== gate: full Verify (sf0.01) =="
   rm -rf /tmp/gate_sf && run_jvm graft.Verify "$SF" /tmp/gate_sf
@@ -44,5 +45,33 @@ else
   rm -rf /tmp/gate_adv && run_jvm graft.Verify "$ADV" /tmp/gate_adv
   echo "== gate: oracle compare (adversarial corpus) =="
   python3 tools/oracle_check.py "$ADV" /tmp/gate_adv
+  ORACLE_JSON=/tmp/gate_sf/oracle_sql.json
 fi
+
+# New-query concept check (r9 lesson: 7 of 10 drafted queries were
+# concept-duplicates of existing capabilities, caught only by manual
+# grep). Any key not present in the last committed CORRECTNESS file is
+# NEW this round: print it with its SURVEY §2 grep hits so the
+# capability-noun check happens at the gate, not in the next verdict.
+echo "== gate: new-query concept check =="
+python3 - "$ORACLE_JSON" <<'EOF'
+import json, sys, glob, re
+keys = set(json.load(open(sys.argv[1])))
+prior = sorted(glob.glob('CORRECTNESS_r*.json'))
+known = set(json.load(open(prior[-1]))) if prior else set()
+new = sorted(keys - known)
+if not new:
+    print("no new query keys since", prior[-1] if prior else "(none)")
+    sys.exit(0)
+survey = open('SURVEY.md').read()
+for k in new:
+    stem = k.removeprefix('q_').replace('_', ' ')
+    hits = [l.strip()[:110] for l in survey.splitlines()
+            if any(w in l.lower() for w in stem.split() if len(w) > 3)]
+    print(f"NEW KEY {k}: grep SURVEY for '{stem}' -> {len(hits)} row(s)")
+    for h in hits[:5]:
+        print("   ", h)
+    print("    ^ confirm none of these rows already covers the CONCEPT "
+          "before shipping this key")
+EOF
 echo "== gate: PASS =="

@@ -7,25 +7,42 @@ For each <name> dir in verifyOutDir: load spark result parquet, run
 oracle_sql.json[name] in DuckDB over the sfDir tables, sort columns by
 name, sort rows, compare values.
 
+DTYPE-STRICT (round 10): the driver hashes canonicalized cell values,
+and pandas renders DuckDB HUGEINT as float64 — so an oracle whose
+uncast SUM widens to HUGEINT hashes `42.0` against Spark's `42` and
+fails driver-side even though np.allclose would coerce and pass.
+This script therefore (a) DESCRIBEs every oracle first and FAILS on
+HUGEINT/UHUGEINT output columns (plan-only, costs nothing), and
+(b) compares cells as canonical strings — ints bare, floats via repr
+— so an int64-vs-float64 divergence is visible locally exactly as the
+driver sees it. np.allclose is gone; do not bring it back.
+
 Each oracle runs under a per-query wall-clock timeout (default 180 s —
 the slowest legitimate oracle, q_curation_funnel's composed-pipeline
 replay, runs ~45 s idle and must survive a contended box): a hanging
 oracle (e.g. an exponentially-inlined CTE chain) produces ONE printed
 FAIL and the worker moves on with a fresh connection — it can never
-zero out the whole run.
+zero out the whole run. check_one is fully exception-boxed and the
+pool iterates submit/as_completed, so a worker death (segfault/OOM)
+fails that one query, not the run.
 
 Queries shard across a PROCESS pool (default 8 workers, each with its
-own DuckDB connection over the same parquet views) — the full compare
-is embarrassingly parallel and was the slowest gate stage serial.
-Results print in sorted-name order regardless of completion order, so
-logs stay diffable.
+own DuckDB connection over the same parquet views). Results print in
+sorted-name order regardless of completion order, so logs stay
+diffable. Per-oracle wall time prints on each line; the slowest 5
+print at the end (the q_mmr lesson: a quadratic oracle replay should
+be visible in-repo before the driver ever sees it).
 """
-import sys, json, glob, os, threading
-from concurrent.futures import ProcessPoolExecutor
+import sys, json, glob, os, threading, time
+from concurrent.futures import ProcessPoolExecutor, as_completed
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 TIMEOUT = float(sys.argv[3]) if len(sys.argv) > 3 else 180.0
 WORKERS = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+
+# Output column types that pandas cannot round-trip losslessly: the
+# driver's hash canonicalization will diverge from Spark's rendering.
+BANNED_TYPES = ("HUGEINT", "UHUGEINT")
 
 _con = None
 
@@ -73,18 +90,68 @@ def run_bounded(sql):
     return box.get("df"), None
 
 
+def describe_types(sql):
+    """Plan-only output schema of an oracle: [(col, type)]. Raises on
+    unparsable SQL (which the main run would also hit)."""
+    global _con
+    if _con is None:
+        _con = fresh_con()
+    rows = _con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in rows]
+
+
+def canon(series):
+    """Canonical per-cell strings, driver-style: ints render bare,
+    floats via repr (so int64 42 vs float64 42.0 DIFFER), NaN/None as
+    fixed markers, everything else astype(str)."""
+    dt = str(series.dtype)
+    if dt.startswith(("float", "Float")):
+        return series.map(
+            lambda v: "<null>" if v is None else
+            ("nan" if v != v else repr(float(v))))
+    if dt.startswith(("int", "Int", "uint", "UInt")):
+        return series.map(lambda v: "<null>" if v is None else str(int(v)))
+    return series.astype(str)
+
+
 def check_one(item):
-    """(name, sql) -> (name, ok, lines_to_print)."""
+    """(name, sql) -> (name, ok, lines_to_print, wall_sec)."""
+    t0 = time.monotonic()
+    try:
+        name, sql = item
+        lines = _check_one_inner(name, sql)
+    except Exception as e:  # never let one query abort the run
+        name = item[0]
+        lines = [f"FAIL {name}: checker error: {type(e).__name__}: {e}"]
+    wall = time.monotonic() - t0
+    ok = not any(l.startswith("FAIL") for l in lines)
+    return name, ok, lines, wall
+
+
+def _check_one_inner(name, sql):
     import pandas as pd
-    name, sql = item
     res_dir = f"{out_dir}/{name}"
     if not os.path.isdir(res_dir):
-        return name, False, [f"FAIL {name}: no spark result dir"]
+        return [f"FAIL {name}: no spark result dir"]
     files = glob.glob(f"{res_dir}/*.parquet")
+    if not files:
+        return [f"FAIL {name}: no spark result parquet files"]
     spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+    # Plan-only dtype lint BEFORE running: the driver cannot hash-match
+    # a HUGEINT output column, period.
+    try:
+        bad = [(c, t) for c, t in describe_types(sql)
+               if any(b in t.upper() for b in BANNED_TYPES)]
+    except Exception as e:
+        return [f"FAIL {name}: DESCRIBE error: {e}"]
+    if bad:
+        return [f"FAIL {name}: oracle emits driver-unhashable types: {bad}"
+                + " — CAST the aggregate to BIGINT"]
+
     duck_df, err = run_bounded(sql)
     if err is not None:
-        return name, False, [f"FAIL {name}: duckdb error: {err}"]
+        return [f"FAIL {name}: duckdb error: {err}"]
 
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
@@ -92,31 +159,25 @@ def check_one(item):
 
     s, d = norm(spark_df), norm(duck_df)
     if list(s.columns) != list(d.columns):
-        return name, False, [
-            f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}"]
+        return [f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}"]
     if len(s) != len(d):
-        return name, False, [f"FAIL {name}: rows spark={len(s)} duck={len(d)}"]
+        return [f"FAIL {name}: rows spark={len(s)} duck={len(d)}"]
     out = []
     for c in s.columns:
         sv, dv = s[c], d[c]
         try:
-            if str(sv.dtype).startswith(("float", "Float")) or \
-               str(dv.dtype).startswith(("float", "Float")):
-                import numpy as np
-                eq = np.allclose(sv.astype(float), dv.astype(float),
-                                 rtol=0, atol=0, equal_nan=True)
-            else:
-                eq = sv.astype(str).equals(dv.astype(str))
+            eq = canon(sv).equals(canon(dv))
         except Exception as e:
             out.append(f"  col {c} compare error: {e}")
             eq = False
         if not eq:
-            out.append(f"FAIL {name}: col {c} differs")
+            out.append(f"FAIL {name}: col {c} differs "
+                       f"(dtypes spark={sv.dtype} duck={dv.dtype})")
             out.append(f"   spark: {sv.head(5).tolist()}")
             out.append(f"   duck:  {dv.head(5).tolist()}")
     if out:
-        return name, False, out
-    return name, True, [f"OK   {name} ({len(s)} rows)"]
+        return out
+    return [f"OK   {name} ({len(s)} rows)"]
 
 
 def main():
@@ -124,18 +185,41 @@ def main():
     results = {}
     if WORKERS <= 1:
         for item in oracles:
-            name, ok, lines = check_one(item)
-            results[name] = (ok, lines)
+            name, ok, lines, wall = check_one(item)
+            results[name] = (ok, lines, wall)
     else:
         with ProcessPoolExecutor(max_workers=WORKERS) as pool:
-            for name, ok, lines in pool.map(check_one, oracles):
-                results[name] = (ok, lines)
+            futs = {pool.submit(check_one, item): item[0] for item in oracles}
+            for fut in as_completed(futs):
+                name = futs[fut]
+                try:
+                    name, ok, lines, wall = fut.result()
+                except Exception as e:  # worker process death
+                    ok, lines, wall = False, [
+                        f"FAIL {name}: worker died: {type(e).__name__}: {e}"], 0.0
+                results[name] = (ok, lines, wall)
     fails = 0
     for name, _ in oracles:
-        ok, lines = results[name]
-        print("\n".join(lines))
+        ok, lines, wall = results.get(
+            name, (False, [f"FAIL {name}: no result (worker lost)"], 0.0))
+        if len(lines) == 1:
+            print(f"{lines[0]}  [{wall:.1f}s]")
+        else:
+            print("\n".join(lines))
         if not ok:
             fails += 1
+    slowest = sorted(results.items(), key=lambda kv: -kv[1][2])[:5]
+    print("slowest oracles: " + ", ".join(
+        f"{n}={w:.1f}s" for n, (_, _, w) in slowest))
+    # The q_mmr lesson: a quadratic oracle replay must be visible
+    # in-repo before the driver sees it. Known-slow-but-legitimate:
+    # q_bpe_encode (~40 s, 8 materialized merge stages) and
+    # q_curation_funnel (~45 s, composed-pipeline replay). Anything
+    # else past 60 s deserves a look before round-end.
+    slow = [(n, w) for n, (_, _, w) in results.items() if w > 60.0]
+    for n, w in sorted(slow, key=lambda t: -t[1]):
+        print(f"WARN slow oracle {n}: {w:.0f}s on this corpus "
+              "— check for a quadratic replay before the driver runs it")
     sys.exit(1 if fails else 0)
 
 

@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Plan-only oracle dtype lint: DESCRIBE every oracle and fail on
+output column types pandas cannot round-trip losslessly (the driver's
+hash canonicalization renders DuckDB HUGEINT as float64, so `42.0`
+hashes against Spark's `42` and the query goes driver-red with
+rows/schema green — the r7..r9 q_kmeans/q_bpe_encode/q_substring_dedup/
+q_curriculum failure class).
+
+Usage: oracle_lint.py <oracle_sql.json> <sfDir>
+
+Costs ~seconds for the whole matrix: DESCRIBE plans, never executes.
+Run standalone or via OracleLintSpec (sbt test).
+"""
+import sys, json
+
+BANNED = ("HUGEINT", "UHUGEINT")
+
+
+def main():
+    path, sf_dir = sys.argv[1], sys.argv[2]
+    import duckdb
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(path))
+    bad = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:
+            bad.append(f"{name}: DESCRIBE error: {str(e)[:200]}")
+            continue
+        for col, typ in [(r[0], r[1]) for r in rows]:
+            if any(b in typ.upper() for b in BANNED):
+                bad.append(f"{name}: output column {col} is {typ} "
+                           "— CAST the aggregate to BIGINT")
+    if bad:
+        print("\n".join(bad))
+        sys.exit(1)
+    print(f"oracle_lint: {len(oracles)} oracles, all output types hashable")
+
+
+if __name__ == "__main__":
+    main()
