@@ -502,6 +502,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_cluster_sizes: candidates from the band join, CC checkpointed") {
+    val p = plan("q_cluster_sizes")
+    assert(p.contains("ExistingRDD"), s"CC labels not checkpointed:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_recursive_cte: bounded loop, no cartesian") {
+    val p = plan("q_recursive_cte")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("every foldable window partition key is a boundedGlobal marker") {
     // BoundedWindow.ensureRuleExcluded disables Spark 4's
     // EliminateWindowPartitions SESSION-WIDE; that is only safe while
