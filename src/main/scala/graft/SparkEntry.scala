@@ -5807,15 +5807,18 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
-        |sh AS (SELECT doc_id,
+        |sh AS MATERIALIZED (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
         |  FROM t WHERE len(tk) >= 3),
-        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j
-        |  FROM sh a, sh b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8)
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM isect
+        |  JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8)
         |SELECT LEAST(da.source, db.source) AS src_a,
         |  GREATEST(da.source, db.source) AS src_b,
         |  count(*) AS n_pairs
@@ -5838,15 +5841,18 @@ object SparkEntry {
         |t1 AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM e1),
-        |sh3 AS (SELECT doc_id,
+        |sh3 AS MATERIALIZED (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
         |  FROM t1 WHERE len(tk) >= 3),
-        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j
-        |  FROM sh3 a, sh3 b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8),
+        |ex3 AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh3),
+        |sz3 AS (SELECT doc_id, len(sh) AS n FROM sh3),
+        |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM ex3 a JOIN ex3 b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM isect
+        |  JOIN sz3 sa ON sa.doc_id = i JOIN sz3 sb ON sb.doc_id = j
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
         |reach(s, d) AS (SELECT a, b FROM edges
         |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a),
@@ -6171,20 +6177,31 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_bpe
         |FROM documents""".stripMargin,
 
+    // Exact all-pairs Jaccard via the INVERTED-INDEX join (r10): pairs
+    // come from the per-gram equi-join (|A∩B| = shared-gram count,
+    // |A∪B| = |A|+|B|−|A∩B|; sh is list_distinct so the identity is
+    // exact, and ≥0.8 > 0 means zero-overlap pairs can't qualify) —
+    // value-identical to the quadratic `FROM sh a, sh b` scan but
+    // Σ df² instead of n²: the sf0.01 replay drops ~30 s → ~2 s and
+    // sf0.1 stops timing out. Same ground truth, same doubles.
     "q_dedup_minhash" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
+        |sh AS MATERIALIZED (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-        |  FROM t WHERE len(tk) >= 3)
-        |SELECT a.doc_id AS i, b.doc_id AS j,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
-        |FROM sh a, sh b
-        |WHERE a.doc_id < b.doc_id
-        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8""".stripMargin,
+        |  FROM t WHERE len(tk) >= 3),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j,
+        |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jac
+        |FROM isect
+        |JOIN sz sa ON sa.doc_id = i
+        |JOIN sz sb ON sb.doc_id = j
+        |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id,
@@ -6581,15 +6598,18 @@ object SparkEntry {
     "q_dedup_cluster" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
+        |sh AS MATERIALIZED (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
         |  FROM t WHERE len(tk) >= 3),
-        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j
-        |  FROM sh a, sh b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM isect
+        |  JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
         |reach(s, d) AS (SELECT a, b FROM edges
         |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a),
@@ -7396,15 +7416,18 @@ object SparkEntry {
     "q_cluster_sizes" ->
       """WITH RECURSIVE t AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
-        |sh AS (SELECT doc_id,
+        |sh AS MATERIALIZED (SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
         |  FROM t WHERE len(tk) >= 3),
-        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j
-        |  FROM sh a, sh b
-        |  WHERE a.doc_id < b.doc_id
-        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |shn AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM isect
+        |  JOIN shn sa ON sa.doc_id = i JOIN shn sb ON sb.doc_id = j
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
         |reach(s, d) AS (SELECT a, b FROM edges
         |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a),
@@ -9087,18 +9110,23 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
         |  FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
+        |sh AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 1),
         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-        |  FROM t WHERE len(tk) >= 3)
-        |SELECT a.doc_id AS i, b.doc_id AS j,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jac
-        |FROM sh a, sh b
-        |WHERE b.doc_id >= 250
-        |  AND (a.doc_id < 250 OR a.doc_id < b.doc_id)
-        |  AND a.doc_id <> b.doc_id
-        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8""".stripMargin,
+        |  FROM t WHERE len(tk) >= 3),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM ex a JOIN ex b ON a.g = b.g
+        |  WHERE b.doc_id >= 250
+        |    AND (a.doc_id < 250 OR a.doc_id < b.doc_id)
+        |    AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i, j,
+        |  CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jac
+        |FROM isect
+        |JOIN sz sa ON sa.doc_id = i
+        |JOIN sz sb ON sb.doc_id = j
+        |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8""".stripMargin,
 
     "q_percentile_disc" ->
       """SELECT l_returnflag,

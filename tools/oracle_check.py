@@ -18,8 +18,8 @@ HUGEINT/UHUGEINT output columns (plan-only, costs nothing), and
 driver sees it. np.allclose is gone; do not bring it back.
 
 Each oracle runs under a per-query wall-clock timeout (default 180 s —
-the slowest legitimate oracle, q_curation_funnel's composed-pipeline
-replay, runs ~45 s idle and must survive a contended box): a hanging
+the slowest legitimate oracle, q_bpe_encode's 8-stage materialized
+merge chain, runs ~35 s idle and must survive a contended box): a hanging
 oracle (e.g. an exponentially-inlined CTE chain) produces ONE printed
 FAIL and the worker moves on with a fresh connection — it can never
 zero out the whole run. check_one is fully exception-boxed and the
@@ -213,9 +213,11 @@ def main():
         f"{n}={w:.1f}s" for n, (_, _, w) in slowest))
     # The q_mmr lesson: a quadratic oracle replay must be visible
     # in-repo before the driver sees it. Known-slow-but-legitimate:
-    # q_bpe_encode (~40 s, 8 materialized merge stages) and
-    # q_curation_funnel (~45 s, composed-pipeline replay). Anything
-    # else past 60 s deserves a look before round-end.
+    # q_bpe_encode (~35 s, 8 materialized merge stages). Anything
+    # else past 60 s deserves a look before round-end (the near-dup
+    # family replays are inverted-index joins since r10 — sub-second;
+    # a reappearing 30 s+ Jaccard oracle means someone reintroduced
+    # the all-pairs scan).
     slow = [(n, w) for n, (_, _, w) in results.items() if w > 60.0]
     for n, w in sorted(slow, key=lambda t: -t[1]):
         print(f"WARN slow oracle {n}: {w:.0f}s on this corpus "
