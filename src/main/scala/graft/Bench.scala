@@ -107,12 +107,7 @@ object Bench {
       .map { case (n, t1, tR) => "\"" + n + "\":[" + fmt(t1) + "," + fmt(tR) + "]" }
       .mkString("{", ",", "}")
     val soakErrJson = soakError.fold("")(m =>
-      ",\"soak_error\":\"" + m.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      } + "\"")
+      ",\"soak_error\":" + JsonUtil.quote(m))
 
     // The COMPLETE per-query map goes to a repo file — the harness
     // captures stdout through a 2000-char tail buffer (measured: round-1's

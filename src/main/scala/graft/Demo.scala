@@ -80,7 +80,8 @@ object Demo {
     val embs = Tables.load(spark, sfDir, "embeddings")
     operators.IndexedSearch.fit(embs, "vec_id", "embedding", s"$outDir/index")
     val served = operators.IndexedSearch.serveHybrid(spark, s"$outDir/index",
-      docs, "doc_id", "text", nQueries = 3)
+      docs, "doc_id", "text", embs.filter(col("vec_id") < 3),
+      "vec_id", "embedding")
     println("demo: hybrid top-3 per query (q_id,rn,d_id): " +
       served.filter(col("rn") <= 3).orderBy(col("q_id"), col("rn")).collect()
         .map(r => s"(${r.getLong(0)},${r.getInt(1)},${r.getLong(2)})")

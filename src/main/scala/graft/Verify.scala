@@ -33,6 +33,10 @@ object Verify {
     val changedMode = rest.contains("--changed")
     // optional trailing query names: verify just those (local iteration)
     val named = rest.filterNot(_ == "--changed").toSet
+    val unknown = named.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — " +
+        "a typo here would silently verify nothing")
     val wanted: Option[Set[String]] = if (named.isEmpty) None else Some(named)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -89,10 +93,17 @@ object Verify {
           System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          // a crashing query must NOT persist its new plan hash — drop
-          // it from the manifest so the next --changed pass re-runs it
-          // instead of comparing the stale parquet of an older success
+          // a crashing query must NOT persist its new plan hash (drop
+          // it so the next --changed pass re-runs it) and must not
+          // leave an older success's parquet in a PERSISTENT outDir —
+          // delete the result dir so oracle_check reports a FAIL for
+          // THIS pass instead of green-matching stale data
           if (changedMode) newManifest -= name
+          def rmrf(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+            f.delete()
+          }
+          rmrf(new java.io.File(s"$outDir/$name"))
         }
         // dedup operators persist intermediates (shingle tables, CC labels)
         // that outlive their query; running all of them in one session

@@ -74,21 +74,26 @@ object IndexedSearch {
       AnnPq.loadCodebooks(spark, s"$dir/pq_codebooks"),
       queries, idCol, vecCol, k, m, subDim)
 
-  /** Hybrid serve: the dense arm comes from the LOADED IVF index
-    * (query vectors read from the assigned artifact — raw embeddings
-    * are not an input), the lexical 3-gram arm from `docs`, fused by
-    * RRF. Query convention matches Search.rrfHybrid: ids < nQueries.
+  /** Hybrid serve: the dense arm comes from the LOADED IVF index, the
+    * lexical 3-gram arm from `docs`, fused by RRF. `queries` is the
+    * serve-time request set — (idCol, vecCol) rows, request-sized by
+    * definition (recovering query vectors from the cid-partitioned
+    * corpus artifact would scan every cell's files and defeat the
+    * pruning the layout exists for). The lexical arm selects the query
+    * docs by the collected request ids — bounded by the request size,
+    * pushed into the shingle scan as an IN filter.
     * Returns (q_id, rn, d_id, rsem, rlex), rn = 1..k in fused order. */
   def serveHybrid(spark: SparkSession, dir: String, docs: DataFrame,
-                  docId: String, textCol: String, nQueries: Long,
+                  docId: String, textCol: String, queries: DataFrame,
+                  idCol: String, vecCol: String,
                   armK: Int = 20, k: Int = 10, nprobe: Int = 4,
                   rrfC: Int = 60): DataFrame = {
-    val queries = loadAssigned(spark, dir)
-      .filter(col("id") < nQueries).select(col("id"), col("vec"))
-    val sem = serveIvf(spark, dir, queries, "id", "vec", armK, nprobe)
+    val sem = serveIvf(spark, dir, queries, idCol, vecCol, armK, nprobe)
       .select(col("q_id"), col("n_id").as("d_id"), col("rn").as("rsem"))
+    val qIds = queries.select(col(idCol).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
     val lex = Search.lexicalArm(docs, docId, textCol,
-      col("id") < nQueries, armK)
+      col("id").isInCollection(qIds), armK)
     Search.fuseRrf(sem, lex, rrfC, k)
   }
 }

@@ -120,7 +120,7 @@ class AnnSpec extends SparkSpec {
         Search.lexicalArm(docs, "doc_id", "text", col("id") < 5, 20), 60, 10)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     val gotHybrid = IndexedSearch.serveHybrid(spark, dir, docs,
-        "doc_id", "text", nQueries = 5)
+        "doc_id", "text", queries, "vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(gotHybrid === refHybrid)
     assert(gotHybrid.nonEmpty)

@@ -29,11 +29,14 @@ class CodegenAuditSpec extends SparkSpec {
             .write.format("noop").mode("overwrite").save()
         } catch { case e: Throwable =>
           // only codegen compile errors matter here; anything else
-          // would already fail Verify/oracle and its own spec
-          val s = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
-          if (s.contains("CompileException") || s.contains("janino") ||
-              s.contains("Janino") || s.contains("InternalCompilerException"))
-            failures += s"$name: ${s.take(300)}"
+          // would already fail Verify/oracle and its own spec. Walk the
+          // FULL cause chain — Spark wraps compile errors two or more
+          // levels deep (SparkException -> ExecutionException -> ...).
+          val chain = Iterator.iterate(e)(_.getCause)
+            .takeWhile(_ != null).take(10).map(_.toString).mkString(" <- ")
+          if (chain.contains("CompileException") || chain.contains("janino") ||
+              chain.contains("Janino") || chain.contains("InternalCompilerException"))
+            failures += s"$name: ${chain.take(300)}"
         }
         finally ss.catalog.clearCache()
       }

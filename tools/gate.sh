@@ -66,8 +66,11 @@ if not new:
 survey = open('SURVEY.md').read()
 for k in new:
     stem = k.removeprefix('q_').replace('_', ' ')
+    # short names (bfs, rbo, auc, rfm...) must still match: keep words
+    # of >2 chars, and fall back to every word if none survive
+    words = [w for w in stem.split() if len(w) > 2] or stem.split()
     hits = [l.strip()[:110] for l in survey.splitlines()
-            if any(w in l.lower() for w in stem.split() if len(w) > 3)]
+            if any(w in l.lower() for w in words)]
     print(f"NEW KEY {k}: grep SURVEY for '{stem}' -> {len(hits)} row(s)")
     for h in hits[:5]:
         print("   ", h)

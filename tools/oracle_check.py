@@ -22,9 +22,12 @@ the slowest legitimate oracle, q_bpe_encode's 8-stage materialized
 merge chain, runs ~35 s idle and must survive a contended box): a hanging
 oracle (e.g. an exponentially-inlined CTE chain) produces ONE printed
 FAIL and the worker moves on with a fresh connection — it can never
-zero out the whole run. check_one is fully exception-boxed and the
-pool iterates submit/as_completed, so a worker death (segfault/OOM)
-fails that one query, not the run.
+zero out the whole run. check_one is fully exception-boxed, the pool
+iterates submit/as_completed, and a worker-process DEATH (segfault/
+OOM) — which breaks the whole ProcessPoolExecutor, failing every
+in-flight future with BrokenProcessPool — triggers a serial in-process
+re-run of the affected queries, so one dying oracle still costs one
+FAIL, not the run.
 
 Queries shard across a PROCESS pool (default 8 workers, each with its
 own DuckDB connection over the same parquet views). Results print in
@@ -36,24 +39,21 @@ be visible in-repo before the driver ever sees it).
 import sys, json, glob, os, threading, time
 from concurrent.futures import ProcessPoolExecutor, as_completed
 
+import oracle_lint  # shared TABLES + BANNED + make_con (same dir)
+
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 TIMEOUT = float(sys.argv[3]) if len(sys.argv) > 3 else 180.0
 WORKERS = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
 # Output column types that pandas cannot round-trip losslessly: the
 # driver's hash canonicalization will diverge from Spark's rendering.
-BANNED_TYPES = ("HUGEINT", "UHUGEINT")
+BANNED_TYPES = oracle_lint.BANNED
 
 _con = None
 
 
 def fresh_con():
-    import duckdb
-    c = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    return c
+    return oracle_lint.make_con(sf_dir)
 
 
 def run_bounded(sql):
@@ -103,7 +103,11 @@ def describe_types(sql):
 def canon(series):
     """Canonical per-cell strings, driver-style: ints render bare,
     floats via repr (so int64 42 vs float64 42.0 DIFFER), NaN/None as
-    fixed markers, everything else astype(str)."""
+    fixed markers, everything else astype(str). Deliberately NOT
+    normalized: -0.0 renders '-0.0' vs '0.0' — a signed-zero
+    divergence between engines would hash-differ driver-side too, so
+    the local gate must fail on it rather than coerce (strictly-at-
+    least-as-strict-as-the-driver is the invariant here)."""
     dt = str(series.dtype)
     if dt.startswith(("float", "Float")):
         return series.map(
@@ -188,16 +192,26 @@ def main():
             name, ok, lines, wall = check_one(item)
             results[name] = (ok, lines, wall)
     else:
+        broken = []
         with ProcessPoolExecutor(max_workers=WORKERS) as pool:
             futs = {pool.submit(check_one, item): item[0] for item in oracles}
             for fut in as_completed(futs):
                 name = futs[fut]
                 try:
                     name, ok, lines, wall = fut.result()
-                except Exception as e:  # worker process death
-                    ok, lines, wall = False, [
-                        f"FAIL {name}: worker died: {type(e).__name__}: {e}"], 0.0
+                except Exception as e:  # worker death breaks the POOL:
+                    # every in-flight future fails, so queue them for a
+                    # serial in-process retry instead of mass-FAILing
+                    broken.append(name)
+                    continue
                 results[name] = (ok, lines, wall)
+        for name in broken:
+            sql = dict(oracles)[name]
+            name, ok, lines, wall = check_one((name, sql))
+            if not ok:
+                lines = [l + "  (serial retry after worker death)"
+                         for l in lines]
+            results[name] = (ok, lines, wall)
     fails = 0
     for name, _ in oracles:
         ok, lines, wall = results.get(

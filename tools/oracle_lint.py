@@ -13,17 +13,25 @@ Run standalone or via OracleLintSpec (sbt test).
 """
 import sys, json
 
+# Shared with oracle_check.py (which imports these — one definition of
+# the corpus tables and the driver-unhashable type list).
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 BANNED = ("HUGEINT", "UHUGEINT")
+
+
+def make_con(sf_dir):
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
 
 
 def main():
     path, sf_dir = sys.argv[1], sys.argv[2]
-    import duckdb
-    con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    con = make_con(sf_dir)
     oracles = json.load(open(path))
     bad = []
     for name, sql in sorted(oracles.items()):
