@@ -6,7 +6,13 @@ hashes against Spark's `42` and the query goes driver-red with
 rows/schema green — the r7..r9 q_kmeans/q_bpe_encode/q_substring_dedup/
 q_curriculum failure class).
 
-Usage: oracle_lint.py <oracle_sql.json> <sfDir>
+Usage: oracle_lint.py <oracle_sql.json> <sfDir> [columns_out.json]
+
+With the optional third argument, also writes {name: [output column
+names]} from each DESCRIBE — OracleLintSpec compares these against
+every Spark DataFrame's schema, catching alias drift (the most common
+oracle-compare failure) at sbt-test time instead of at the next full
+Verify + compare.
 
 Costs ~seconds for the whole matrix: DESCRIBE plans, never executes.
 Run standalone or via OracleLintSpec (sbt test).
@@ -33,17 +39,20 @@ def main():
     path, sf_dir = sys.argv[1], sys.argv[2]
     con = make_con(sf_dir)
     oracles = json.load(open(path))
-    bad = []
+    bad, columns = [], {}
     for name, sql in sorted(oracles.items()):
         try:
             rows = con.execute(f"DESCRIBE {sql}").fetchall()
         except Exception as e:
             bad.append(f"{name}: DESCRIBE error: {str(e)[:200]}")
             continue
+        columns[name] = [r[0] for r in rows]
         for col, typ in [(r[0], r[1]) for r in rows]:
             if any(b in typ.upper() for b in BANNED):
                 bad.append(f"{name}: output column {col} is {typ} "
                            "— CAST the aggregate to BIGINT")
+    if len(sys.argv) > 3:
+        json.dump(columns, open(sys.argv[3], "w"))
     if bad:
         print("\n".join(bad))
         sys.exit(1)
