@@ -55,21 +55,38 @@ object Bench {
       spark.catalog.clearCache() // release operator-persisted intermediates
       if (ok) dt else -1.0
     }
-    // One timed pass; anything over the re-measure threshold runs a
-    // second time and reports the min. A shared container means a
-    // single measurement can absorb tens of seconds of neighbor/GC/IO
-    // stall (observed: the same query 24 s in one harness run, 1.3 s
-    // in the next three) — min-of-2 on the slow tail removes exactly
-    // those outliers while costing only ~the honest runtime of the few
-    // genuinely slow queries.
-    val remeasureOver = sys.env.getOrElse("SPARK_GRAFT_REMEASURE_SEC", "1.0").toDouble
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val d1 = timeOne(fn)
-      val d = if (d1 >= remeasureOver) math.min(d1, timeOne(fn) match {
-        case x if x >= 0 => x
-        case _ => d1
-      }) else d1
-      name -> d
+    // Contention-robust timing (r11 verdict item 1). A shared container
+    // means one wall-clock measurement can absorb tens of seconds of
+    // neighbor/GC/IO stall, and a single sorted-order pass lets one
+    // contended interval corrupt an alphabetically-CONTIGUOUS block of
+    // queries (r10: 2 false >2x regressions; r11: 12, all in the
+    // q_token_*..q_tpch_* stretch of the sort order, zero code change).
+    // Fix, two independent mechanisms:
+    //   1. min over SPARK_GRAFT_PASSES (default 2) FULL passes, each
+    //      visiting queries in a different deterministically-shuffled
+    //      order — a contended window hits different queries in each
+    //      pass, so the per-query min sees at least one clean reading;
+    //   2. any query whose pass readings still disagree by >1.5x gets
+    //      one extra targeted measurement (min over all three) — the
+    //      disagreement itself is the noise signal, so the extra cost
+    //      is proportional to observed contention, not suite size.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    val sortedNames = selected.toSeq.sortBy(_._1).map(_._1)
+    val byName = selected.toMap
+    val passTimes: Seq[Map[String, Double]] = (0 until passes).map { p =>
+      val order = new scala.util.Random(42L + p).shuffle(sortedNames)
+      order.map(n => n -> timeOne(byName(n))).toMap
+    }
+    def minOk(ds: Seq[Double]): Double = {
+      val ok = ds.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val results = sortedNames.map { name =>
+      val ds = passTimes.map(_(name))
+      val ok = ds.filter(_ >= 0)
+      val noisy = ok.size >= 2 && ok.min > 0.05 && ok.max / ok.min > 1.5
+      val all = if (noisy) ds :+ timeOne(byName(name)) else ds
+      name -> minOk(all)
     }
     val flagship = results.toMap.getOrElse("q_top10_tokens", -1.0)
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -120,9 +137,13 @@ object Bench {
         s""""soak_1x_vs_30x_sec":$soak30Json,""" +
         s""""_total":${fmt(total)},"_n":${results.size}}"""
     }
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
-    catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY subsets are local-iteration runs; writing their
+    // partial map over BENCH_FULL.json would destroy the round-over-
+    // round diff surface (the full file is committed per round).
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
+      catch { case _: Throwable => () }
 
     // stdout line: slowest-K + failures + totals + soak, K auto-trimmed
     // so the line stays under the 1900 chars that survive the tail buffer.

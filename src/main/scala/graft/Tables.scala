@@ -84,6 +84,37 @@ object Tables {
     else df.repartition(cores)
   }
 
+  /** Derived `partsupp` (TPC-H Q2/Q9/Q11/Q16/Q20 need it; the
+    * driver-generated testdata ships no partsupp parquet). Rather than
+    * materializing a side file the oracle can't see, BOTH engines
+    * derive the same table from the corpus itself:
+    *
+    *   - keys: the distinct (l_partkey, l_suppkey) pairs — exactly the
+    *     pairs TPC-H's partsupp must contain for lineitem's FK chain,
+    *     so every lineitem row carries a supply cost (Q9 semantics);
+    *   - ps_availqty / ps_supplycost: pure integer arithmetic on the
+    *     keys (mod-hash), so any engine reproduces them bit-for-bit;
+    *     supplycost is integer cents / 100.0 — ONE IEEE division, the
+    *     same double everywhere.
+    *
+    * The DuckDB oracle uses the identical derivation as a CTE
+    * (SparkEntry.PartsuppCte), which also makes the table exist on ANY
+    * corpus the gate runs (sf0.01, sf0.1, advdata) with zero setup. In
+    * production partsupp would be a real parquet dim; the derivation
+    * costs one 2-column lineitem projection + a keyed distinct
+    * (map-side partial dedup before the exchange). */
+  def partsupp(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "lineitem")
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        ((col("ps_partkey") * 37 + col("ps_suppkey") * 17) % 9999 + 1)
+          .cast("int"))
+      .withColumn("ps_supplycost",
+        ((col("ps_partkey") * 31 + col("ps_suppkey") * 13) % 99900 + 100)
+          .cast("double") / lit(100.0))
+
   /** Register all tables as temp views so `spark.sql` queries and the
     * DuckDB oracle share one table namespace. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -28,26 +28,116 @@ import org.apache.spark.sql.functions._
   * the corpus), [[serveHybrid]] (dense IVF arm + lexical 3-gram arm,
   * RRF-fused on Search.fuseRrf's shared (q_id, d_id, rank) contract).
   *
+  * **Atomic commit (r12)**: the four artifacts are one logical unit —
+  * codes encoded by one generation's codebooks are garbage under
+  * another's — so [[fit]] writes them into a fresh `gen-<id>/`
+  * directory, stamps a `_MANIFEST` only after ALL four writes
+  * succeed, and publishes by atomically renaming a `CURRENT` pointer
+  * file over the old one. A crash at ANY point mid-fit leaves
+  * `CURRENT` on the previous complete generation (or absent on a
+  * first fit); serve paths resolve through `CURRENT` and refuse a
+  * generation without its manifest, so a mixed-generation read is
+  * impossible rather than silent. Single-writer is assumed (one fit
+  * job at a time per index dir — the Spark batch model); committed
+  * older generations are GC'd best-effort after publish.
+  *
   * AnnSpec asserts save→load→serve parity with the fitting session for
-  * all three modes.
+  * all three modes, plus the crash-window invariants.
   */
 object IndexedSearch {
 
-  /** Fit the IVF + PQ quantizers and persist all four artifacts. */
+  /** Fit the IVF + PQ quantizers and persist all four artifacts,
+    * committing them atomically as one new index generation. */
   def fit(embs: DataFrame, idCol: String, vecCol: String, dir: String,
           nlist: Int = 16, iters: Int = 1, m: Int = 8, subDim: Int = 8,
           ksub: Int = 16, pqIters: Int = 1): Unit = {
+    val spark = embs.sparkSession
+    val genId = "gen-" + java.util.UUID.randomUUID().toString.take(12)
+    val gen = s"$dir/$genId"
     val centroids = AnnIvf.fit(embs, idCol, vecCol, nlist, iters)
-    AnnIvf.saveIndex(centroids, s"$dir/ivf_centroids")
+    AnnIvf.saveIndex(centroids, s"$gen/ivf_centroids")
     AnnIvf.assign(embs, centroids, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cid")
-      .parquet(s"$dir/ivf_assigned")
+      .parquet(s"$gen/ivf_assigned")
     val cb = AnnPq.trainCodebooks(embs,
       AnnPq.fitCodebooks(embs, idCol, vecCol, m, subDim, ksub),
       idCol, vecCol, m, subDim, pqIters)
-    AnnPq.saveCodebooks(cb, s"$dir/pq_codebooks")
+    AnnPq.saveCodebooks(cb, s"$gen/pq_codebooks")
     AnnPq.encode(embs, cb, idCol, vecCol, m, subDim)
-      .write.mode("overwrite").parquet(s"$dir/pq_codes")
+      .write.mode("overwrite").parquet(s"$gen/pq_codes")
+    // all four on disk → mark the generation complete, then publish
+    writeSmall(spark, s"$gen/$Manifest",
+      s"""{"nlist":$nlist,"m":$m,"subDim":$subDim,"ksub":$ksub}""")
+    publish(spark, dir, genId)
+    gcOldGenerations(spark, dir, genId)
+  }
+
+  private val Manifest = "_MANIFEST"
+  private val Current = "CURRENT"
+
+  private def hfs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeSmall(spark: SparkSession, path: String,
+                         content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = hfs(spark, path).create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Atomically repoint CURRENT at `genId`: write a temp pointer file
+    * then rename with OVERWRITE (atomic on HDFS and local FS via
+    * FileContext). Readers see either the old pointer or the new one,
+    * never a partial file and never an unpointed window. */
+  private def publish(spark: SparkSession, dir: String,
+                      genId: String): Unit = {
+    val tmp = s"$dir/.$Current.tmp"
+    writeSmall(spark, tmp, genId)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(dir).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$dir/$Current"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Best-effort cleanup of superseded generations (and any aborted
+    * unmanifested ones). Never throws — GC failure must not fail a
+    * committed fit. */
+  private def gcOldGenerations(spark: SparkSession, dir: String,
+                               keep: String): Unit =
+    try {
+      val fs = hfs(spark, dir)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-")
+          && s.getPath.getName != keep)
+        .foreach(s => fs.delete(s.getPath, true))
+    } catch { case _: Throwable => () }
+
+  /** Resolve the active generation dir. Refuses (loudly) a pointer to
+    * a generation missing its `_MANIFEST` — that state is unreachable
+    * through [[fit]]'s commit order, so seeing it means external
+    * tampering, and serving from it could mix generations. Falls back
+    * to `dir` itself for pre-r12 flat layouts. */
+  private def resolve(spark: SparkSession, dir: String): String = {
+    val fs = hfs(spark, dir)
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/$Current")
+    if (fs.exists(cur)) {
+      val in = fs.open(cur)
+      val genId = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      val gen = s"$dir/$genId"
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$gen/$Manifest")),
+        s"index at $dir: CURRENT points at $genId but its $Manifest is " +
+          "missing — refusing a possibly-incomplete generation")
+      gen
+    } else {
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_centroids")),
+        s"no index at $dir: neither a $Current pointer nor a legacy " +
+          "flat layout")
+      dir
+    }
   }
 
   /** The assigned corpus with `cid` restored to a join-typed column
@@ -60,19 +150,23 @@ object IndexedSearch {
     * exact cosine re-rank inside. Returns (q_id, rn, n_id, sim). */
   def serveIvf(spark: SparkSession, dir: String, queries: DataFrame,
                idCol: String, vecCol: String, k: Int,
-               nprobe: Int = 4): DataFrame =
-    AnnIvf.search(loadAssigned(spark, dir),
-      AnnIvf.loadIndex(spark, s"$dir/ivf_centroids"),
+               nprobe: Int = 4): DataFrame = {
+    val gen = resolve(spark, dir)
+    AnnIvf.search(loadAssigned(spark, gen),
+      AnnIvf.loadIndex(spark, s"$gen/ivf_centroids"),
       queries, idCol, vecCol, k, nprobe)
+  }
 
   /** Memory-side serve: ADC over the persisted codes — the corpus is
     * never read as vectors at query time. Returns (q_id, rn, n_id). */
   def servePq(spark: SparkSession, dir: String, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              m: Int = 8, subDim: Int = 8): DataFrame =
-    AnnPq.searchEncoded(spark.read.parquet(s"$dir/pq_codes"),
-      AnnPq.loadCodebooks(spark, s"$dir/pq_codebooks"),
+              m: Int = 8, subDim: Int = 8): DataFrame = {
+    val gen = resolve(spark, dir)
+    AnnPq.searchEncoded(spark.read.parquet(s"$gen/pq_codes"),
+      AnnPq.loadCodebooks(spark, s"$gen/pq_codebooks"),
       queries, idCol, vecCol, k, m, subDim)
+  }
 
   /** Hybrid serve: the dense arm comes from the LOADED IVF index, the
     * lexical 3-gram arm from `docs`, fused by RRF. `queries` is the

@@ -126,6 +126,53 @@ class AnnSpec extends SparkSpec {
     assert(gotHybrid.nonEmpty)
   }
 
+  test("IndexedSearch: artifact commit is atomic — crash debris never serves, re-fit swaps generations") {
+    import graft.operators.IndexedSearch
+    val dir = tmpDir("idxatomic")
+    IndexedSearch.fit(emb, "vec_id", "embedding", dir)
+    val root = new java.io.File(dir)
+    def gens = root.listFiles.filter(f =>
+      f.isDirectory && f.getName.startsWith("gen-")).map(_.getName).toSet
+    val genA = gens
+    assert(genA.size === 1, s"one committed generation, got $gens")
+    val current = new java.io.File(root, "CURRENT")
+    assert(current.isFile && java.nio.file.Files.readString(
+      current.toPath).trim == genA.head)
+    // tampering helper: drop the local-FS checksum sidecar too, else
+    // the read fails on ChecksumException instead of our guard
+    def tamper(content: String): Unit = {
+      java.nio.file.Files.writeString(current.toPath, content)
+      new java.io.File(root, ".CURRENT.crc").delete()
+    }
+
+    // simulate a fit that crashed after SOME artifact writes: a gen
+    // dir with artifacts but NO manifest. Serving must be unaffected
+    // (CURRENT still points at the complete generation).
+    val dead = new java.io.File(root, "gen-deadbeef0000")
+    assert(dead.mkdirs())
+    val before = IndexedSearch.servePq(spark, dir, queries,
+      "vec_id", "embedding", 5).collect().length
+    assert(before > 0)
+
+    // tampered CURRENT → unmanifested gen must REFUSE, not serve junk
+    tamper("gen-deadbeef0000")
+    val ex = intercept[IllegalArgumentException] {
+      IndexedSearch.servePq(spark, dir, queries, "vec_id", "embedding", 5)
+    }
+    assert(ex.getMessage.contains("_MANIFEST"))
+    tamper(genA.head)
+
+    // re-fit publishes a NEW generation, GCs the old one and the
+    // crash debris, and keeps serving
+    IndexedSearch.fit(emb, "vec_id", "embedding", dir)
+    val genB = gens
+    assert(genB.size === 1 && genB != genA, s"swap $genA -> $genB")
+    assert(java.nio.file.Files.readString(current.toPath).trim == genB.head)
+    val after = IndexedSearch.servePq(spark, dir, queries,
+      "vec_id", "embedding", 5).collect().length
+    assert(after === before)
+  }
+
   test("PQ codebook artifact round-trips: loaded codebooks encode identically") {
     val dir = tmpDir("pqidx")
     val cb = AnnPq.trainCodebooks(emb,

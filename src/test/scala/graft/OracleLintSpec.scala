@@ -15,44 +15,26 @@ import org.scalatest.funsuite.AnyFunSuite
   * are legitimately uncast). Skips cleanly if python3/duckdb are
   * unavailable; in that case the same lint still runs inside
   * tools/oracle_check.py on every gate.sh pass.
+  *
+  * The DESCRIBE dump is computed ONCE in a lazy val shared by both
+  * tests — each test is self-contained (runs correctly in isolation
+  * or any order), not dependent on a sibling test's side effect.
   */
 class OracleLintSpec extends AnyFunSuite {
 
   test("no oracle emits driver-unhashable output types (HUGEINT)") {
-    val python = Seq("bash", "-c", "command -v python3 || true")
-    val havePy = (new ProcessBuilder(python: _*)).start()
-    havePy.waitFor()
-    val pyPath = scala.io.Source.fromInputStream(havePy.getInputStream).mkString.trim
-    assume(pyPath.nonEmpty, "python3 not on PATH")
-    val probe = new ProcessBuilder("python3", "-c", "import duckdb").start()
-    assume(probe.waitFor() == 0, "duckdb module unavailable")
-
-    val json = JsonUtil.obj(SparkEntry.oracleSql)
-    val f = java.nio.file.Files.createTempFile("oracle_sql", ".json")
-    val colsF = java.nio.file.Files.createTempFile("oracle_cols", ".json")
-    java.nio.file.Files.writeString(f, json)
-    val pb = new ProcessBuilder(
-      "python3", "tools/oracle_lint.py", f.toString, SparkSpec.Sf,
-      colsF.toString)
-    pb.redirectErrorStream(true)
-    val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
-    val code = p.waitFor()
-    java.nio.file.Files.deleteIfExists(f)
-    oracleCols = if (code == 0) Some(parseCols(
-      java.nio.file.Files.readString(colsF))) else None
-    java.nio.file.Files.deleteIfExists(colsF)
-    assert(code == 0, s"oracle_lint failed:\n$out")
+    assume(lintRun.isDefined, "python3/duckdb absent")
+    val run = lintRun.get
+    assert(run.code == 0, s"oracle_lint failed:\n${run.out}")
   }
 
   test("every query's Spark schema matches its oracle's output columns") {
     // alias drift between a Spark .as(...) and the SQL AS is the most
     // common oracle-compare failure (the driver sorts columns by name
-    // before hashing) — catch it plan-only at sbt-test time. Depends
-    // on the DESCRIBE dump from the previous test; skips if that
-    // skipped.
-    assume(oracleCols.isDefined, "no DESCRIBE dump (python3/duckdb absent)")
-    val cols = oracleCols.get
+    // before hashing) — catch it plan-only at sbt-test time.
+    assume(lintRun.isDefined, "python3/duckdb absent")
+    assume(lintRun.get.code == 0, "lint itself failed; reported by the other test")
+    val cols = lintRun.get.cols
     val drift = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
       try {
         val sparkCols = SparkEntry.queries(name)(spark, SparkSpec.Sf)
@@ -67,7 +49,42 @@ class OracleLintSpec extends AnyFunSuite {
     assert(drift.isEmpty, drift.mkString("\n"))
   }
 
-  @volatile private var oracleCols: Option[Map[String, Seq[String]]] = None
+  private case class LintRun(code: Int, out: String,
+                             cols: Map[String, Seq[String]])
+
+  /** One lint subprocess run, shared by both tests. None = python3 or
+    * the duckdb module is unavailable (tests assume-skip). */
+  private lazy val lintRun: Option[LintRun] = {
+    val havePy = (new ProcessBuilder(
+      "bash", "-c", "command -v python3 || true")).start()
+    havePy.waitFor()
+    val pyPath = scala.io.Source.fromInputStream(havePy.getInputStream)
+      .mkString.trim
+    if (pyPath.isEmpty) None
+    else {
+      val probe = new ProcessBuilder("python3", "-c", "import duckdb").start()
+      if (probe.waitFor() != 0) None
+      else {
+        val json = JsonUtil.obj(SparkEntry.oracleSql)
+        val f = java.nio.file.Files.createTempFile("oracle_sql", ".json")
+        val colsF = java.nio.file.Files.createTempFile("oracle_cols", ".json")
+        java.nio.file.Files.writeString(f, json)
+        val pb = new ProcessBuilder(
+          "python3", "tools/oracle_lint.py", f.toString, SparkSpec.Sf,
+          colsF.toString)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+        val code = p.waitFor()
+        java.nio.file.Files.deleteIfExists(f)
+        val cols =
+          if (code == 0) parseCols(java.nio.file.Files.readString(colsF))
+          else Map.empty[String, Seq[String]]
+        java.nio.file.Files.deleteIfExists(colsF)
+        Some(LintRun(code, out, cols))
+      }
+    }
+  }
 
   private def spark = SparkSpec.spark
 

@@ -10,7 +10,11 @@
 #
 # Exits non-zero on the first failing stage.
 set -euo pipefail
-cd "$(dirname "$0")/.."
+# Anchor everything to the repo root (the script's parent dir) so the
+# gate behaves identically from any cwd; REPO also flows into the
+# embedded python below instead of cwd-relative file names.
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$REPO"
 
 MODE="${1:-}"
 SF=/root/testdata/sf0.01
@@ -54,18 +58,22 @@ fi
 # NEW this round: print it with its SURVEY §2 grep hits so the
 # capability-noun check happens at the gate, not in the next verdict.
 echo "== gate: new-query concept check =="
-python3 - "$ORACLE_JSON" <<'EOF'
-import json, sys, glob, re
+python3 - "$ORACLE_JSON" "$REPO" <<'EOF'
+import json, sys, glob, os
 keys = set(json.load(open(sys.argv[1])))
-prior = sorted(glob.glob('CORRECTNESS_r*.json'))
+repo = sys.argv[2]
+prior = sorted(glob.glob(os.path.join(repo, 'CORRECTNESS_r*.json')))
 known = set(json.load(open(prior[-1]))) if prior else set()
 new = sorted(keys - known)
 if not new:
-    print("no new query keys since", prior[-1] if prior else "(none)")
+    print("no new query keys since",
+          os.path.basename(prior[-1]) if prior else "(none)")
     sys.exit(0)
-survey = open('SURVEY.md').read()
+survey = open(os.path.join(repo, 'SURVEY.md')).read()
 for k in new:
-    stem = k.removeprefix('q_').replace('_', ' ')
+    # not str.removeprefix: that is Python 3.9+ and the gate must run
+    # on any python3
+    stem = (k[2:] if k.startswith('q_') else k).replace('_', ' ')
     # short names (bfs, rbo, auc, rfm...) must still match: keep words
     # of >2 chars, and fall back to every word if none survive
     words = [w for w in stem.split() if len(w) > 2] or stem.split()
@@ -77,4 +85,26 @@ for k in new:
     print("    ^ confirm none of these rows already covers the CONCEPT "
           "before shipping this key")
 EOF
+# Idle-round guard (r11 lesson: the round shipped ZERO builder commits
+# while five specified tasks sat in the verdict/advice, and the unfixed
+# bench noise then manufactured 12 false regressions). If ADVICE.md
+# still lists items but there are no builder commits since the last
+# driver round-snapshot and no uncommitted source work, say so loudly —
+# a green gate on an untouched tree is not a finished round.
+echo "== gate: idle-round guard =="
+if grep -q '^- \*\*' ADVICE.md 2>/dev/null; then
+  last_snap=$(git log --grep='^round [0-9]*:' -n 1 --format=%H 2>/dev/null || true)
+  commits_since=$(git rev-list --count "${last_snap:-HEAD}..HEAD" 2>/dev/null || echo 0)
+  dirty=$(git status --porcelain -- src tools SURVEY.md build.sbt | wc -l)
+  if [ "$commits_since" -eq 0 ] && [ "$dirty" -eq 0 ]; then
+    echo "WARN IDLE ROUND: ADVICE.md lists open items, yet there are no"
+    echo "     builder commits since the last round snapshot and no"
+    echo "     uncommitted source changes — this round is about to ship"
+    echo "     nothing (r11 did exactly this and was graded for it)."
+  else
+    echo "ok: round has work ($commits_since commit(s) since snapshot, $dirty dirty source path(s))"
+  fi
+else
+  echo "ok: no open ADVICE items"
+fi
 echo "== gate: PASS =="

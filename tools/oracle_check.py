@@ -25,9 +25,10 @@ FAIL and the worker moves on with a fresh connection — it can never
 zero out the whole run. check_one is fully exception-boxed, the pool
 iterates submit/as_completed, and a worker-process DEATH (segfault/
 OOM) — which breaks the whole ProcessPoolExecutor, failing every
-in-flight future with BrokenProcessPool — triggers a serial in-process
-re-run of the affected queries, so one dying oracle still costs one
-FAIL, not the run.
+in-flight future with BrokenProcessPool — re-runs each affected query
+in a FRESH single-query subprocess (`--one <name>` mode), so even a
+DETERMINISTICALLY-crashing oracle costs one FAIL, not the run (an
+in-process retry would let it kill the parent).
 
 Queries shard across a PROCESS pool (default 8 workers, each with its
 own DuckDB connection over the same parquet views). Results print in
@@ -36,14 +37,24 @@ diffable. Per-oracle wall time prints on each line; the slowest 5
 print at the end (the q_mmr lesson: a quadratic oracle replay should
 be visible in-repo before the driver ever sees it).
 """
-import sys, json, glob, os, threading, time
+import sys, json, glob, os, threading, time, subprocess
 from concurrent.futures import ProcessPoolExecutor, as_completed
 
 import oracle_lint  # shared TABLES + BANNED + make_con (same dir)
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
-TIMEOUT = float(sys.argv[3]) if len(sys.argv) > 3 else 180.0
-WORKERS = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+# --one <name>: run exactly one query serially and exit — the retry
+# vehicle for pool-breaking oracles (see main): a query that KILLS its
+# process (segfault/OOM, not a catchable exception) must cost one FAIL
+# in its own subprocess, never take down the parent run.
+_argv = list(sys.argv[1:])
+ONE = None
+if "--one" in _argv:
+    _i = _argv.index("--one")
+    ONE = _argv[_i + 1]
+    del _argv[_i:_i + 2]
+sf_dir, out_dir = _argv[0], _argv[1]
+TIMEOUT = float(_argv[2]) if len(_argv) > 2 else 180.0
+WORKERS = int(_argv[3]) if len(_argv) > 3 else 8
 
 # Output column types that pandas cannot round-trip losslessly: the
 # driver's hash canonicalization will diverge from Spark's rendering.
@@ -184,8 +195,43 @@ def _check_one_inner(name, sql):
     return [f"OK   {name} ({len(s)} rows)"]
 
 
+def retry_in_subprocess(name):
+    """Re-run one pool-breaking query in a FRESH single-query
+    subprocess (--one mode). In-process retry is wrong here: the only
+    way a query reaches this path is by killing its worker process
+    outright (BrokenProcessPool), so a deterministic crasher re-run
+    in-process would kill the whole run — in a subprocess it costs
+    exactly one FAIL. Returns (ok, lines, wall)."""
+    t0 = time.monotonic()
+    cmd = [sys.executable, os.path.abspath(__file__), sf_dir, out_dir,
+           str(TIMEOUT), "1", "--one", name]
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=TIMEOUT * 2 + 60)
+        lines = [l for l in p.stdout.splitlines() if l.strip()]
+        ok = p.returncode == 0 and bool(lines)
+        if not lines:
+            tail = (p.stderr or "").strip().splitlines()[-1:] or ["no output"]
+            lines = [f"FAIL {name}: retry subprocess died "
+                     f"(rc={p.returncode}): {tail[0][:160]}"]
+    except subprocess.TimeoutExpired:
+        ok, lines = False, [f"FAIL {name}: retry subprocess timed out"]
+    if not ok:
+        lines = [l + "  (fresh-subprocess retry after worker death)"
+                 for l in lines]
+    return ok, lines, time.monotonic() - t0
+
+
 def main():
     oracles = sorted(json.load(open(f"{out_dir}/oracle_sql.json")).items())
+    if ONE is not None:
+        sql_map = dict(oracles)
+        if ONE not in sql_map:
+            print(f"FAIL {ONE}: not in oracle_sql.json")
+            sys.exit(1)
+        name, ok, lines, _ = check_one((ONE, sql_map[ONE]))
+        print("\n".join(lines))
+        sys.exit(0 if ok else 1)
     results = {}
     if WORKERS <= 1:
         for item in oracles:
@@ -206,12 +252,7 @@ def main():
                     continue
                 results[name] = (ok, lines, wall)
         for name in broken:
-            sql = dict(oracles)[name]
-            name, ok, lines, wall = check_one((name, sql))
-            if not ok:
-                lines = [l + "  (serial retry after worker death)"
-                         for l in lines]
-            results[name] = (ok, lines, wall)
+            results[name] = retry_in_subprocess(name)
     fails = 0
     for name, _ in oracles:
         ok, lines, wall = results.get(
