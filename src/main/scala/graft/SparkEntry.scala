@@ -48,6 +48,25 @@ object SparkEntry {
   private val RevenueSql =
     "CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))), 2) AS DOUBLE)"
 
+  /** The oracle-side `partsupp` derivation — the EXACT arithmetic of
+    * `Tables.partsupp` as a DuckDB CTE (the testdata ships no partsupp
+    * parquet, so both engines derive it from lineitem's distinct
+    * (partkey, suppkey) pairs; see Tables.partsupp's doc). Keys cast
+    * to BIGINT before the multiplies so both engines compute in
+    * 64-bit; supplycost is integer cents / 100.0 — one IEEE division,
+    * the same double everywhere. MATERIALIZED: every consumer
+    * references it at least twice (multi-ref CTE rule, SURVEY §4). */
+  private val PartsuppCte =
+    """partsupp AS MATERIALIZED (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST((ps_partkey * 37 + ps_suppkey * 17) % 9999 + 1 AS INT)
+      |      AS ps_availqty,
+      |    CAST((ps_partkey * 31 + ps_suppkey * 13) % 99900 + 100 AS DOUBLE)
+      |      / 100.0 AS ps_supplycost
+      |  FROM (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS ps_partkey,
+      |               CAST(l_suppkey AS BIGINT) AS ps_suppkey FROM lineitem))"""
+      .stripMargin
+
   /** Shared scaffold for the rank/CDF two-sample tests (q_ks_test,
     * q_mannwhitney): per-arm cumulative counts of events.value at
     * every POOLED 2-dp value — the quantized domain bounds the grid
@@ -5481,6 +5500,165 @@ object SparkEntry {
         .orderBy(col("cntrycode"))
     }),
 
+    // #30ai: TPC-H Q2 shape (min-cost supplier, reference Q2 adapted:
+    // schema has no p_mfgr/s_address — p_brand stands in; the region
+    // is a broadcast chain region→nation→supplier into the derived
+    // partsupp). The correlated MIN subquery is the window-free
+    // min-join: per-part minima aggregate once, join back on
+    // (partkey, exact-double cost equality — supplycost is integer
+    // cents / 100.0, ONE IEEE division, identical on any engine). At
+    // 100 TB partsupp shuffles on ps_partkey for both the agg and the
+    // join-back (one exchange, reused); dims broadcast.
+    "q_tpch_q2" -> ((s, dir) => {
+      val reg = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+        .select(col("r_regionkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("s_nationkey"))
+      val eps = Tables.partsupp(s, dir)
+        .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("ps_partkey"), col("ps_supplycost"),
+          col("s_acctbal"), col("s_name"), col("n_name"))
+      val minc = eps.groupBy(col("ps_partkey").as("mk"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      val p = t(s, dir, "part").filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_brand"))
+      eps.join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .join(minc, col("ps_partkey") === col("mk") &&
+          col("ps_supplycost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"), col("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // #30aj: TPC-H Q9 shape (product-type profit): profit =
+    // revenue − supply cost, per nation per year. The part filter
+    // broadcasts into the lineitem scan FIRST (prunes the fact before
+    // any shuffle); partsupp then joins on the composite
+    // (partkey, suppkey) — at 100 TB that is the one fact-sized
+    // shuffle, orders joins on the existing orderkey, supplier/nation
+    // broadcast. Profit accumulates decimal-exact (both products cast
+    // to decimal(28,4) before the subtraction) so the sum is
+    // order-independent.
+    "q_tpch_q9" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"))
+      val ps = Tables.partsupp(s, dir)
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val amount =
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)") -
+        (col("ps_supplycost").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)")).cast("decimal(28,4)")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(ps, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // #30ak: TPC-H Q11 shape (important stock): per-part inventory
+    // value within a nation group, kept where above a fraction of the
+    // total. Both the per-part values and the grand total come from
+    // ONE decimal aggregation (sum of exact decimals → double →
+    // ×0.001), never a re-sum of rounded doubles — float sums of
+    // rounded values are order-dependent and would let the two engines
+    // disagree at the threshold boundary. The scalar threshold
+    // broadcasts over the per-part rollup.
+    "q_tpch_q11" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+        .select(col("n_nationkey"))
+      val nps = Tables.partsupp(s, dir)
+        .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_supplycost").cast("decimal(18,2)") *
+          col("ps_availqty")).as("vdec"))
+      val thresh = nps.agg(
+        (sum(col("vdec")).cast("double") * lit(0.001)).as("thresh"))
+      nps.crossJoin(broadcast(thresh))
+        .filter(round(col("vdec"), 2).cast("double") > col("thresh"))
+        .select(col("ps_partkey"),
+          round(col("vdec"), 2).cast("double").as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+
+    // #30al: TPC-H Q16 shape (parts/supplier relationship count,
+    // adapted: the excluded-supplier set is acctbal < 0 — schema has
+    // no s_comment to grep for complaints). Part attributes broadcast
+    // into the partsupp scan, the exclusion is a broadcast LEFT ANTI
+    // (NOT IN with a null-free key column), then one distinct-count
+    // aggregation shuffled on the (brand, type, size) group key.
+    "q_tpch_q16" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      Tables.partsupp(s, dir).select(col("ps_partkey"), col("ps_suppkey"))
+        .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("ps_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // #30am: TPC-H Q20 shape (potential part promotion): suppliers in
+    // two nations whose stock of 'small %' parts exceeds half of what
+    // they shipped in 1997. The correlated per-(part,supplier) SUM is
+    // one date-pruned lineitem aggregation joined to partsupp on the
+    // composite key; l_quantity is integer-valued so the double SUM is
+    // exact (order-independent) and 0.5·qty is one exact scale. The
+    // supplier set reduces through distinct before the LEFT SEMI probe.
+    "q_tpch_q20" -> ((s, dir) => {
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val smallParts = t(s, dir, "part")
+        .filter(col("p_name").like("small%")).select(col("p_partkey"))
+      val eligible = Tables.partsupp(s, dir)
+        .join(broadcast(smallParts), col("ps_partkey") === col("p_partkey"))
+        .join(shipped, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > lit(0.5) * col("qty"))
+        .select(col("ps_suppkey")).distinct()
+      val nat = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(eligible, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"))
+    }),
+
     // #165: Bloom-pruned join as an oracle query (§2.6 row 69 upgraded
     // from spec-only): high-value customers' order revenue — the fact
     // side is bloom-filtered on the computed dim's keys BEFORE its
@@ -8154,6 +8332,85 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+
+    "q_tpch_q2" ->
+      s"""WITH $PartsuppCte,
+        |eps AS MATERIALIZED (
+        |  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+        |  FROM partsupp, supplier, nation, region
+        |  WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+        |FROM part, eps
+        |WHERE p_partkey = ps_partkey AND p_size = 15
+        |  AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM eps e2
+        |                       WHERE e2.ps_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q_tpch_q9" ->
+      s"""WITH $PartsuppCte
+        |SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+        |  CAST(ROUND(SUM(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      AS DECIMAL(28,4)) -
+        |    CAST(CAST(ps_supplycost AS DECIMAL(18,2)) *
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4))
+        |  ), 2) AS DOUBLE) AS sum_profit
+        |FROM part, supplier, lineitem, partsupp, orders, nation
+        |WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        |  AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // threshold from the EXACT decimal sum (never a re-sum of rounded
+    // doubles — that float sum is order-dependent across engines)
+    "q_tpch_q11" ->
+      s"""WITH $PartsuppCte,
+        |nps AS MATERIALIZED (
+        |  SELECT ps_partkey,
+        |    SUM(CAST(ps_supplycost AS DECIMAL(18,2)) * ps_availqty) AS vdec
+        |  FROM partsupp, supplier, nation
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name IN ('NATION_3','NATION_7','NATION_11')
+        |  GROUP BY ps_partkey)
+        |SELECT ps_partkey, CAST(ROUND(vdec, 2) AS DOUBLE) AS value
+        |FROM nps
+        |WHERE CAST(ROUND(vdec, 2) AS DOUBLE) >
+        |  (SELECT CAST(SUM(vdec) AS DOUBLE) * 0.001 FROM nps)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q_tpch_q16" ->
+      s"""WITH $PartsuppCte
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM partsupp, part
+        |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#3'
+        |  AND p_type <> 'PROMO' AND p_size IN (1,5,10,15,20,25,30,35)
+        |  AND ps_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q_tpch_q20" ->
+      s"""WITH $PartsuppCte,
+        |shipped AS MATERIALIZED (
+        |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT s_suppkey, s_name FROM supplier, nation
+        |WHERE s_nationkey = n_nationkey AND n_name IN ('NATION_1','NATION_2')
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp, shipped
+        |    WHERE ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |      AND ps_partkey IN
+        |        (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND ps_availqty > 0.5 * qty)
+        |ORDER BY s_name""".stripMargin,
 
     "q_len_deciles" ->
       """WITH h AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY n_chars),

@@ -105,8 +105,11 @@ object Tables {
     * (map-side partial dedup before the exchange). */
   def partsupp(spark: SparkSession, sfDir: String): DataFrame =
     load(spark, sfDir, "lineitem")
-      .select(col("l_partkey").as("ps_partkey"),
-        col("l_suppkey").as("ps_suppkey"))
+      // 64-bit BEFORE the multiplies: a 32-bit partkey would wrap at
+      // partkey > ~58M (×37) while DuckDB promotes — the derivation
+      // must compute in long on BOTH engines to stay bit-for-bit.
+      .select(col("l_partkey").cast("long").as("ps_partkey"),
+        col("l_suppkey").cast("long").as("ps_suppkey"))
       .distinct()
       .withColumn("ps_availqty",
         ((col("ps_partkey") * 37 + col("ps_suppkey") * 17) % 9999 + 1)
@@ -116,7 +119,12 @@ object Tables {
           .cast("double") / lit(100.0))
 
   /** Register all tables as temp views so `spark.sql` queries and the
-    * DuckDB oracle share one table namespace. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    * DuckDB oracle share one table namespace. The derived `partsupp`
+    * registers alongside the parquet tables (Spark-side only — the
+    * oracle inlines the identical derivation as a CTE,
+    * SparkEntry.PartsuppCte, because DuckDB sees only the parquet). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    partsupp(spark, sfDir).createOrReplaceTempView("partsupp")
+  }
 }
