@@ -68,8 +68,9 @@ object IndexedSearch {
     // all four on disk → mark the generation complete, then publish
     writeSmall(spark, s"$gen/$Manifest",
       s"""{"nlist":$nlist,"m":$m,"subDim":$subDim,"ksub":$ksub}""")
+    val prev = readPointer(spark, dir)
     publish(spark, dir, genId)
-    gcOldGenerations(spark, dir, genId)
+    gcOldGenerations(spark, dir, Set(genId) ++ prev)
   }
 
   private val Manifest = "_MANIFEST"
@@ -104,14 +105,23 @@ object IndexedSearch {
 
   /** Best-effort cleanup of superseded generations (and any aborted
     * unmanifested ones). Never throws — GC failure must not fail a
-    * committed fit. */
+    * committed fit.
+    *
+    * `keep` always contains the just-published generation AND the one
+    * it superseded (N-1 grace): serve paths are LAZY — a concurrent
+    * reader that resolved the old CURRENT may still be reading its
+    * parquet when a re-fit publishes, and deleting that generation
+    * immediately would fail the in-flight query with
+    * FileNotFoundException. One grace generation covers fit-once/
+    * serve-many with concurrent readers; generations older than N-1
+    * (two re-fits stale) and unmanifested crash debris are deleted. */
   private def gcOldGenerations(spark: SparkSession, dir: String,
-                               keep: String): Unit =
+                               keep: Set[String]): Unit =
     try {
       val fs = hfs(spark, dir)
       fs.listStatus(new org.apache.hadoop.fs.Path(dir))
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-")
-          && s.getPath.getName != keep)
+          && !keep.contains(s.getPath.getName))
         .foreach(s => fs.delete(s.getPath, true))
     } catch { case _: Throwable => () }
 
@@ -120,23 +130,34 @@ object IndexedSearch {
     * through [[fit]]'s commit order, so seeing it means external
     * tampering, and serving from it could mix generations. Falls back
     * to `dir` itself for pre-r12 flat layouts. */
-  private def resolve(spark: SparkSession, dir: String): String = {
+  /** The generation id CURRENT points at, if a pointer exists. */
+  private def readPointer(spark: SparkSession,
+                          dir: String): Option[String] = {
     val fs = hfs(spark, dir)
     val cur = new org.apache.hadoop.fs.Path(s"$dir/$Current")
-    if (fs.exists(cur)) {
+    if (!fs.exists(cur)) None
+    else {
       val in = fs.open(cur)
-      val genId = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-      val gen = s"$dir/$genId"
-      require(fs.exists(new org.apache.hadoop.fs.Path(s"$gen/$Manifest")),
-        s"index at $dir: CURRENT points at $genId but its $Manifest is " +
-          "missing — refusing a possibly-incomplete generation")
-      gen
-    } else {
-      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_centroids")),
-        s"no index at $dir: neither a $Current pointer nor a legacy " +
-          "flat layout")
-      dir
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def resolve(spark: SparkSession, dir: String): String = {
+    val fs = hfs(spark, dir)
+    readPointer(spark, dir) match {
+      case Some(genId) =>
+        val gen = s"$dir/$genId"
+        require(fs.exists(new org.apache.hadoop.fs.Path(s"$gen/$Manifest")),
+          s"index at $dir: CURRENT points at $genId but its $Manifest is " +
+            "missing — refusing a possibly-incomplete generation")
+        gen
+      case None =>
+        require(
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ivf_centroids")),
+          s"no index at $dir: neither a $Current pointer nor a legacy " +
+            "flat layout")
+        dir
     }
   }
 
@@ -168,14 +189,24 @@ object IndexedSearch {
       queries, idCol, vecCol, k, m, subDim)
   }
 
+  /** Past this many query ids, [[serveHybrid]]'s lexical arm stops
+    * collecting ids into an IN filter and switches to a LEFT SEMI
+    * join — the IN path assumes a SERVING-sized batch (driver memory
+    * and a filter expression both scale with the id list), while the
+    * semi-join is unbounded but pays a small-side exchange. */
+  private[graft] val MaxInFilterQueryIds = 16384
+
   /** Hybrid serve: the dense arm comes from the LOADED IVF index, the
     * lexical 3-gram arm from `docs`, fused by RRF. `queries` is the
     * serve-time request set — (idCol, vecCol) rows, request-sized by
     * definition (recovering query vectors from the cid-partitioned
     * corpus artifact would scan every cell's files and defeat the
     * pruning the layout exists for). The lexical arm selects the query
-    * docs by the collected request ids — bounded by the request size,
-    * pushed into the shingle scan as an IN filter.
+    * docs by the collected request ids — pushed into the shingle scan
+    * as an IN filter — up to [[MaxInFilterQueryIds]] ids (at most
+    * that many + 1 are ever collected to the driver); a larger batch
+    * falls back to a LEFT SEMI join, keeping the path total rather
+    * than trusting the caller's notion of "serving-sized".
     * Returns (q_id, rn, d_id, rsem, rlex), rn = 1..k in fused order. */
   def serveHybrid(spark: SparkSession, dir: String, docs: DataFrame,
                   docId: String, textCol: String, queries: DataFrame,
@@ -184,10 +215,13 @@ object IndexedSearch {
                   rrfC: Int = 60): DataFrame = {
     val sem = serveIvf(spark, dir, queries, idCol, vecCol, armK, nprobe)
       .select(col("q_id"), col("n_id").as("d_id"), col("rn").as("rsem"))
-    val qIds = queries.select(col(idCol).cast("long"))
-      .collect().map(_.getLong(0)).toSeq
-    val lex = Search.lexicalArm(docs, docId, textCol,
-      col("id").isInCollection(qIds), armK)
+    val qidDf = queries.select(col(idCol).cast("long").as("id"))
+    val head = qidDf.limit(MaxInFilterQueryIds + 1).collect()
+    val lex =
+      if (head.length <= MaxInFilterQueryIds)
+        Search.lexicalArm(docs, docId, textCol,
+          col("id").isInCollection(head.map(_.getLong(0)).toSeq), armK)
+      else Search.lexicalArmJoin(docs, docId, textCol, qidDf, armK)
     Search.fuseRrf(sem, lex, rrfC, k)
   }
 }

@@ -166,9 +166,28 @@ object Search {
     * query side never shuffles the corpus).
     * @return (q_id, d_id, rlex) with rlex = 1..armK */
   def lexicalArm(docs: DataFrame, docId: String, textCol: String,
-                 qPred: org.apache.spark.sql.Column, armK: Int): DataFrame = {
+                 qPred: org.apache.spark.sql.Column, armK: Int): DataFrame =
+    lexicalArmSel(docs, docId, textCol, _.filter(qPred), armK)
+
+  /** [[lexicalArm]] with the query docs selected by LEFT SEMI join
+    * instead of an inlined predicate — for query sets too large to
+    * collect into an IN filter. `qIds` is a one-column DataFrame of
+    * query doc ids; the semi-join exchanges only the (small relative
+    * to the exploded shingles) pre-explode shingle rows, never a
+    * driver collect, so the batch size is unbounded. */
+  def lexicalArmJoin(docs: DataFrame, docId: String, textCol: String,
+                     qIds: DataFrame, armK: Int): DataFrame = {
+    val ids = qIds
+      .select(col(qIds.columns.head).cast("long").as("id")).distinct()
+    lexicalArmSel(docs, docId, textCol,
+      _.join(ids, Seq("id"), "left_semi"), armK)
+  }
+
+  private def lexicalArmSel(docs: DataFrame, docId: String,
+                            textCol: String, sel: DataFrame => DataFrame,
+                            armK: Int): DataFrame = {
     val sh = Dedup.shingleDf(docs, docId, textCol, 3)
-    val qx = sh.filter(qPred)
+    val qx = sel(sh)
       .select(col("id").as("q_id"), size(col("sh")).as("qn"),
         explode(col("sh")).as("g"))
     val cx = sh.select(col("id").as("d_id"), size(col("sh")).as("dn"),

@@ -126,6 +126,24 @@ class AnnSpec extends SparkSpec {
     assert(gotHybrid.nonEmpty)
   }
 
+  test("lexical arm: LEFT SEMI query selection == IN-filter selection row-for-row") {
+    // serveHybrid switches from the collected-IN path to
+    // lexicalArmJoin past MaxInFilterQueryIds; the two selection
+    // mechanisms must be value-identical for the switch to be a pure
+    // scale decision.
+    import graft.operators.Search
+    val docs = table("documents")
+    val qIds = docs.filter(col("doc_id") < 5).select(col("doc_id"))
+    val inList = qIds.collect().map(_.getLong(0)).toSeq
+    val viaJoin = Search.lexicalArmJoin(docs, "doc_id", "text", qIds, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaIn = Search.lexicalArm(docs, "doc_id", "text",
+        col("id").isInCollection(inList), 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaJoin === viaIn)
+    assert(viaJoin.nonEmpty)
+  }
+
   test("IndexedSearch: artifact commit is atomic — crash debris never serves, re-fit swaps generations") {
     import graft.operators.IndexedSearch
     val dir = tmpDir("idxatomic")
@@ -162,15 +180,29 @@ class AnnSpec extends SparkSpec {
     assert(ex.getMessage.contains("_MANIFEST"))
     tamper(genA.head)
 
-    // re-fit publishes a NEW generation, GCs the old one and the
-    // crash debris, and keeps serving
+    // re-fit publishes a NEW generation and GCs the crash debris, but
+    // KEEPS the superseded generation (N-1 grace: a concurrent reader
+    // that resolved the old CURRENT may still be lazily reading its
+    // parquet — deleting it at publish would fail that query mid-read)
     IndexedSearch.fit(emb, "vec_id", "embedding", dir)
     val genB = gens
-    assert(genB.size === 1 && genB != genA, s"swap $genA -> $genB")
-    assert(java.nio.file.Files.readString(current.toPath).trim == genB.head)
+    assert(genB.size === 2 && genB.contains(genA.head),
+      s"publish keeps N-1: $genA -> $genB")
+    assert(!genB.contains("gen-deadbeef0000"), "crash debris GC'd")
+    val pointedB = java.nio.file.Files.readString(current.toPath).trim
+    assert(pointedB != genA.head && genB.contains(pointedB))
     val after = IndexedSearch.servePq(spark, dir, queries,
       "vec_id", "embedding", 5).collect().length
     assert(after === before)
+
+    // a THIRD fit retires the original generation (now two re-fits
+    // stale — outside the one-generation grace window)
+    IndexedSearch.fit(emb, "vec_id", "embedding", dir)
+    val genC = gens
+    val pointedC = java.nio.file.Files.readString(current.toPath).trim
+    assert(genC.size === 2 && !genC.contains(genA.head),
+      s"N-2 retired: $genC")
+    assert(genC === Set(pointedB, pointedC))
   }
 
   test("PQ codebook artifact round-trips: loaded codebooks encode identically") {

@@ -8,7 +8,9 @@
 #   tools/gate.sh --changed   # incremental Spark side (plan-hash manifest
 #                             # in target/verify_inc), full oracle compare
 #
-# Exits non-zero on the first failing stage.
+# Exits non-zero on the first failing stage. (Exception: the final
+# idle-round guard is ADVISORY — it prints WARN and still passes —
+# unless SPARK_GRAFT_STRICT_IDLE=1, which makes an idle round fail.)
 set -euo pipefail
 # Anchor everything to the repo root (the script's parent dir) so the
 # gate behaves identically from any cwd; REPO also flows into the
@@ -101,6 +103,10 @@ if grep -q '^- \*\*' ADVICE.md 2>/dev/null; then
     echo "     builder commits since the last round snapshot and no"
     echo "     uncommitted source changes — this round is about to ship"
     echo "     nothing (r11 did exactly this and was graded for it)."
+    if [ "${SPARK_GRAFT_STRICT_IDLE:-0}" = "1" ]; then
+      echo "gate: FAIL (idle round, SPARK_GRAFT_STRICT_IDLE=1)"
+      exit 1
+    fi
   else
     echo "ok: round has work ($commits_since commit(s) since snapshot, $dirty dirty source path(s))"
   fi
