@@ -125,11 +125,6 @@ object IndexedSearch {
         .foreach(s => fs.delete(s.getPath, true))
     } catch { case _: Throwable => () }
 
-  /** Resolve the active generation dir. Refuses (loudly) a pointer to
-    * a generation missing its `_MANIFEST` — that state is unreachable
-    * through [[fit]]'s commit order, so seeing it means external
-    * tampering, and serving from it could mix generations. Falls back
-    * to `dir` itself for pre-r12 flat layouts. */
   /** The generation id CURRENT points at, if a pointer exists. */
   private def readPointer(spark: SparkSession,
                           dir: String): Option[String] = {
@@ -143,6 +138,11 @@ object IndexedSearch {
     }
   }
 
+  /** Resolve the active generation dir. Refuses (loudly) a pointer to
+    * a generation missing its `_MANIFEST` — that state is unreachable
+    * through [[fit]]'s commit order, so seeing it means external
+    * tampering, and serving from it could mix generations. Falls back
+    * to `dir` itself for pre-r12 flat layouts. */
   private def resolve(spark: SparkSession, dir: String): String = {
     val fs = hfs(spark, dir)
     readPointer(spark, dir) match {
@@ -212,13 +212,16 @@ object IndexedSearch {
                   docId: String, textCol: String, queries: DataFrame,
                   idCol: String, vecCol: String,
                   armK: Int = 20, k: Int = 10, nprobe: Int = 4,
-                  rrfC: Int = 60): DataFrame = {
+                  rrfC: Int = 60,
+                  // test seam: AnnSpec drives the IN/semi-join switch
+                  // across the boundary with a small injected value
+                  maxInIds: Int = MaxInFilterQueryIds): DataFrame = {
     val sem = serveIvf(spark, dir, queries, idCol, vecCol, armK, nprobe)
       .select(col("q_id"), col("n_id").as("d_id"), col("rn").as("rsem"))
     val qidDf = queries.select(col(idCol).cast("long").as("id"))
-    val head = qidDf.limit(MaxInFilterQueryIds + 1).collect()
+    val head = qidDf.limit(maxInIds + 1).collect()
     val lex =
-      if (head.length <= MaxInFilterQueryIds)
+      if (head.length <= maxInIds)
         Search.lexicalArm(docs, docId, textCol,
           col("id").isInCollection(head.map(_.getLong(0)).toSeq), armK)
       else Search.lexicalArmJoin(docs, docId, textCol, qidDf, armK)

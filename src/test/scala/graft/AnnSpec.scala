@@ -124,6 +124,20 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(gotHybrid === refHybrid)
     assert(gotHybrid.nonEmpty)
+
+    // the IN/semi-join switch itself, driven across the boundary with
+    // an injected threshold: a batch of n queries at maxInIds = n must
+    // take the IN path with ALL n ids (a dropped `+1` in the
+    // limit(maxInIds + 1) probe would truncate the list and lose the
+    // last query's lexical hits), and at maxInIds = n - 1 must take
+    // the semi-join path; both must equal the default-path result.
+    val nQ = queries.count().toInt
+    for (m <- Seq(nQ, nQ - 1)) {
+      val got = IndexedSearch.serveHybrid(spark, dir, docs,
+          "doc_id", "text", queries, "vec_id", "embedding", maxInIds = m)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got === gotHybrid, s"maxInIds=$m diverged from default path")
+    }
   }
 
   test("lexical arm: LEFT SEMI query selection == IN-filter selection row-for-row") {

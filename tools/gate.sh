@@ -48,6 +48,9 @@ else
   echo "== gate: oracle compare (sf0.01) =="
   python3 tools/oracle_check.py "$SF" /tmp/gate_sf
   echo "== gate: full Verify (adversarial corpus) =="
+  # advdata/ is generated (gitignored) — a fresh checkout doesn't have
+  # it, and running Verify against the missing dir fails every query.
+  [ -d "$ADV" ] || python3 tools/make_advdata.py /root/testdata/sf0.001 "$ADV"
   rm -rf /tmp/gate_adv && run_jvm graft.Verify "$ADV" /tmp/gate_adv
   echo "== gate: oracle compare (adversarial corpus) =="
   python3 tools/oracle_check.py "$ADV" /tmp/gate_adv

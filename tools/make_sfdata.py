@@ -33,8 +33,12 @@ DOMAINS = {
     "cust":     {"customer": ["c_custkey"], "orders": ["o_custkey"]},
     "part":     {"part": ["p_partkey"], "lineitem": ["l_partkey"]},
     "supp":     {"supplier": ["s_suppkey"], "lineitem": ["l_suppkey"]},
-    "doc":      {"documents": ["doc_id"]},
-    "vec":      {"embeddings": ["vec_id"]},
+    # doc_id and vec_id are ONE id space (embeddings key into
+    # documents: rrfHybrid/serveHybrid fuse dense vec_id hits with
+    # lexical doc_id hits by equality), so they must share a stride --
+    # independent strides silently break the doc<->embedding
+    # correspondence in every replica.
+    "doc":      {"documents": ["doc_id"], "embeddings": ["vec_id"]},
     "event":    {"events": ["event_id"]},
     "user":     {"events": ["user_id"]},
 }
