@@ -3168,6 +3168,31 @@ object SparkEntry {
       operators.Sampling.kFold(t(s, dir, "documents"), "doc_id", 5)
         .groupBy(col("fold"), col("source")).agg(count(lit(1)).as("n"))),
 
+    // #271: LEAKAGE-SAFE k-fold split — fold assignment keyed on the
+    // near-dup CLUSTER id, not the doc id, so a near-dup pair can never
+    // straddle train/test (the Lee et al. ACL'22 eval-leakage failure:
+    // doc-keyed folds put one copy of a duplicated doc in train and its
+    // twin in test, inflating eval). Composition of the existing scale
+    // shapes: LSH pairs -> min-label components -> kFold on cluster_id;
+    // DedupSpec asserts the no-straddle invariant on every verified
+    // near-dup edge.
+    "q_leakage_split" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents")
+      val edges = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+        .select(col("i"), col("j"))
+      operators.Sampling.kFold(
+          DedupCluster.components(docs, "doc_id", edges), "cluster_id", 5)
+        .select(col("id").as("doc_id"), col("fold"))
+    }),
+
+    // #272: rendezvous (HRW) sharding — stable shard assignment whose
+    // reshard movement is provably minimal (1/(k+1) of keys on k->k+1,
+    // vs ~k/(k+1) for hash-mod; DedupSpec measures both). Shard-size
+    // balance rollup as the oracle check.
+    "q_rendezvous" -> ((s, dir) =>
+      operators.Sampling.rendezvousShard(t(s, dir, "documents"), "doc_id", 10)
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))),
+
     // #126: EWMA smoothing over the event stream (truncated to 5 taps)
     // — decay c = 0.5 is a binary power, so every tap product is EXACT
     // in IEEE double and the fixed expression tree is bit-identical on
@@ -8008,6 +8033,40 @@ object SparkEntry {
         |      AS fold
         |  FROM documents)
         |GROUP BY fold, source""".stripMargin,
+
+    // same component CTE as q_dedup_cluster, then the q_folds fold hash
+    // keyed on the component label instead of the doc id
+    "q_leakage_split" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM t WHERE len(tk) >= 3),
+        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+        |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM isect
+        |  JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
+        |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+        |reach(s, d) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a),
+        |comp AS (SELECT s AS id, min(d) AS mn FROM reach GROUP BY s)
+        |SELECT doc.doc_id,
+        |  ('0x' || substring(md5('fold:' ||
+        |    CAST(CAST(COALESCE(LEAST(c.mn, doc.doc_id), doc.doc_id) AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold
+        |FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id""".stripMargin,
+
+    "q_rendezvous" ->
+      """SELECT shard, count(*) AS n FROM (
+        |  SELECT CAST(list_position(l, list_max(l)) - 1 AS INTEGER) AS shard FROM (
+        |    SELECT list_transform(range(0, 10),
+        |      s -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS l
+        |    FROM documents))
+        |GROUP BY shard""".stripMargin,
 
     "q_ewma" ->
       """SELECT event_id,

@@ -94,6 +94,27 @@ object Sampling {
     df.withColumn(foldCol,
       md5Prefix60(concat(lit("fold:"), col(keyCol).cast("string"))) % k)
 
+  /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1998: a key lands on the shard whose md5(key:shard) score is
+    * highest. The point vs `hash(key) % shards`: when the shard count
+    * changes k -> k+1, mod reassigns ~k/(k+1) of all keys (every
+    * output file rewrites), HRW moves EXACTLY the keys the new shard
+    * now wins — 1/(k+1) of them, the provable minimum. That is the
+    * reshard-stability primitive an incremental 100 TB pipeline needs:
+    * growing the shard fan-out re-writes one new shard's worth of
+    * data, not the corpus. Pure narrow projection (the score array is
+    * shards-sized, built per row, no shuffle, no state); content-
+    * stable like every assignment here — same key, same shard, on any
+    * engine, any run, any cluster size. */
+  def rendezvousShard(df: DataFrame, keyCol: String, shards: Int,
+                      shardCol: String = "shard"): DataFrame = {
+    val scores = transform(sequence(lit(0), lit(shards - 1)),
+      sid => md5(concat(col(keyCol).cast("string"), lit(":"),
+        sid.cast("string"))))
+    df.withColumn(shardCol,
+      (array_position(scores, array_max(scores)) - 1).cast("int"))
+  }
+
   /** Temperature-weighted source mixing — the pretraining-mixture draw:
     * stratum s gets a sampling budget ∝ tokens(s)^0.5 (temperature
     * smoothing: α=0.5 upweights small sources vs proportional α=1),
