@@ -114,6 +114,30 @@ object SparkEntry {
       |  JOIN tot ta ON ta.arm = a.arm JOIN tot tb ON tb.arm = b.arm)
       |""".stripMargin
 
+  /** Oracle-side verified near-dup PAIRS at exact Jaccard ≥ 0.8 over
+    * distinct 3-shingles — the inverted-index join replay of
+    * `Dedup.minHashNearDups` (per-gram equi-join, |A∪B| = |A|+|B|−|A∩B|;
+    * never all-pairs). Shared CTE prefix ending at `pairs(i, j)` with
+    * i < j; declared RECURSIVE so consumers may append recursive CTEs
+    * (q_leakage_split's component closure). Pre-stripped, no trailing
+    * comma. */
+  private val NearDupPairsSql =
+    """WITH RECURSIVE t AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
+      |sh AS MATERIALIZED (SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(tk) - 1),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+      |  FROM t WHERE len(tk) >= 3),
+      |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
+      |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT i, j FROM isect
+      |  JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+      |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8)
+      |""".stripMargin
+
   /** Brute-force cosine top-10 ranks (q_id, rn, n_id) — shared by
     * q_ann_bruteforce and as the ground-truth side of q_ann_recall. */
   /** Truncated-RBO depth weights (1−p)·p^(d−1) for p = 0.9, d = 1..10,
@@ -1252,6 +1276,33 @@ object SparkEntry {
           round(col("md").cast("double") /
             (col("n1").cast("double") * col("n2").cast("double")), 9)
             .as("d_stat"))
+        .orderBy(col("e1"), col("e2"))
+    }),
+
+    // #273: Wasserstein-1 (earth-mover) distance across all arm pairs —
+    // the MAGNITUDE-weighted drift metric beside q_ks_test's max
+    // deviation (KS sees only the worst point; W1 integrates how much
+    // mass moved how far, the number a mixture rebalance acts on). On
+    // the same 2-dp pooled grid: W1 = Σ_v |F1−F2|·Δv with the CDF
+    // difference kept INTEGER (|cum1·n2 − cum2·n1|) and Δv an exact
+    // 2-dp decimal, so the sum is decimal(38,2)-exact and order-free;
+    // one division at the end. The Δv lead window is partitioned by
+    // arm pair over the domain-sized grid — never the events scan.
+    "q_wasserstein" -> ((s, dir) => {
+      val (j, totA, totB) = armCdfGrid(s, dir)
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      val wv = Window.partitionBy(col("e1"), col("e2")).orderBy(col("v"))
+      j.join(broadcast(totA), "e1").join(broadcast(totB), "e2")
+        .withColumn("dv", lead(col("v"), 1).over(wv) - col("v"))
+        .filter(col("dv").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("n1"), col("n2"))
+        .agg(sum(abs(d19(col("cum1")) * d19(col("n2")) -
+            d19(col("cum2")) * d19(col("n1"))).cast("decimal(28,0)") *
+          col("dv").cast("decimal(9,2)")).as("num"))
+        .select(col("e1"), col("e2"), col("n1"), col("n2"),
+          round(col("num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")), 9)
+            .as("w1"))
         .orderBy(col("e1"), col("e2"))
     }),
 
@@ -3192,6 +3243,30 @@ object SparkEntry {
     "q_rendezvous" -> ((s, dir) =>
       operators.Sampling.rendezvousShard(t(s, dir, "documents"), "doc_id", 10)
         .groupBy(col("shard")).agg(count(lit(1)).as("n"))),
+
+    // #274: ROUGE-1/2 similarity report over the verified near-dup
+    // pairs (Lin 2004's clipped n-gram overlap — the graded HOW-similar
+    // companion of the binary pair verdict; the same scores grade
+    // summarization/eval output against references). Multiset gram
+    // counts, Σ min(ci, cj) per pair, and F1 via 2PR/(P+R) = 2·ov/
+    // (li+lj) — every score ONE integer division, round(9). Work is
+    // linear in the pair report (keyed equi-joins only, never n²).
+    "q_rouge" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents")
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+        .select(col("i"), col("j"))
+      operators.TextStats.rougePairs(docs, pairs, "doc_id", "text")
+    }),
+
+    // #275: n-gram novelty of the eval fold vs the train folds — the
+    // memorization-MAGNITUDE gate beside q_contamination's binary
+    // 5-gram hit (an eval doc whose grams are all in train measures
+    // recall, not generalization; Lee et al. ACL'22 measure exactly
+    // this leak). Distinct 5-grams cross the shuffle as md5-60bit
+    // longs; train-set join is a hash equi-join on the 8-byte key.
+    "q_fold_novelty" -> ((s, dir) =>
+      operators.TextStats.ngramNovelty(tp(s, dir, "documents"),
+        "doc_id", "text", 5, 5, 0)),
 
     // #126: EWMA smoothing over the event stream (truncated to 5 taps)
     // — decay c = 0.5 is a binary power, so every tap product is EXACT
@@ -6552,6 +6627,20 @@ object SparkEntry {
         |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d_stat
         |FROM j GROUP BY e1, e2, n1, n2 ORDER BY e1, e2""").stripMargin,
 
+    // KS's grid with SUM·gap instead of MAX: the CDF-difference
+    // integral, integer/decimal-exact until the one closing division
+    "q_wasserstein" ->
+      (ArmCdfGridSql +
+      """, st AS (SELECT e1, e2, n1, n2, cum1, cum2,
+        |    lead(v) OVER (PARTITION BY e1, e2 ORDER BY v) - v AS dv FROM j)
+        |SELECT e1, e2, n1, n2,
+        |  ROUND(CAST(SUM(CAST(ABS(CAST(cum1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))
+        |        - CAST(cum2 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0))) AS DECIMAL(28,0))
+        |      * CAST(dv AS DECIMAL(9,2))) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS w1
+        |FROM st WHERE dv IS NOT NULL
+        |GROUP BY e1, e2, n1, n2 ORDER BY e1, e2""").stripMargin,
+
     "q_mannwhitney" ->
       (ArmCdfGridSql +
       """, g AS (SELECT e1, e2, n1, n2,
@@ -8035,30 +8124,19 @@ object SparkEntry {
         |GROUP BY fold, source""".stripMargin,
 
     // same component CTE as q_dedup_cluster, then the q_folds fold hash
-    // keyed on the component label instead of the doc id
+    // keyed on the component label instead of the doc id; pair set from
+    // the shared NearDupPairsSql prefix
     "q_leakage_split" ->
-      """WITH RECURSIVE t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
-        |sh AS MATERIALIZED (SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(tk) - 1),
-        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-        |  FROM t WHERE len(tk) >= 3),
-        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
-        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
-        |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (SELECT i, j FROM isect
-        |  JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
-        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
-        |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+      (NearDupPairsSql +
+      """, edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
         |reach(s, d) AS (SELECT a, b FROM edges
         |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a),
         |comp AS (SELECT s AS id, min(d) AS mn FROM reach GROUP BY s)
         |SELECT doc.doc_id,
         |  ('0x' || substring(md5('fold:' ||
         |    CAST(CAST(COALESCE(LEAST(c.mn, doc.doc_id), doc.doc_id) AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold
-        |FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id""".stripMargin,
+        |FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id"""
+        .stripMargin),
 
     "q_rendezvous" ->
       """SELECT shard, count(*) AS n FROM (
@@ -8067,6 +8145,59 @@ object SparkEntry {
         |      s -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR))) AS l
         |    FROM documents))
         |GROUP BY shard""".stripMargin,
+
+    // clipped-overlap ROUGE over the shared verified-pair set: multiset
+    // gram counts per doc, Σ min(ci, cj) per pair, F1 via the harmonic
+    // identity 2PR/(P+R) = 2·ov/(li+lj) — one division per score
+    "q_rouge" ->
+      (NearDupPairsSql +
+      """, u AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(tk) AS g FROM t) GROUP BY 1, 2),
+        |b2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS g
+        |    FROM t WHERE len(tk) >= 2) GROUP BY 1, 2),
+        |l1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM u GROUP BY 1),
+        |l2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM b2 GROUP BY 1),
+        |ov1 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM pairs p JOIN u a ON a.doc_id = p.i
+        |  JOIN u b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
+        |ov2 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM pairs p JOIN b2 a ON a.doc_id = p.i
+        |  JOIN b2 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2)
+        |SELECT o1.i, o1.j,
+        |  round(CAST(o1.ov AS DOUBLE) / CAST(la1.n AS DOUBLE), 9) AS rouge1_p,
+        |  round(CAST(o1.ov AS DOUBLE) / CAST(lb1.n AS DOUBLE), 9) AS rouge1_r,
+        |  round(CAST(o1.ov * 2 AS DOUBLE) / CAST(la1.n + lb1.n AS DOUBLE), 9) AS rouge1_f,
+        |  round(CAST(o2.ov * 2 AS DOUBLE) / CAST(la2.n + lb2.n AS DOUBLE), 9) AS rouge2_f
+        |FROM ov1 o1 JOIN ov2 o2 ON o2.i = o1.i AND o2.j = o1.j
+        |JOIN l1 la1 ON la1.doc_id = o1.i JOIN l1 lb1 ON lb1.doc_id = o1.j
+        |JOIN l2 la2 ON la2.doc_id = o1.i JOIN l2 lb2 ON lb2.doc_id = o1.j"""
+        .stripMargin),
+
+    // distinct 5-grams as md5-60bit keys, fold from the q_folds hash,
+    // novelty = eval-fold grams with no train-fold match
+    "q_fold_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 3),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+        |           tk[i+3] || ' ' || tk[i+4])) AS sh
+        |  FROM t WHERE len(tk) >= 5),
+        |g AS (SELECT doc_id,
+        |    ('0x' || substring(md5(unnest(sh)), 1, 15))::BIGINT AS gh FROM sh),
+        |f AS (SELECT doc_id,
+        |    ('0x' || substring(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold
+        |  FROM documents),
+        |gf AS (SELECT g.doc_id, g.gh, f.fold FROM g JOIN f ON f.doc_id = g.doc_id),
+        |tr AS (SELECT DISTINCT gh FROM gf WHERE fold <> 0)
+        |SELECT gf.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN tr.gh IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 9) AS novelty
+        |FROM gf LEFT JOIN tr ON tr.gh = gf.gh
+        |WHERE gf.fold = 0 GROUP BY gf.doc_id""".stripMargin,
 
     "q_ewma" ->
       """SELECT event_id,

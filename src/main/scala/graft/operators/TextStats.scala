@@ -181,4 +181,96 @@ object TextStats {
       .agg(round((sum(col("term")).cast("double") /
         count(lit(1)).cast("double")), 6).as("surprisal"))
   }
+
+  /** (id, g, c): token n-gram MULTISET counts per doc — the clipped-
+    * overlap input for [[rougePairs]]. Unlike Dedup.shingleDf this
+    * keeps duplicates (ROUGE clips on per-gram min COUNT, a set would
+    * over-credit repeated grams); tokens staged to an attribute before
+    * the shingling lambda per the Dedup evaluation-shape rule. */
+  private def gramCounts(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val tk = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+    val g =
+      if (n == 1) tk.select(col("id"), explode(col("tk")).as("g"))
+      else tk.filter(size(col("tk")) >= n)
+        .select(col("id"),
+          explode(transform(sequence(lit(1), size(col("tk")) - lit(n - 1)),
+            i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("g"))
+    g.groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+  }
+
+  /** ROUGE-1/ROUGE-2 overlap scores for a PAIR TABLE (i, j) — the
+    * summarization-eval n-gram metric (Lin 2004) applied as a duplicate
+    * similarity report: clipped overlap Σ_g min(c_i(g), c_j(g)) over
+    * token unigrams and bigrams, precision against i, recall against j.
+    * F1 exploits the harmonic-mean identity 2PR/(P+R) = 2·ov/(len_i +
+    * len_j), so every score is ONE integer/integer division (round 9)
+    * — no float accumulation anywhere, bit-replayable in SQL.
+    *
+    * Scale shape: everything is keyed equi-joins — the gram-count
+    * tables join the (bounded) pair table on id, then pair-side gram
+    * counts meet on (pair, gram). Work is Σ_pairs (len_i + len_j),
+    * linear in the pair report, never corpus². */
+  def rougePairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def overlap(n: Int, ovName: String, liName: String, ljName: String)
+        : DataFrame = {
+      val g = gramCounts(docs, idCol, textCol, n)
+      val lens = g.groupBy(col("id")).agg(sum(col("c")).as("len"))
+      pairs
+        .join(g.select(col("id").as("i"), col("g"), col("c").as("ci")), "i")
+        .join(g.select(col("id").as("j"), col("g"), col("c").as("cj")),
+          Seq("j", "g"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(least(col("ci"), col("cj"))).as(ovName))
+        .join(lens.select(col("id").as("i"), col("len").as(liName)), "i")
+        .join(lens.select(col("id").as("j"), col("len").as(ljName)), "j")
+    }
+    val o1 = overlap(1, "ov1", "li1", "lj1")
+    val o2 = overlap(2, "ov2", "li2", "lj2")
+    def nd(c: Column) = c.cast("double")
+    o1.join(o2, Seq("i", "j"))
+      .select(col("i"), col("j"),
+        round(nd(col("ov1")) / nd(col("li1")), 9).as("rouge1_p"),
+        round(nd(col("ov1")) / nd(col("lj1")), 9).as("rouge1_r"),
+        round(nd(col("ov1") * 2) / nd(col("li1") + col("lj1")), 9)
+          .as("rouge1_f"),
+        round(nd(col("ov2") * 2) / nd(col("li2") + col("lj2")), 9)
+          .as("rouge2_f"))
+  }
+
+  /** Per-doc n-gram NOVELTY of an eval fold against the train folds —
+    * the memorization/leakage magnitude beside binary decontamination:
+    * share of an eval doc's DISTINCT token n-grams never seen in any
+    * train-fold doc (an eval set whose n-grams are all in train
+    * measures recall, not generalization). Fold assignment is the
+    * deterministic content-hash kFold; grams cross the shuffle as
+    * md5-60bit LONGS (8 bytes, never text — a 60-bit collision merely
+    * marks one gram seen, identically on both engines).
+    *
+    * Scale shape: the train gram set is corpus-sized but the join is a
+    * plain hash equi-join on the 8-byte key; no broadcast, no sort.
+    * Emits (doc_id, n_grams, n_novel, novelty) for eval-fold docs with
+    * ≥ n tokens. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5, k: Int = 5, evalFold: Int = 0): DataFrame = {
+    val folds = Sampling.kFold(docs.select(col(idCol)), idCol, k)
+      .select(col(idCol).as("id"), col("fold"))
+    val g = Dedup.shingleDf(docs, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("g5"))
+      .select(col("id"),
+        graft.functions.NativeExpressions.md5Prefix60(col("g5")).as("gh"))
+      .join(folds, "id")
+    val train = g.filter(col("fold") =!= evalFold)
+      .select(col("gh")).distinct().withColumn("seen", lit(1))
+    g.filter(col("fold") === evalFold)
+      .join(train, Seq("gh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"), 9)
+          .as("novelty"))
+  }
 }

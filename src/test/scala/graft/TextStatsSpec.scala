@@ -160,4 +160,52 @@ class TextStatsSpec extends SparkSpec {
     val all = operators.Sampling.temperatureMix(docs, "text", "source", tc, 10.0)
     assert(all.count() === n)
   }
+
+  test("rougePairs: identical pair scores 1.0; hand case exact") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"),   // identical pair
+      (3L, "a b c d"), (4L, "a b"))       // subset pair
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("i", "j")
+    val m = TextStats.rougePairs(docs, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(m((1L, 2L)) === ((1.0, 1.0, 1.0, 1.0)))
+    // i="a b c d" (4 uni, 3 bi), j="a b" (2 uni, 1 bi), shared: 2 uni, 1 bi
+    val (p, r, f1, f2) = m((3L, 4L))
+    assert(p === 0.5 && r === 1.0)
+    assert(f1 === 0.666666667)            // 2·ov/(li+lj) = 4/6, round(9)
+    assert(f2 === 0.5)                    // 2·1/(3+1)
+  }
+
+  test("rougePairs: clipping counts repeated grams at the min") {
+    // i repeats "a" 3×, j has it once: clipped unigram credit for "a"
+    // is min(3,1) = 1, so ov1 = 1 ("a") + 1 ("b") = 2, not 4
+    val docs = Seq((1L, "a a a b"), (2L, "a b z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("i", "j")
+    val row = TextStats.rougePairs(docs, pairs, "doc_id", "text").collect()(0)
+    assert(row.getDouble(2) === 0.5)          // precision 2/4
+    assert(row.getDouble(3) === 0.666666667)  // recall 2/3, round(9)
+    assert(row.getDouble(5) === 0.4)          // shared bigram "a b": 2/(3+2)
+  }
+
+  test("ngramNovelty: exact train twin zeroes novelty, unique doc maxes it") {
+    // pick ids by their actual fold under the content-hash kFold
+    val ids = (0L until 60L).toDF("doc_id")
+    val foldOf = operators.Sampling.kFold(ids, "doc_id", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evalIds = (0L until 60L).filter(foldOf(_) == 0L)
+    val trainId = (0L until 60L).find(foldOf(_) != 0L).get
+    assert(evalIds.size >= 2, "need two fold-0 ids in 0..59")
+    val copied = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (evalIds(0), copied),                          // twin in train
+      (evalIds(1), "u1 u2 u3 u4 u5 u6 u7"),          // unique grams
+      (trainId, copied)).toDF("doc_id", "text")
+    val m = TextStats.ngramNovelty(docs, "doc_id", "text", 5, 5, 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(m(evalIds(0)) === ((0L, 0.0)), "every gram seen in train")
+    assert(m(evalIds(1))._2 === 1.0, "no gram seen in train")
+    assert(!m.contains(trainId), "train docs are not scored")
+  }
 }
