@@ -75,6 +75,22 @@ object SparkEntry {
     * Returns (pair-joined grid rows [e1 < e2], arm totals ×2). */
   private def armCdfGrid(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    val (cum, tot) = armCumGrid(s, dir)
+    val j = cum.select(col("arm").as("e1"), col("v"),
+        col("c").as("c1"), col("cum").as("cum1"))
+      .join(cum.select(col("arm").as("e2"), col("v").as("v2"),
+        col("c").as("c2"), col("cum").as("cum2")),
+        col("v") === col("v2") && col("e1") < col("e2"))
+    (j, tot.select(col("arm").as("e1"), col("n").as("n1")),
+      tot.select(col("arm").as("e2"), col("n").as("n2")))
+  }
+
+  /** The per-arm cumulative histogram [[armCdfGrid]] pair-joins:
+    * (arm, v, c, cum) on the FILLED 2-dp grid plus per-arm totals —
+    * exposed separately for the single-distribution consumers
+    * (q_calibration's pooled-rank bins). */
+  private def armCumGrid(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val h = t(s, dir, "events")
       .select(col("event_type").as("arm"),
         col("value").cast("decimal(18,2)").as("v"))
@@ -85,20 +101,14 @@ object SparkEntry {
     val wc = Window.partitionBy(col("arm")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = filled.withColumn("cum", sum(col("c")).over(wc))
-    val j = cum.select(col("arm").as("e1"), col("v"),
-        col("c").as("c1"), col("cum").as("cum1"))
-      .join(cum.select(col("arm").as("e2"), col("v").as("v2"),
-        col("c").as("c2"), col("cum").as("cum2")),
-        col("v") === col("v2") && col("e1") < col("e2"))
     val tot = h.groupBy(col("arm")).agg(sum(col("c")).as("n"))
-    (j, tot.select(col("arm").as("e1"), col("n").as("n1")),
-      tot.select(col("arm").as("e2"), col("n").as("n2")))
+    (cum, tot)
   }
 
   /** Oracle-side twin of [[armCdfGrid]] — shared CTE prefix for the
     * two-sample test oracles (pre-stripped; ends after the `j` CTE
     * with no trailing comma). */
-  private val ArmCdfGridSql =
+  private val ArmCumGridSql =
     """WITH h AS (SELECT event_type AS arm, CAST(value AS DECIMAL(18,2)) AS v,
       |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
       |grid AS (SELECT arm, v FROM (SELECT DISTINCT arm FROM h)
@@ -107,12 +117,17 @@ object SparkEntry {
       |  LEFT JOIN h ON h.arm = grid.arm AND h.v = grid.v),
       |cum AS (SELECT arm, v, c, CAST(SUM(c) OVER (PARTITION BY arm ORDER BY v
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f),
-      |tot AS (SELECT arm, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY arm),
+      |tot AS (SELECT arm, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY arm)
+      |""".stripMargin
+
+  private val ArmCdfGridSql =
+    (ArmCumGridSql.stripSuffix("\n") +
+    """,
       |j AS (SELECT a.arm AS e1, b.arm AS e2, ta.n AS n1, tb.n AS n2, a.v,
       |    a.c AS c1, a.cum AS cum1, b.c AS c2, b.cum AS cum2
       |  FROM cum a JOIN cum b ON a.v = b.v AND a.arm < b.arm
       |  JOIN tot ta ON ta.arm = a.arm JOIN tot tb ON tb.arm = b.arm)
-      |""".stripMargin
+      |""".stripMargin)
 
   /** Oracle-side verified near-dup PAIRS at exact Jaccard ≥ 0.8 over
     * distinct 3-shingles — the inverted-index join replay of
@@ -1304,6 +1319,47 @@ object SparkEntry {
             (col("n1").cast("double") * col("n2").cast("double")), 9)
             .as("w1"))
         .orderBy(col("e1"), col("e2"))
+    }),
+
+    // #276: calibration reliability table + ECE contributions — the
+    // IS-the-score-a-probability audit beside q_auc's ranking power
+    // (a score can rank perfectly yet be badly calibrated; ECE is the
+    // number a downstream thresholder cares about). Score = pooled
+    // midrank CDF of `value` (m2 = 2·cumlt + c + 1, an INTEGER per
+    // 2-dp grid value); outcome = one-vs-rest arm membership (the
+    // q_auc pairing). Equal-width bins are an integer floor division
+    // 10·m2 div 2N; per-bin conf/acc/|acc−conf| contributions stay
+    // integer/decimal until the closing divisions, so the table is
+    // bit-replayable. Everything after the histogram is domain-sized.
+    "q_calibration" -> ((s, dir) => {
+      val (cum, tot) = armCumGrid(s, dir)
+      val bigN = tot.agg(sum(col("n")).as("N"))
+      val pooled = cum.groupBy(col("v"))
+        .agg(sum(col("c")).as("cp"), sum(col("cum")).as("cumsum"))
+        .crossJoin(broadcast(bigN))
+        .withColumn("m2", lit(2L) * col("cumsum") - col("cp") + lit(1L))
+        .withColumn("bin",
+          least(expr("(10 * m2) div (2 * N)"), lit(9L)).cast("int"))
+      val bins = pooled.groupBy(col("bin"), col("N"))
+        .agg(sum(col("cp")).as("nb"),
+          sum((col("cp").cast("decimal(19,0)") *
+            col("m2").cast("decimal(19,0)")).cast("decimal(28,0)"))
+            .as("s2"))
+      val pos = cum.join(pooled.select(col("v"), col("bin")), "v")
+        .groupBy(col("arm"), col("bin")).agg(sum(col("c")).as("pos"))
+      pos.join(bins, "bin")
+        .select(col("arm"), col("bin"),
+          col("nb").as("n_b"), col("pos").as("pos_b"),
+          round(col("pos").cast("double") / col("nb").cast("double"), 9)
+            .as("acc"),
+          round(col("s2").cast("double") /
+            (lit(2.0) * col("N").cast("double") * col("nb").cast("double")), 9)
+            .as("conf"),
+          round(abs((col("pos") * lit(2L) * col("N")).cast("decimal(28,0)") -
+              col("s2")).cast("double") /
+            (lit(2.0) * col("N").cast("double") * col("N").cast("double")), 9)
+            .as("ece_term"))
+        .orderBy(col("arm"), col("bin"))
     }),
 
     // #200: Mann–Whitney U (rank-sum) with tie correction, same
@@ -3283,6 +3339,35 @@ object SparkEntry {
           round(taps.reduce(_ + _) / lit(1.9375), 9))
         .filter(col("rn") >= 5)
         .select(col("event_id"), col("ewma"))
+    }),
+
+    // #277: Holt linear-trend one-step forecast (double exponential
+    // smoothing, the TREND companion of q_ewma's level-only taps —
+    // EWMA lags a trending series forever; Holt extrapolates it).
+    // α = β = 1/2 unrolled over a 6-lag window with the standard init
+    // l₀ = x₀, b₀ = x₁−x₀ gives ŷ_{t+1} = Σ cᵏ·x_{t−k} with EXACT
+    // dyadic coefficients (ᵏ0..5 = 3/4, 7/16, 11/64, −1/256, −1/128,
+    // −89/256; they sum to 1 and the trend vector sums to 0, so a
+    // constant series forecasts itself and a linear one extrapolates
+    // exactly). The whole tap chain runs in DECIMAL — 2-dp values ×
+    // ≤8-dp exact coefficients, products and sums exact at scale 10 —
+    // because the double-tree q_ewma trick FAILS here: dyadic sums
+    // land exactly on the round(9) half-way grid, where Spark
+    // (HALF_UP) and DuckDB disagree (measured: 25/3141 rows off by
+    // 1e-9). The exact decimal casts to the identical double on both
+    // engines, no rounding step at all. One window pass per user.
+    "q_holt" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val coef = Seq("0.75", "0.4375", "0.171875",
+        "-0.00390625", "-0.0078125", "-0.34765625")
+      val taps = coef.zipWithIndex.map { case (c, k) =>
+        (if (k == 0) col("value") else lag(col("value"), k).over(w))
+          .cast("decimal(18,2)") * lit(new java.math.BigDecimal(c)) }
+      t(s, dir, "events").filter(col("user_id") < 50)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("forecast", taps.reduce(_ + _).cast("double"))
+        .filter(col("rn") >= 6)
+        .select(col("event_id"), col("forecast"))
     }),
 
     // #127: z-score outlier detection per event_type — mean/sd from
@@ -6627,6 +6712,32 @@ object SparkEntry {
         |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS d_stat
         |FROM j GROUP BY e1, e2, n1, n2 ORDER BY e1, e2""").stripMargin,
 
+    // pooled midrank score (integer m2 per grid value), integer floor-
+    // division bins, decimal bin sums — three closing divisions
+    "q_calibration" ->
+      (ArmCumGridSql.stripSuffix("\n") +
+      """,
+        |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM tot),
+        |pooled AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cp,
+        |    CAST(SUM(cum) AS BIGINT) AS cumsum FROM cum GROUP BY v),
+        |vb AS (SELECT v, cp, 2 * cumsum - cp + 1 AS m2,
+        |    CAST(LEAST((10 * (2 * cumsum - cp + 1)) // (2 * N), 9) AS INT) AS bin
+        |  FROM pooled CROSS JOIN nn),
+        |bins AS (SELECT bin, CAST(SUM(cp) AS BIGINT) AS nb,
+        |    CAST(SUM(CAST(CAST(cp AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))
+        |      AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s2
+        |  FROM vb GROUP BY bin),
+        |pos AS (SELECT cum.arm, vb.bin, CAST(SUM(cum.c) AS BIGINT) AS pos
+        |  FROM cum JOIN vb ON vb.v = cum.v GROUP BY 1, 2)
+        |SELECT pos.arm, pos.bin, bins.nb AS n_b, pos.pos AS pos_b,
+        |  round(CAST(pos.pos AS DOUBLE) / CAST(bins.nb AS DOUBLE), 9) AS acc,
+        |  round(CAST(bins.s2 AS DOUBLE)
+        |    / (2.0 * CAST(nn.N AS DOUBLE) * CAST(bins.nb AS DOUBLE)), 9) AS conf,
+        |  round(CAST(ABS(CAST(pos.pos * 2 * nn.N AS DECIMAL(28,0)) - bins.s2) AS DOUBLE)
+        |    / (2.0 * CAST(nn.N AS DOUBLE) * CAST(nn.N AS DOUBLE)), 9) AS ece_term
+        |FROM pos JOIN bins ON bins.bin = pos.bin CROSS JOIN nn
+        |ORDER BY pos.arm, pos.bin""").stripMargin,
+
     // KS's grid with SUM·gap instead of MAX: the CDF-difference
     // integral, integer/decimal-exact until the one closing division
     "q_wasserstein" ->
@@ -8207,6 +8318,23 @@ object SparkEntry {
         |FROM events WHERE user_id < 50
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |QUALIFY row_number() OVER w >= 5""".stripMargin,
+
+    // same tap construction as q_ewma but in exact DECIMAL (2-dp value
+    // × ≤8-dp dyadic coefficients) — the identical exact rational on
+    // both engines, cast once to double; see the Spark-side comment on
+    // why round(9) is unusable here (dyadic half-way ties)
+    "q_holt" ->
+      """SELECT event_id, CAST(
+        |  CAST(value AS DECIMAL(18,2)) * 0.75 +
+        |  lag(CAST(value AS DECIMAL(18,2)), 1) OVER w * 0.4375 +
+        |  lag(CAST(value AS DECIMAL(18,2)), 2) OVER w * 0.171875 +
+        |  lag(CAST(value AS DECIMAL(18,2)), 3) OVER w * (-0.00390625) +
+        |  lag(CAST(value AS DECIMAL(18,2)), 4) OVER w * (-0.0078125) +
+        |  lag(CAST(value AS DECIMAL(18,2)), 5) OVER w * (-0.34765625)
+        |  AS DOUBLE) AS forecast
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |QUALIFY row_number() OVER w >= 6""".stripMargin,
 
     "q_outliers" ->
       """WITH g AS (SELECT event_type,

@@ -214,11 +214,24 @@ object TextStats {
     * linear in the pair report, never corpus². */
   def rougePairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
+    // materialize the pair report ONCE: it is referenced five times
+    // below (two id unions, two overlap joins per gram order), and a
+    // caller's pair plan is typically an expensive candidate join
+    // (minhash-LSH) that must not re-execute per reference; pair
+    // reports are report-sized, so the checkpoint is cheap (the
+    // DedupCluster.components precedent)
+    val p = pairs.localCheckpoint(true)
+    // only pair-member docs need gram counts — the semi-join keeps the
+    // explode + count proportional to the pair REPORT, not the corpus
+    // (semantically free: every downstream join is on pair ids)
+    val ids = p.select(col("i").as("_pid"))
+      .union(p.select(col("j").as("_pid"))).distinct()
+    val pairDocs = docs.join(ids, docs(idCol) === ids("_pid"), "left_semi")
     def overlap(n: Int, ovName: String, liName: String, ljName: String)
         : DataFrame = {
-      val g = gramCounts(docs, idCol, textCol, n)
+      val g = gramCounts(pairDocs, idCol, textCol, n)
       val lens = g.groupBy(col("id")).agg(sum(col("c")).as("len"))
-      pairs
+      p
         .join(g.select(col("id").as("i"), col("g"), col("c").as("ci")), "i")
         .join(g.select(col("id").as("j"), col("g"), col("c").as("cj")),
           Seq("j", "g"))
