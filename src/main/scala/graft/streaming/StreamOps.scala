@@ -342,6 +342,55 @@ object StreamOps {
       .select(col("window.start").as("win_start"),
         col("n_users"), col("n_events"))
 
+  /** Streaming PSI drift monitor, stage 1: per-window BAND COUNTS of a
+    * value stream against a fixed cutpoint vector — the distributional
+    * drift alarm beside [[streamingCusum]]'s mean-shift alarm (CUSUM
+    * sees the mean move; PSI sees the shape move at a stable mean).
+    * The cuts are the baseline's own deciles, computed batch-side as
+    * in q_psi and passed as plain doubles: monitoring CONFIGURATION,
+    * not data, so banding is a cuts-sized projection — no join, no
+    * per-row state. The windowed count is the only stateful op and the
+    * watermark closes windows, so state stays bounded at
+    * bands × open-windows whatever the stream length. [[psiOf]] folds
+    * the emitted counts into PSI numbers — the same fold works on the
+    * streamed sink table or a batch frame (the lambda handoff
+    * contract); batch ≡ stream asserted in StreamingSpec. */
+  def windowedBandCounts(events: DataFrame, tsCol: String, valCol: String,
+                         cuts: Seq[Double], windowLen: String = "1 hour",
+                         watermark: String = "30 minutes"): DataFrame = {
+    val band = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(valCol) >= lit(c), 1).otherwise(0) }
+    events.withWatermark(tsCol, watermark)
+      .withColumn("band", band)
+      .groupBy(window(col(tsCol), windowLen), col("band"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("band"), col("n"))
+  }
+
+  /** PSI fold over [[windowedBandCounts]] output against baseline
+    * shares (band, p): one PSI row per window, standard 1e-6 floor on
+    * empty bands (the q_psi convention). The baseline grid is restored
+    * by a broadcast left join so a band with ZERO arrivals still
+    * contributes its (floor − p)·ln(floor/p) term — silence in a band
+    * that used to carry mass is exactly the drift worth alarming on. */
+  def psiOf(bandCounts: DataFrame, baseline: DataFrame): DataFrame = {
+    val tot = bandCounts.groupBy(col("win_start")).agg(sum(col("n")).as("tot"))
+    val grid = tot.crossJoin(broadcast(baseline))
+    // fresh aliases: grid's win_start descends from the SAME plan as
+    // bandCounts', and a using-columns self-join would carry
+    // conflicting attribute ids
+    val bc = bandCounts.select(col("win_start").as("bc_ws"),
+      col("band").as("bc_band"), col("n"))
+    val q = greatest(coalesce(col("n"), lit(0L)).cast("double") /
+      col("tot").cast("double"), lit(1e-6))
+    val p = greatest(col("p"), lit(1e-6))
+    grid.join(bc, col("win_start") === col("bc_ws") &&
+        col("band") === col("bc_band"), "left")
+      .select(col("win_start"), ((q - p) * log(q / p)).as("term"))
+      .groupBy(col("win_start"))
+      .agg(round(sum(col("term")), 9).as("psi"))
+  }
+
   /** Streaming CUSUM drift detector (Page 1954) — the metric-shift
     * alarm of a monitoring pipeline: per key, the one-sided cumulative
     * sums S⁺ = max(0, S⁺ + (x − μ₀ − slack)) and

@@ -61,6 +61,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI band counts equal batch; drifted window alarms, stable one doesn't") {
+    val cuts = Seq(10.0, 20.0, 30.0)              // 4 bands
+    val baseline = Seq((0, 0.25), (1, 0.25), (2, 0.25), (3, 0.25))
+      .toDF("band", "p")
+    // window 0: matches baseline (one value per band); window 1: all
+    // mass in the top band — the shape drift PSI exists to flag
+    val w0 = Seq(5.0, 15.0, 25.0, 35.0)
+      .map(v => (ts("2024-01-01 00:10:00"), v))
+    val w1 = Seq(31.0, 32.0, 33.0, 34.0)
+      .map(v => (ts("2024-01-01 01:10:00"), v))
+    val in = MemoryStream[(Timestamp, Double)]
+    val counts = StreamOps.windowedBandCounts(
+      in.toDF().toDF("ts", "value"), "ts", "value", cuts, "1 hour")
+    val q = counts.writeStream.format("memory").queryName("psi_bands")
+      .outputMode("complete").start()
+    try {
+      in.addData(w0 ++ w1.take(2)); q.processAllAvailable()
+      in.addData(w1.drop(2)); q.processAllAvailable() // cross-batch adds
+      val streamed = spark.table("psi_bands")
+      // stream ≡ batch: identical banding + grouping on the union
+      val batch = StreamOps.windowedBandCounts(
+        (w0 ++ w1).toDF("ts", "value"), "ts", "value", cuts, "1 hour")
+      assert(streamed.collect().toSet === batch.collect().toSet)
+      // the same fold serves both sides of the lambda handoff
+      val psi = StreamOps.psiOf(streamed, baseline).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+      val psiBatch = StreamOps.psiOf(batch, baseline).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+      assert(psi === psiBatch)
+      assert(psi("2024-01-01 00:00:00.0") === 0.0,       // exact baseline match
+        "in-distribution window must score 0")
+      assert(psi("2024-01-01 01:00:00.0") > 0.25,        // >0.25 = actionable drift
+        "all-mass-in-one-band window must alarm")
+    } finally q.stop()
+  }
+
   test("streaming CUSUM fires on a mean shift and stays quiet otherwise") {
     import java.sql.Timestamp
     val in = MemoryStream[(Long, Timestamp, Double)]
