@@ -153,6 +153,20 @@ object SparkEntry {
       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8)
       |""".stripMargin
 
+  /** [[NearDupPairsSql]] extended with the min-label connected-
+    * components closure — `comp(id, mn)` maps every doc on a near-dup
+    * edge to its component's min label (the DedupCluster.components
+    * replay). Shared by q_dedup_cluster and q_leakage_split so the
+    * tokenizer/Jaccard/closure logic lives in exactly one place. */
+  private val NearDupComponentsSql =
+    (NearDupPairsSql.stripSuffix("\n") +
+    """,
+      |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+      |reach(s, d) AS (SELECT a, b FROM edges
+      |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a),
+      |comp AS (SELECT s AS id, min(d) AS mn FROM reach GROUP BY s)
+      |""".stripMargin)
+
   /** Brute-force cosine top-10 ranks (q_id, rn, n_id) — shared by
     * q_ann_bruteforce and as the ground-truth side of q_ann_recall. */
   /** Truncated-RBO depth weights (1−p)·p^(d−1) for p = 0.9, d = 1..10,
@@ -1311,9 +1325,11 @@ object SparkEntry {
         .withColumn("dv", lead(col("v"), 1).over(wv) - col("v"))
         .filter(col("dv").isNotNull)
         .groupBy(col("e1"), col("e2"), col("n1"), col("n2"))
+        // 24+13+1 = 38: full-precision product — a (9,2) dv would
+        // null-on-overflow (Spark) vs error (DuckDB) past a 1e7 gap
         .agg(sum(abs(d19(col("cum1")) * d19(col("n2")) -
-            d19(col("cum2")) * d19(col("n1"))).cast("decimal(28,0)") *
-          col("dv").cast("decimal(9,2)")).as("num"))
+            d19(col("cum2")) * d19(col("n1"))).cast("decimal(24,0)") *
+          col("dv").cast("decimal(13,2)")).as("num"))
         .select(col("e1"), col("e2"), col("n1"), col("n2"),
           round(col("num").cast("double") /
             (col("n1").cast("double") * col("n2").cast("double")), 9)
@@ -1355,8 +1371,11 @@ object SparkEntry {
           round(col("s2").cast("double") /
             (lit(2.0) * col("N").cast("double") * col("nb").cast("double")), 9)
             .as("conf"),
-          round(abs((col("pos") * lit(2L) * col("N")).cast("decimal(28,0)") -
-              col("s2")).cast("double") /
+          // decimal BEFORE the multiply: pos·2·N in long wraps silently
+          // past N ~ 2^31 (non-ANSI), while the oracle's BIGINT multiply
+          // would error — the q_wasserstein d19-per-factor pattern
+          round(abs(col("pos").cast("decimal(19,0)") * lit(2) *
+              col("N").cast("decimal(19,0)") - col("s2")).cast("double") /
             (lit(2.0) * col("N").cast("double") * col("N").cast("double")), 9)
             .as("ece_term"))
         .orderBy(col("arm"), col("bin"))
@@ -6733,7 +6752,8 @@ object SparkEntry {
         |  round(CAST(pos.pos AS DOUBLE) / CAST(bins.nb AS DOUBLE), 9) AS acc,
         |  round(CAST(bins.s2 AS DOUBLE)
         |    / (2.0 * CAST(nn.N AS DOUBLE) * CAST(bins.nb AS DOUBLE)), 9) AS conf,
-        |  round(CAST(ABS(CAST(pos.pos * 2 * nn.N AS DECIMAL(28,0)) - bins.s2) AS DOUBLE)
+        |  round(CAST(ABS(CAST(pos.pos AS DECIMAL(19,0)) * 2
+        |      * CAST(nn.N AS DECIMAL(19,0)) - bins.s2) AS DOUBLE)
         |    / (2.0 * CAST(nn.N AS DOUBLE) * CAST(nn.N AS DOUBLE)), 9) AS ece_term
         |FROM pos JOIN bins ON bins.bin = pos.bin CROSS JOIN nn
         |ORDER BY pos.arm, pos.bin""").stripMargin,
@@ -6746,8 +6766,8 @@ object SparkEntry {
         |    lead(v) OVER (PARTITION BY e1, e2 ORDER BY v) - v AS dv FROM j)
         |SELECT e1, e2, n1, n2,
         |  ROUND(CAST(SUM(CAST(ABS(CAST(cum1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0))
-        |        - CAST(cum2 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0))) AS DECIMAL(28,0))
-        |      * CAST(dv AS DECIMAL(9,2))) AS DOUBLE)
+        |        - CAST(cum2 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0))) AS DECIMAL(24,0))
+        |      * CAST(dv AS DECIMAL(13,2))) AS DOUBLE)
         |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS w1
         |FROM st WHERE dv IS NOT NULL
         |GROUP BY e1, e2, n1, n2 ORDER BY e1, e2""").stripMargin,
@@ -7006,27 +7026,13 @@ object SparkEntry {
         |WHERE o_orderkey % 1000 = 0
         |GROUP BY o_orderkey""".stripMargin,
 
+    // shared near-dup pair + component CTEs (NearDupComponentsSql),
+    // then the min-label publish
     "q_dedup_cluster" ->
-      """WITH RECURSIVE t AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
-        |sh AS MATERIALIZED (SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(tk) - 1),
-        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
-        |  FROM t WHERE len(tk) >= 3),
-        |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM sh),
-        |sz AS (SELECT doc_id, len(sh) AS n FROM sh),
-        |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (SELECT i, j FROM isect
-        |  JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
-        |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
-        |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
-        |reach(s, d) AS (SELECT a, b FROM edges
-        |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a),
-        |comp AS (SELECT s AS id, min(d) AS mn FROM reach GROUP BY s)
-        |SELECT doc.doc_id, CAST(COALESCE(LEAST(c.mn, doc.doc_id), doc.doc_id) AS BIGINT) AS cluster_id
-        |FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id""".stripMargin,
+      (NearDupComponentsSql +
+      """SELECT doc.doc_id, CAST(COALESCE(LEAST(c.mn, doc.doc_id), doc.doc_id) AS BIGINT) AS cluster_id
+        |FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id"""
+        .stripMargin),
 
     "q_sample_hash" ->
       """SELECT source, count(*) AS n_sampled FROM documents
@@ -8234,16 +8240,11 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY fold, source""".stripMargin,
 
-    // same component CTE as q_dedup_cluster, then the q_folds fold hash
-    // keyed on the component label instead of the doc id; pair set from
-    // the shared NearDupPairsSql prefix
+    // shared near-dup component CTEs (NearDupComponentsSql), then the
+    // q_folds fold hash keyed on the component label, not the doc id
     "q_leakage_split" ->
-      (NearDupPairsSql +
-      """, edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
-        |reach(s, d) AS (SELECT a, b FROM edges
-        |  UNION SELECT r.s, e.b FROM reach r JOIN edges e ON r.d = e.a),
-        |comp AS (SELECT s AS id, min(d) AS mn FROM reach GROUP BY s)
-        |SELECT doc.doc_id,
+      (NearDupComponentsSql +
+      """SELECT doc.doc_id,
         |  ('0x' || substring(md5('fold:' ||
         |    CAST(CAST(COALESCE(LEAST(c.mn, doc.doc_id), doc.doc_id) AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold
         |FROM documents doc LEFT JOIN comp c ON c.id = doc.doc_id"""
@@ -8276,14 +8277,22 @@ object SparkEntry {
         |ov2 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
         |  FROM pairs p JOIN b2 a ON a.doc_id = p.i
         |  JOIN b2 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2)
-        |SELECT o1.i, o1.j,
-        |  round(CAST(o1.ov AS DOUBLE) / CAST(la1.n AS DOUBLE), 9) AS rouge1_p,
-        |  round(CAST(o1.ov AS DOUBLE) / CAST(lb1.n AS DOUBLE), 9) AS rouge1_r,
-        |  round(CAST(o1.ov * 2 AS DOUBLE) / CAST(la1.n + lb1.n AS DOUBLE), 9) AS rouge1_f,
-        |  round(CAST(o2.ov * 2 AS DOUBLE) / CAST(la2.n + lb2.n AS DOUBLE), 9) AS rouge2_f
-        |FROM ov1 o1 JOIN ov2 o2 ON o2.i = o1.i AND o2.j = o1.j
-        |JOIN l1 la1 ON la1.doc_id = o1.i JOIN l1 lb1 ON lb1.doc_id = o1.j
-        |JOIN l2 la2 ON la2.doc_id = o1.i JOIN l2 lb2 ON lb2.doc_id = o1.j"""
+        |SELECT p.i, p.j,
+        |  CASE WHEN COALESCE(la1.n, 0) = 0 THEN 0.0
+        |    ELSE round(CAST(COALESCE(o1.ov, 0) AS DOUBLE) / CAST(la1.n AS DOUBLE), 9) END AS rouge1_p,
+        |  CASE WHEN COALESCE(lb1.n, 0) = 0 THEN 0.0
+        |    ELSE round(CAST(COALESCE(o1.ov, 0) AS DOUBLE) / CAST(lb1.n AS DOUBLE), 9) END AS rouge1_r,
+        |  CASE WHEN COALESCE(la1.n, 0) + COALESCE(lb1.n, 0) = 0 THEN 0.0
+        |    ELSE round(CAST(COALESCE(o1.ov, 0) * 2 AS DOUBLE)
+        |      / CAST(COALESCE(la1.n, 0) + COALESCE(lb1.n, 0) AS DOUBLE), 9) END AS rouge1_f,
+        |  CASE WHEN COALESCE(la2.n, 0) + COALESCE(lb2.n, 0) = 0 THEN 0.0
+        |    ELSE round(CAST(COALESCE(o2.ov, 0) * 2 AS DOUBLE)
+        |      / CAST(COALESCE(la2.n, 0) + COALESCE(lb2.n, 0) AS DOUBLE), 9) END AS rouge2_f
+        |FROM pairs p
+        |LEFT JOIN ov1 o1 ON o1.i = p.i AND o1.j = p.j
+        |LEFT JOIN ov2 o2 ON o2.i = p.i AND o2.j = p.j
+        |LEFT JOIN l1 la1 ON la1.doc_id = p.i LEFT JOIN l1 lb1 ON lb1.doc_id = p.j
+        |LEFT JOIN l2 la2 ON la2.doc_id = p.i LEFT JOIN l2 lb2 ON lb2.doc_id = p.j"""
         .stripMargin),
 
     // distinct 5-grams as md5-60bit keys, fold from the q_folds hash,

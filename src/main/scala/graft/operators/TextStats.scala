@@ -185,12 +185,10 @@ object TextStats {
   /** (id, g, c): token n-gram MULTISET counts per doc — the clipped-
     * overlap input for [[rougePairs]]. Unlike Dedup.shingleDf this
     * keeps duplicates (ROUGE clips on per-gram min COUNT, a set would
-    * over-credit repeated grams); tokens staged to an attribute before
-    * the shingling lambda per the Dedup evaluation-shape rule. */
-  private def gramCounts(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int): DataFrame = {
-    val tk = docs.select(col(idCol).as("id"),
-      TextAnalysis.tokens(col(textCol)).as("tk"))
+    * over-credit repeated grams); takes the PRE-TOKENIZED (id, tk)
+    * frame so both gram orders explode from one tokenization pass —
+    * tokens already an attribute per the Dedup evaluation-shape rule. */
+  private def gramCounts(tk: DataFrame, n: Int): DataFrame = {
     val g =
       if (n == 1) tk.select(col("id"), explode(col("tk")).as("g"))
       else tk.filter(size(col("tk")) >= n)
@@ -208,14 +206,22 @@ object TextStats {
     * len_j), so every score is ONE integer/integer division (round 9)
     * — no float accumulation anywhere, bit-replayable in SQL.
     *
+    * EVERY input pair emits a row: zero shared grams, a one-token doc
+    * (no bigrams), even an empty doc all score 0.0 instead of silently
+    * vanishing — a summarization-eval caller grading candidates against
+    * references hits zero bigram overlap routinely, and a dropped row
+    * there reads as "not evaluated", not "scored 0". Overlap and length
+    * joins are therefore LEFT from the pair table with 0-fills, and
+    * each division guards its zero denominator.
+    *
     * Scale shape: everything is keyed equi-joins — the gram-count
     * tables join the (bounded) pair table on id, then pair-side gram
     * counts meet on (pair, gram). Work is Σ_pairs (len_i + len_j),
     * linear in the pair report, never corpus². */
   def rougePairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
-    // materialize the pair report ONCE: it is referenced five times
-    // below (two id unions, two overlap joins per gram order), and a
+    // materialize the pair report ONCE: it is referenced many times
+    // below (id unions, per-order overlap/length joins), and a
     // caller's pair plan is typically an expensive candidate join
     // (minhash-LSH) that must not re-execute per reference; pair
     // reports are report-sized, so the checkpoint is cheap (the
@@ -227,30 +233,40 @@ object TextStats {
     val ids = p.select(col("i").as("_pid"))
       .union(p.select(col("j").as("_pid"))).distinct()
     val pairDocs = docs.join(ids, docs(idCol) === ids("_pid"), "left_semi")
+    // tokenize the pair-member docs ONCE and materialize: both gram
+    // orders explode from the same token arrays instead of re-scanning
+    // and re-tokenizing per order; pair-member token arrays are
+    // report-bounded (the semi-join's point), so the checkpoint holds
+    val tk = pairDocs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("tk")).localCheckpoint(true)
     def overlap(n: Int, ovName: String, liName: String, ljName: String)
         : DataFrame = {
-      val g = gramCounts(pairDocs, idCol, textCol, n)
+      val g = gramCounts(tk, n)
       val lens = g.groupBy(col("id")).agg(sum(col("c")).as("len"))
-      p
+      val ov = p
         .join(g.select(col("id").as("i"), col("g"), col("c").as("ci")), "i")
         .join(g.select(col("id").as("j"), col("g"), col("c").as("cj")),
           Seq("j", "g"))
         .groupBy(col("i"), col("j"))
         .agg(sum(least(col("ci"), col("cj"))).as(ovName))
-        .join(lens.select(col("id").as("i"), col("len").as(liName)), "i")
-        .join(lens.select(col("id").as("j"), col("len").as(ljName)), "j")
+      p.join(ov, Seq("i", "j"), "left")
+        .join(lens.select(col("id").as("i"), col("len").as(liName)),
+          Seq("i"), "left")
+        .join(lens.select(col("id").as("j"), col("len").as(ljName)),
+          Seq("j"), "left")
+        .na.fill(0L, Seq(ovName, liName, ljName))
     }
     val o1 = overlap(1, "ov1", "li1", "lj1")
     val o2 = overlap(2, "ov2", "li2", "lj2")
     def nd(c: Column) = c.cast("double")
+    def score(num: Column, den: Column): Column =
+      when(den === 0L, lit(0.0)).otherwise(round(nd(num) / nd(den), 9))
     o1.join(o2, Seq("i", "j"))
       .select(col("i"), col("j"),
-        round(nd(col("ov1")) / nd(col("li1")), 9).as("rouge1_p"),
-        round(nd(col("ov1")) / nd(col("lj1")), 9).as("rouge1_r"),
-        round(nd(col("ov1") * 2) / nd(col("li1") + col("lj1")), 9)
-          .as("rouge1_f"),
-        round(nd(col("ov2") * 2) / nd(col("li2") + col("lj2")), 9)
-          .as("rouge2_f"))
+        score(col("ov1"), col("li1")).as("rouge1_p"),
+        score(col("ov1"), col("lj1")).as("rouge1_r"),
+        score(col("ov1") * 2, col("li1") + col("lj1")).as("rouge1_f"),
+        score(col("ov2") * 2, col("li2") + col("lj2")).as("rouge2_f"))
   }
 
   /** Per-doc n-gram NOVELTY of an eval fold against the train folds —

@@ -369,13 +369,21 @@ object StreamOps {
 
   /** PSI fold over [[windowedBandCounts]] output against baseline
     * shares (band, p): one PSI row per window, standard 1e-6 floor on
-    * empty bands (the q_psi convention). The baseline grid is restored
-    * by a broadcast left join so a band with ZERO arrivals still
-    * contributes its (floor − p)·ln(floor/p) term — silence in a band
-    * that used to carry mass is exactly the drift worth alarming on. */
+    * empty bands (the q_psi convention). The grid is the UNION of
+    * baseline and observed bands, restored per window by a broadcast
+    * left join, so both drift directions contribute: a baseline band
+    * with ZERO arrivals emits its (floor − p)·ln(floor/p) term —
+    * silence in a band that used to carry mass is drift — and arrival
+    * mass in a band the BASELINE never saw (p floored) emits the
+    * q·ln(q/floor) blow-up that an unseen-band shift deserves. */
   def psiOf(bandCounts: DataFrame, baseline: DataFrame): DataFrame = {
     val tot = bandCounts.groupBy(col("win_start")).agg(sum(col("n")).as("tot"))
-    val grid = tot.crossJoin(broadcast(baseline))
+    // band universe = baseline ∪ observed (fresh alias: ob_band's
+    // lineage is bandCounts', and grid meets bandCounts again below)
+    val bands = baseline.select(col("band"))
+      .union(bandCounts.select(col("band").as("ob_band"))).distinct()
+    val grid = tot.crossJoin(broadcast(
+      bands.join(baseline, Seq("band"), "left")))
     // fresh aliases: grid's win_start descends from the SAME plan as
     // bandCounts', and a using-columns self-join would carry
     // conflicting attribute ids
@@ -383,7 +391,7 @@ object StreamOps {
       col("band").as("bc_band"), col("n"))
     val q = greatest(coalesce(col("n"), lit(0L)).cast("double") /
       col("tot").cast("double"), lit(1e-6))
-    val p = greatest(col("p"), lit(1e-6))
+    val p = greatest(coalesce(col("p"), lit(0.0)), lit(1e-6))
     grid.join(bc, col("win_start") === col("bc_ws") &&
         col("band") === col("bc_band"), "left")
       .select(col("win_start"), ((q - p) * log(q / p)).as("term"))

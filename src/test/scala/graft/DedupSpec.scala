@@ -144,13 +144,15 @@ class DedupSpec extends SparkSpec {
   }
 
   test("leakage-safe split: no near-dup edge straddles folds; doc-keyed folds do") {
-    val edges = Dedup.minHashNearDups(docs, "doc_id", "text", theta = 0.8)
-      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE pair plan, referenced twice: the minhash-LSH candidate join
+    // is the most expensive plan in the suite
+    val edgesDf = Dedup.minHashNearDups(docs, "doc_id", "text", theta = 0.8)
+      .select(col("i"), col("j"))
+    val edges = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(edges.nonEmpty, "testdata should contain planted near-dups")
     val clusterFold = operators.Sampling.kFold(
-        operators.DedupCluster.components(docs, "doc_id",
-          Dedup.minHashNearDups(docs, "doc_id", "text", theta = 0.8)
-            .select(col("i"), col("j"))), "cluster_id", 5)
+        operators.DedupCluster.components(docs, "doc_id", edgesDf),
+        "cluster_id", 5)
       .select("id", "fold").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the invariant the operator exists for: both ends of every

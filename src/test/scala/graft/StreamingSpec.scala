@@ -94,6 +94,13 @@ class StreamingSpec extends SparkSpec {
         "in-distribution window must score 0")
       assert(psi("2024-01-01 01:00:00.0") > 0.25,        // >0.25 = actionable drift
         "all-mass-in-one-band window must alarm")
+      // drift INTO a band the baseline table never saw must still alarm:
+      // the band universe is baseline ∪ observed, p floored at 1e-6
+      val partialBase = baseline.filter(col("band") < 3)  // band 3 unknown
+      val psiPartial = StreamOps.psiOf(batch, partialBase).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+      assert(psiPartial("2024-01-01 01:00:00.0") > 1.0,
+        "mass arriving in a baseline-unseen band must blow up PSI")
     } finally q.stop()
   }
 

@@ -178,6 +178,22 @@ class TextStatsSpec extends SparkSpec {
     assert(f2 === 0.5)                    // 2·1/(3+1)
   }
 
+  test("rougePairs: zero-overlap and degenerate docs score 0.0, never drop") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "b a"),       // shared unigrams, NO shared bigram
+      (3L, "x y"), (4L, "p q"),       // nothing shared at all
+      (5L, "w"), (6L, "w"))           // one-token docs: no bigrams exist
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("i", "j")
+    val m = TextStats.rougePairs(docs, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(m.size === 3, "every input pair must emit a row")
+    assert(m((1L, 2L)) === ((1.0, 1.0, 1.0, 0.0)))  // rouge2_f = 0, not dropped
+    assert(m((3L, 4L)) === ((0.0, 0.0, 0.0, 0.0)))
+    assert(m((5L, 6L)) === ((1.0, 1.0, 1.0, 0.0)))  // no bigrams: 0/0 -> 0.0
+  }
+
   test("rougePairs: clipping counts repeated grams at the min") {
     // i repeats "a" 3×, j has it once: clipped unigram credit for "a"
     // is min(3,1) = 1, so ov1 = 1 ("a") + 1 ("b") = 2, not 4
