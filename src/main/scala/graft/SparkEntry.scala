@@ -148,7 +148,7 @@ object SparkEntry {
       |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |pairs AS (SELECT i, j FROM isect
+      |pairs AS MATERIALIZED (SELECT i, j FROM isect
       |  JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8)
       |""".stripMargin
@@ -3333,6 +3333,19 @@ object SparkEntry {
       operators.TextStats.rougePairs(docs, pairs, "doc_id", "text")
     }),
 
+    // #278: smoothed log-BLEU over the verified pairs — the PRECISION
+    // eval metric beside q_rouge's recall/F (BLEU asks "how much of
+    // the candidate is in the reference", with a brevity penalty so a
+    // short high-precision candidate can't game it; +1 smoothing per
+    // Lin & Och '04 keeps missing higher orders finite). Same pair
+    // set, same linear-in-report shape.
+    "q_bleu" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents")
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+        .select(col("i"), col("j"))
+      operators.TextStats.bleuPairs(docs, pairs, "doc_id", "text")
+    }),
+
     // #275: n-gram novelty of the eval fold vs the train folds — the
     // memorization-MAGNITUDE gate beside q_contamination's binary
     // 5-gram hit (an eval doc whose grams are all in train measures
@@ -6206,7 +6219,7 @@ object SparkEntry {
         |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |pairs AS (SELECT i, j FROM isect
+        |pairs AS MATERIALIZED (SELECT i, j FROM isect
         |  JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8)
         |SELECT LEAST(da.source, db.source) AS src_a,
@@ -6240,7 +6253,7 @@ object SparkEntry {
         |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
         |  FROM ex3 a JOIN ex3 b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |pairs AS (SELECT i, j FROM isect
+        |pairs AS MATERIALIZED (SELECT i, j FROM isect
         |  JOIN sz3 sa ON sa.doc_id = i JOIN sz3 sb ON sb.doc_id = j
         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
@@ -7842,7 +7855,7 @@ object SparkEntry {
         |isect AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |pairs AS (SELECT i, j FROM isect
+        |pairs AS MATERIALIZED (SELECT i, j FROM isect
         |  JOIN shn sa ON sa.doc_id = i JOIN shn sb ON sb.doc_id = j
         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
         |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
@@ -8263,9 +8276,9 @@ object SparkEntry {
     // identity 2PR/(P+R) = 2·ov/(li+lj) — one division per score
     "q_rouge" ->
       (NearDupPairsSql +
-      """, u AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+      """, u AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT doc_id, unnest(tk) AS g FROM t) GROUP BY 1, 2),
-        |b2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |b2 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
         |      i -> tk[i] || ' ' || tk[i+1])) AS g
         |    FROM t WHERE len(tk) >= 2) GROUP BY 1, 2),
@@ -8294,6 +8307,64 @@ object SparkEntry {
         |LEFT JOIN l1 la1 ON la1.doc_id = p.i LEFT JOIN l1 lb1 ON lb1.doc_id = p.j
         |LEFT JOIN l2 la2 ON la2.doc_id = p.i LEFT JOIN l2 lb2 ON lb2.doc_id = p.j"""
         .stripMargin),
+
+    // same shared pair CTE; per-order clipped precisions with +1
+    // smoothing, ln terms round(9) into a DECIMAL sum, brevity term
+    // one division — expression-identical to the Spark tree
+    "q_bleu" ->
+      (NearDupPairsSql +
+      """, u1 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(tk) AS g FROM t) GROUP BY 1, 2),
+        |u2 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS g
+        |    FROM t WHERE len(tk) >= 2) GROUP BY 1, 2),
+        |u3 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |    FROM t WHERE len(tk) >= 3) GROUP BY 1, 2),
+        |u4 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
+        |    FROM t WHERE len(tk) >= 4) GROUP BY 1, 2),
+        |l1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM u1 GROUP BY 1),
+        |l2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM u2 GROUP BY 1),
+        |l3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM u3 GROUP BY 1),
+        |l4 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM u4 GROUP BY 1),
+        |o1 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM pairs p JOIN u1 a ON a.doc_id = p.i
+        |  JOIN u1 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
+        |o2 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM pairs p JOIN u2 a ON a.doc_id = p.i
+        |  JOIN u2 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
+        |o3 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM pairs p JOIN u3 a ON a.doc_id = p.i
+        |  JOIN u3 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
+        |o4 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM pairs p JOIN u4 a ON a.doc_id = p.i
+        |  JOIN u4 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2)
+        |SELECT p.i, p.j, round(
+        |  LEAST(0.0, 1.0 - CAST(COALESCE(r1.n, 0) AS DOUBLE)
+        |    / GREATEST(CAST(COALESCE(c1.n, 0) AS DOUBLE), 1.0))
+        |  + CAST(
+        |      CAST(round(ln((CAST(COALESCE(o1.ov, 0) AS DOUBLE) + 1.0)
+        |        / (CAST(COALESCE(c1.n, 0) AS DOUBLE) + 1.0)), 9) AS DECIMAL(28,9))
+        |    + CAST(round(ln((CAST(COALESCE(o2.ov, 0) AS DOUBLE) + 1.0)
+        |        / (CAST(COALESCE(c2.n, 0) AS DOUBLE) + 1.0)), 9) AS DECIMAL(28,9))
+        |    + CAST(round(ln((CAST(COALESCE(o3.ov, 0) AS DOUBLE) + 1.0)
+        |        / (CAST(COALESCE(c3.n, 0) AS DOUBLE) + 1.0)), 9) AS DECIMAL(28,9))
+        |    + CAST(round(ln((CAST(COALESCE(o4.ov, 0) AS DOUBLE) + 1.0)
+        |        / (CAST(COALESCE(c4.n, 0) AS DOUBLE) + 1.0)), 9) AS DECIMAL(28,9))
+        |    AS DOUBLE) * 0.25, 6) AS log_bleu
+        |FROM pairs p
+        |LEFT JOIN o1 ON o1.i = p.i AND o1.j = p.j
+        |LEFT JOIN o2 ON o2.i = p.i AND o2.j = p.j
+        |LEFT JOIN o3 ON o3.i = p.i AND o3.j = p.j
+        |LEFT JOIN o4 ON o4.i = p.i AND o4.j = p.j
+        |LEFT JOIN l1 c1 ON c1.doc_id = p.i LEFT JOIN l1 r1 ON r1.doc_id = p.j
+        |LEFT JOIN l2 c2 ON c2.doc_id = p.i
+        |LEFT JOIN l3 c3 ON c3.doc_id = p.i
+        |LEFT JOIN l4 c4 ON c4.doc_id = p.i""".stripMargin),
 
     // distinct 5-grams as md5-60bit keys, fold from the q_folds hash,
     // novelty = eval-fold grams with no train-fold match

@@ -269,6 +269,65 @@ object TextStats {
         score(col("ov2") * 2, col("li2") + col("lj2")).as("rouge2_f"))
   }
 
+  /** Smoothed log-BLEU for a PAIR TABLE (i = candidate, j = reference)
+    * — the PRECISION-oriented eval companion of [[rougePairs]]'s
+    * recall/F (Papineni et al. 2002; +1 smoothing per Lin & Och 2004 so
+    * a missing higher-order n-gram dents the score instead of zeroing
+    * it, and no NULL/−∞ ever reaches the output):
+    *   log_bleu = min(0, 1 − r/c) + ¼ Σ_{n=1..4} ln((ov_n+1)/(cnt_n+1))
+    * with ov_n the CLIPPED n-gram overlap and cnt_n the candidate's
+    * n-gram count. Every ratio is integer/integer; each ln term rounds
+    * to 9 decimals and sums in DECIMAL (order-free), the brevity term
+    * is one division — final round(6), the house transcendental rule.
+    * Every input pair emits a row ([[rougePairs]] retention contract).
+    *
+    * Scale shape identical to rougePairs: one materialized tokenization
+    * of pair-member docs, keyed equi-joins, work linear in the pair
+    * report. */
+  def bleuPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val p = pairs.localCheckpoint(true)
+    val ids = p.select(col("i").as("_pid"))
+      .union(p.select(col("j").as("_pid"))).distinct()
+    val pairDocs = docs.join(ids, docs(idCol) === ids("_pid"), "left_semi")
+    val tk = pairDocs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("tk")).localCheckpoint(true)
+    // reference unigram length r (for the brevity penalty), joined once
+    val uni = gramCounts(tk, 1)
+    val uniLens = uni.groupBy(col("id")).agg(sum(col("c")).as("len"))
+    val base = p.join(
+      uniLens.select(col("id").as("j"), col("len").as("rn1")),
+      Seq("j"), "left").na.fill(0L, Seq("rn1"))
+    // per order n: candidate n-gram count cn_n and clipped overlap ov_n
+    val joined = (1 to 4).foldLeft(base) { (acc, n) =>
+      val g = if (n == 1) uni else gramCounts(tk, n)
+      val lens = if (n == 1) uniLens
+        else g.groupBy(col("id")).agg(sum(col("c")).as("len"))
+      val ov = p
+        .join(g.select(col("id").as("i"), col("g"), col("c").as("ci")), "i")
+        .join(g.select(col("id").as("j"), col("g"), col("c").as("cj")),
+          Seq("j", "g"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(least(col("ci"), col("cj"))).as(s"ov$n"))
+      acc.join(ov, Seq("i", "j"), "left")
+        .join(lens.select(col("id").as("i"), col("len").as(s"cn$n")),
+          Seq("i"), "left")
+        .na.fill(0L, Seq(s"ov$n", s"cn$n"))
+    }
+    def nd(c: Column) = c.cast("double")
+    // per-order smoothed ln precision, round(9) then DECIMAL sum
+    val lnTerms = (1 to 4).map { n =>
+      round(log((nd(col(s"ov$n")) + lit(1.0)) /
+        (nd(col(s"cn$n")) + lit(1.0))), 9).cast("decimal(28,9)") }
+    val lnSum = lnTerms.reduce(_ + _).cast("double")
+    // brevity penalty vs the reference's UNIGRAM length r = rn1,
+    // candidate c = cn1; c = 0 (empty candidate) pins log_bleu hard low
+    val bp = least(lit(0.0),
+      lit(1.0) - nd(col("rn1")) / greatest(nd(col("cn1")), lit(1.0)))
+    joined.select(col("i"), col("j"),
+      round(bp + lnSum * lit(0.25), 6).as("log_bleu"))
+  }
+
   /** Per-doc n-gram NOVELTY of an eval fold against the train folds —
     * the memorization/leakage magnitude beside binary decontamination:
     * share of an eval doc's DISTINCT token n-grams never seen in any

@@ -194,6 +194,20 @@ class TextStatsSpec extends SparkSpec {
     assert(m((5L, 6L)) === ((1.0, 1.0, 1.0, 0.0)))  // no bigrams: 0/0 -> 0.0
   }
 
+  test("bleuPairs: identical pair scores 0; truncated candidate pays exactly the brevity penalty") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"),  // identical: every term ln(1)=0
+      (3L, "a b"), (4L, "a b c d"))      // candidate half the reference
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("i", "j")
+    val m = TextStats.bleuPairs(docs, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) === 0.0)
+    // all smoothed precisions are 1 ((ov+1)/(cn+1) with ov = cn, incl.
+    // the empty 3/4-gram orders: (0+1)/(0+1)); only bp = 1 - 4/2 = -1
+    assert(m((3L, 4L)) === -1.0)
+  }
+
   test("rougePairs: clipping counts repeated grams at the min") {
     // i repeats "a" 3×, j has it once: clipped unigram credit for "a"
     // is min(3,1) = 1, so ov1 = 1 ("a") + 1 ("b") = 2, not 4

@@ -27,8 +27,21 @@ BANNED = ("HUGEINT", "UHUGEINT")
 
 
 def make_con(sf_dir):
-    import duckdb
+    import atexit, duckdb, os, shutil, tempfile
     con = duckdb.connect()
+    # Spill goes to a PER-PROCESS dir under the system tmp, bounded and
+    # removed at exit. Without this, DuckDB spills to ./.tmp in the cwd
+    # and an interrupted/abandoned big query leaves the files behind
+    # (observed: 79 GB of orphaned duckdb_temp_storage-*.tmp from one
+    # timed-out sf1 oracle filled the disk). The size cap turns a
+    # pathological spill into ONE query error instead of a full disk.
+    tmp = os.path.join(tempfile.gettempdir(), f"duckdb_oracle_{os.getpid()}")
+    con.execute(f"SET temp_directory='{tmp}'")
+    # default bounds a pathological spill; big manual sweeps (sf1) can
+    # raise it explicitly when the disk has headroom
+    cap = os.environ.get("GRAFT_DUCKDB_TMP_CAP", "8GB")
+    con.execute(f"SET max_temp_directory_size='{cap}'")
+    atexit.register(lambda: shutil.rmtree(tmp, ignore_errors=True))
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
