@@ -1101,6 +1101,16 @@ object SparkEntry {
         .select("q_id", "rn", "n_id")
     }),
 
+    // #279: simplified silhouette per IVF/k-means cell — the
+    // clustering-QUALITY gate beside the q_ann_* recall gates (recall
+    // grades the INDEX; silhouette grades whether the cells are
+    // clusters at all — the number a SemDeDup/curation pipeline checks
+    // before trusting cell-local decisions). Centroid-based O(n·k)
+    // variant; sims round(9) before the argmax (the assign tie rule).
+    "q_silhouette" -> ((s, dir) =>
+      operators.AnnIvf.silhouette(tp(s, dir, "embeddings"),
+        "vec_id", "embedding", 16)),
+
     // #181: product-quantization ANN (8×8-dim subspaces, 16-entry
     // stride-init codebooks): maximum-inner-product search where the
     // corpus is touched only as (id, subspace, code) bytes and scoring
@@ -6532,6 +6542,27 @@ object SparkEntry {
     // float averaging), argmax-cosine assignment, top-4 probed cells,
     // exact rank within the probed union.
     "q_ann_ivf" -> AnnIvfSql,
+
+    // AnnIvfSql's stride-init centroid CTEs, then top-2 rounded sims
+    // per vector and the (s1−s2)/(1−s2) silhouette fold
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+        |c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
+        |      FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+        |sims AS (SELECT e.vec_id AS id, c.cid,
+        |    round(list_cosine_similarity(ve, ce), 9) AS sim FROM e CROSS JOIN c),
+        |rk AS (SELECT id, cid, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rr FROM sims),
+        |pv AS (SELECT id, MAX(CASE WHEN rr = 1 THEN sim END) AS s1,
+        |    MAX(CASE WHEN rr = 1 THEN cid END) AS cid,
+        |    MAX(CASE WHEN rr = 2 THEN sim END) AS s2
+        |  FROM rk WHERE rr <= 2 GROUP BY id)
+        |SELECT cid, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(CASE WHEN 1.0 - s2 = 0.0 THEN 0.0
+        |      ELSE round((s1 - s2) / (1.0 - s2), 9) END AS DECIMAL(28,9))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mean_sil
+        |FROM pv GROUP BY cid ORDER BY cid""".stripMargin,
 
     // recall@10 of the IVF index vs the brute-force ground truth —
     // same acceptance metric as q_ann_recall for the LSH index

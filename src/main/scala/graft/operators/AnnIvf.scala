@@ -190,4 +190,43 @@ object AnnIvf {
     val assigned = assign(df, centroids, idCol, vecCol)
     search(assigned, centroids, queries, idCol, vecCol, k, nprobe)
   }
+
+  /** Simplified (centroid-based) silhouette per cluster — the
+    * clustering-QUALITY report for the IVF/k-means cells (Rousseeuw
+    * 1987's s_i with centroid distances standing in for mean pairwise
+    * distances — the O(n·k) production variant; the O(n²) original is
+    * exactly the blow-up this library exists to avoid). With cosine
+    * dissimilarity d = 1 − sim and s2 = best OTHER-centroid similarity:
+    * s_i = (s1 − s2) / (1 − s2), in [−1, 1], guarded to 0 when the
+    * vector coincides with a foreign centroid. Similarities round(9)
+    * BEFORE the argmax ranking (the `assign` tie rule) so both engines
+    * pick identical own/next centroids; per-vector scores round(9)
+    * into a DECIMAL sum, per-cluster mean round(6).
+    *
+    * Scale shape: centroids broadcast (k rows), one corpus scan, the
+    * top-2 window partitions on the VECTOR id — thousands of tiny
+    * k-row partitions, never a global sort. */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = fit(df, idCol, vecCol, nlist, iters = 0)
+    val sims = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("cid"),
+        round(Vectors.cosine(col("vec"), col("centroid")), 9).as("sim"))
+    val w = Window.partitionBy(col("id")).orderBy(col("sim").desc, col("cid"))
+    val pivot = sims.withColumn("rr", row_number().over(w))
+      .filter(col("rr") <= 2)
+      .groupBy(col("id"))
+      .agg(max(when(col("rr") === 1, col("sim"))).as("s1"),
+        max(when(col("rr") === 1, col("cid"))).as("cid"),
+        max(when(col("rr") === 2, col("sim"))).as("s2"))
+    val sil = when(lit(1.0) - col("s2") === 0.0, lit(0.0))
+      .otherwise(round((col("s1") - col("s2")) / (lit(1.0) - col("s2")), 9))
+    pivot.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(sil.cast("decimal(28,9)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_sil"))
+      .orderBy(col("cid"))
+  }
 }

@@ -203,6 +203,60 @@ object StreamOps {
       .toDF("key", "ts_sec", "value", "ewma")
   }
 
+  /** Streaming per-key Holt linear-trend forecast — the truly-recursive
+    * level+trend smoothing the batch q_holt truncates to 6 lags: state
+    * is TWO doubles per key (level l, trend b), carried across
+    * micro-batches by `flatMapGroupsWithState`:
+    *   l ← α·x + (1−α)(l + b);  b ← β(l − l_prev) + (1−β)·b
+    * initialized per the batch convention l₀ = x₀, b₀ = x₁ − x₀ (the
+    * first emission therefore starts at the SECOND event of a key).
+    * Emits (key, ts_sec, value, forecast) with forecast = l + b, the
+    * one-step-ahead prediction. Same in-order-delivery contract and
+    * bounded-state posture as [[streamingEwma]]. With α = β = 1/2
+    * every update is a dyadic average — exact in IEEE — so streaming
+    * equals an in-order replay bit-for-bit whatever the batch
+    * boundaries (asserted in StreamingSpec). */
+  def streamingHolt(events: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, alpha: Double = 0.5,
+                    beta: Double = 0.5): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col(keyCol).cast("long"),
+        unix_timestamp(col(tsCol)).as("ts_sec"), col(valCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, rows: Iterator[(Long, Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Boolean, Double, Double)]) => {
+          // (initialized, level, trend); uninitialized carries (false, x0, 0)
+          var st = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
+            st match {
+              case None =>
+                st = Some((false, v, 0.0))            // saw x0 only
+              case Some((false, x0, _)) =>
+                st = Some((true, x0, v - x0))          // l0 = x0, b0 = x1-x0
+                val (_, l0, b0) = st.get
+                val l = alpha * v + (1.0 - alpha) * (l0 + b0)
+                val b = beta * (l - l0) + (1.0 - beta) * b0
+                st = Some((true, l, b))
+                out += ((key, ts, v, l + b))
+              case Some((true, lPrev, bPrev)) =>
+                val l = alpha * v + (1.0 - alpha) * (lPrev + bPrev)
+                val b = beta * (l - lPrev) + (1.0 - beta) * bPrev
+                st = Some((true, l, b))
+                out += ((key, ts, v, l + b))
+            }
+          }
+          st.foreach(state.update)
+          out.iterator
+        })
+      .toDF("key", "ts_sec", "value", "forecast")
+  }
+
   /** LEFT-OUTER event-time-bounded stream-stream join: matched rows
     * emit like the inner variant; an UNMATCHED left row is held in
     * state until the watermark proves no in-range right row can still

@@ -261,4 +261,26 @@ class AnnSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Scan ExistingRDD"), "fused MMR must not checkpoint")
   }
+
+  test("silhouette: separated clusters score near 1, one blob scores low") {
+    import SparkSpec.spark.implicits._
+    // ids 0..49 cluster on axis 0, 50..99 on axis 2; stride init with
+    // nlist=2 picks ids 0 and 50 — one centroid per true cluster
+    val separated = (0L until 100L).map { i =>
+      val j = 0.01 * (i % 5)
+      if (i < 50) (i, Seq(1.0, j, 0.0, 0.0)) else (i, Seq(0.0, 0.0, 1.0, j))
+    }.toDF("vec_id", "embedding")
+    val sep = AnnIvf.silhouette(separated, "vec_id", "embedding", nlist = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(sep.values.map(_._1).sum === 100L, "every vector scored once")
+    assert(sep.values.forall(_._2 > 0.8),
+      s"well-separated clusters must score high: $sep")
+    // same corpus squeezed into one blob: no structure, score collapses
+    val blob = (0L until 100L).map { i =>
+      (i, Seq(1.0, 0.1 * (i % 7), 0.1 * (i % 3), 0.1 * (i % 5)))
+    }.toDF("vec_id", "embedding")
+    val bl = AnnIvf.silhouette(blob, "vec_id", "embedding", nlist = 2)
+      .collect().map(r => r.getDouble(2))
+    assert(bl.forall(_ < 0.5), s"a structureless blob must score low: ${bl.toSeq}")
+  }
 }

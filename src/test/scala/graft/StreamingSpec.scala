@@ -104,6 +104,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt: exact dyadic recursion across batches; 6-point series matches the batch tap expansion") {
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val xs = Seq(3.25, 7.5, 1.0, 9.75, 4.5, 6.25) // 2-dp values, dyadic
+    val rows = xs.zipWithIndex.map { case (v, i) =>
+      (1L, ts(f"2024-01-01 00:0$i:00"), v) }
+    val q = StreamOps.streamingHolt(in.toDF().toDF("k", "ts", "value"),
+        "k", "ts", "value")
+      .writeStream.format("memory").queryName("holt").outputMode("append")
+      .start()
+    try {
+      in.addData(rows.take(3)); q.processAllAvailable() // batch boundary
+      in.addData(rows.drop(3)); q.processAllAvailable() // mid-recursion
+      val got = spark.table("holt").collect()
+        .map(r => r.getLong(1) -> r.getDouble(3)).sortBy(_._1).map(_._2)
+      // local replay of the same exact dyadic recursion
+      var (l, b) = (xs(0), xs(1) - xs(0))
+      val want = xs.drop(1).map { v =>
+        val l2 = 0.5 * v + 0.5 * (l + b); b = 0.5 * (l2 - l) + 0.5 * b; l = l2
+        l + b
+      }
+      assert(got.toSeq === want, "streaming must equal in-order replay exactly")
+      // and the final forecast equals the batch q_holt 6-lag expansion
+      // (same init, series exactly 6 long -> truncation is exact)
+      val coef = Seq(0.75, 0.4375, 0.171875,
+        -0.00390625, -0.0078125, -0.34765625)
+      val batch = coef.zipWithIndex.map { case (c, k) => c * xs(5 - k) }.sum
+      assert(math.abs(got.last - batch) < 1e-12)
+    } finally q.stop()
+  }
+
   test("streaming CUSUM fires on a mean shift and stays quiet otherwise") {
     import java.sql.Timestamp
     val in = MemoryStream[(Long, Timestamp, Double)]
