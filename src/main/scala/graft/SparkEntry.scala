@@ -6559,7 +6559,7 @@ object SparkEntry {
         |    MAX(CASE WHEN rr = 2 THEN sim END) AS s2
         |  FROM rk WHERE rr <= 2 GROUP BY id)
         |SELECT cid, CAST(count(*) AS BIGINT) AS n,
-        |  round(CAST(SUM(CAST(CASE WHEN 1.0 - s2 = 0.0 THEN 0.0
+        |  round(CAST(SUM(CAST(CASE WHEN s2 IS NULL OR 1.0 - s2 = 0.0 THEN 0.0
         |      ELSE round((s1 - s2) / (1.0 - s2), 9) END AS DECIMAL(28,9))) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS mean_sil
         |FROM pv GROUP BY cid ORDER BY cid""".stripMargin,

@@ -209,6 +209,9 @@ object AnnIvf {
   def silhouette(df: DataFrame, idCol: String, vecCol: String,
                  nlist: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(nlist >= 2,
+      "silhouette needs >= 2 clusters: with one centroid there is no " +
+        "'nearest other cluster' and every score is undefined")
     val cents = fit(df, idCol, vecCol, nlist, iters = 0)
     val sims = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(cents))
@@ -221,7 +224,9 @@ object AnnIvf {
       .agg(max(when(col("rr") === 1, col("sim"))).as("s1"),
         max(when(col("rr") === 1, col("cid"))).as("cid"),
         max(when(col("rr") === 2, col("sim"))).as("s2"))
-    val sil = when(lit(1.0) - col("s2") === 0.0, lit(0.0))
+    // s2 NULL = a degenerate corpus yielded one centroid despite the
+    // nlist require (e.g. a single distinct id) — score 0, never NULL
+    val sil = when(col("s2").isNull || lit(1.0) - col("s2") === 0.0, lit(0.0))
       .otherwise(round((col("s1") - col("s2")) / (lit(1.0) - col("s2")), 9))
     pivot.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"),

@@ -198,6 +198,42 @@ object TextStats {
     g.groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
   }
 
+  /** Shared scaffold for the pair-scoring metrics ([[rougePairs]],
+    * [[bleuPairs]]): checkpoint the pair report ONCE (a caller's pair
+    * plan is typically an expensive minhash-LSH candidate join that
+    * must not re-execute per reference; reports are report-sized, the
+    * DedupCluster.components precedent), semi-join docs down to pair
+    * members so gram work is proportional to the REPORT not the
+    * corpus, and tokenize those docs once — every gram order explodes
+    * from the same materialized token arrays. Returns (pairs, tokens). */
+  private def pairScaffold(docs: DataFrame, pairs: DataFrame,
+                           idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val p = pairs.localCheckpoint(true)
+    val ids = p.select(col("i").as("_pid"))
+      .union(p.select(col("j").as("_pid"))).distinct()
+    val pairDocs = docs.join(ids, docs(idCol) === ids("_pid"), "left_semi")
+    val tk = pairDocs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("tk")).localCheckpoint(true)
+    (p, tk)
+  }
+
+  /** Per-pair CLIPPED n-gram overlap Σ_g min(c_i(g), c_j(g)) named
+    * `ovName`, plus the per-doc n-gram length table — the shared inner
+    * join of both pair metrics. */
+  private def gramOverlap(p: DataFrame, tk: DataFrame, n: Int,
+                          ovName: String): (DataFrame, DataFrame) = {
+    val g = gramCounts(tk, n)
+    val lens = g.groupBy(col("id")).agg(sum(col("c")).as("len"))
+    val ov = p
+      .join(g.select(col("id").as("i"), col("g"), col("c").as("ci")), "i")
+      .join(g.select(col("id").as("j"), col("g"), col("c").as("cj")),
+        Seq("j", "g"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(least(col("ci"), col("cj"))).as(ovName))
+    (ov, lens)
+  }
+
   /** ROUGE-1/ROUGE-2 overlap scores for a PAIR TABLE (i, j) — the
     * summarization-eval n-gram metric (Lin 2004) applied as a duplicate
     * similarity report: clipped overlap Σ_g min(c_i(g), c_j(g)) over
@@ -220,35 +256,10 @@ object TextStats {
     * linear in the pair report, never corpus². */
   def rougePairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                  textCol: String): DataFrame = {
-    // materialize the pair report ONCE: it is referenced many times
-    // below (id unions, per-order overlap/length joins), and a
-    // caller's pair plan is typically an expensive candidate join
-    // (minhash-LSH) that must not re-execute per reference; pair
-    // reports are report-sized, so the checkpoint is cheap (the
-    // DedupCluster.components precedent)
-    val p = pairs.localCheckpoint(true)
-    // only pair-member docs need gram counts — the semi-join keeps the
-    // explode + count proportional to the pair REPORT, not the corpus
-    // (semantically free: every downstream join is on pair ids)
-    val ids = p.select(col("i").as("_pid"))
-      .union(p.select(col("j").as("_pid"))).distinct()
-    val pairDocs = docs.join(ids, docs(idCol) === ids("_pid"), "left_semi")
-    // tokenize the pair-member docs ONCE and materialize: both gram
-    // orders explode from the same token arrays instead of re-scanning
-    // and re-tokenizing per order; pair-member token arrays are
-    // report-bounded (the semi-join's point), so the checkpoint holds
-    val tk = pairDocs.select(col(idCol).as("id"),
-      TextAnalysis.tokens(col(textCol)).as("tk")).localCheckpoint(true)
+    val (p, tk) = pairScaffold(docs, pairs, idCol, textCol)
     def overlap(n: Int, ovName: String, liName: String, ljName: String)
         : DataFrame = {
-      val g = gramCounts(tk, n)
-      val lens = g.groupBy(col("id")).agg(sum(col("c")).as("len"))
-      val ov = p
-        .join(g.select(col("id").as("i"), col("g"), col("c").as("ci")), "i")
-        .join(g.select(col("id").as("j"), col("g"), col("c").as("cj")),
-          Seq("j", "g"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(least(col("ci"), col("cj"))).as(ovName))
+      val (ov, lens) = gramOverlap(p, tk, n, ovName)
       p.join(ov, Seq("i", "j"), "left")
         .join(lens.select(col("id").as("i"), col("len").as(liName)),
           Seq("i"), "left")
@@ -286,29 +297,15 @@ object TextStats {
     * report. */
   def bleuPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                 textCol: String): DataFrame = {
-    val p = pairs.localCheckpoint(true)
-    val ids = p.select(col("i").as("_pid"))
-      .union(p.select(col("j").as("_pid"))).distinct()
-    val pairDocs = docs.join(ids, docs(idCol) === ids("_pid"), "left_semi")
-    val tk = pairDocs.select(col(idCol).as("id"),
-      TextAnalysis.tokens(col(textCol)).as("tk")).localCheckpoint(true)
+    val (p, tk) = pairScaffold(docs, pairs, idCol, textCol)
+    val perOrder = (1 to 4).map(n => n -> gramOverlap(p, tk, n, s"ov$n")).toMap
     // reference unigram length r (for the brevity penalty), joined once
-    val uni = gramCounts(tk, 1)
-    val uniLens = uni.groupBy(col("id")).agg(sum(col("c")).as("len"))
     val base = p.join(
-      uniLens.select(col("id").as("j"), col("len").as("rn1")),
+      perOrder(1)._2.select(col("id").as("j"), col("len").as("rn1")),
       Seq("j"), "left").na.fill(0L, Seq("rn1"))
     // per order n: candidate n-gram count cn_n and clipped overlap ov_n
     val joined = (1 to 4).foldLeft(base) { (acc, n) =>
-      val g = if (n == 1) uni else gramCounts(tk, n)
-      val lens = if (n == 1) uniLens
-        else g.groupBy(col("id")).agg(sum(col("c")).as("len"))
-      val ov = p
-        .join(g.select(col("id").as("i"), col("g"), col("c").as("ci")), "i")
-        .join(g.select(col("id").as("j"), col("g"), col("c").as("cj")),
-          Seq("j", "g"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(least(col("ci"), col("cj"))).as(s"ov$n"))
+      val (ov, lens) = perOrder(n)
       acc.join(ov, Seq("i", "j"), "left")
         .join(lens.select(col("id").as("i"), col("len").as(s"cn$n")),
           Seq("i"), "left")

@@ -238,10 +238,12 @@ object StreamOps {
               case None =>
                 st = Some((false, v, 0.0))            // saw x0 only
               case Some((false, x0, _)) =>
-                st = Some((true, x0, v - x0))          // l0 = x0, b0 = x1-x0
-                val (_, l0, b0) = st.get
-                val l = alpha * v + (1.0 - alpha) * (l0 + b0)
-                val b = beta * (l - l0) + (1.0 - beta) * b0
+                // with l0 = x0, b0 = x1−x0 the first smoothing step is
+                // an algebraic identity for ANY α, β: l1 = x1 exactly
+                // and b1 = x1−x0 exactly — set it directly instead of
+                // computing α·x1 + (1−α)(x0 + (x1−x0)), whose IEEE tree
+                // would pick up rounding noise against the convention
+                val (l, b) = (v, v - x0)
                 st = Some((true, l, b))
                 out += ((key, ts, v, l + b))
               case Some((true, lPrev, bPrev)) =>

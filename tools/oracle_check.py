@@ -223,6 +223,7 @@ def retry_in_subprocess(name):
 
 
 def main():
+    oracle_lint.sweep_stale_spill()  # reap SIGKILL'd workers' spill dirs
     oracles = sorted(json.load(open(f"{out_dir}/oracle_sql.json")).items())
     if ONE is not None:
         sql_map = dict(oracles)

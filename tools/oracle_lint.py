@@ -26,16 +26,42 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 BANNED = ("HUGEINT", "UHUGEINT")
 
 
+_CON_SEQ = 0
+
+
+def sweep_stale_spill():
+    """Remove duckdb_oracle_<pid>_* spill dirs whose owning process is
+    dead. atexit does NOT run on SIGKILL/OOM (exactly the paths that
+    strand big spills — oracle_check's crasher re-run kills on timeout),
+    so every run sweeps the graveyard first. Live sibling workers are
+    protected by the pid liveness check."""
+    import glob, os, shutil, tempfile
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "duckdb_oracle_*")):
+        try:
+            pid = int(os.path.basename(d).split("_")[2])
+            os.kill(pid, 0)           # raises if the owner is gone
+        except (ValueError, IndexError, ProcessLookupError, PermissionError):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def make_con(sf_dir):
     import atexit, duckdb, os, shutil, tempfile
+    global _CON_SEQ
     con = duckdb.connect()
-    # Spill goes to a PER-PROCESS dir under the system tmp, bounded and
-    # removed at exit. Without this, DuckDB spills to ./.tmp in the cwd
-    # and an interrupted/abandoned big query leaves the files behind
+    # Spill goes to a PER-CONNECTION dir under the system tmp, bounded
+    # and removed at exit. Without this, DuckDB spills to ./.tmp in the
+    # cwd and an interrupted/abandoned big query leaves the files behind
     # (observed: 79 GB of orphaned duckdb_temp_storage-*.tmp from one
-    # timed-out sf1 oracle filled the disk). The size cap turns a
-    # pathological spill into ONE query error instead of a full disk.
-    tmp = os.path.join(tempfile.gettempdir(), f"duckdb_oracle_{os.getpid()}")
+    # timed-out sf1 oracle filled the disk). Per-connection (pid + seq),
+    # not per-process: oracle_check's abandon-stuck-connection path runs
+    # TWO live instances in one process, and DuckDB temp names are only
+    # per-instance unique — a shared dir would collide their spill
+    # files. The size cap turns a pathological spill into ONE query
+    # error instead of a full disk; kill-path leftovers are reaped by
+    # [[sweep_stale_spill]] at the next run's start.
+    _CON_SEQ += 1
+    tmp = os.path.join(tempfile.gettempdir(),
+                       f"duckdb_oracle_{os.getpid()}_{_CON_SEQ}")
     con.execute(f"SET temp_directory='{tmp}'")
     # default bounds a pathological spill; big manual sweeps (sf1) can
     # raise it explicitly when the disk has headroom
@@ -50,6 +76,7 @@ def make_con(sf_dir):
 
 def main():
     path, sf_dir = sys.argv[1], sys.argv[2]
+    sweep_stale_spill()
     con = make_con(sf_dir)
     oracles = json.load(open(path))
     bad, columns = [], {}
