@@ -1371,8 +1371,14 @@ object SparkEntry {
           sum((col("cp").cast("decimal(19,0)") *
             col("m2").cast("decimal(19,0)")).cast("decimal(28,0)"))
             .as("s2"))
+      // coalesce is belt-and-braces (r13 advice): the filled grid
+      // guarantees a c = 0 row for every (arm, v), so an arm with zero
+      // events in a bin already sums to 0 — but if the fill were ever
+      // dropped, a NULL pos_b would silently vanish from a downstream
+      // ECE aggregation instead of scoring acc = 0
       val pos = cum.join(pooled.select(col("v"), col("bin")), "v")
-        .groupBy(col("arm"), col("bin")).agg(sum(col("c")).as("pos"))
+        .groupBy(col("arm"), col("bin"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("pos"))
       pos.join(bins, "bin")
         .select(col("arm"), col("bin"),
           col("nb").as("n_b"), col("pos").as("pos_b"),
@@ -6790,7 +6796,7 @@ object SparkEntry {
         |    CAST(SUM(CAST(CAST(cp AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))
         |      AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s2
         |  FROM vb GROUP BY bin),
-        |pos AS (SELECT cum.arm, vb.bin, CAST(SUM(cum.c) AS BIGINT) AS pos
+        |pos AS (SELECT cum.arm, vb.bin, CAST(COALESCE(SUM(cum.c), 0) AS BIGINT) AS pos
         |  FROM cum JOIN vb ON vb.v = cum.v GROUP BY 1, 2)
         |SELECT pos.arm, pos.bin, bins.nb AS n_b, pos.pos AS pos_b,
         |  round(CAST(pos.pos AS DOUBLE) / CAST(bins.nb AS DOUBLE), 9) AS acc,

@@ -218,22 +218,31 @@ object StreamOps {
     * boundaries (asserted in StreamingSpec). */
   def streamingHolt(events: DataFrame, keyCol: String, tsCol: String,
                     valCol: String, alpha: Double = 0.5,
-                    beta: Double = 0.5): DataFrame = {
+                    beta: Double = 0.5,
+                    tieCol: Option[String] = None): DataFrame = {
     val ss = events.sparkSession
     import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
       .select(col(keyCol).cast("long"),
-        unix_timestamp(col(tsCol)).as("ts_sec"), col(valCol).cast("double"))
-      .as[(Long, Long, Double)]
+        unix_timestamp(col(tsCol)).as("ts_sec"), col(valCol).cast("double"),
+        // r13 advice: the batch q_holt window orders by (ts, event_id);
+        // passing that id as tieCol makes same-(key, ts) events replay
+        // in batch order. tie only steers the sort — a double orders
+        // every long below 2^53 exactly, so one tuple shape serves both
+        // modes; tieCol = None keeps the streamingEwma (ts, value)
+        // convention, batch-equivalent only under unique-(key, ts)
+        // delivery (the documented caller contract).
+        tieCol.fold(col(valCol))(c => col(c)).cast("double").as("tie"))
+      .as[(Long, Long, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: Long, rows: Iterator[(Long, Long, Double)],
+        (key: Long, rows: Iterator[(Long, Long, Double, Double)],
          state: org.apache.spark.sql.streaming.GroupState[(Boolean, Double, Double)]) => {
           // (initialized, level, trend); uninitialized carries (false, x0, 0)
           var st = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
+          rows.toSeq.sortBy(r => (r._2, r._4)).foreach { case (_, ts, v, _) =>
             st match {
               case None =>
                 st = Some((false, v, 0.0))            // saw x0 only

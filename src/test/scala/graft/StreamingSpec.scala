@@ -134,6 +134,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Holt tieCol replays same-timestamp events in (ts, event_id) order") {
+    // two events share (key, ts) with VALUES in the opposite order of
+    // their ids: the legacy (ts, value) sort would replay 1.0 before
+    // 9.0; tieCol = event_id must replay 9.0 first (the batch q_holt
+    // window order), and the recursion is order-sensitive from x1 on
+    val in = MemoryStream[(Long, Timestamp, Double, Long)]
+    val t0 = ts("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, t0, 4.0, 10L),
+      (1L, ts("2024-01-01 00:01:00"), 9.0, 11L), // same ts, ids 11 < 12
+      (1L, ts("2024-01-01 00:01:00"), 1.0, 12L), // but value 1.0 < 9.0
+      (1L, ts("2024-01-01 00:02:00"), 6.0, 13L))
+    val q = StreamOps.streamingHolt(
+        in.toDF().toDF("k", "ts", "value", "event_id"),
+        "k", "ts", "value", tieCol = Some("event_id"))
+      .writeStream.format("memory").queryName("holt_tie")
+      .outputMode("append").start()
+    try {
+      in.addData(rows); q.processAllAvailable()
+      val got = spark.table("holt_tie").collect()
+        .map(r => r.getDouble(2) -> r.getDouble(3)).toSet
+      // id-order replay: x = 4, 9, 1, 6 — each (value, forecast) pair
+      // is unique, so the SET fully pins the replay order (the legacy
+      // value-order replay x = 4, 1, 9, 6 starts with (1.0, -2.0))
+      val xs = Seq(4.0, 9.0, 1.0, 6.0)
+      var (l, b) = (xs(0), xs(1) - xs(0))
+      val want = xs.drop(1).map { v =>
+        val l2 = 0.5 * v + 0.5 * (l + b); b = 0.5 * (l2 - l) + 0.5 * b; l = l2
+        v -> (l + b)
+      }.toSet
+      assert(got === want,
+        "forecasts must equal the (ts, event_id)-order exact replay")
+    } finally q.stop()
+  }
+
   test("streaming CUSUM fires on a mean shift and stays quiet otherwise") {
     import java.sql.Timestamp
     val in = MemoryStream[(Long, Timestamp, Double)]

@@ -8,9 +8,12 @@
 #   tools/gate.sh --changed   # incremental Spark side (plan-hash manifest
 #                             # in target/verify_inc), full oracle compare
 #
-# Exits non-zero on the first failing stage. (Exception: the final
-# idle-round guard is ADVISORY — it prints WARN and still passes —
-# unless SPARK_GRAFT_STRICT_IDLE=1, which makes an idle round fail.)
+# Exits non-zero on the first failing stage. The final idle-round
+# guard is STRICT BY DEFAULT (r13 verdict item 7): an idle round —
+# open ADVICE items, no builder commits since the last snapshot, no
+# uncommitted source work — FAILS the gate. Export
+# SPARK_GRAFT_STRICT_IDLE=0 to downgrade it to an advisory WARN
+# (e.g. when re-running the gate on a freshly-snapshotted tree).
 set -euo pipefail
 # Anchor everything to the repo root (the script's parent dir) so the
 # gate behaves identically from any cwd; REPO also flows into the
@@ -106,8 +109,8 @@ if grep -q '^- \*\*' ADVICE.md 2>/dev/null; then
     echo "     builder commits since the last round snapshot and no"
     echo "     uncommitted source changes — this round is about to ship"
     echo "     nothing (r11 did exactly this and was graded for it)."
-    if [ "${SPARK_GRAFT_STRICT_IDLE:-0}" = "1" ]; then
-      echo "gate: FAIL (idle round, SPARK_GRAFT_STRICT_IDLE=1)"
+    if [ "${SPARK_GRAFT_STRICT_IDLE:-1}" = "1" ]; then
+      echo "gate: FAIL (idle round; export SPARK_GRAFT_STRICT_IDLE=0 to downgrade)"
       exit 1
     fi
   else

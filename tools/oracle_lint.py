@@ -34,14 +34,19 @@ def sweep_stale_spill():
     dead. atexit does NOT run on SIGKILL/OOM (exactly the paths that
     strand big spills — oracle_check's crasher re-run kills on timeout),
     so every run sweeps the graveyard first. Live sibling workers are
-    protected by the pid liveness check."""
+    protected by the pid liveness check: ProcessLookupError means the
+    owner is truly gone, but PermissionError (EPERM) means the pid
+    EXISTS under another uid — that worker is alive and mid-query, so
+    its dir must survive the sweep."""
     import glob, os, shutil, tempfile
     for d in glob.glob(os.path.join(tempfile.gettempdir(), "duckdb_oracle_*")):
         try:
             pid = int(os.path.basename(d).split("_")[2])
-            os.kill(pid, 0)           # raises if the owner is gone
-        except (ValueError, IndexError, ProcessLookupError, PermissionError):
+            os.kill(pid, 0)           # ProcessLookupError iff owner gone
+        except (ValueError, IndexError, ProcessLookupError):
             shutil.rmtree(d, ignore_errors=True)
+        except PermissionError:
+            pass                      # live process, different uid: keep
 
 
 def make_con(sf_dir):
