@@ -43,7 +43,13 @@ object Bench {
     val warmDir0 = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
     val warmDir = if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
-    selected.foreach { case (_, fn) =>
+    // the calibration probes (below) must be warmed even when a
+    // SPARK_GRAFT_ONLY subset excludes them — a cold pass-1 probe reads
+    // as fake 3x "contention" (measured) when it is just codegen + JIT
+    val calProbeNames = Seq("q_top10_tokens", "q_bpe_encode")
+    val toWarm = selected ++ calProbeNames.filterNot(selected.contains)
+      .map(n => n -> SparkEntry.queries(n))
+    toWarm.foreach { case (_, fn) =>
       try run(fn(spark, warmDir)) catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
@@ -73,9 +79,45 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
     val sortedNames = selected.toSeq.sortBy(_._1).map(_._1)
     val byName = selected.toMap
+    // Environment-drift sentinel (r13 verdict item 1): the r13 driver
+    // sweep shipped numbers up to 13.7x off steady-state on a contended
+    // box, and nothing in the emitted JSON could distinguish "code got
+    // slower" from "box got slower" — shuffled-min defeats PER-QUERY
+    // adjacency bias but is blind to GLOBAL contention. Fix: time a
+    // fixed two-query probe at the START of every pass (the flagship
+    // scan/shuffle shape + a mid-weight codegen-compute shape) against
+    // committed quiet-box references, and emit the per-pass readings in
+    // the JSON. Drift = Σ probe times / Σ references — the sum weights
+    // the longer probe, so a 0.1 s jitter on the 0.2 s flagship can't
+    // fake contention. The run is marked "contended" only when EVERY
+    // pass drifts >1.5x: the per-query minimum already survives one bad
+    // pass, so the flag fires exactly when no clean reading exists and
+    // the minima themselves are suspect. References hold for the
+    // driver's sf0.1 corpus; at any other SF the probes still run (the
+    // per-pass readings remain comparable to each other) but drift is
+    // not graded against the cross-SF constants.
+    val calRefDir = "/root/testdata/sf0.1"
+    val calRefs = calProbeNames.zip(Seq( // committed BENCH_FULL
+      0.21, 2.68))                       // (d42bdb8) quiet-box values
+    val calGraded = sfDir.stripSuffix("/") == calRefDir
+    val calReadings = Array.fill[Seq[(String, Double)]](passes)(Seq.empty)
     val passTimes: Seq[Map[String, Double]] = (0 until passes).map { p =>
+      calReadings(p) = calRefs.map { case (n, _) =>
+        n -> timeOne(SparkEntry.queries(n)) }
       val order = new scala.util.Random(42L + p).shuffle(sortedNames)
       order.map(n => n -> timeOne(byName(n))).toMap
+    }
+    val calDrifts: Seq[Option[Double]] = calReadings.toSeq.map { rs =>
+      val ok = rs.forall(_._2 >= 0)
+      if (!calGraded || !ok) None
+      else Some(rs.map(_._2).sum / calRefs.map(_._2).sum)
+    }
+    val contended = calDrifts.nonEmpty &&
+      calDrifts.forall(d => d.exists(_ > 1.5))
+    calDrifts.zipWithIndex.foreach { case (d, i) =>
+      if (d.exists(_ > 1.5))
+        System.err.println(f"WARN calibration pass ${i + 1}: probe drift " +
+          f"${d.get}%.2fx vs committed reference — box contention suspected")
     }
     def minOk(ds: Seq[Double]): Double = {
       val ok = ds.filter(_ >= 0)
@@ -130,11 +172,17 @@ object Bench {
     // captures stdout through a 2000-char tail buffer (measured: round-1's
     // full map broke its parse), so 168 keys can never ride the JSON
     // line. BENCH_FULL.json is the round-over-round diff surface.
+    val calJson = calReadings.toSeq.zipWithIndex.map { case (rs, i) =>
+      val qs = rs.map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString(",")
+      val d = calDrifts(i).map(fmt).getOrElse("null")
+      s""""pass_${i + 1}":{$qs,"drift":$d}"""
+    }.mkString("{", ",", "}")
     val fullJson = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
       s"""{"metric":"top10","value":${fmt(flagship)},"unit":"sec","sf":"$sfDir",""" +
         s""""queries":{$qs},"soak_1x_vs_10x_sec":$soakJson$soakErrJson,""" +
         s""""soak_1x_vs_30x_sec":$soak30Json,""" +
+        s""""calibration":$calJson,"contended":$contended,""" +
         s""""_total":${fmt(total)},"_n":${results.size}}"""
     }
     // SPARK_GRAFT_ONLY subsets are local-iteration runs; writing their
@@ -152,8 +200,10 @@ object Bench {
       val qs = (slowest ++ failed.map(_ -> -1.0)
           :+ ("_total" -> total) :+ ("_n" -> results.size.toDouble))
         .map { case (k2, v) => "\"" + k2 + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val cal = calDrifts.map(_.map(fmt).getOrElse("null")).mkString("[", ",", "]")
       s"""{"metric":"top10","value":${fmt(flagship)},"unit":"sec","queries":$qs,""" +
-        s""""soak":$soakJson$soakErrJson,"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+        s""""soak":$soakJson$soakErrJson,"cal_drift":$cal,"contended":$contended,""" +
+        s""""full":"BENCH_FULL.json","sf":"$sfDir"}"""
     }
     val out = (40 to 8 by -4).map(line).find(_.length <= 1900).getOrElse(line(8))
     println(out)
