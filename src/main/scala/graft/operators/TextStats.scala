@@ -198,6 +198,16 @@ object TextStats {
     g.groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
   }
 
+  /** Default [[pairScaffold]] report cap: ~1M pairs keeps every
+    * legitimate eval/dedup report intact (the adversarial sf1 corpus
+    * peaked at 250,600) while bounding the blow-up a pathologically
+    * duplicated corpus produces when near-dup clusters SQUARE into
+    * pairs — the r13 sf1 step measured the report growing 10,024×
+    * (25 → 250,600) at 10× rows; one more 10× step of the same shape
+    * would checkpoint ~25M pairs and the scaffold itself becomes the
+    * scale-killer the metrics were designed to avoid. */
+  private[graft] val MaxPairReport: Int = 1 << 20
+
   /** Shared scaffold for the pair-scoring metrics ([[rougePairs]],
     * [[bleuPairs]]): checkpoint the pair report ONCE (a caller's pair
     * plan is typically an expensive minhash-LSH candidate join that
@@ -205,11 +215,35 @@ object TextStats {
     * DedupCluster.components precedent), semi-join docs down to pair
     * members so gram work is proportional to the REPORT not the
     * corpus, and tokenize those docs once — every gram order explodes
-    * from the same materialized token arrays. Returns (pairs, tokens). */
+    * from the same materialized token arrays. Returns (pairs, tokens).
+    *
+    * Over `maxPairs` the report is CAPPED deterministically: pairs
+    * rank by md5(i|j) and the lowest `maxPairs` survive — a
+    * content-keyed uniform subsample, identical across replays and
+    * engines, never "whichever partitions finished first". Per the
+    * no-silent-caps rule the kept/dropped counts ride the returned
+    * frame as `graft_pair_cap` observe metrics (pairs_kept,
+    * pairs_dropped — visible in QueryExecutionListener /
+    * StreamingQueryProgress without an extra job); the count() that
+    * decides the cap is free, reading the just-materialized
+    * checkpoint. The rank-and-limit runs ONLY on the oversized path,
+    * so an in-budget report pays one driver-side count and nothing
+    * else. */
   private def pairScaffold(docs: DataFrame, pairs: DataFrame,
-                           idCol: String, textCol: String)
+                           idCol: String, textCol: String,
+                           maxPairs: Int = MaxPairReport)
       : (DataFrame, DataFrame) = {
-    val p = pairs.localCheckpoint(true)
+    val p0 = pairs.localCheckpoint(true)
+    val nPairs = p0.count() // free: counts the materialized checkpoint
+    val p =
+      if (nPairs <= maxPairs) p0
+      else p0
+        .withColumn("_ph", md5(concat_ws("|", col("i"), col("j"))))
+        .orderBy(col("_ph")).limit(maxPairs).drop("_ph")
+        .localCheckpoint(true)
+        .observe("graft_pair_cap",
+          count(lit(1)).as("pairs_kept"),
+          max(lit(nPairs - maxPairs)).as("pairs_dropped"))
     val ids = p.select(col("i").as("_pid"))
       .union(p.select(col("j").as("_pid"))).distinct()
     val pairDocs = docs.join(ids, docs(idCol) === ids("_pid"), "left_semi")
@@ -255,8 +289,9 @@ object TextStats {
     * counts meet on (pair, gram). Work is Σ_pairs (len_i + len_j),
     * linear in the pair report, never corpus². */
   def rougePairs(docs: DataFrame, pairs: DataFrame, idCol: String,
-                 textCol: String): DataFrame = {
-    val (p, tk) = pairScaffold(docs, pairs, idCol, textCol)
+                 textCol: String,
+                 maxPairs: Int = MaxPairReport): DataFrame = {
+    val (p, tk) = pairScaffold(docs, pairs, idCol, textCol, maxPairs)
     def overlap(n: Int, ovName: String, liName: String, ljName: String)
         : DataFrame = {
       val (ov, lens) = gramOverlap(p, tk, n, ovName)
@@ -296,8 +331,9 @@ object TextStats {
     * of pair-member docs, keyed equi-joins, work linear in the pair
     * report. */
   def bleuPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
-                textCol: String): DataFrame = {
-    val (p, tk) = pairScaffold(docs, pairs, idCol, textCol)
+                textCol: String,
+                maxPairs: Int = MaxPairReport): DataFrame = {
+    val (p, tk) = pairScaffold(docs, pairs, idCol, textCol, maxPairs)
     val perOrder = (1 to 4).map(n => n -> gramOverlap(p, tk, n, s"ov$n")).toMap
     // reference unigram length r (for the brevity penalty), joined once
     val base = p.join(

@@ -208,6 +208,39 @@ class TextStatsSpec extends SparkSpec {
     assert(m((3L, 4L)) === -1.0)
   }
 
+  test("pair-report cap: deterministic md5 keep set, observed drop count, no-op under budget") {
+    val docs = (1L to 6L).map(i => (i, s"tok$i common words here"))
+      .toDF("doc_id", "text")
+    val allPairs = (for { i <- 1L to 6L; j <- (i + 1) to 6L } yield (i, j))
+      .toDF("i", "j") // 15 pairs
+    // under budget: cap is a no-op — identical rows to the default path
+    val full = TextStats.rougePairs(docs, allPairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.toSeq).toMap
+    assert(full.size === 15)
+    val atBudget = TextStats.rougePairs(docs, allPairs, "doc_id", "text",
+      maxPairs = 15).collect()
+    assert(atBudget.length === 15, "cap == report size must keep everything")
+    // over budget: exactly maxPairs survive, each scoring exactly as in
+    // the uncapped run (the cap drops pairs, never perturbs survivors)
+    val capped = TextStats.rougePairs(docs, allPairs, "doc_id", "text",
+      maxPairs = 4)
+    val cr = capped.collect()
+    assert(cr.length === 4)
+    cr.foreach(r => assert(full((r.getLong(0), r.getLong(1))) === r.toSeq))
+    // no-silent-caps: the kept/dropped counts ride the frame's metrics
+    val m = capped.queryExecution.observedMetrics("graft_pair_cap")
+    assert(m.getAs[Long]("pairs_kept") === 4L)
+    assert(m.getAs[Long]("pairs_dropped") === 11L)
+    // determinism: the md5-ranked keep set is replay-stable
+    val again = TextStats.rougePairs(docs, allPairs, "doc_id", "text",
+      maxPairs = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === cr.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // bleuPairs shares the scaffold: same keep set, same metrics name
+    val bleu = TextStats.bleuPairs(docs, allPairs, "doc_id", "text",
+      maxPairs = 4)
+    assert(bleu.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === again)
+  }
+
   test("rougePairs: clipping counts repeated grams at the min") {
     // i repeats "a" 3×, j has it once: clipped unigram credit for "a"
     // is min(3,1) = 1, so ov1 = 1 ("a") + 1 ("b") = 2, not 4
