@@ -78,13 +78,22 @@ object Demo {
     // lexical 3-gram arm, RRF-fused) purely from the artifact dir —
     // what a production vector store does across sessions
     val embs = Tables.load(spark, sfDir, "embeddings")
-    operators.IndexedSearch.fit(embs, "vec_id", "embedding", s"$outDir/index")
+    operators.IndexedSearch.fit(embs, "vec_id", "embedding", s"$outDir/index",
+      qualityReport = true)
     val served = operators.IndexedSearch.serveHybrid(spark, s"$outDir/index",
       docs, "doc_id", "text", embs.filter(col("vec_id") < 3),
       "vec_id", "embedding")
     println("demo: hybrid top-3 per query (q_id,rn,d_id): " +
       served.filter(col("rn") <= 3).orderBy(col("q_id"), col("rn")).collect()
         .map(r => s"(${r.getLong(0)},${r.getInt(1)},${r.getLong(2)})")
+        .mkString(", "))
+    // the quality gate grades the SERVED index (the persisted
+    // fit_quality report of the published generation, computed from
+    // the same centroids the probes above used)
+    println("demo: served-index silhouette (cid,n,mean_sil): " +
+      operators.IndexedSearch.silhouette(spark, s"$outDir/index")
+        .orderBy(col("cid")).collect()
+        .map(r => s"(${r.getLong(0)},${r.getLong(1)},${r.getDouble(2)})")
         .mkString(", "))
     spark.stop()
   }

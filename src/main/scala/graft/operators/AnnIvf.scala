@@ -208,11 +208,27 @@ object AnnIvf {
     * k-row partitions, never a global sort. */
   def silhouette(df: DataFrame, idCol: String, vecCol: String,
                  nlist: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nlist >= 2,
       "silhouette needs >= 2 clusters: with one centroid there is no " +
         "'nearest other cluster' and every score is undefined")
-    val cents = fit(df, idCol, vecCol, nlist, iters = 0)
+    silhouetteWith(df, fit(df, idCol, vecCol, nlist, iters = 0),
+      idCol, vecCol)
+  }
+
+  /** [[silhouette]] against an EXISTING centroid table — the overload
+    * that grades the clustering production actually serves (r13
+    * verdict: the default overload refits stride-init cells, so it
+    * scores a DIFFERENT clustering than the one `IndexedSearch.fit`
+    * persisted; a quality gate on the served index must take the
+    * served centroids). Same scale shape: centroids broadcast, one
+    * corpus scan, id-partitioned top-2 window. A degenerate
+    * single-centroid table scores 0 via the s2-null guard rather than
+    * erroring — the artifact path can't require nlist at the call
+    * site. */
+  def silhouetteWith(df: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.select(col("cid"), col("centroid"))
     val sims = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(cents))
       .select(col("id"), col("cid"),

@@ -50,7 +50,8 @@ object IndexedSearch {
     * committing them atomically as one new index generation. */
   def fit(embs: DataFrame, idCol: String, vecCol: String, dir: String,
           nlist: Int = 16, iters: Int = 1, m: Int = 8, subDim: Int = 8,
-          ksub: Int = 16, pqIters: Int = 1): Unit = {
+          ksub: Int = 16, pqIters: Int = 1,
+          qualityReport: Boolean = false): Unit = {
     val spark = embs.sparkSession
     val genId = "gen-" + java.util.UUID.randomUUID().toString.take(12)
     val gen = s"$dir/$genId"
@@ -65,7 +66,16 @@ object IndexedSearch {
     AnnPq.saveCodebooks(cb, s"$gen/pq_codebooks")
     AnnPq.encode(embs, cb, idCol, vecCol, m, subDim)
       .write.mode("overwrite").parquet(s"$gen/pq_codes")
-    // all four on disk → mark the generation complete, then publish
+    // optional fit-quality report (r13 verdict item 4): per-cell
+    // silhouette of THESE centroids over the corpus being indexed,
+    // persisted inside the generation so the quality number that
+    // graded an index travels with it. One extra corpus scan; written
+    // before the manifest, so a complete generation either has its
+    // report or was fit without one — never a torn report.
+    if (qualityReport)
+      AnnIvf.silhouetteWith(embs, centroids, idCol, vecCol)
+        .coalesce(1).write.mode("overwrite").parquet(s"$gen/fit_quality")
+    // all artifacts on disk → mark the generation complete, then publish
     writeSmall(spark, s"$gen/$Manifest",
       s"""{"nlist":$nlist,"m":$m,"subDim":$subDim,"ksub":$ksub}""")
     val prev = readPointer(spark, dir)
@@ -166,6 +176,26 @@ object IndexedSearch {
   private def loadAssigned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/ivf_assigned")
       .select(col("id"), col("vec"), col("cid").cast("long").as("cid"))
+
+  /** Per-cell silhouette of the SERVED index: resolves the published
+    * generation and grades exactly the (centroids, assigned corpus)
+    * pair production queries probe — the quality gate the refitting
+    * `AnnIvf.silhouette` overload cannot provide. Reads only the
+    * artifacts (centroids file + assigned parquet), never raw
+    * embeddings. If the generation carries a persisted `fit_quality`
+    * report (see [[fit]]) it is returned directly — the number that
+    * graded the index at fit time — instead of being recomputed. */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val gen = resolve(spark, dir)
+    val persisted = s"$gen/fit_quality"
+    if (hfs(spark, persisted)
+        .exists(new org.apache.hadoop.fs.Path(persisted)))
+      spark.read.parquet(persisted)
+    else
+      AnnIvf.silhouetteWith(
+        loadAssigned(spark, gen).select(col("id"), col("vec")),
+        AnnIvf.loadIndex(spark, s"$gen/ivf_centroids"), "id", "vec")
+  }
 
   /** Compute-side serve: probe the nprobe max-cosine cells per query,
     * exact cosine re-rank inside. Returns (q_id, rn, n_id, sim). */

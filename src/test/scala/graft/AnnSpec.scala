@@ -262,6 +262,40 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("Scan ExistingRDD"), "fused MMR must not checkpoint")
   }
 
+  test("silhouette over the served artifact equals the fitting session's direct computation") {
+    import graft.operators.IndexedSearch
+    val dir = tmpDir("idxsil")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // fit WITHOUT the persisted report: serve-side silhouette must
+    // RECOMPUTE from the published generation's artifacts
+    IndexedSearch.fit(emb, "vec_id", "embedding", dir)
+    val gen = new java.io.File(dir, java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "CURRENT")).trim).getPath
+    assert(!new java.io.File(gen, "fit_quality").exists,
+      "no report requested -> none persisted")
+    // the fitting session's direct computation, on the SAME centroids
+    // the artifact serves (loaded, not refit: the double-avg Lloyd
+    // pass is accumulation-order sensitive, a second fit is not the
+    // same clustering in the last ulps)
+    val direct = rows(AnnIvf.silhouetteWith(emb,
+      AnnIvf.loadIndex(spark, s"$gen/ivf_centroids"), "vec_id", "embedding"))
+    assert(direct.toSeq.map(_._2).sum === emb.count(), "every vector scored")
+    assert(rows(IndexedSearch.silhouette(spark, dir)) === direct)
+
+    // re-fit WITH the report: a fresh generation persists fit_quality
+    // and the serve path returns it verbatim — still the same numbers
+    // as computing directly against that generation's centroids
+    IndexedSearch.fit(emb, "vec_id", "embedding", dir, qualityReport = true)
+    val gen2 = new java.io.File(dir, java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "CURRENT")).trim).getPath
+    assert(new java.io.File(gen2, "fit_quality").exists)
+    val direct2 = rows(AnnIvf.silhouetteWith(emb,
+      AnnIvf.loadIndex(spark, s"$gen2/ivf_centroids"), "vec_id", "embedding"))
+    assert(rows(IndexedSearch.silhouette(spark, dir)) === direct2)
+  }
+
   test("silhouette: separated clusters score near 1, one blob scores low") {
     import SparkSpec.spark.implicits._
     // ids 0..49 cluster on axis 0, 50..99 on axis 2; stride init with
