@@ -114,6 +114,39 @@ class BpeSpec extends SparkSpec {
     assert(batched == sequential && sequential.nonEmpty)
   }
 
+  test("batched parity holds at a realistic 256-merge table") {
+    // every prior parity case stops at <= 40 merges; a production
+    // tokenizer learns hundreds-to-thousands, and the batch/conflict
+    // machinery sees a DIFFERENT regime deep in the table (sparser
+    // counts, larger tie classes, more produced-symbol collisions), so
+    // the sequential-parity proof gets exercised where it matters.
+    // The sf0.001 documents table saturates at ~105 merges (closed
+    // ~30-word vocabulary), so the deep-table corpus is synthetic:
+    // 400 distinct syllable-pair words with skewed counts — enough
+    // shared-substring structure for 256+ merges, and a vocab table
+    // small enough that the 256-pass sequential reference stays cheap.
+    val syll = Seq("ba", "be", "bi", "bo", "bu", "da", "de", "di", "do",
+      "du", "ka", "ke", "ki", "ko", "ku", "la", "le", "li", "lo", "lu")
+    val words = for { a <- syll; b <- syll } yield a + b
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (Seq.fill(1 + i % 5)(w).mkString(" "), i) }
+      .grouped(16).map(g => g.map(_._1).mkString(" ")).toSeq
+      .toDF("text")
+    def timed(maxBatch: Int): (Seq[Seq[Any]], Double) = {
+      val t0 = System.nanoTime()
+      val m = Bpe.learnMerges(docs, "text", 256, minCount = 1L,
+        maxBatch = maxBatch).collect().map(_.toSeq).toSeq
+      (m, (System.nanoTime() - t0) / 1e9)
+    }
+    val (batched, tB) = timed(64)
+    assert(batched.size === 256, "corpus must support a full 256-merge table")
+    val (sequential, tS) = timed(1)
+    assert(batched === sequential)
+    // the scale claim behind batching: cost tracks PASSES, not merges —
+    // record the measured ratio for the PLANS.md learn-cost curve
+    info(f"256 merges: batched(64) ${tB}%.1f s vs sequential ${tS}%.1f s")
+  }
+
   test("merge table is deterministic across repeated runs") {
     val docs = table("documents").limit(50)
     val a = Bpe.learnMerges(docs, "text", 5).collect().toSeq
