@@ -464,6 +464,54 @@ object StreamOps {
       .agg(round(sum(col("term")), 9).as("psi"))
   }
 
+  /** Wasserstein-1 fold over [[windowedBandCounts]] output against
+    * baseline shares (band, p) — the MAGNITUDE drift number beside
+    * [[psiOf]]'s divergence, on the identical lambda-handoff contract
+    * (same banded sink table, same broadcast-grid shape; batch ≡
+    * stream asserted in StreamingSpec): PSI blows up on ANY
+    * reallocation, W1 says how FAR the mass moved in value units —
+    * the number a mixture rebalance or an alert threshold in native
+    * units acts on. Discretization: the band CDFs are exact at every
+    * cut boundary, so W1 = Σ_{b<k−1} |F_q(c_b) − F_p(c_b)|·(c_{b+1} −
+    * c_b) — the banded restriction of the batch q_wasserstein grid
+    * integral Σ|F1−F2|·Δv (mass movement INSIDE a band and beyond the
+    * outermost cuts is invisible at band resolution, the resolution
+    * the monitoring configuration chose). `cuts` is the same vector
+    * the band stage ran with: configuration, not data. The band
+    * domain is complete by construction (0..cuts.length), so unlike
+    * psiOf no observed-band union is needed; a baseline table missing
+    * a band contributes p = 0 there. One broadcast join + one
+    * window-partitioned cumsum over ≤ cuts+1 rows per window. */
+  def w1Of(bandCounts: DataFrame, baseline: DataFrame,
+           cuts: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = bandCounts.sparkSession
+    import ss.implicits._
+    require(cuts.size >= 2, "W1 over bands needs >= 2 cuts: with one " +
+      "boundary there is no inter-cut gap to integrate over")
+    val tot = bandCounts.groupBy(col("win_start")).agg(sum(col("n")).as("tot"))
+    // (band, width to the next cut): only boundaries 0..k-2 carry a gap
+    val widths = cuts.indices.dropRight(1)
+      .map(b => (b, cuts(b + 1) - cuts(b))).toDF("band", "dv")
+    val grid = tot.crossJoin(broadcast(
+      (0 to cuts.length).toDF("band").join(baseline, Seq("band"), "left")))
+    val bc = bandCounts.select(col("win_start").as("bc_ws"),
+      col("band").as("bc_band"), col("n"))
+    val wb = Window.partitionBy(col("win_start")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(bc, col("win_start") === col("bc_ws") &&
+        col("band") === col("bc_band"), "left")
+      .select(col("win_start"), col("band"), col("tot"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("p"), lit(0.0)).as("p"))
+      .withColumn("fq", sum(col("n")).over(wb).cast("double") /
+        col("tot").cast("double"))
+      .withColumn("fp", sum(col("p")).over(wb))
+      .join(broadcast(widths), Seq("band")) // drops gap-less boundaries
+      .groupBy(col("win_start"))
+      .agg(round(sum(abs(col("fq") - col("fp")) * col("dv")), 9).as("w1"))
+  }
+
   /** Streaming CUSUM drift detector (Page 1954) — the metric-shift
     * alarm of a monitoring pipeline: per key, the one-sided cumulative
     * sums S⁺ = max(0, S⁺ + (x − μ₀ − slack)) and

@@ -104,6 +104,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming W1 band fold equals batch; drift magnitude reads in value units") {
+    val cuts = Seq(10.0, 20.0, 30.0)              // 4 bands, gaps of 10
+    val baseline = Seq((0, 0.25), (1, 0.25), (2, 0.25), (3, 0.25))
+      .toDF("band", "p")
+    val w0 = Seq(5.0, 15.0, 25.0, 35.0)           // one value per band
+      .map(v => (ts("2024-01-01 00:10:00"), v))
+    val w1 = Seq(31.0, 32.0, 33.0, 34.0)          // all mass in band 3
+      .map(v => (ts("2024-01-01 01:10:00"), v))
+    val in = MemoryStream[(Timestamp, Double)]
+    val counts = StreamOps.windowedBandCounts(
+      in.toDF().toDF("ts", "value"), "ts", "value", cuts, "1 hour")
+    val q = counts.writeStream.format("memory").queryName("w1_bands")
+      .outputMode("complete").start()
+    try {
+      in.addData(w0 ++ w1.take(2)); q.processAllAvailable()
+      in.addData(w1.drop(2)); q.processAllAvailable() // cross-batch adds
+      val streamed = spark.table("w1_bands")
+      val batch = StreamOps.windowedBandCounts(
+        (w0 ++ w1).toDF("ts", "value"), "ts", "value", cuts, "1 hour")
+      // the same fold serves both sides of the lambda handoff
+      def w1map(bc: org.apache.spark.sql.DataFrame) =
+        StreamOps.w1Of(bc, baseline, cuts).collect()
+          .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+      val ws = w1map(streamed)
+      assert(ws === w1map(batch))
+      assert(ws("2024-01-01 00:00:00.0") === 0.0,
+        "in-distribution window must score 0 mass movement")
+      // all mass above the top cut: F_q = 0 at every boundary, so
+      // W1 = 0.25*10 + 0.5*10 = 7.5 — the answer in VALUE units
+      // (PSI on the same window is a unitless ~2.8)
+      assert(ws("2024-01-01 01:00:00.0") === 7.5)
+      // a baseline missing a band contributes p = 0 there, shifting
+      // mass the fold must still see (no silent null-drop)
+      val partial = baseline.filter(col("band") =!= 0)
+      val wsPartial = StreamOps.w1Of(batch, partial, cuts).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getDouble(1)).toMap
+      // window 0 vs partial baseline: F_p(10)=0, F_p(20)=.25, F_p(30)=.5
+      // F_q = .25/.5/.75 -> W1 = .25*10 + .25*10 = 5.0
+      assert(wsPartial("2024-01-01 00:00:00.0") === 5.0)
+    } finally q.stop()
+  }
+
   test("streaming Holt: exact dyadic recursion across batches; 6-point series matches the batch tap expansion") {
     val in = MemoryStream[(Long, Timestamp, Double)]
     val xs = Seq(3.25, 7.5, 1.0, 9.75, 4.5, 6.25) // 2-dp values, dyadic
