@@ -1111,6 +1111,78 @@ object SparkEntry {
       operators.AnnIvf.silhouette(tp(s, dir, "embeddings"),
         "vec_id", "embedding", 16)),
 
+    // #281: Adjusted Rand Index (Hubert & Arabie 1985) of the IVF
+    // cells against the documents' source labels — the EXTERNAL
+    // clustering-validation number beside #279's internal silhouette
+    // (silhouette asks "are the cells compact?"; ARI asks "do the
+    // cells recover the known partition?" — the gate a
+    // SemDeDup/curation pipeline checks when a gold grouping exists).
+    // Pair-counting form kept integer-exact as DOUBLED pair sums
+    // Σx(x−1) (no /2 anywhere near an integer), contingency table is
+    // cells × sources — domain-sized; the only doubles are the one
+    // closed-form ARI tree at the end, round(9). Assignment is the
+    // oracle-exact stride-init + round(9)-argmax (the q_silhouette /
+    // q_kmeans replay rule).
+    "q_rand_index" -> ((s, dir) => {
+      val embs = tp(s, dir, "embeddings")
+      val cents = operators.AnnIvf.fit(embs, "vec_id", "embedding", 16,
+        iters = 0)
+      val assigned = operators.AnnIvf
+        .assign(embs, cents, "vec_id", "embedding", simRound = Some(9))
+        .select(col("id"), col("cid"))
+      val gold = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("source"))
+      val ct = assigned.join(gold, "id")
+        .groupBy(col("cid"), col("source")).agg(count(lit(1)).as("nij"))
+      val x = ct.agg(sum(col("nij") * (col("nij") - lit(1L))).as("sum2_ij"))
+      val aa = ct.groupBy(col("cid")).agg(sum(col("nij")).as("ai"))
+        .agg(sum(col("ai") * (col("ai") - lit(1L))).as("sum2_a"),
+          sum(col("ai")).as("n"))
+      val bb = ct.groupBy(col("source")).agg(sum(col("nij")).as("bj"))
+        .agg(sum(col("bj") * (col("bj") - lit(1L))).as("sum2_b"))
+      def ndl(c: Column) = c.cast("double")
+      val exp = ndl(col("sum2_a")) * ndl(col("sum2_b")) /
+        (ndl(col("n")) * (ndl(col("n")) - lit(1.0)))
+      val den = (ndl(col("sum2_a")) + ndl(col("sum2_b"))) / lit(2.0) - exp
+      x.crossJoin(aa).crossJoin(bb)
+        .select(col("n"), col("sum2_ij"), col("sum2_a"), col("sum2_b"),
+          round(when(den === lit(0.0), lit(0.0))
+            .otherwise((ndl(col("sum2_ij")) - exp) / den), 9).as("ari"))
+    }),
+
+    // #280: Flesch reading ease per document (Flesch 1948) — the NAMED
+    // readability grade beside q_quality_score's ad-hoc ratio blend
+    // (a curation pipeline reports "reading level" in a unit reviewers
+    // recognize, not a house blend): 206.835 − 1.015·(words/sentences)
+    // − 84.6·(syllables/words), syllables approximated as vowel-group
+    // runs ([aeiouy]+, floored at 1 per word) — the standard cheap
+    // heuristic. Counts are exact integers (emitted for the hash
+    // check); the grade is one shared IEEE tree round(6). Pure
+    // projection — no shuffle at any scale.
+    "q_readability" -> ((s, dir) => {
+      val toks = graft.functions.TextAnalysis.tokens(lower(col("text")))
+      val syl = aggregate(
+        transform(toks, w =>
+          greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))),
+            lit(1))),
+        lit(0L), (acc, v) => acc + v)
+      val sents = filter(split(col("text"), "[.!?]+"),
+        x => length(trim(x)) > lit(0))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("bigint").as("n_words"),
+          size(sents).cast("bigint").as("n_sentences"),
+          syl.cast("bigint").as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") /
+              greatest(col("n_sentences"), lit(1L)).cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double") /
+              greatest(col("n_words"), lit(1L)).cast("double")), 6)
+            .as("flesch"))
+    }),
+
     // #181: product-quantization ANN (8×8-dim subspaces, 16-entry
     // stride-init codebooks): maximum-inner-product search where the
     // corpus is touched only as (id, subspace, code) bytes and scoring
@@ -6569,6 +6641,61 @@ object SparkEntry {
         |      ELSE round((s1 - s2) / (1.0 - s2), 9) END AS DECIMAL(28,9))) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS mean_sil
         |FROM pv GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // q_silhouette's stride-init + rounded-argmax assignment CTEs,
+    // then the pair-counting ARI off the cells × sources contingency
+    // table — doubled pair sums Σx(x−1) stay BIGINT-exact, one
+    // closed-form double tree at the end (identical tree in Spark)
+    "q_rand_index" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+        |c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
+        |      FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+        |sims AS (SELECT e.vec_id AS id, c.cid,
+        |    round(list_cosine_similarity(ve, ce), 9) AS sim FROM e CROSS JOIN c),
+        |rk AS (SELECT id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rr FROM sims),
+        |asn AS (SELECT id, cid FROM rk WHERE rr = 1),
+        |ct AS (SELECT a.cid, d.source, CAST(count(*) AS BIGINT) AS nij
+        |  FROM asn a JOIN documents d ON d.doc_id = a.id GROUP BY 1, 2),
+        |x AS (SELECT CAST(SUM(nij * (nij - 1)) AS BIGINT) AS sum2_ij FROM ct),
+        |aa AS (SELECT CAST(SUM(ai * (ai - 1)) AS BIGINT) AS sum2_a,
+        |    CAST(SUM(ai) AS BIGINT) AS n
+        |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM ct GROUP BY cid)),
+        |bb AS (SELECT CAST(SUM(bj * (bj - 1)) AS BIGINT) AS sum2_b
+        |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM ct GROUP BY source))
+        |SELECT n, sum2_ij, sum2_a, sum2_b,
+        |  round(CASE WHEN (CAST(sum2_a AS DOUBLE) + CAST(sum2_b AS DOUBLE)) / 2.0
+        |        - CAST(sum2_a AS DOUBLE) * CAST(sum2_b AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) = 0.0 THEN 0.0
+        |    ELSE (CAST(sum2_ij AS DOUBLE)
+        |        - CAST(sum2_a AS DOUBLE) * CAST(sum2_b AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |      / ((CAST(sum2_a AS DOUBLE) + CAST(sum2_b AS DOUBLE)) / 2.0
+        |        - CAST(sum2_a AS DOUBLE) * CAST(sum2_b AS DOUBLE)
+        |          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END, 9) AS ari
+        |FROM x CROSS JOIN aa CROSS JOIN bb""".stripMargin,
+
+    // exact integer counts + the one shared Flesch IEEE tree; tokens
+    // via the house whitespace-split twin, syllables as vowel-group
+    // runs floored at 1 per word, sentences as non-blank [.!?]+ splits
+    "q_readability" ->
+      """WITH b AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS toks,
+        |  list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) <> '') AS sents
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(len(sents) AS BIGINT) AS n_sentences,
+        |  CAST(COALESCE(list_sum(list_transform(toks,
+        |    w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0) AS BIGINT) AS n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(len(toks) AS DOUBLE)
+        |      / CAST(GREATEST(len(sents), 1) AS DOUBLE))
+        |    - 84.6 * (CAST(COALESCE(list_sum(list_transform(toks,
+        |        w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0) AS DOUBLE)
+        |      / CAST(GREATEST(len(toks), 1) AS DOUBLE)), 6) AS flesch
+        |FROM b""".stripMargin,
 
     // recall@10 of the IVF index vs the brute-force ground truth —
     // same acceptance metric as q_ann_recall for the LSH index
