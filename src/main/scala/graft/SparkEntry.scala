@@ -1132,8 +1132,15 @@ object SparkEntry {
         .select(col("id"), col("cid"))
       val gold = t(s, dir, "documents")
         .select(col("doc_id").as("id"), col("source"))
+      // the contingency table feeds THREE aggregations (pair sums per
+      // cell, per class, and overall); checkpoint it once — it is
+      // cells × sources rows — so the corpus-scanning assignment
+      // subtree runs once, not three times (measured: AQE declined to
+      // reuse the exchange across the branches; 6 parquet scans
+      // executed without this)
       val ct = assigned.join(gold, "id")
         .groupBy(col("cid"), col("source")).agg(count(lit(1)).as("nij"))
+        .localCheckpoint(true)
       val x = ct.agg(sum(col("nij") * (col("nij") - lit(1L))).as("sum2_ij"))
       val aa = ct.groupBy(col("cid")).agg(sum(col("nij")).as("ai"))
         .agg(sum(col("ai") * (col("ai") - lit(1L))).as("sum2_a"),
