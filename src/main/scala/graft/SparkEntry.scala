@@ -538,6 +538,33 @@ object SparkEntry {
       |    / (rt * ct / n), 9) AS contrib
       |FROM w""".stripMargin
 
+  /** Cramér's V over the q_chi2 contingency table, shared verbatim:
+    * the EFFECT-SIZE summary beside the per-cell χ² contributions
+    * (χ² grows with n, so "is the association big" needs
+    * V = √(χ²/(n·(min(r,c)−1))) ∈ [0,1]). Cell contribs round(9) sum
+    * in DECIMAL (order-free, exactly the q_chi2 values); the V tree is
+    * one division and an IEEE-correctly-rounded sqrt, round(9). */
+  private val CramersVQuery =
+    """WITH ct AS (SELECT event_type, CAST(user_id % 4 AS INT) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM events GROUP BY event_type, user_id % 4),
+      |w AS (SELECT event_type, bucket, o,
+      |    CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE) AS rt,
+      |    CAST(SUM(o) OVER (PARTITION BY bucket) AS DOUBLE) AS cl,
+      |    CAST(SUM(o) OVER (PARTITION BY 'bounded: 8-cell contingency table') AS DOUBLE) AS nt
+      |  FROM ct),
+      |agg AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS r,
+      |    CAST(COUNT(DISTINCT bucket) AS BIGINT) AS c,
+      |    CAST(SUM(CAST(ROUND((CAST(o AS DOUBLE) - rt * cl / nt)
+      |        * (CAST(o AS DOUBLE) - rt * cl / nt)
+      |        / (rt * cl / nt), 9) AS DECIMAL(28,9))) AS DOUBLE) AS chi2
+      |  FROM w)
+      |SELECT n, r, c, ROUND(chi2, 9) AS chi2,
+      |  ROUND(SQRT(chi2 / (CAST(n AS DOUBLE)
+      |    * CAST(LEAST(r, c) - 1 AS DOUBLE))), 9) AS cramers_v
+      |FROM agg""".stripMargin
+
   /** Pareto frontier per return flag, shared verbatim: the running-max
     * window formulation of the skyline — row survives iff no prior row
     * in (price asc, qty desc, key) order has qty ≥ its own. */
@@ -3129,6 +3156,35 @@ object SparkEntry {
     "q_zipf" -> ((s, dir) =>
       operators.TextStats.zipfFit(tp(s, dir, "documents"), "text", 500)),
 
+    // #285: Hill tail-index estimator over the token frequency
+    // distribution (Hill 1975) — the MLE power-law exponent beside
+    // q_zipf's log-log least-squares fit: the regression grades the
+    // whole curve, Hill grades the TAIL, the regime that decides vocab
+    // truncation and heavy-hitter budgets. Top k = 100 counts by
+    // (count desc, token asc) — a vocab-sized agg then a TakeOrdered
+    // 101-row head, no global sort; 1/α̂ = mean ln(c_i/c_{k+1}) with
+    // ln terms round(9) summed in DECIMAL (order-free), α̂ one
+    // division round(6) (the transcendental rule).
+    "q_hill_tail" -> ((s, dir) => {
+      val head = tp(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(101)
+      val w = boundedGlobal("101-row Hill head")
+        .orderBy(col("c").desc, col("tok"))
+      val ranked = head.withColumn("r", row_number().over(w))
+      val tail = ranked.filter(col("r") === 101).select(col("c").as("ck1"))
+      val sd = col("s").cast("double")
+      ranked.filter(col("r") <= 100).crossJoin(broadcast(tail))
+        .agg(count(lit(1)).as("k"), max(col("ck1")).as("c_k1"),
+          sum(round(log(col("c").cast("double") / col("ck1").cast("double")),
+            9).cast("decimal(28,9)")).as("s"))
+        .select(col("k"), col("c_k1"),
+          round(sd / lit(100.0), 9).as("inv_alpha"),
+          when(sd === lit(0.0), lit(0.0))
+            .otherwise(round(lit(100.0) / sd, 6)).as("alpha"))
+    }),
+
     // #114: mean bigram surprisal per doc (−log2 p(w_i|w_{i−1}) from
     // exact corpus bigram/prefix counts); counts from the full corpus,
     // scored docs bounded
@@ -3346,6 +3402,51 @@ object SparkEntry {
       operators.Sampling.importanceWeights(tp(s, dir, "documents"),
         "doc_id", "text", col("source") === "src0")),
 
+    // #283: UniMax epoch-capped data-mixing allocation (Chung et al.
+    // 2023) — the sampling-budget planner beside q_dsir_weights'
+    // per-doc importance scores: given per-source token counts, a
+    // training budget B = ⌊total/2⌋ and an epoch cap c = 2, water-fill
+    // ascending — each source takes min(c·n_s, the equal share of what
+    // remains). Closed form in ONE bounded window over the
+    // source-sized table (the corpus is scanned once for the counts):
+    // by monotonicity the capped sources are exactly the prefix, so
+    // the FIRST rank whose cap exceeds its fair share
+    // (B − c·prefix)/(S − r + 1) fixes that share for every uncapped
+    // source. Counts stay integer through the flag comparison (the
+    // fair share is one exact-integer subtraction and one division);
+    // epochs = alloc/n one division round(9).
+    "q_data_mix" -> ((s, dir) => {
+      val per = tp(s, dir, "documents")
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("bigint").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      val w = boundedGlobal("source-sized mixing table")
+        .orderBy(col("n_tokens"), col("source"))
+      val ranked = per
+        .withColumn("r", row_number().over(w).cast("bigint"))
+        .withColumn("pfx", coalesce(sum(col("n_tokens") * 2)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = per.agg(sum(col("n_tokens")).as("tot"),
+        count(lit(1)).as("s_cnt"))
+      val j = ranked.crossJoin(broadcast(tot))
+        .withColumn("budget", floor(col("tot") / lit(2)).cast("bigint"))
+        .withColumn("fair", (col("budget") - col("pfx")).cast("double") /
+          (col("s_cnt") - col("r") + lit(1L)).cast("double"))
+        .withColumn("flag", (col("n_tokens") * 2).cast("double") > col("fair"))
+      // the first flagged rank's fair share IS the uncapped share —
+      // min over a 2-field struct picks (r*, fair_{r*}) in one agg
+      val star = j.agg(
+        min(when(col("flag"), struct(col("r"), col("fair")))).as("sf"))
+      val alloc = when(col("sf").isNotNull && col("r") >= col("sf.r"),
+        col("sf.fair")).otherwise((col("n_tokens") * 2).cast("double"))
+      j.crossJoin(broadcast(star))
+        .select(col("source"), col("n_tokens"),
+          (col("sf").isNotNull && col("r") >= col("sf.r")).as("uncapped"),
+          round(alloc, 6).as("alloc_tokens"),
+          round(alloc / greatest(col("n_tokens"), lit(1L)).cast("double"), 9)
+            .as("epochs"))
+    }),
+
     // #120: sparse TF-IDF cosine pairs via the inverted-index join —
     // pairs meet per shared term, the dot product only accumulates
     // over the intersection; bounded id range keeps the oracle O(n²)-
@@ -3439,6 +3540,19 @@ object SparkEntry {
       val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
         .select(col("i"), col("j"))
       operators.TextStats.bleuPairs(docs, pairs, "doc_id", "text")
+    }),
+
+    // #282: chrF₂ character n-gram F-score over the verified pairs —
+    // the TOKENIZATION-FREE third leg of the eval trio (Popović 2015)
+    // beside q_rouge's word recall/F and q_bleu's word precision:
+    // morphology-rich or unsegmented text scores on shared character
+    // spans a word metric misses entirely. Same pair set, same
+    // linear-in-report shape.
+    "q_chrf" -> ((s, dir) => {
+      val docs = tp(s, dir, "documents")
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+        .select(col("i"), col("j"))
+      operators.TextStats.chrfPairs(docs, pairs, "doc_id", "text")
     }),
 
     // #275: n-gram novelty of the eval fold vs the train folds — the
@@ -5135,6 +5249,16 @@ object SparkEntry {
       s.sql(Chi2Query)
     }),
 
+    // #284: Cramér's V — the [0,1] effect-size summary of the q_chi2
+    // contingency table (χ² scales with n; V answers "how strong is
+    // the association" at any corpus size). Shared-verbatim SQL on
+    // both engines, the q_chi2/q_pareto/q_gini convention.
+    "q_cramers_v" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      BoundedWindow.ensureRuleExcluded() // the SQL spells its bounded window inline
+      s.sql(CramersVQuery)
+    }),
+
     // #149: snapshot diff / data reconciliation — classify keys across
     // two table versions (added / removed / changed / unchanged) by
     // comparing per-row content hashes under a full-outer join on the
@@ -5503,6 +5627,31 @@ object SparkEntry {
         min(when(col("cum") * 100 >= col("tot") * p, col("l_quantity")))
       cum.groupBy(col("l_returnflag"))
         .agg(cut(25).as("p25"), cut(50).as("p50"), cut(75).as("p75"))
+    }),
+
+    // #286: split-conformal quantile per event_type (Vovk et al.;
+    // Lei et al. 2018) — the distribution-free prediction-interval
+    // primitive: q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration score
+    // at α = 0.1, an EXACT order statistic read off the value
+    // histogram's cumulative counts. The rank test cum ≥ ⌈9(n+1)/10⌉
+    // is equivalent to the all-integer 10·cum ≥ 9·(n+1) (cum integer),
+    // so no float touches the selection; groups with n < 9 emit a NULL
+    // q̂ — the honest "interval is (−∞, ∞)" answer, not a silent drop.
+    "q_conformal" -> ((s, dir) => {
+      val hist = t(s, dir, "events")
+        .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("tot",
+          sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      cum.groupBy(col("event_type"))
+        .agg(max(col("tot")).as("n"),
+          min(when(col("cum") * 10 >= (col("tot") + 1) * 9, col("value")))
+            .as("qhat"))
+        .select(col("event_type"), col("n"),
+          floor(((col("n") + 1) * 9 + 9) / lit(10)).cast("bigint").as("k"),
+          col("qhat"))
     }),
 
     // #172: lag-feature generation (feature-store shape): per-key
@@ -6456,6 +6605,37 @@ object SparkEntry {
         |  FROM raw LEFT JOIN tgt USING(b), tot)
         |SELECT doc_id, count(*) AS n_tokens, ROUND(AVG(lr), 6) AS importance
         |FROM tb JOIN lrs USING(b) GROUP BY doc_id""".stripMargin,
+
+    // ascending water-fill replay: integer prefix sums, the first rank
+    // whose cap 2·n exceeds its fair share fixes the uncapped share
+    // (scalar-subquery star row ↔ Spark's min-over-struct agg); the
+    // LEFT JOIN ON TRUE keeps every source when no rank is flagged
+    "q_data_mix" ->
+      """WITH per AS (SELECT source,
+        |    CAST(SUM(len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+        |      x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+        |    CAST(COUNT(*) AS BIGINT) AS s_cnt FROM per),
+        |rk AS (SELECT source, n_tokens,
+        |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS r,
+        |    CAST(COALESCE(SUM(n_tokens * 2) OVER (ORDER BY n_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx
+        |  FROM per),
+        |j AS (SELECT rk.*,
+        |    (CAST(floor(CAST(tot AS DOUBLE) / 2) AS BIGINT) - pfx)
+        |      / CAST(s_cnt - r + 1 AS DOUBLE) AS fair
+        |  FROM rk CROSS JOIN tot),
+        |star AS (SELECT r AS rs, fair AS share FROM j
+        |  WHERE CAST(n_tokens * 2 AS DOUBLE) > fair ORDER BY r LIMIT 1)
+        |SELECT source, n_tokens,
+        |  (rs IS NOT NULL AND r >= rs) AS uncapped,
+        |  round(CASE WHEN rs IS NOT NULL AND r >= rs THEN share
+        |    ELSE CAST(n_tokens * 2 AS DOUBLE) END, 6) AS alloc_tokens,
+        |  round(CASE WHEN rs IS NOT NULL AND r >= rs THEN share
+        |    ELSE CAST(n_tokens * 2 AS DOUBLE) END
+        |    / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 9) AS epochs
+        |FROM j LEFT JOIN star ON TRUE""".stripMargin,
 
     // RRF hybrid retrieval replayed: both arms rebuilt exactly (cosine
     // ranks as in AnnBruteSql; jaccard from the q_ngram_jaccard shingle
@@ -8279,6 +8459,23 @@ object SparkEntry {
         |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
         |FROM m""".stripMargin,
 
+    // top-101 head by (count desc, token asc) — ln ratios round(9)
+    // into a DECIMAL sum, the α̂ division round(6)
+    "q_hill_tail" ->
+      """WITH c AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS token
+        |    FROM documents) GROUP BY token),
+        |hd AS (SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS r
+        |  FROM c ORDER BY c DESC, token ASC LIMIT 101),
+        |k1 AS (SELECT c AS ck1 FROM hd WHERE r = 101),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k, MAX(ck1) AS c_k1,
+        |    CAST(SUM(CAST(round(ln(CAST(hd.c AS DOUBLE) / CAST(ck1 AS DOUBLE)), 9)
+        |      AS DECIMAL(28,9))) AS DOUBLE) AS s
+        |  FROM hd CROSS JOIN k1 WHERE r <= 100)
+        |SELECT k, c_k1, round(s / 100.0, 9) AS inv_alpha,
+        |  CASE WHEN s = 0.0 THEN 0.0 ELSE round(100.0 / s, 6) END AS alpha
+        |FROM m""".stripMargin,
+
     "q_bigram_logprob" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk FROM documents),
         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM t WHERE len(tk) >= 2),
@@ -8536,6 +8733,77 @@ object SparkEntry {
         |LEFT JOIN l2 c2 ON c2.doc_id = p.i
         |LEFT JOIN l3 c3 ON c3.doc_id = p.i
         |LEFT JOIN l4 c4 ON c4.doc_id = p.i""".stripMargin),
+
+    // same shared pair CTE over the whitespace-stripped text; per-order
+    // char-gram P/R one integer division each round(9), DECIMAL
+    // order-average × exact 0.25, the β=2 F tree round(6) — the inner
+    // select carries the RAW chrP/chrR doubles so the F expression
+    // matches the Spark tree bit-for-bit, the outer select rounds
+    "q_chrf" ->
+      (NearDupPairsSql +
+      """, cs AS MATERIALIZED (SELECT doc_id, array_to_string(tk, '') AS s FROM t),
+        |g1 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, length(s) + 1),
+        |      i -> substring(s, i, 1))) AS g FROM cs WHERE length(s) >= 1) GROUP BY 1, 2),
+        |g2 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, length(s)),
+        |      i -> substring(s, i, 2))) AS g FROM cs WHERE length(s) >= 2) GROUP BY 1, 2),
+        |g3 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, length(s) - 1),
+        |      i -> substring(s, i, 3))) AS g FROM cs WHERE length(s) >= 3) GROUP BY 1, 2),
+        |g4 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, length(s) - 2),
+        |      i -> substring(s, i, 4))) AS g FROM cs WHERE length(s) >= 4) GROUP BY 1, 2),
+        |l1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM g1 GROUP BY 1),
+        |l2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM g2 GROUP BY 1),
+        |l3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM g3 GROUP BY 1),
+        |l4 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM g4 GROUP BY 1),
+        |o1 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM pairs p JOIN g1 a ON a.doc_id = p.i
+        |  JOIN g1 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
+        |o2 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM pairs p JOIN g2 a ON a.doc_id = p.i
+        |  JOIN g2 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
+        |o3 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM pairs p JOIN g3 a ON a.doc_id = p.i
+        |  JOIN g3 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
+        |o4 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
+        |  FROM pairs p JOIN g4 a ON a.doc_id = p.i
+        |  JOIN g4 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
+        |scored AS (SELECT p.i, p.j,
+        |  CAST(
+        |      CAST(CASE WHEN COALESCE(ca1.n, 0) = 0 THEN 0.0
+        |        ELSE round(CAST(COALESCE(v1.ov, 0) AS DOUBLE) / CAST(ca1.n AS DOUBLE), 9) END AS DECIMAL(28,9))
+        |    + CAST(CASE WHEN COALESCE(ca2.n, 0) = 0 THEN 0.0
+        |        ELSE round(CAST(COALESCE(v2.ov, 0) AS DOUBLE) / CAST(ca2.n AS DOUBLE), 9) END AS DECIMAL(28,9))
+        |    + CAST(CASE WHEN COALESCE(ca3.n, 0) = 0 THEN 0.0
+        |        ELSE round(CAST(COALESCE(v3.ov, 0) AS DOUBLE) / CAST(ca3.n AS DOUBLE), 9) END AS DECIMAL(28,9))
+        |    + CAST(CASE WHEN COALESCE(ca4.n, 0) = 0 THEN 0.0
+        |        ELSE round(CAST(COALESCE(v4.ov, 0) AS DOUBLE) / CAST(ca4.n AS DOUBLE), 9) END AS DECIMAL(28,9))
+        |    AS DOUBLE) * 0.25 AS chrp,
+        |  CAST(
+        |      CAST(CASE WHEN COALESCE(cb1.n, 0) = 0 THEN 0.0
+        |        ELSE round(CAST(COALESCE(v1.ov, 0) AS DOUBLE) / CAST(cb1.n AS DOUBLE), 9) END AS DECIMAL(28,9))
+        |    + CAST(CASE WHEN COALESCE(cb2.n, 0) = 0 THEN 0.0
+        |        ELSE round(CAST(COALESCE(v2.ov, 0) AS DOUBLE) / CAST(cb2.n AS DOUBLE), 9) END AS DECIMAL(28,9))
+        |    + CAST(CASE WHEN COALESCE(cb3.n, 0) = 0 THEN 0.0
+        |        ELSE round(CAST(COALESCE(v3.ov, 0) AS DOUBLE) / CAST(cb3.n AS DOUBLE), 9) END AS DECIMAL(28,9))
+        |    + CAST(CASE WHEN COALESCE(cb4.n, 0) = 0 THEN 0.0
+        |        ELSE round(CAST(COALESCE(v4.ov, 0) AS DOUBLE) / CAST(cb4.n AS DOUBLE), 9) END AS DECIMAL(28,9))
+        |    AS DOUBLE) * 0.25 AS chrr
+        |FROM pairs p
+        |LEFT JOIN o1 v1 ON v1.i = p.i AND v1.j = p.j
+        |LEFT JOIN o2 v2 ON v2.i = p.i AND v2.j = p.j
+        |LEFT JOIN o3 v3 ON v3.i = p.i AND v3.j = p.j
+        |LEFT JOIN o4 v4 ON v4.i = p.i AND v4.j = p.j
+        |LEFT JOIN l1 ca1 ON ca1.doc_id = p.i LEFT JOIN l1 cb1 ON cb1.doc_id = p.j
+        |LEFT JOIN l2 ca2 ON ca2.doc_id = p.i LEFT JOIN l2 cb2 ON cb2.doc_id = p.j
+        |LEFT JOIN l3 ca3 ON ca3.doc_id = p.i LEFT JOIN l3 cb3 ON cb3.doc_id = p.j
+        |LEFT JOIN l4 ca4 ON ca4.doc_id = p.i LEFT JOIN l4 cb4 ON cb4.doc_id = p.j)
+        |SELECT i, j, round(chrp, 9) AS chr_p, round(chrr, 9) AS chr_r,
+        |  CASE WHEN 4.0 * chrp + chrr = 0.0 THEN 0.0
+        |    ELSE round(5.0 * chrp * chrr / (4.0 * chrp + chrr), 6) END AS chrf2
+        |FROM scored""".stripMargin),
 
     // distinct 5-grams as md5-60bit keys, fold from the q_folds hash,
     // novelty = eval-fold grams with no train-fold match
@@ -9762,6 +10030,8 @@ object SparkEntry {
 
     "q_chi2" -> Chi2Query,
 
+    "q_cramers_v" -> CramersVQuery,
+
     "q_snapshot_diff" ->
       """WITH v1 AS (SELECT o_orderkey AS key,
         |    md5(o_orderstatus || '|' || o_orderpriority) AS h1
@@ -9961,6 +10231,21 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = i
         |JOIN sz sb ON sb.doc_id = j
         |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8""".stripMargin,
+
+    // histogram cum-count order statistic; the rank test is the
+    // all-integer 10·cum >= 9·(n+1); n < 9 groups emit NULL q̂
+    "q_conformal" ->
+      """WITH h AS (SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, value, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM h)
+        |SELECT event_type, MAX(tot) AS n,
+        |  CAST(floor(CAST((MAX(tot) + 1) * 9 + 9 AS DOUBLE) / 10.0) AS BIGINT) AS k,
+        |  MIN(CASE WHEN cum * 10 >= (tot + 1) * 9 THEN value END) AS qhat
+        |FROM cum GROUP BY event_type""".stripMargin,
 
     "q_percentile_disc" ->
       """SELECT l_returnflag,

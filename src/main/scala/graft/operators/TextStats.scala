@@ -256,8 +256,14 @@ object TextStats {
     * `ovName`, plus the per-doc n-gram length table — the shared inner
     * join of both pair metrics. */
   private def gramOverlap(p: DataFrame, tk: DataFrame, n: Int,
-                          ovName: String): (DataFrame, DataFrame) = {
-    val g = gramCounts(tk, n)
+                          ovName: String): (DataFrame, DataFrame) =
+    overlapOf(p, gramCounts(tk, n), ovName)
+
+  /** Clipped-overlap core shared by the word-gram and char-gram
+    * metrics: from a (id, g, c) gram-count frame, the per-pair
+    * Σ_g min(c_i, c_j) named `ovName` plus the per-doc gram totals. */
+  private def overlapOf(p: DataFrame, g: DataFrame,
+                        ovName: String): (DataFrame, DataFrame) = {
     val lens = g.groupBy(col("id")).agg(sum(col("c")).as("len"))
     val ov = p
       .join(g.select(col("id").as("i"), col("g"), col("c").as("ci")), "i")
@@ -266,6 +272,69 @@ object TextStats {
       .groupBy(col("i"), col("j"))
       .agg(sum(least(col("ci"), col("cj"))).as(ovName))
     (ov, lens)
+  }
+
+  /** Per-doc character n-gram multiset counts over the whitespace-
+    * stripped text (chrF's standard space removal): tokens re-join with
+    * no separator, grams are `substr` windows. Same (id, g, c) shape as
+    * [[gramCounts]]; the shuffle carries n-char strings, bounded by
+    * Σ doc chars per order. */
+  private def charGramCounts(tk: DataFrame, n: Int): DataFrame = {
+    val cs = tk.select(col("id"), concat_ws("", col("tk")).as("s"))
+    cs.filter(length(col("s")) >= n)
+      .select(col("id"),
+        explode(transform(sequence(lit(1), length(col("s")) - lit(n - 1)),
+          i => col("s").substr(i, lit(n)))).as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+  }
+
+  /** chrF₂ character n-gram F-score for a PAIR TABLE (i = candidate,
+    * j = reference) — the CHARACTER-level eval metric beside
+    * [[rougePairs]]'s word recall/F and [[bleuPairs]]'s word precision
+    * (Popović 2015): tokenization-free, so morphology-rich and
+    * unsegmented text score on shared character spans a word metric
+    * misses entirely. Orders 1..4 over the whitespace-stripped text;
+    * per-order P_n = ov_n/|cand grams|, R_n = ov_n/|ref grams| are ONE
+    * integer division each (round 9, zero denominator → 0.0); chrP /
+    * chrR average the four orders in DECIMAL (order-free) × the exact
+    * binary 0.25; Fβ with β = 2 weights recall: 5·P·R/(4P+R), one
+    * shared double tree round(6). Every input pair emits a row (the
+    * rougePairs retention contract).
+    *
+    * Scale shape identical to the word metrics: pair report
+    * checkpointed once via the shared scaffold, char-gram work linear
+    * in Σ pair-member doc chars, keyed equi-joins only. */
+  def chrfPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                textCol: String,
+                maxPairs: Int = MaxPairReport): DataFrame = {
+    val (p, tk) = pairScaffold(docs, pairs, idCol, textCol, maxPairs)
+    val joined = (1 to 4).foldLeft(p) { (acc, n) =>
+      val (ov, lens) = overlapOf(p, charGramCounts(tk, n), s"ov$n")
+      acc.join(ov, Seq("i", "j"), "left")
+        .join(lens.select(col("id").as("i"), col("len").as(s"ci$n")),
+          Seq("i"), "left")
+        .join(lens.select(col("id").as("j"), col("len").as(s"cj$n")),
+          Seq("j"), "left")
+        .na.fill(0L, Seq(s"ov$n", s"ci$n", s"cj$n"))
+    }
+    def nd(c: Column) = c.cast("double")
+    def prec(n: Int): Column = // one integer/integer division, round 9
+      when(col(s"ci$n") === 0L, lit(0.0))
+        .otherwise(round(nd(col(s"ov$n")) / nd(col(s"ci$n")), 9))
+    def rec(n: Int): Column =
+      when(col(s"cj$n") === 0L, lit(0.0))
+        .otherwise(round(nd(col(s"ov$n")) / nd(col(s"cj$n")), 9))
+    def avg4(terms: Seq[Column]): Column = // decimal sum × exact 0.25
+      terms.map(_.cast("decimal(28,9)")).reduce(_ + _).cast("double") *
+        lit(0.25)
+    val chrP = avg4((1 to 4).map(prec))
+    val chrR = avg4((1 to 4).map(rec))
+    joined.select(col("i"), col("j"),
+      round(chrP, 9).as("chr_p"),
+      round(chrR, 9).as("chr_r"),
+      when(lit(4.0) * chrP + chrR === lit(0.0), lit(0.0))
+        .otherwise(round(lit(5.0) * chrP * chrR /
+          (lit(4.0) * chrP + chrR), 6)).as("chrf2"))
   }
 
   /** ROUGE-1/ROUGE-2 overlap scores for a PAIR TABLE (i, j) — the

@@ -334,4 +334,45 @@ class CurationOpsSpec extends SparkSpec {
     // the oracle checks the full release; this spec pins the
     // guarantee + conservation at any scale)
   }
+
+  test("q_data_mix: ascending water-fill — cap binds below the share, budget conserved") {
+    // the synthetic corpus's sources are near-uniform, so the oracle
+    // row-set only ever exercises the uncapped regime; this hand case
+    // pins the CAPPED branch and the exact share arithmetic.
+    // A: 2 tokens (cap 2·2=4 binds); C: 98 and B: 100 split the rest.
+    val dir = tmpDir("mix")
+    Seq((1L, "a", "t1 t2"),
+      (2L, "c", Seq.fill(98)("w").mkString(" ")),
+      (3L, "b", Seq.fill(100)("v").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_data_mix")(ss, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("a") === ((2L, false, 4.0, 2.0)),
+      "small source takes its full 2-epoch cap")
+    // budget ⌊200/2⌋ = 100; after the cap, share = (100 − 4)/2 = 48
+    assert(out("c") === ((98L, true, 48.0, 0.489795918)))
+    assert(out("b") === ((100L, true, 48.0, 0.48)))
+    assert(out.values.map(_._3).sum === 100.0, "allocation spends the budget")
+  }
+
+  test("q_conformal: q-hat is the smallest value covering >= k calibration scores") {
+    val out = SparkEntry.queries("q_conformal")(ss, sf).collect()
+    assert(out.nonEmpty)
+    val ev = table("events").select(col("event_type"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    out.foreach { r =>
+      val vals = ev.filter(_._1 == r.getString(0)).map(_._2)
+      val n = r.getLong(1); val k = r.getLong(2)
+      assert(n === vals.length.toLong)
+      assert(k === math.ceil(0.9 * (n + 1)).toLong)
+      if (!r.isNullAt(3)) {
+        val q = r.getDouble(3)
+        assert(vals.count(_ <= q).toLong >= k, "q-hat covers at least k scores")
+        assert(vals.count(_ < q).toLong < k, "q-hat is the smallest such value")
+      } else assert(n < 9L, "only tiny arms may emit the infinite interval")
+    }
+  }
 }

@@ -271,4 +271,37 @@ class TextStatsSpec extends SparkSpec {
     assert(m(evalIds(1))._2 === 1.0, "no gram seen in train")
     assert(!m.contains(trainId), "train docs are not scored")
   }
+
+  test("chrfPairs: identical pair scores 1.0; hand case exact") {
+    val docs = Seq((1L, "abab"), (2L, "ab"), (3L, "hello world"),
+      (4L, "hello world")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("i", "j")
+    val m = TextStats.chrfPairs(docs, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(m((3L, 4L)) === ((1.0, 1.0, 1.0)), "identical pair is perfect")
+    // "abab" vs "ab" (space-stripped chars): order 1 ov=2 of ci=4/cj=2;
+    // order 2 ov=1 of ci=3/cj=1; orders 3,4 absent in the reference.
+    // chrP = (0.5 + 1/3 + 0 + 0)/4, chrR = (1 + 1 + 0 + 0)/4 = 0.5,
+    // chrF2 = 5PR/(4P+R) = 0.390625
+    val (p, r, f) = m((1L, 2L))
+    assert(p === 0.208333333)
+    assert(r === 0.5)
+    assert(f === 0.390625)
+  }
+
+  test("chrfPairs: disjoint alphabets score 0.0; every pair emits a row") {
+    val docs = Seq((1L, "aaa"), (2L, "zzz"), (3L, "q"), (4L, "q"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("i", "j")
+    val m = TextStats.chrfPairs(docs, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(m.size === 2, "no pair row drops")
+    assert(m((1L, 2L)) === 0.0, "zero shared chars")
+    // single-char docs: only order 1 exists (P1 = R1 = 1, orders 2..4
+    // have zero grams on both sides) -> chrP = chrR = 0.25, F = 0.25 —
+    // the documented fixed-4-order convention, not the sacreBLEU
+    // present-orders average
+    assert(m((3L, 4L)) === 0.25)
+  }
 }
