@@ -3166,10 +3166,13 @@ object SparkEntry {
     // ln terms round(9) summed in DECIMAL (order-free), α̂ one
     // division round(6) (the transcendental rule).
     "q_hill_tail" -> ((s, dir) => {
+      // the 101-row head feeds both the numerator rows and the c_{k+1}
+      // tail row; checkpoint it so the vocab agg + TakeOrdered run once
       val head = tp(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("tok")).limit(101)
+        .localCheckpoint(true)
       val w = boundedGlobal("101-row Hill head")
         .orderBy(col("c").desc, col("tok"))
       val ranked = head.withColumn("r", row_number().over(w))
@@ -3416,10 +3419,15 @@ object SparkEntry {
     // fair share is one exact-integer subtraction and one division);
     // epochs = alloc/n one division round(9).
     "q_data_mix" -> ((s, dir) => {
+      // the token-count agg feeds FOUR consumers (rank window, total,
+      // and both again inside the star row); checkpoint the
+      // source-sized table once so the corpus-scanning subtree runs
+      // once, not four times (the q_rand_index contingency precedent)
       val per = tp(s, dir, "documents")
         .select(col("source"),
           size(TextAnalysis.tokens(col("text"))).cast("bigint").as("nt"))
         .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+        .localCheckpoint(true)
       val w = boundedGlobal("source-sized mixing table")
         .orderBy(col("n_tokens"), col("source"))
       val ranked = per
