@@ -512,6 +512,53 @@ object StreamOps {
       .agg(round(sum(abs(col("fq") - col("fp")) * col("dv")), 9).as("w1"))
   }
 
+  /** Split-conformal quantile fold over [[windowedBandCounts]] output —
+    * the PREDICTION-INTERVAL drift monitor beside [[psiOf]]'s
+    * divergence and [[w1Of]]'s mass-movement magnitude, on the
+    * identical lambda-handoff contract (same banded sink table; the
+    * fold serves the streamed table or a batch frame, batch ≡ stream
+    * asserted in StreamingSpec): per window, the smallest band whose
+    * cumulative count reaches the conformal rank ⌈(1−α)(n+1)⌉ (the
+    * batch q_conformal statistic, α = alphaTenths/10), emitted as
+    * that band's UPPER cut — the conservative banded upper bound an
+    * alerting system compares tomorrow's q̂ against today's. The rank
+    * test is all-integer (10·cum ≥ (10−a)·(n+1)); a window whose rank
+    * lands in the open top band — or is too small to cover it
+    * (n < (10−a)/a) — emits a NULL q̂, the honest "interval reaches
+    * beyond the banding", never a silent clamp to the last cut.
+    * Bands absent from a window contribute zero to the cumsum by
+    * construction, so the first PRESENT band satisfying the test is
+    * exactly the band containing the rank-th value. One
+    * window-partitioned cumsum over ≤ cuts+1 rows per window —
+    * domain-sized, stateless, like the sibling folds. */
+  def conformalOf(bandCounts: DataFrame, cuts: Seq[Double],
+                  alphaTenths: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = bandCounts.sparkSession
+    import ss.implicits._
+    require(alphaTenths >= 1 && alphaTenths <= 9,
+      "alphaTenths must be in 1..9 (alpha = alphaTenths/10)")
+    val cov = 10 - alphaTenths
+    val wb = Window.partitionBy(col("win_start")).orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("win_start"))
+    // band b's upper boundary is cuts(b); the top band (b = cuts
+    // length) has none and stays NULL through the left join
+    val uppers = cuts.indices.map(b => (b, cuts(b))).toDF("band", "cut")
+    bandCounts
+      .withColumn("cum", sum(col("n")).over(wb))
+      .withColumn("tot", sum(col("n")).over(wt))
+      .join(broadcast(uppers), Seq("band"), "left")
+      .groupBy(col("win_start"))
+      .agg(max(col("tot")).as("n"),
+        min(when(col("cum") * 10 >= (col("tot") + lit(1L)) * cov,
+          struct(col("band"), col("cut")))).as("sel"))
+      .select(col("win_start"), col("n"),
+        floor(((col("n") + 1) * cov + 9) / lit(10)).cast("bigint")
+          .as("rank"),
+        col("sel.band").as("band_hat"), col("sel.cut").as("qhat"))
+  }
+
   /** Streaming CUSUM drift detector (Page 1954) — the metric-shift
     * alarm of a monitoring pipeline: per key, the one-sided cumulative
     * sums S⁺ = max(0, S⁺ + (x − μ₀ − slack)) and

@@ -146,6 +146,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming conformal band fold equals batch; q-hat tracks drift, tiny window honest-NULLs") {
+    val cuts = Seq(10.0, 20.0, 30.0)
+    // w0: 9 values in band 0, 1 in band 1 — rank ⌈0.9·11⌉ = 10 lands
+    // in band 1, so q̂ = its upper cut 20.0
+    val w0 = (Seq.fill(9)(5.0) :+ 15.0)
+      .map(v => (ts("2024-01-01 00:10:00"), v))
+    // w1: the mass shifts up a band — q̂ must move 20 → 30
+    val w1 = (5.0 +: Seq.fill(9)(25.0))
+      .map(v => (ts("2024-01-01 01:10:00"), v))
+    // w2: n = 4 < 9, the rank exceeds the window — honest NULL interval
+    val w2 = Seq(1.0, 2.0, 3.0, 4.0)
+      .map(v => (ts("2024-01-01 02:10:00"), v))
+    val in = MemoryStream[(Timestamp, Double)]
+    val counts = StreamOps.windowedBandCounts(
+      in.toDF().toDF("ts", "value"), "ts", "value", cuts, "1 hour")
+    val q = counts.writeStream.format("memory").queryName("conf_bands")
+      .outputMode("complete").start()
+    try {
+      in.addData(w0 ++ w1.take(4)); q.processAllAvailable()
+      in.addData(w1.drop(4) ++ w2); q.processAllAvailable() // cross-batch
+      val streamed = spark.table("conf_bands")
+      val batch = StreamOps.windowedBandCounts(
+        (w0 ++ w1 ++ w2).toDF("ts", "value"), "ts", "value", cuts, "1 hour")
+      // the same fold serves both sides of the lambda handoff
+      def cmap(bc: org.apache.spark.sql.DataFrame) =
+        StreamOps.conformalOf(bc, cuts).collect()
+          .map(r => r.getTimestamp(0).toString ->
+            ((r.getLong(1), r.getLong(2),
+              if (r.isNullAt(3)) None else Some(r.getInt(3)),
+              if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+      val cm = cmap(streamed)
+      assert(cm === cmap(batch))
+      assert(cm("2024-01-01 00:00:00.0") === ((10L, 10L, Some(1), Some(20.0))))
+      assert(cm("2024-01-01 01:00:00.0") === ((10L, 10L, Some(2), Some(30.0))),
+        "upward mass shift must move q-hat up a band")
+      assert(cm("2024-01-01 02:00:00.0") === ((4L, 5L, None, None)),
+        "a window smaller than the rank emits the infinite interval, not a clamp")
+    } finally q.stop()
+  }
+
   test("streaming Holt: exact dyadic recursion across batches; 6-point series matches the batch tap expansion") {
     val in = MemoryStream[(Long, Timestamp, Double)]
     val xs = Seq(3.25, 7.5, 1.0, 9.75, 4.5, 6.25) // 2-dp values, dyadic
