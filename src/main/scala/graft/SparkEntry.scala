@@ -5637,6 +5637,32 @@ object SparkEntry {
         .agg(cut(25).as("p25"), cut(50).as("p50"), cut(75).as("p75"))
     }),
 
+    // #287: unbiased pass@k per task (Chen et al. 2021, eq. 1 — THE
+    // LLM code/eval success metric: from n samples with c successes,
+    // the probability at least one of k drawn samples succeeds,
+    // 1 − C(n−c,k)/C(n,k), computed as the telescoped product
+    // Π_{i<k} (n−c−i)/(n−i) — never a factorial overflow). Events
+    // play (task = user, success = value > 80); k = 10. Branches are
+    // explicit: n < k emits NULL (the estimator is undefined, Chen et
+    // al. require n ≥ k), n − c < k emits exactly 1.0 (C(n−c,k) = 0).
+    // Ten pure double factors left-folded — the identical IEEE tree
+    // in SQL — round(9). One hash agg; output task-sized.
+    "q_pass_at_k" -> ((s, dir) => {
+      val k = 10
+      val base = t(s, dir, "events").filter(col("user_id") < 200)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 80.0, 1L).otherwise(0L)).as("c"))
+      def nd(c: Column) = c.cast("double")
+      val prod = (0 until k).map(i =>
+        (nd(col("n") - col("c")) - lit(i.toDouble)) /
+          (nd(col("n")) - lit(i.toDouble))).reduce(_ * _)
+      base.select(col("user_id"), col("n"), col("c"),
+        when(col("n") < k, lit(null).cast("double"))
+          .when(col("n") - col("c") < k, lit(1.0))
+          .otherwise(round(lit(1.0) - prod, 9)).as("pass_at_k"))
+    }),
+
     // #286: split-conformal quantile per event_type (Vovk et al.;
     // Lei et al. 2018) — the distribution-free prediction-interval
     // primitive: q̂ = the ⌈(n+1)(1−α)⌉-th smallest calibration score
@@ -10239,6 +10265,29 @@ object SparkEntry {
         |JOIN sz sa ON sa.doc_id = i
         |JOIN sz sb ON sb.doc_id = j
         |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8""".stripMargin,
+
+    // the telescoped-product pass@k with the same ten left-folded
+    // double factors and explicit n<k / n−c<k branches
+    "q_pass_at_k" ->
+      """WITH b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value > 80.0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM events WHERE user_id < 200 GROUP BY user_id)
+        |SELECT user_id, n, c,
+        |  CASE WHEN n < 10 THEN NULL
+        |       WHEN n - c < 10 THEN 1.0
+        |       ELSE round(1.0 -
+        |    ((CAST(n - c AS DOUBLE) - 0.0) / (CAST(n AS DOUBLE) - 0.0))
+        |  * ((CAST(n - c AS DOUBLE) - 1.0) / (CAST(n AS DOUBLE) - 1.0))
+        |  * ((CAST(n - c AS DOUBLE) - 2.0) / (CAST(n AS DOUBLE) - 2.0))
+        |  * ((CAST(n - c AS DOUBLE) - 3.0) / (CAST(n AS DOUBLE) - 3.0))
+        |  * ((CAST(n - c AS DOUBLE) - 4.0) / (CAST(n AS DOUBLE) - 4.0))
+        |  * ((CAST(n - c AS DOUBLE) - 5.0) / (CAST(n AS DOUBLE) - 5.0))
+        |  * ((CAST(n - c AS DOUBLE) - 6.0) / (CAST(n AS DOUBLE) - 6.0))
+        |  * ((CAST(n - c AS DOUBLE) - 7.0) / (CAST(n AS DOUBLE) - 7.0))
+        |  * ((CAST(n - c AS DOUBLE) - 8.0) / (CAST(n AS DOUBLE) - 8.0))
+        |  * ((CAST(n - c AS DOUBLE) - 9.0) / (CAST(n AS DOUBLE) - 9.0)), 9)
+        |  END AS pass_at_k
+        |FROM b""".stripMargin,
 
     // histogram cum-count order statistic; the rank test is the
     // all-integer 10·cum >= 9·(n+1); n < 9 groups emit NULL q̂

@@ -358,6 +358,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.values.map(_._3).sum === 100.0, "allocation spends the budget")
   }
 
+  test("q_pass_at_k: telescoped product hits every branch exactly") {
+    val dir = tmpDir("passk")
+    // success = value > 80; per user: (n, c) of (12,0) -> 0.0,
+    // (12,1) -> 1 - C(11,10)/C(12,10) = 1 - 11/66, (12,3) -> n-c < k
+    // -> exactly 1.0, (5,0) -> n < k -> NULL
+    val rows =
+      (1 to 12).map(i => (1L, 10.0)) ++
+      ((1 to 11).map(i => (2L, 10.0)) :+ ((2L, 99.0))) ++
+      ((1 to 9).map(i => (3L, 10.0)) ++ Seq.fill(3)((3L, 99.0))) ++
+      (1 to 5).map(i => (4L, 10.0))
+    rows.toDF("user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_pass_at_k")(ss, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) === ((12L, 0L, Some(0.0))), "no successes: pass@k = 0")
+    assert(out(2L) === ((12L, 1L, Some(0.833333333))),
+      "1 - C(11,10)/C(12,10) = 1 - 1/6")
+    assert(out(3L) === ((12L, 3L, Some(1.0))),
+      "n - c < k: some draw must include a success")
+    assert(out(4L) === ((5L, 0L, None)), "n < k: estimator undefined")
+  }
+
   test("q_conformal: q-hat is the smallest value covering >= k calibration scores") {
     val out = SparkEntry.queries("q_conformal")(ss, sf).collect()
     assert(out.nonEmpty)
