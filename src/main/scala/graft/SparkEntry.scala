@@ -3156,6 +3156,43 @@ object SparkEntry {
     "q_zipf" -> ((s, dir) =>
       operators.TextStats.zipfFit(tp(s, dir, "documents"), "text", 500)),
 
+    // #288: Good–Turing adjusted counts off the count-of-counts table
+    // (Good 1953 — the UNSEEN-mass smoothing beside q_kneser_ney's
+    // discounting and q_heaps' vocab growth: r* = (r+1)·N_{r+1}/N_r
+    // reallocates mass toward unseen events; N_1/N is the classic
+    // missing-mass estimate, readable off the r=1 row). BIGRAM counts,
+    // not unigrams — the synthetic vocab is small enough that every
+    // unigram count clears 20, but the bigram table carries the real
+    // hapax tail GT exists for. The corpus collapses twice —
+    // bigram-vocab-sized then count-of-counts-sized — and the COC
+    // table checkpoints once (it feeds its own shifted self, the head,
+    // and the total); the head is the 20 SMALLEST distinct counts by
+    // TakeOrdered, so the low-count regime is captured wherever it
+    // sits. A zero N_{r+1} emits r* = 0, the raw GT gap the regression
+    // variants exist to fill — honest, not imputed. One integer
+    // product and one division per row, round(9).
+    "q_good_turing" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val vocab = tp(s, dir, "documents")
+        .select(toks.as("tk")).filter(size(col("tk")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("tk")) - lit(1)),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + lit(1))))).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("r"))
+      val coc = vocab.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+        .localCheckpoint(true)
+      val nxt = coc.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+      val tot = coc.agg(sum(col("r") * col("n_r")).as("n_grams"))
+      coc.orderBy(col("r")).limit(20)
+        .join(nxt, Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_r"),
+          coalesce(col("n_r1"), lit(0L)).as("n_r1"), col("n_grams"),
+          round(((col("r") + 1) * coalesce(col("n_r1"), lit(0L)))
+            .cast("double") / col("n_r").cast("double"), 9).as("r_star"))
+    }),
+
     // #285: Hill tail-index estimator over the token frequency
     // distribution (Hill 1975) — the MLE power-law exponent beside
     // q_zipf's log-log least-squares fit: the regression grades the
@@ -8492,6 +8529,25 @@ object SparkEntry {
         |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
         |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
         |FROM m""".stripMargin,
+
+    // bigram count-of-counts self-join shifted by one; the 20 smallest
+    // distinct counts; integer product, one division round(9);
+    // N_{r+1} gaps emit 0
+    "q_good_turing" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |v AS (SELECT g, CAST(count(*) AS BIGINT) AS r FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS g
+        |    FROM t WHERE len(tk) >= 2) GROUP BY g),
+        |coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM v GROUP BY r),
+        |hd AS (SELECT r, n_r FROM coc ORDER BY r LIMIT 20),
+        |tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_grams FROM coc)
+        |SELECT c.r, c.n_r, CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_r1,
+        |  n_grams,
+        |  round(CAST((c.r + 1) * COALESCE(nx.n_r, 0) AS DOUBLE)
+        |    / CAST(c.n_r AS DOUBLE), 9) AS r_star
+        |FROM hd c LEFT JOIN coc nx ON nx.r = c.r + 1 CROSS JOIN tot""".stripMargin,
 
     // top-101 head by (count desc, token asc) — ln ratios round(9)
     // into a DECIMAL sum, the α̂ division round(6)
