@@ -1463,6 +1463,42 @@ object SparkEntry {
     // 10·m2 div 2N; per-bin conf/acc/|acc−conf| contributions stay
     // integer/decimal until the closing divisions, so the table is
     // bit-replayable. Everything after the histogram is domain-sized.
+    // #289: Brier score per arm (Brier 1950 — the PROPER scoring rule
+    // beside q_calibration's reliability table: ECE can be gamed by a
+    // constant base-rate predictor, the Brier score penalizes both
+    // miscalibration AND lack of resolution in one number): same
+    // pooled midrank-CDF confidence (m2/2N per distinct 2-dp value,
+    // integers off the filled grid) and one-vs-rest arm outcome;
+    // Brier_a = (1/N)·Σ_v [c_va·(conf_v−1)² + (c_v−c_va)·conf_v²] —
+    // the per-(arm, value) term is ONE fixed double tree round(9)
+    // into a DECIMAL sum (order-free), one closing division. Work is
+    // grid-sized (arms × distinct values), one events shuffle.
+    "q_brier" -> ((s, dir) => {
+      val (cum, tot) = armCumGrid(s, dir)
+      // "nt", not "N": Spark's resolver is case-insensitive, so a
+      // grand-total named N would collide with tot's per-arm n
+      val bigN = tot.agg(sum(col("n")).as("nt"))
+      val pooled = cum.groupBy(col("v"))
+        .agg(sum(col("c")).as("cp"), sum(col("cum")).as("cumsum"))
+        .crossJoin(broadcast(bigN))
+        .withColumn("m2", lit(2L) * col("cumsum") - col("cp") + lit(1L))
+      val conf = col("m2").cast("double") /
+        (lit(2.0) * col("nt").cast("double"))
+      val terms = cum
+        .join(pooled.select(col("v"), col("cp"), col("m2"), col("nt")), "v")
+        .select(col("arm"), col("nt"),
+          round(col("c").cast("double") * (conf - lit(1.0)) * (conf - lit(1.0))
+            + (col("cp") - col("c")).cast("double") * conf * conf, 9)
+            .cast("decimal(28,9)").as("term"))
+      terms.groupBy(col("arm"), col("nt"))
+        .agg(sum(col("term")).as("sterm"))
+        .join(tot, "arm")
+        .select(col("arm"), col("n"),
+          round(col("sterm").cast("double") / col("nt").cast("double"), 9)
+            .as("brier"))
+        .orderBy(col("arm"))
+    }),
+
     "q_calibration" -> ((s, dir) => {
       val (cum, tot) = armCumGrid(s, dir)
       val bigN = tot.agg(sum(col("n")).as("N"))
@@ -7168,6 +7204,30 @@ object SparkEntry {
 
     // pooled midrank score (integer m2 per grid value), integer floor-
     // division bins, decimal bin sums — three closing divisions
+    // same pooled grid; the per-(arm, value) Brier term is the
+    // identical double tree round(9) into a DECIMAL sum
+    "q_brier" ->
+      (ArmCumGridSql.stripSuffix("\n") +
+      """,
+        |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM tot),
+        |vb AS (SELECT v, cp, 2 * cumsum - cp + 1 AS m2 FROM (
+        |  SELECT v, CAST(SUM(c) AS BIGINT) AS cp,
+        |    CAST(SUM(cum) AS BIGINT) AS cumsum FROM cum GROUP BY v)),
+        |te AS (SELECT cum.arm,
+        |    CAST(round(CAST(cum.c AS DOUBLE)
+        |      * (CAST(m2 AS DOUBLE) / (2.0 * CAST(N AS DOUBLE)) - 1.0)
+        |      * (CAST(m2 AS DOUBLE) / (2.0 * CAST(N AS DOUBLE)) - 1.0)
+        |    + CAST(vb.cp - cum.c AS DOUBLE)
+        |      * (CAST(m2 AS DOUBLE) / (2.0 * CAST(N AS DOUBLE)))
+        |      * (CAST(m2 AS DOUBLE) / (2.0 * CAST(N AS DOUBLE))), 9)
+        |      AS DECIMAL(28,9)) AS term,
+        |    N
+        |  FROM cum JOIN vb ON vb.v = cum.v CROSS JOIN nn)
+        |SELECT te.arm, tot.n,
+        |  round(CAST(SUM(term) AS DOUBLE) / CAST(te.N AS DOUBLE), 9) AS brier
+        |FROM te JOIN tot ON tot.arm = te.arm
+        |GROUP BY te.arm, tot.n, te.N ORDER BY te.arm""").stripMargin,
+
     "q_calibration" ->
       (ArmCumGridSql.stripSuffix("\n") +
       """,
