@@ -89,6 +89,37 @@ object SparkEntry {
     * (arm, v, c, cum) on the FILLED 2-dp grid plus per-arm totals —
     * exposed separately for the single-distribution consumers
     * (q_calibration's pooled-rank bins). */
+  /** Shared (arm, bin) calibration grid for q_calibration and
+    * q_murphy: pooled midrank-CDF scores off [[armCumGrid]], integer
+    * deciles, bin sizes/score-sums and per-arm positives — returns
+    * (the joined frame with arm, bin, nb, pos, s2, N, plus the per-arm
+    * totals). Everything after the events histogram is domain-sized. */
+  private def calibBinGrid(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (cum, tot) = armCumGrid(s, dir)
+    val bigN = tot.agg(sum(col("n")).as("N"))
+    val pooled = cum.groupBy(col("v"))
+      .agg(sum(col("c")).as("cp"), sum(col("cum")).as("cumsum"))
+      .crossJoin(broadcast(bigN))
+      .withColumn("m2", lit(2L) * col("cumsum") - col("cp") + lit(1L))
+      .withColumn("bin",
+        least(expr("(10 * m2) div (2 * N)"), lit(9L)).cast("int"))
+    val bins = pooled.groupBy(col("bin"), col("N"))
+      .agg(sum(col("cp")).as("nb"),
+        sum((col("cp").cast("decimal(19,0)") *
+          col("m2").cast("decimal(19,0)")).cast("decimal(28,0)"))
+          .as("s2"))
+    // coalesce is belt-and-braces (r13 advice): the filled grid
+    // guarantees a c = 0 row for every (arm, v), so an arm with zero
+    // events in a bin already sums to 0 — but if the fill were ever
+    // dropped, a NULL pos_b would silently vanish from a downstream
+    // ECE aggregation instead of scoring acc = 0
+    val pos = cum.join(pooled.select(col("v"), col("bin")), "v")
+      .groupBy(col("arm"), col("bin"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("pos"))
+    (pos.join(bins, "bin"), tot)
+  }
+
   private def armCumGrid(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val h = t(s, dir, "events")
@@ -1499,29 +1530,45 @@ object SparkEntry {
         .orderBy(col("arm"))
     }),
 
+    // #290: Murphy decomposition of the binned Brier score per arm
+    // (Murphy 1973 — the WHY behind q_brier's single number:
+    // reliability REL = Σ n_b(conf_b−acc_b)²/N is miscalibration you
+    // can recalibrate away, resolution RES = Σ n_b(acc_b−base)²/N is
+    // the discrimination the score actually carries, uncertainty
+    // UNC = base(1−base) is the irreducible floor; binned_brier =
+    // REL − RES + UNC holds as an identity over the same 10 bins).
+    // Reuses q_calibration's (arm, bin) grid verbatim — per-bin terms
+    // one double tree round(9) each into DECIMAL sums, three closing
+    // divisions; everything after the events histogram is bin-sized.
+    "q_murphy" -> ((s, dir) => {
+      val (grid, tot) = calibBinGrid(s, dir)
+      def nd(c: Column) = c.cast("double")
+      // rename the grand total before tot joins in: Spark's resolver
+      // is case-insensitive, so N would collide with the per-arm n
+      val j = grid.withColumnRenamed("N", "nt").join(tot, "arm")
+      val conf = nd(col("s2")) /
+        (lit(2.0) * nd(col("nt")) * nd(col("nb")))
+      val acc = nd(col("pos")) / nd(col("nb"))
+      val base = nd(col("n")) / nd(col("nt"))
+      val terms = j.select(col("arm"), col("n"), col("nt"),
+        round(nd(col("nb")) * (conf - acc) * (conf - acc), 9)
+          .cast("decimal(28,9)").as("rel_t"),
+        round(nd(col("nb")) * (acc - base) * (acc - base), 9)
+          .cast("decimal(28,9)").as("res_t"))
+      terms.groupBy(col("arm"), col("n"), col("nt"))
+        .agg(sum(col("rel_t")).as("srel"), sum(col("res_t")).as("sres"))
+        .select(col("arm"), col("n"),
+          round(nd(col("srel")) / nd(col("nt")), 9).as("rel"),
+          round(nd(col("sres")) / nd(col("nt")), 9).as("res"),
+          round(base * (lit(1.0) - base), 9).as("unc"))
+        .select(col("arm"), col("n"), col("rel"), col("res"), col("unc"),
+          round(col("rel") - col("res") + col("unc"), 9)
+            .as("brier_binned"))
+        .orderBy(col("arm"))
+    }),
+
     "q_calibration" -> ((s, dir) => {
-      val (cum, tot) = armCumGrid(s, dir)
-      val bigN = tot.agg(sum(col("n")).as("N"))
-      val pooled = cum.groupBy(col("v"))
-        .agg(sum(col("c")).as("cp"), sum(col("cum")).as("cumsum"))
-        .crossJoin(broadcast(bigN))
-        .withColumn("m2", lit(2L) * col("cumsum") - col("cp") + lit(1L))
-        .withColumn("bin",
-          least(expr("(10 * m2) div (2 * N)"), lit(9L)).cast("int"))
-      val bins = pooled.groupBy(col("bin"), col("N"))
-        .agg(sum(col("cp")).as("nb"),
-          sum((col("cp").cast("decimal(19,0)") *
-            col("m2").cast("decimal(19,0)")).cast("decimal(28,0)"))
-            .as("s2"))
-      // coalesce is belt-and-braces (r13 advice): the filled grid
-      // guarantees a c = 0 row for every (arm, v), so an arm with zero
-      // events in a bin already sums to 0 — but if the fill were ever
-      // dropped, a NULL pos_b would silently vanish from a downstream
-      // ECE aggregation instead of scoring acc = 0
-      val pos = cum.join(pooled.select(col("v"), col("bin")), "v")
-        .groupBy(col("arm"), col("bin"))
-        .agg(coalesce(sum(col("c")), lit(0L)).as("pos"))
-      pos.join(bins, "bin")
+      calibBinGrid(s, dir)._1
         .select(col("arm"), col("bin"),
           col("nb").as("n_b"), col("pos").as("pos_b"),
           round(col("pos").cast("double") / col("nb").cast("double"), 9)
@@ -7227,6 +7274,46 @@ object SparkEntry {
         |  round(CAST(SUM(term) AS DOUBLE) / CAST(te.N AS DOUBLE), 9) AS brier
         |FROM te JOIN tot ON tot.arm = te.arm
         |GROUP BY te.arm, tot.n, te.N ORDER BY te.arm""").stripMargin,
+
+    // calibration's grid CTEs verbatim; per-bin REL/RES terms are the
+    // identical double trees round(9) into DECIMAL sums
+    "q_murphy" ->
+      (ArmCumGridSql.stripSuffix("\n") +
+      """,
+        |nn AS (SELECT CAST(SUM(n) AS BIGINT) AS N FROM tot),
+        |pooled AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cp,
+        |    CAST(SUM(cum) AS BIGINT) AS cumsum FROM cum GROUP BY v),
+        |vb AS (SELECT v, cp, 2 * cumsum - cp + 1 AS m2,
+        |    CAST(LEAST((10 * (2 * cumsum - cp + 1)) // (2 * N), 9) AS INT) AS bin
+        |  FROM pooled CROSS JOIN nn),
+        |bins AS (SELECT bin, CAST(SUM(cp) AS BIGINT) AS nb,
+        |    CAST(SUM(CAST(CAST(cp AS DECIMAL(19,0)) * CAST(m2 AS DECIMAL(19,0))
+        |      AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s2
+        |  FROM vb GROUP BY bin),
+        |pos AS (SELECT cum.arm, vb.bin, CAST(COALESCE(SUM(cum.c), 0) AS BIGINT) AS pos
+        |  FROM cum JOIN vb ON vb.v = cum.v GROUP BY 1, 2),
+        |te AS (SELECT pos.arm, tot.n, nn.N AS nt,
+        |    CAST(round(CAST(nb AS DOUBLE)
+        |      * (CAST(s2 AS DOUBLE) / (2.0 * CAST(nn.N AS DOUBLE) * CAST(nb AS DOUBLE))
+        |         - CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      * (CAST(s2 AS DOUBLE) / (2.0 * CAST(nn.N AS DOUBLE) * CAST(nb AS DOUBLE))
+        |         - CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE)), 9) AS DECIMAL(28,9)) AS rel_t,
+        |    CAST(round(CAST(nb AS DOUBLE)
+        |      * (CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE)
+        |         - CAST(tot.n AS DOUBLE) / CAST(nn.N AS DOUBLE))
+        |      * (CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE)
+        |         - CAST(tot.n AS DOUBLE) / CAST(nn.N AS DOUBLE)), 9) AS DECIMAL(28,9)) AS res_t
+        |  FROM pos JOIN bins ON bins.bin = pos.bin
+        |  JOIN tot ON tot.arm = pos.arm CROSS JOIN nn),
+        |ag AS (SELECT arm, n, nt,
+        |    round(CAST(SUM(rel_t) AS DOUBLE) / CAST(nt AS DOUBLE), 9) AS rel,
+        |    round(CAST(SUM(res_t) AS DOUBLE) / CAST(nt AS DOUBLE), 9) AS res,
+        |    round(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)
+        |      * (1.0 - CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)), 9) AS unc
+        |  FROM te GROUP BY arm, n, nt)
+        |SELECT arm, n, rel, res, unc,
+        |  round(rel - res + unc, 9) AS brier_binned
+        |FROM ag ORDER BY arm""").stripMargin,
 
     "q_calibration" ->
       (ArmCumGridSql.stripSuffix("\n") +
