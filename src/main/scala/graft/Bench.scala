@@ -47,6 +47,7 @@ object Bench {
     // SPARK_GRAFT_ONLY subset excludes them — a cold pass-1 probe reads
     // as fake 3x "contention" (measured) when it is just codegen + JIT
     val calProbeNames = Seq("q_top10_tokens", "q_bpe_encode")
+    val calProbeFns = calProbeNames.map(n => n -> SparkEntry.queries(n))
     val toWarm = selected ++ calProbeNames.filterNot(selected.contains)
       .map(n => n -> SparkEntry.queries(n))
     toWarm.foreach { case (_, fn) =>
@@ -97,13 +98,49 @@ object Bench {
     // per-pass readings remain comparable to each other) but drift is
     // not graded against the cross-SF constants.
     val calRefDir = "/root/testdata/sf0.1"
-    val calRefs = calProbeNames.zip(Seq( // committed BENCH_FULL
-      0.21, 2.68))                       // (d42bdb8) quiet-box values
+    // references track the COMMITTED BENCH_FULL's own calibration
+    // block (min across its passes — the quiet-box steady state of the
+    // last honest record) so the constants can never silently go stale
+    // against the file they claim to mirror; the hard-coded d42bdb8
+    // values remain the fallback for a fresh checkout with no
+    // committed calibration block yet
+    val calFallback = Map("q_top10_tokens" -> 0.21, "q_bpe_encode" -> 2.68)
+    val calRefs = calProbeNames.map { n =>
+      val fromFile =
+        try {
+          val f = new java.io.File("BENCH_FULL.json")
+          if (!f.isFile) None
+          else {
+            val txt = new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            val cal = txt.indexOf("\"calibration\"")
+            if (cal < 0) None
+            else {
+              // pass_N readings only — the block's own "refs" echo is
+              // a PRIOR minimum, and folding it back in would ratchet
+              // the reference monotonically downward on every refresh
+              val block0 = txt.substring(cal)
+              val stop = block0.indexOf("\"refs\"")
+              val block = if (stop > 0) block0.take(stop) else block0
+              val re = ("\"" + n + "\"\\s*:\\s*([0-9.]+)").r
+              val vs = re.findAllMatchIn(block).map(_.group(1).toDouble).toSeq
+              if (vs.isEmpty) None else Some(vs.min)
+            }
+          }
+        } catch { case _: Throwable => None }
+      n -> fromFile.getOrElse(calFallback(n))
+    }
     val calGraded = sfDir.stripSuffix("/") == calRefDir
+    // steady-state the probes at the MEASURED corpus before pass 1:
+    // the tiny-SF warm-up compiles the plans but cannot prime the
+    // sf0.1 page cache / scan shapes, and the committed a799d55 record
+    // showed the resulting pass-1 probe reading 4.7x off on a provably
+    // quiet box — a standing false "contention suspected" WARN that
+    // halved the sentinel's evidence at the default 2 passes
+    calProbeFns.foreach { case (_, fn) => timeOne(fn) }
     val calReadings = Array.fill[Seq[(String, Double)]](passes)(Seq.empty)
     val passTimes: Seq[Map[String, Double]] = (0 until passes).map { p =>
-      calReadings(p) = calRefs.map { case (n, _) =>
-        n -> timeOne(SparkEntry.queries(n)) }
+      calReadings(p) = calProbeFns.map { case (n, fn) => n -> timeOne(fn) }
       val order = new scala.util.Random(42L + p).shuffle(sortedNames)
       order.map(n => n -> timeOne(byName(n))).toMap
     }
@@ -172,11 +209,18 @@ object Bench {
     // captures stdout through a 2000-char tail buffer (measured: round-1's
     // full map broke its parse), so 168 keys can never ride the JSON
     // line. BENCH_FULL.json is the round-over-round diff surface.
-    val calJson = calReadings.toSeq.zipWithIndex.map { case (rs, i) =>
-      val qs = rs.map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString(",")
-      val d = calDrifts(i).map(fmt).getOrElse("null")
-      s""""pass_${i + 1}":{$qs,"drift":$d}"""
-    }.mkString("{", ",", "}")
+    val calJson = {
+      val passJs = calReadings.toSeq.zipWithIndex.map { case (rs, i) =>
+        val qs = rs.map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString(",")
+        val d = calDrifts(i).map(fmt).getOrElse("null")
+        s""""pass_${i + 1}":{$qs,"drift":$d}"""
+      }
+      // the references graded against ride along so a reader can audit
+      // a drift number without digging up the prior committed record
+      val refJs = calRefs.map { case (n, v) => "\"" + n + "\":" + fmt(v) }
+        .mkString("\"refs\":{", ",", "}")
+      (passJs :+ refJs).mkString("{", ",", "}")
+    }
     val fullJson = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString(",")
       s"""{"metric":"top10","value":${fmt(flagship)},"unit":"sec","sf":"$sfDir",""" +

@@ -94,14 +94,27 @@ object SparkEntry {
     * deciles, bin sizes/score-sums and per-arm positives — returns
     * (the joined frame with arm, bin, nb, pos, s2, N, plus the per-arm
     * totals). Everything after the events histogram is domain-sized. */
-  private def calibBinGrid(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  /** Pooled midrank scores off [[armCumGrid]] — the shared confidence
+    * construction of the calibration family (q_calibration, q_murphy,
+    * q_brier): per distinct 2-dp value, pooled count cp, pooled
+    * cumulative cumsum, and the integer doubled-midrank
+    * m2 = 2·cumsum − cp + 1 (score = m2/2N), with the grand total N
+    * riding every row. Returns (cum, tot, pooled). */
+  private def pooledMidrank(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val (cum, tot) = armCumGrid(s, dir)
     val bigN = tot.agg(sum(col("n")).as("N"))
     val pooled = cum.groupBy(col("v"))
       .agg(sum(col("c")).as("cp"), sum(col("cum")).as("cumsum"))
       .crossJoin(broadcast(bigN))
       .withColumn("m2", lit(2L) * col("cumsum") - col("cp") + lit(1L))
+    (cum, tot, pooled)
+  }
+
+  private def calibBinGrid(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (cum, tot, pooled0) = pooledMidrank(s, dir)
+    val pooled = pooled0
       .withColumn("bin",
         least(expr("(10 * m2) div (2 * N)"), lit(9L)).cast("int"))
     val bins = pooled.groupBy(col("bin"), col("N"))
@@ -1505,14 +1518,11 @@ object SparkEntry {
     // into a DECIMAL sum (order-free), one closing division. Work is
     // grid-sized (arms × distinct values), one events shuffle.
     "q_brier" -> ((s, dir) => {
-      val (cum, tot) = armCumGrid(s, dir)
-      // "nt", not "N": Spark's resolver is case-insensitive, so a
-      // grand-total named N would collide with tot's per-arm n
-      val bigN = tot.agg(sum(col("n")).as("nt"))
-      val pooled = cum.groupBy(col("v"))
-        .agg(sum(col("c")).as("cp"), sum(col("cum")).as("cumsum"))
-        .crossJoin(broadcast(bigN))
-        .withColumn("m2", lit(2L) * col("cumsum") - col("cp") + lit(1L))
+      // the shared pooled-midrank helper; grand total renamed nt —
+      // Spark's resolver is case-insensitive, so the helper's N would
+      // collide with tot's per-arm n downstream
+      val (cum, tot, pooled0) = pooledMidrank(s, dir)
+      val pooled = pooled0.withColumnRenamed("N", "nt")
       val conf = col("m2").cast("double") /
         (lit(2.0) * col("nt").cast("double"))
       val terms = cum

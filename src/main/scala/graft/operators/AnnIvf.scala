@@ -250,4 +250,37 @@ object AnnIvf {
           count(lit(1)).cast("double"), 6).as("mean_sil"))
       .orderBy(col("cid"))
   }
+
+  /** [[silhouetteWith]] over an EXISTING assignment — grades the
+    * partition AS SERVED: the own-cell similarity comes from the row's
+    * persisted cid (never re-derived through the round(9) argmax, whose
+    * tie rule can disagree with the raw-double argmax that wrote the
+    * artifact), the neighbor is the best OTHER centroid. A vector
+    * sitting in a cell the argmax would no longer pick scores negative
+    * — the honest reading for a misplaced member, which a re-derived
+    * assignment silently hides by moving the vector first. Same scale
+    * shape: centroids broadcast into one scan of the assigned corpus,
+    * per-id pivot via conditional max, cell-sized rollup. */
+  def silhouetteAssigned(assigned: DataFrame, centroids: DataFrame,
+                         idCol: String, vecCol: String,
+                         cidCol: String = "cid"): DataFrame = {
+    val cents = centroids.select(col("cid").as("c2"), col("centroid"))
+    val sims = assigned
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        col(cidCol).as("own"))
+      .crossJoin(broadcast(cents))
+      .select(col("id"), col("own"), col("c2"),
+        round(Vectors.cosine(col("vec"), col("centroid")), 9).as("sim"))
+    val pivot = sims.groupBy(col("id"), col("own"))
+      .agg(max(when(col("c2") === col("own"), col("sim"))).as("s1"),
+        max(when(col("c2") =!= col("own"), col("sim"))).as("s2"))
+    val sil = when(col("s2").isNull || lit(1.0) - col("s2") === 0.0, lit(0.0))
+      .otherwise(round((col("s1") - col("s2")) / (lit(1.0) - col("s2")), 9))
+    pivot.groupBy(col("own"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(sil.cast("decimal(28,9)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_sil"))
+      .select(col("own").as("cid"), col("n"), col("mean_sil"))
+      .orderBy(col("cid"))
+  }
 }

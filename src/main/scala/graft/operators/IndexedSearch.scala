@@ -57,8 +57,8 @@ object IndexedSearch {
     val gen = s"$dir/$genId"
     val centroids = AnnIvf.fit(embs, idCol, vecCol, nlist, iters)
     AnnIvf.saveIndex(centroids, s"$gen/ivf_centroids")
-    AnnIvf.assign(embs, centroids, idCol, vecCol)
-      .write.mode("overwrite").partitionBy("cid")
+    val assigned = AnnIvf.assign(embs, centroids, idCol, vecCol)
+    assigned.write.mode("overwrite").partitionBy("cid")
       .parquet(s"$gen/ivf_assigned")
     val cb = AnnPq.trainCodebooks(embs,
       AnnPq.fitCodebooks(embs, idCol, vecCol, m, subDim, ksub),
@@ -67,13 +67,17 @@ object IndexedSearch {
     AnnPq.encode(embs, cb, idCol, vecCol, m, subDim)
       .write.mode("overwrite").parquet(s"$gen/pq_codes")
     // optional fit-quality report (r13 verdict item 4): per-cell
-    // silhouette of THESE centroids over the corpus being indexed,
-    // persisted inside the generation so the quality number that
-    // graded an index travels with it. One extra corpus scan; written
-    // before the manifest, so a complete generation either has its
-    // report or was fit without one — never a torn report.
+    // silhouette of the ASSIGNMENT just persisted — scored with
+    // silhouetteAssigned so the report grades the exact partition the
+    // ivf_assigned artifact carries (a re-derived rounded argmax can
+    // place a near-tie vector in a different cell than the raw-double
+    // argmax that wrote the artifact). Persisted inside the generation
+    // so the quality number that graded an index travels with it. One
+    // extra corpus scan; written before the manifest, so a complete
+    // generation either has its report or was fit without one — never
+    // a torn report.
     if (qualityReport)
-      AnnIvf.silhouetteWith(embs, centroids, idCol, vecCol)
+      AnnIvf.silhouetteAssigned(assigned, centroids, "id", "vec")
         .coalesce(1).write.mode("overwrite").parquet(s"$gen/fit_quality")
     // all artifacts on disk → mark the generation complete, then publish
     writeSmall(spark, s"$gen/$Manifest",
@@ -182,9 +186,13 @@ object IndexedSearch {
     * pair production queries probe — the quality gate the refitting
     * `AnnIvf.silhouette` overload cannot provide. Reads only the
     * artifacts (centroids file + assigned parquet), never raw
-    * embeddings. If the generation carries a persisted `fit_quality`
-    * report (see [[fit]]) it is returned directly — the number that
-    * graded the index at fit time — instead of being recomputed. */
+    * embeddings, and scores each vector in its PERSISTED cell
+    * (`AnnIvf.silhouetteAssigned`) — never a re-derived argmax, whose
+    * round(9) tie rule can place a near-tie vector in a different cell
+    * than the one the artifact actually serves from. If the generation
+    * carries a persisted `fit_quality` report (see [[fit]]) it is
+    * returned directly — the number that graded the index at fit time
+    * — instead of being recomputed. */
   def silhouette(spark: SparkSession, dir: String): DataFrame = {
     val gen = resolve(spark, dir)
     val persisted = s"$gen/fit_quality"
@@ -192,8 +200,7 @@ object IndexedSearch {
         .exists(new org.apache.hadoop.fs.Path(persisted)))
       spark.read.parquet(persisted)
     else
-      AnnIvf.silhouetteWith(
-        loadAssigned(spark, gen).select(col("id"), col("vec")),
+      AnnIvf.silhouetteAssigned(loadAssigned(spark, gen),
         AnnIvf.loadIndex(spark, s"$gen/ivf_centroids"), "id", "vec")
   }
 

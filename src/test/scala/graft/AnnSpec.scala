@@ -275,24 +275,29 @@ class AnnSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, "CURRENT")).trim).getPath
     assert(!new java.io.File(gen, "fit_quality").exists,
       "no report requested -> none persisted")
-    // the fitting session's direct computation, on the SAME centroids
-    // the artifact serves (loaded, not refit: the double-avg Lloyd
-    // pass is accumulation-order sensitive, a second fit is not the
-    // same clustering in the last ulps)
-    val direct = rows(AnnIvf.silhouetteWith(emb,
-      AnnIvf.loadIndex(spark, s"$gen/ivf_centroids"), "vec_id", "embedding"))
+    // the fitting session's direct computation on the SAME artifacts
+    // the index serves: the persisted assignment (each vector in its
+    // served cell, never a re-derived argmax) against the loaded
+    // centroids (not refit: the double-avg Lloyd pass is
+    // accumulation-order sensitive, a second fit is not the same
+    // clustering in the last ulps)
+    def servedAssigned(g: String) = spark.read.parquet(s"$g/ivf_assigned")
+      .select(col("id"), col("vec"),
+        col("cid").cast("long").as("cid"))
+    val direct = rows(AnnIvf.silhouetteAssigned(servedAssigned(gen),
+      AnnIvf.loadIndex(spark, s"$gen/ivf_centroids"), "id", "vec"))
     assert(direct.toSeq.map(_._2).sum === emb.count(), "every vector scored")
     assert(rows(IndexedSearch.silhouette(spark, dir)) === direct)
 
     // re-fit WITH the report: a fresh generation persists fit_quality
     // and the serve path returns it verbatim — still the same numbers
-    // as computing directly against that generation's centroids
+    // as computing directly against that generation's artifacts
     IndexedSearch.fit(emb, "vec_id", "embedding", dir, qualityReport = true)
     val gen2 = new java.io.File(dir, java.nio.file.Files.readString(
       java.nio.file.Paths.get(dir, "CURRENT")).trim).getPath
     assert(new java.io.File(gen2, "fit_quality").exists)
-    val direct2 = rows(AnnIvf.silhouetteWith(emb,
-      AnnIvf.loadIndex(spark, s"$gen2/ivf_centroids"), "vec_id", "embedding"))
+    val direct2 = rows(AnnIvf.silhouetteAssigned(servedAssigned(gen2),
+      AnnIvf.loadIndex(spark, s"$gen2/ivf_centroids"), "id", "vec"))
     assert(rows(IndexedSearch.silhouette(spark, dir)) === direct2)
   }
 
