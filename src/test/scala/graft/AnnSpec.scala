@@ -301,6 +301,46 @@ class AnnSpec extends SparkSpec {
     assert(rows(IndexedSearch.silhouette(spark, dir)) === direct2)
   }
 
+  test("silhouetteAssigned: a vector persisted in the wrong cell scores negative, never migrates") {
+    import SparkSpec.spark.implicits._
+    // two orthogonal unit centroids; vector 3 sits on axis 0 but its
+    // ASSIGNMENT says cell 1 — the served-partition grade must score
+    // it in cell 1 (negative: own-sim 0 < neighbor-sim 1), while the
+    // argmax-rederiving overload would silently move it to cell 0
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "centroid")
+    val assigned = Seq(
+      (1L, Seq(1.0, 0.0), 0L), (2L, Seq(0.0, 1.0), 1L),
+      (3L, Seq(1.0, 0.0), 1L)).toDF("id", "vec", "cid")
+    val m = AnnIvf.silhouetteAssigned(assigned, cents, "id", "vec")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(m(0L) === ((1L, 1.0)), "on-centroid member of cell 0 is perfect")
+    // cell 1 carries its true member (sil 1) AND the misplaced vector
+    // (s1 = 0, s2 = 1 -> sil (0-1)/(1-1)=... 1-s2=0 guard -> 0; use a
+    // near-miss instead so the negative branch is exercised)
+    assert(m(1L)._1 === 2L, "both persisted members grade in cell 1")
+    val cents2 = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.6, 0.8)))
+      .toDF("cid", "centroid")
+    val m2 = AnnIvf.silhouetteAssigned(
+      Seq((3L, Seq(1.0, 0.0), 1L)).toDF("id", "vec", "cid"),
+      cents2, "id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // own = cos(v, c1) = 0.6, neighbor = cos(v, c0) = 1.0:
+    // sil = (0.6 - 1)/(1 - 1) is guarded... neighbor sim 1.0 hits the
+    // 1 - s2 = 0 guard -> 0.0; tilt the neighbor off-axis instead
+    val cents3 = Seq((0L, Seq(0.8, 0.6)), (1L, Seq(0.6, 0.8)))
+      .toDF("cid", "centroid")
+    val m3 = AnnIvf.silhouetteAssigned(
+      Seq((3L, Seq(1.0, 0.0), 1L)).toDF("id", "vec", "cid"),
+      cents3, "id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // own = 0.6, neighbor = 0.8 -> sil = (0.6 - 0.8)/(1 - 0.8) = -1.0
+    assert(m3(1L) === -1.0,
+      "misplaced vector scores negative in its persisted cell")
+    assert(m2(1L) === 0.0, "exact-tie neighbor hits the 1-s2 guard")
+  }
+
   test("silhouette: separated clusters score near 1, one blob scores low") {
     import SparkSpec.spark.implicits._
     // ids 0..49 cluster on axis 0, 50..99 on axis 2; stride init with
