@@ -1622,6 +1622,61 @@ object SparkEntry {
         .orderBy(col("e1"), col("e2"))
     }),
 
+    // #291: Cohen's d / Hedges' g across all arm pairs — the
+    // PARAMETRIC effect size beside q_welch_ttest's significance
+    // (a p-value says "a difference exists", d says "how many pooled
+    // standard deviations wide"; Hedges' J = 1 − 3/(4N−9) debiases
+    // small samples). The arm moments (n, Σv, Σv²) ride ONE
+    // decimal-exact aggregation per arm — 2-dp values make both sums
+    // exact and order-free — and everything after is an arms²-sized
+    // self-join of fixed double trees, round(9).
+    "q_cohens_d" -> ((s, dir) => {
+      val m = t(s, dir, "events")
+        .select(col("event_type").as("arm"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          sum((col("v") * col("v")).cast("decimal(28,4)")).as("svv"))
+      def nd(c: Column) = c.cast("double")
+      val a = m.select(col("arm").as("e1"), col("n").as("n1"),
+        col("sv").as("sv1"), col("svv").as("svv1"))
+      val b = m.select(col("arm").as("e2"), col("n").as("n2"),
+        col("sv").as("sv2"), col("svv").as("svv2"))
+      def ss(svv: String, sv: String, n: String) = // Σ(v−m)² identity
+        nd(col(svv)) - nd(col(sv)) * nd(col(sv)) / nd(col(n))
+      val d = (nd(col("sv1")) / nd(col("n1")) -
+          nd(col("sv2")) / nd(col("n2"))) /
+        sqrt((ss("svv1", "sv1", "n1") + ss("svv2", "sv2", "n2")) /
+          (nd(col("n1")) + nd(col("n2")) - lit(2.0)))
+      val jf = lit(1.0) - lit(3.0) /
+        (lit(4.0) * (nd(col("n1")) + nd(col("n2"))) - lit(9.0))
+      a.join(b, col("e1") < col("e2"))
+        .select(col("e1"), col("e2"), col("n1"), col("n2"),
+          round(d, 9).as("cohens_d"), round(jf * d, 9).as("hedges_g"))
+        .orderBy(col("e1"), col("e2"))
+    }),
+
+    // #292: Cliff's delta across all arm pairs — the ORDINAL effect
+    // size beside q_mannwhitney's rank-sum significance and #291's
+    // parametric d: δ = P(x1 > x2) − P(x1 < x2) = 2U/(n1·n2) − 1,
+    // read off the SAME decimal-exact doubled rank-sum
+    // 2U = Σ_v c1·(2·cum2 − c2) the U test accumulates — scale-free,
+    // outlier-immune, no normality assumption. One closing double
+    // tree round(9); grid-sized work throughout.
+    "q_cliffs_delta" -> ((s, dir) => {
+      val (j, totA, totB) = armCdfGrid(s, dir)
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      def nd(c: Column) = c.cast("double")
+      j.join(broadcast(totA), "e1").join(broadcast(totB), "e2")
+        .groupBy(col("e1"), col("e2"), col("n1"), col("n2"))
+        .agg(sum(d19(col("c1")) *
+          (d19(col("cum2")) * lit(2) - d19(col("c2")))).as("u2"))
+        .select(col("e1"), col("e2"), col("n1"), col("n2"),
+          round(nd(col("u2")) / (nd(col("n1")) * nd(col("n2"))) - lit(1.0),
+            9).as("cliffs_delta"))
+        .orderBy(col("e1"), col("e2"))
+    }),
+
     // #201: Poisson-bootstrap 95% CI for the per-arm mean — the
     // at-scale bootstrap (Chamandy et al., Google 2012): resampling
     // n rows WITH replacement ≈ giving each row an independent
@@ -7379,6 +7434,45 @@ object SparkEntry {
         |      ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
         |       - CAST(ties AS DOUBLE) / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
         |         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))), 9) AS z_stat
+        |FROM g ORDER BY e1, e2""").stripMargin,
+
+    // per-arm decimal-exact moments, arms^2 self-join of the identical
+    // fixed double trees
+    "q_cohens_d" ->
+      """WITH m AS (SELECT event_type AS arm, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,2))
+        |      * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS svv
+        |  FROM events GROUP BY 1)
+        |SELECT a.arm AS e1, b.arm AS e2, a.n AS n1, b.n AS n2,
+        |  round((CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |    / sqrt(((CAST(a.svv AS DOUBLE)
+        |        - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE))
+        |      + (CAST(b.svv AS DOUBLE)
+        |        - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)))
+        |      / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0)), 9) AS cohens_d,
+        |  round((1.0 - 3.0
+        |      / (4.0 * (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)) - 9.0))
+        |    * ((CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE)
+        |      - CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |    / sqrt(((CAST(a.svv AS DOUBLE)
+        |        - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE))
+        |      + (CAST(b.svv AS DOUBLE)
+        |        - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE)))
+        |      / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE) - 2.0))), 9) AS hedges_g
+        |FROM m a JOIN m b ON a.arm < b.arm ORDER BY 1, 2""".stripMargin,
+
+    // the U test's own decimal doubled rank-sum, one closing division
+    "q_cliffs_delta" ->
+      (ArmCdfGridSql +
+      """, g AS (SELECT e1, e2, n1, n2,
+        |    SUM(CAST(c1 AS DECIMAL(19,0)) *
+        |      (CAST(cum2 AS DECIMAL(19,0)) * 2 - CAST(c2 AS DECIMAL(19,0)))) AS u2
+        |  FROM j GROUP BY e1, e2, n1, n2)
+        |SELECT e1, e2, n1, n2,
+        |  round(CAST(u2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    - 1.0, 9) AS cliffs_delta
         |FROM g ORDER BY e1, e2""").stripMargin,
 
     "q_bootstrap_ci" ->
