@@ -4847,6 +4847,41 @@ object SparkEntry {
         .orderBy(col("n").desc, col("path").asc).limit(20)
     }),
 
+    // #293: Krippendorff's alpha, nominal (Krippendorff 1970/2004 —
+    // the MULTI-RATER agreement gate beside #230's two-rater kappa:
+    // real annotation pipelines have many raters each labeling a
+    // subset, and alpha handles both via the coincidence matrix).
+    // Units = user cohorts, raters = event arms, rating = the arm's
+    // MIN quartile-bucket for the unit (one rating per (unit, rater),
+    // deterministic). Per-unit diagonal coincidences c(c−1)/(m−1) are
+    // the ONLY fractions — each is one double division round(9) into
+    // a DECIMAL sum; the marginals n_c and n stay integer, so
+    // A_e = Σn_c(n_c−1)/(n(n−1)) and alpha close in one shared tree.
+    // Everything after the (unit, rater) dedup is coincidence-sized.
+    "q_krippendorff" -> ((s, dir) => {
+      val r = t(s, dir, "events")
+        .select((col("user_id") % 100).as("unit"),
+          col("event_type").as("rater"),
+          floor(col("value") / lit(25.0)).cast("int").as("v"))
+        .groupBy(col("unit"), col("rater")).agg(min(col("v")).as("v"))
+      val cu = r.groupBy(col("unit"), col("v")).agg(count(lit(1)).as("c"))
+      val mu = cu.groupBy(col("unit")).agg(sum(col("c")).as("m"))
+      val j = cu.join(mu, "unit").filter(col("m") >= 2)
+      val occ = j.select(round(
+          (col("c") * (col("c") - 1)).cast("double") /
+            (col("m") - 1).cast("double"), 9).cast("decimal(28,9)").as("t"))
+        .agg(sum(col("t")).as("occ"))
+      val tots = j.groupBy(col("v")).agg(sum(col("c")).as("nc"))
+        .agg(sum(col("nc")).as("n"), sum(col("nc") * (col("nc") - 1)).as("s2"))
+      def nd(c: Column) = c.cast("double")
+      val ao = col("occ").cast("double") / nd(col("n"))
+      val ae = nd(col("s2")) / (nd(col("n")) * (nd(col("n")) - lit(1.0)))
+      occ.crossJoin(broadcast(tots))
+        .select(col("n"), col("occ").cast("double").as("o_cc"), col("s2"),
+          round(when(lit(1.0) - ae === lit(0.0), lit(0.0))
+            .otherwise((ao - ae) / (lit(1.0) - ae)), 9).as("alpha"))
+    }),
+
     // #230: Cohen's kappa of the language-ID heuristic against the
     // gold labels — agreement BEYOND CHANCE, the metric that keeps a
     // majority-class-happy classifier honest (zh docs have no gold
@@ -9969,6 +10004,31 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM s WHERE e3 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
+
+    // coincidence-matrix replay: the per-unit diagonal fractions are
+    // the identical round(9) double divisions into a DECIMAL sum,
+    // marginals stay integer
+    "q_krippendorff" ->
+      """WITH r AS (SELECT user_id % 100 AS unit, event_type AS rater,
+        |    CAST(floor(value / 25.0) AS INT) AS v FROM events),
+        |rr AS (SELECT unit, rater, MIN(v) AS v FROM r GROUP BY 1, 2),
+        |cu AS (SELECT unit, v, CAST(count(*) AS BIGINT) AS c FROM rr GROUP BY 1, 2),
+        |mu AS (SELECT unit, CAST(SUM(c) AS BIGINT) AS m FROM cu GROUP BY 1),
+        |j AS (SELECT cu.unit, cu.v, cu.c, mu.m FROM cu
+        |  JOIN mu ON mu.unit = cu.unit WHERE m >= 2),
+        |occ AS (SELECT SUM(CAST(round(CAST(c * (c - 1) AS DOUBLE)
+        |    / CAST(m - 1 AS DOUBLE), 9) AS DECIMAL(28,9))) AS occ FROM j),
+        |tt AS (SELECT CAST(SUM(nc) AS BIGINT) AS n,
+        |    CAST(SUM(nc * (nc - 1)) AS BIGINT) AS s2
+        |  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS nc FROM j GROUP BY v))
+        |SELECT n, CAST(occ AS DOUBLE) AS o_cc, s2,
+        |  round(CASE WHEN 1.0 - CAST(s2 AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) = 0.0 THEN 0.0
+        |    ELSE (CAST(occ AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+        |      / (1.0 - CAST(s2 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END, 9) AS alpha
+        |FROM occ CROSS JOIN tt""".stripMargin,
 
     "q_cohen_kappa" ->
       ("""WITH b AS (SELECT doc_id,
