@@ -115,8 +115,10 @@ object Dedup {
     * sit at — effectively exact. */
   def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       theta: Double = 0.8, shingleN: Int = 3,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame =
-    minHashPlan(docs, idCol, textCol, theta, shingleN, numHashes, bands)._1
+                      numHashes: Int = 64, bands: Int = 16,
+                      maxBucket: Int = Int.MaxValue): DataFrame =
+    minHashPlan(docs, idCol, textCol, theta, shingleN, numHashes, bands,
+      maxBucket)._1
 
   /** OWNED cache lifetime for [[minHashNearDups]] (the loan pattern):
     * builds the pair plan, hands it to `consume`, and unpersists the
@@ -127,16 +129,18 @@ object Dedup {
     * asserts the zero-blocks postcondition. */
   def withMinHashNearDups[A](docs: DataFrame, idCol: String, textCol: String,
                              theta: Double = 0.8, shingleN: Int = 3,
-                             numHashes: Int = 64, bands: Int = 16)
+                             numHashes: Int = 64, bands: Int = 16,
+                             maxBucket: Int = Int.MaxValue)
                             (consume: DataFrame => A): A = {
     val (pairs, sh) = minHashPlan(docs, idCol, textCol, theta, shingleN,
-      numHashes, bands)
+      numHashes, bands, maxBucket)
     try consume(pairs) finally sh.unpersist(blocking = true)
   }
 
   private def minHashPlan(docs: DataFrame, idCol: String, textCol: String,
                           theta: Double, shingleN: Int,
-                          numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+                          numHashes: Int, bands: Int,
+                          maxBucket: Int = Int.MaxValue): (DataFrame, DataFrame) = {
     // One plan uses the shingle table three times (banding + both
     // verify sides); without a persist each use re-tokenizes and
     // re-shingles the corpus. MEMORY_AND_DISK is the scale posture
@@ -159,7 +163,38 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + 1,
             lit(rowsPerBand))))).as(Seq("band", "bhash")))
-    val pairs = banded.as("a").join(banded.as("b"),
+    // Opt-in candidate-pair budget (default OFF = Int.MaxValue, so the
+    // exhaustive semantics and every oracle replay are untouched). The
+    // r14 sf3 scale fit isolated a genuine 0.059·n² term on the
+    // adversarially-replicated corpus: verbatim replicas land in the
+    // same (band, bhash) buckets and within-bucket pairs SQUARE. That
+    // is legitimate work when asked for, but a 100 TB pipeline needs
+    // the loud-degrade option the pair-scoring metrics already have
+    // (pairScaffold's md5-ranked cap): with maxBucket set, each LSH
+    // bucket keeps only its maxBucket members with the lowest
+    // md5(band|bhash|id) — a content-keyed, replay-stable subsample
+    // that varies per bucket, so no doc is systematically dropped from
+    // every bucket — capping per-bucket pair work at maxBucket². Recall
+    // on capped buckets degrades LOUDLY, never silently: rows_dropped /
+    // buckets_capped ride the frame as `graft_minhash_bucket_cap`
+    // observe metrics (QueryExecutionListener-visible, DedupSpec reads
+    // them via observedMetrics). The rank window shuffles on the same
+    // (band, bhash) keys the candidate join shuffles on, so the capped
+    // path adds a per-bucket sort, not a new exchange pattern.
+    val capped =
+      if (maxBucket == Int.MaxValue) banded
+      else {
+        val byBucket = Window.partitionBy(col("band"), col("bhash"))
+          .orderBy(md5(concat_ws("|", col("band"), col("bhash"), col("id"))))
+        banded.withColumn("_r", row_number().over(byBucket))
+          .observe("graft_minhash_bucket_cap",
+            sum(when(col("_r") > maxBucket, 1L).otherwise(0L)).as("rows_dropped"),
+            sum(when(col("_r") <= maxBucket, 1L).otherwise(0L)).as("rows_kept"),
+            sum(when(col("_r") === maxBucket + 1, 1L).otherwise(0L))
+              .as("buckets_capped"))
+          .filter(col("_r") <= maxBucket).drop("_r")
+      }
+    val pairs = capped.as("a").join(capped.as("b"),
       col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("i"), col("b.id").as("j"))

@@ -210,4 +210,41 @@ class DedupSpec extends SparkSpec {
     } yield (i, j)).toSet
     assert(sigs === truth)
   }
+
+  test("minhash bucket budget trips loudly on a verbatim-replicated corpus") {
+    import SparkSpec.spark.implicits._
+    // 40 verbatim replicas of one doc: every replica lands in the same
+    // (band, bhash) bucket in all 16 bands — the r14 sf3 fit's n² shape
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val replicated = (0L until 40L).map(i => (i, text)).toDF("doc_id", "text")
+    val cap = 8
+    val capped = Dedup.minHashNearDups(replicated, "doc_id", "text",
+      theta = 0.8, maxBucket = cap)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // loud degrade: observe metrics report exactly what was skipped —
+    // 16 bands × 1 bucket × (40 − 8) rows dropped, 16 buckets capped
+    val m = capped.queryExecution.observedMetrics("graft_minhash_bucket_cap")
+    assert(m.getAs[Long]("buckets_capped") === 16L)
+    assert(m.getAs[Long]("rows_dropped") === 16L * 32L)
+    assert(m.getAs[Long]("rows_kept") === 16L * 8L)
+    // pair work bounded by the budget, not the replica count…
+    assert(pairs.size <= 16 * cap * (cap - 1) / 2)
+    assert(pairs.nonEmpty)
+    // …and the budget is replay-stable (md5-ranked keep set)
+    val again = Dedup.minHashNearDups(replicated, "doc_id", "text",
+      theta = 0.8, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === pairs)
+    // default OFF: uncapped call finds all C(40,2) pairs, no metrics node
+    val full = Dedup.minHashNearDups(replicated, "doc_id", "text", theta = 0.8)
+    assert(full.count() === 40L * 39L / 2)
+    assert(!full.queryExecution.observedMetrics.contains("graft_minhash_bucket_cap"))
+    // real corpus, budget far above any honest bucket: output unchanged
+    val lsh = Dedup.minHashNearDups(docs, "doc_id", "text", theta = 0.8,
+      maxBucket = 1 << 20)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = Dedup.minHashNearDups(docs, "doc_id", "text", theta = 0.8)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === ref)
+  }
 }
