@@ -174,22 +174,31 @@ object StreamOps {
     * order, not event-time order. In-order delivery across batches is
     * the caller's contract (a Kafka key-partitioned source gives it);
     * late events would need watermark + re-emit semantics instead.
-    * Emits (key, ts_sec, value, ewma) per event in append mode. */
+    * Tie order (shared contract, streamingHolt's r13/r14 pattern):
+    * with `tieCol` set (e.g. the event id a batch window orders by),
+    * same-(key, ts) events replay in batch order; tieCol = None sorts
+    * ties by value, batch-equivalent only under unique-(key, ts)
+    * delivery. Emits (key, ts_sec, value, ewma) per event in append
+    * mode. */
   def streamingEwma(events: DataFrame, keyCol: String, tsCol: String,
-                    valCol: String, alpha: Double): DataFrame = {
+                    valCol: String, alpha: Double,
+                    tieCol: Option[String] = None): DataFrame = {
     val ss = events.sparkSession
     import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
       .select(col(keyCol).cast("long"),
-        unix_timestamp(col(tsCol)).as("ts_sec"), col(valCol).cast("double"))
-      .as[(Long, Long, Double)]
+        unix_timestamp(col(tsCol)).as("ts_sec"), col(valCol).cast("double"),
+        // a double orders every long below 2^53 exactly, so one tuple
+        // shape serves both tie conventions (streamingHolt's trade)
+        tieCol.fold(col(valCol))(c => col(c)).cast("double").as("tie"))
+      .as[(Long, Long, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: Long, rows: Iterator[(Long, Long, Double)],
+        (key: Long, rows: Iterator[(Long, Long, Double, Double)],
          state: org.apache.spark.sql.streaming.GroupState[Double]) => {
           var last = state.getOption
-          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map { case (_, ts, v) =>
+          val out = rows.toSeq.sortBy(r => (r._2, r._4)).map { case (_, ts, v, _) =>
             val e = last match {
               case Some(p) => alpha * v + (1.0 - alpha) * p
               case None => v
@@ -566,27 +575,31 @@ object StreamOps {
     * upward/downward mean shift; crossing `threshold` emits an alert
     * row and resets that side. State is TWO doubles per key however
     * long the stream runs — same bounded-state contract as
-    * [[streamingEwma]], and like it the in-batch order is (ts, value)
-    * with cross-batch in-order delivery the caller's contract.
-    * Output: (key, ts_sec, direction, statistic) alert rows only —
-    * the quiet hot path emits nothing. */
+    * [[streamingEwma]], and the same tie-order contract: `tieCol`
+    * (e.g. the batch window's event-id tiebreak) fixes same-(key, ts)
+    * replay order; None sorts ties by value, batch-equivalent only
+    * under unique-(key, ts) delivery. Cross-batch in-order delivery
+    * stays the caller's contract. Output: (key, ts_sec, direction,
+    * statistic) alert rows only — the quiet hot path emits nothing. */
   def streamingCusum(events: DataFrame, keyCol: String, tsCol: String,
                      valCol: String, mu0: Double, slack: Double,
-                     threshold: Double): DataFrame = {
+                     threshold: Double,
+                     tieCol: Option[String] = None): DataFrame = {
     val ss = events.sparkSession
     import ss.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     events
       .select(col(keyCol).cast("long"),
-        unix_timestamp(col(tsCol)).as("ts_sec"), col(valCol).cast("double"))
-      .as[(Long, Long, Double)]
+        unix_timestamp(col(tsCol)).as("ts_sec"), col(valCol).cast("double"),
+        tieCol.fold(col(valCol))(c => col(c)).cast("double").as("tie"))
+      .as[(Long, Long, Double, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: Long, rows: Iterator[(Long, Long, Double)],
+        (key: Long, rows: Iterator[(Long, Long, Double, Double)],
          state: org.apache.spark.sql.streaming.GroupState[(Double, Double)]) => {
           var (sPos, sNeg) = state.getOption.getOrElse((0.0, 0.0))
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Double)]
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
+          rows.toSeq.sortBy(r => (r._2, r._4)).foreach { case (_, ts, v, _) =>
             sPos = math.max(0.0, sPos + (v - mu0 - slack))
             sNeg = math.max(0.0, sNeg + (mu0 - v - slack))
             if (sPos > threshold) { out += ((key, ts, "up", sPos)); sPos = 0.0 }

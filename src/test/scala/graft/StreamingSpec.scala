@@ -251,6 +251,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA/CUSUM tieCol replays same-timestamp events in id order") {
+    // r14 verdict item 5: the tie-order contract streamingHolt gained
+    // in r13 now threads through the whole fold family. Same setup as
+    // the Holt tie test — two events share (key, ts) with values in
+    // the OPPOSITE order of their ids, so the legacy (ts, value) sort
+    // and the id sort replay them differently, and both recursions are
+    // order-sensitive.
+    val in = MemoryStream[(Long, Timestamp, Double, Long)]
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 4.0, 10L),
+      (1L, ts("2024-01-01 00:01:00"), 9.0, 11L), // same ts, ids 11 < 12
+      (1L, ts("2024-01-01 00:01:00"), 1.0, 12L), // but value 1.0 < 9.0
+      (1L, ts("2024-01-01 00:02:00"), 6.0, 13L))
+    val df = in.toDF().toDF("k", "ts", "value", "event_id")
+    val ew = StreamOps.streamingEwma(df, "k", "ts", "value", alpha = 0.5,
+      tieCol = Some("event_id"))
+    // CUSUM whose alert STATISTIC discriminates the replay order:
+    // mu0 = slack = 0 makes S⁺ a running sum reset on alert, so with
+    // threshold 9 the id-order replay 4,9,1,6 fires at the 9.0 event
+    // with S⁺ = 13, while the value-order replay 4,1,9,6 would
+    // accumulate the 1.0 first and fire with S⁺ = 14
+    val cu = StreamOps.streamingCusum(df, "k", "ts", "value",
+      mu0 = 0.0, slack = 0.0, threshold = 9.0, tieCol = Some("event_id"))
+    val q1 = ew.writeStream.format("memory").queryName("ewma_tie")
+      .outputMode("append").start()
+    val q2 = cu.writeStream.format("memory").queryName("cusum_tie")
+      .outputMode("append").start()
+    try {
+      in.addData(rows); q1.processAllAvailable(); q2.processAllAvailable()
+      val got = spark.table("ewma_tie").collect()
+        .map(r => r.getDouble(2) -> r.getDouble(3)).toSet
+      // id-order exact dyadic replay x = 4, 9, 1, 6: every smoothing
+      // step is a dyadic average, exact in IEEE; the value-order
+      // replay 4, 1, 9, 6 yields the disjoint set (1,2.5)(9,5.75)…
+      val want = Set(4.0 -> 4.0, 9.0 -> 6.5, 1.0 -> 3.75, 6.0 -> 4.875)
+      assert(got === want, "ewma must equal the (ts, event_id)-order replay")
+      val alerts = spark.table("cusum_tie").collect()
+        .map(r => (r.getString(2), r.getDouble(3)))
+      assert(alerts.toSeq === Seq(("up", 13.0)),
+        "cusum must fire at the id-ordered 9.0 event with S+ = 4 + 9")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming CUSUM fires on a mean shift and stays quiet otherwise") {
     import java.sql.Timestamp
     val in = MemoryStream[(Long, Timestamp, Double)]
