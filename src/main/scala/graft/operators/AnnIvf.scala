@@ -274,7 +274,19 @@ object AnnIvf {
     val pivot = sims.groupBy(col("id"), col("own"))
       .agg(max(when(col("c2") === col("own"), col("sim"))).as("s1"),
         max(when(col("c2") =!= col("own"), col("sim"))).as("s2"))
-    val sil = when(col("s2").isNull || lit(1.0) - col("s2") === 0.0, lit(0.0))
+    // s1 NULL = the row's persisted cid matched NO centroid — a stale
+    // or mismatched index generation. Fail FAST: letting the NULL
+    // vanish into the decimal sum while n still counts the row would
+    // silently pull mean_sil toward 0, and a quality gate reading a
+    // corrupted artifact would see a plausible number (r14 advice).
+    // (s2 NULL stays a soft 0: a single-centroid table is a degenerate
+    // but internally consistent artifact, not corruption.)
+    val sil = when(col("s1").isNull, raise_error(concat(
+        lit("silhouetteAssigned: assigned cid "), col("own").cast("string"),
+        lit(" of vector id "), col("id").cast("string"),
+        lit(" is absent from the centroid table — stale or mismatched " +
+          "index generation")).cast("double")))
+      .when(col("s2").isNull || lit(1.0) - col("s2") === 0.0, lit(0.0))
       .otherwise(round((col("s1") - col("s2")) / (lit(1.0) - col("s2")), 9))
     pivot.groupBy(col("own"))
       .agg(count(lit(1)).as("n"),

@@ -341,6 +341,34 @@ class AnnSpec extends SparkSpec {
     assert(m2(1L) === 0.0, "exact-tie neighbor hits the 1-s2 guard")
   }
 
+  test("silhouetteAssigned fails fast on a cid absent from the centroid table") {
+    import SparkSpec.spark.implicits._
+    // r14 advice: an unmatched cid made s1 NULL, which vanished from
+    // the decimal sum while n still counted the row — mean_sil drifted
+    // toward 0 and a quality gate on a stale/corrupted generation saw
+    // a plausible number. It must ERROR instead.
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cid", "centroid")
+    val stale = Seq(
+      (1L, Seq(1.0, 0.0), 0L),
+      (2L, Seq(0.0, 1.0), 999L)) // cid 999 exists in no generation
+      .toDF("id", "vec", "cid")
+    val e = intercept[Exception] {
+      AnnIvf.silhouetteAssigned(stale, cents, "id", "vec").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("999") &&
+        m.contains("absent from the centroid table")),
+      s"error must name the stale cid: ${messages(e)}")
+    // and a fully-matched assignment still grades cleanly
+    val ok = AnnIvf.silhouetteAssigned(
+      Seq((1L, Seq(1.0, 0.0), 0L), (2L, Seq(0.0, 1.0), 1L))
+        .toDF("id", "vec", "cid"), cents, "id", "vec")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(ok === Map(0L -> ((1L, 1.0)), 1L -> ((1L, 1.0))))
+  }
+
   test("silhouette: separated clusters score near 1, one blob scores low") {
     import SparkSpec.spark.implicits._
     // ids 0..49 cluster on axis 0, 50..99 on axis 2; stride init with
