@@ -197,6 +197,16 @@ object SparkEntry {
       |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8)
       |""".stripMargin
 
+  /** [[NearDupPairsSql]] with the corpus windowed to doc_id < 5000 —
+    * the q_chrf replay bound (r14 verdict item 3): per-doc signatures
+    * make the windowed pair set identical to filtering the unwindowed
+    * pairs, and the bound pins the whole oracle — pair discovery AND
+    * char-gram scoring — at sf0.1 cost on any corpus (unwindowed it
+    * measured 128 s at sf1 against the 180 s harness limit). */
+  private val NearDupPairsSqlWindowed =
+    NearDupPairsSql.replace("FROM documents)",
+      "FROM documents WHERE doc_id < 5000)")
+
   /** [[NearDupPairsSql]] extended with the min-label connected-
     * components closure — `comp(id, mn)` maps every doc on a near-dup
     * edge to its component's min label (the DedupCluster.components
@@ -3740,9 +3750,22 @@ object SparkEntry {
     // beside q_rouge's word recall/F and q_bleu's word precision:
     // morphology-rich or unsegmented text scores on shared character
     // spans a word metric misses entirely. Same pair set, same
-    // linear-in-report shape.
+    // linear-in-report shape. The QUERY is id-windowed to doc_id <
+    // 5000 (the q_ngram_jaccard precedent, r14 verdict item 3): at the
+    // gate corpora every doc id is < 5000 so the bound is inactive and
+    // the full semantics are oracle-checked, while at sf1+ it pins the
+    // whole replay — pair discovery AND char-4-gram scoring — at
+    // sf0.1 cost (the unwindowed oracle measured 128 s at sf1 against
+    // the 180 s harness limit; the ORACLE, not the operator, was the
+    // scale bottleneck, and one more corpus step flips it to a red
+    // timeout). Restricting the corpus BEFORE the LSH is
+    // result-identical to filtering pairs after: signatures and band
+    // keys are per-doc, so the candidate buckets among the windowed
+    // ids don't depend on the excluded docs. q_rouge/q_bleu keep the
+    // unbounded window, so the full-report pair family stays
+    // oracle-exercised.
     "q_chrf" -> ((s, dir) => {
-      val docs = tp(s, dir, "documents")
+      val docs = tp(s, dir, "documents").filter(col("doc_id") < 5000)
       val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
         .select(col("i"), col("j"))
       operators.TextStats.chrfPairs(docs, pairs, "doc_id", "text")
@@ -9114,10 +9137,16 @@ object SparkEntry {
     // char-gram P/R one integer division each round(9), DECIMAL
     // order-average × exact 0.25, the β=2 F tree round(6) — the inner
     // select carries the RAW chrP/chrR doubles so the F expression
-    // matches the Spark tree bit-for-bit, the outer select rounds
+    // matches the Spark tree bit-for-bit, the outer select rounds.
+    // the WINDOWED pair CTE (doc_id < 5000, matching the Spark query's
+    // corpus filter — see NearDupPairsSqlWindowed): inactive at the
+    // gate corpora, and at sf1+ it pins the whole replay at sf0.1 cost
+    // (r14 verdict item 3). bp re-states the window on the pair side
+    // for self-documentation (a no-op given the windowed corpus).
     "q_chrf" ->
-      (NearDupPairsSql +
-      """, cs AS MATERIALIZED (SELECT doc_id, array_to_string(tk, '') AS s FROM t),
+      (NearDupPairsSqlWindowed +
+      """, bp AS (SELECT i, j FROM pairs WHERE i < 5000 AND j < 5000)
+        |, cs AS MATERIALIZED (SELECT doc_id, array_to_string(tk, '') AS s FROM t),
         |g1 AS MATERIALIZED (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT doc_id, unnest(list_transform(range(1, length(s) + 1),
         |      i -> substring(s, i, 1))) AS g FROM cs WHERE length(s) >= 1) GROUP BY 1, 2),
@@ -9135,16 +9164,16 @@ object SparkEntry {
         |l3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM g3 GROUP BY 1),
         |l4 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM g4 GROUP BY 1),
         |o1 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
-        |  FROM pairs p JOIN g1 a ON a.doc_id = p.i
+        |  FROM bp p JOIN g1 a ON a.doc_id = p.i
         |  JOIN g1 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
         |o2 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
-        |  FROM pairs p JOIN g2 a ON a.doc_id = p.i
+        |  FROM bp p JOIN g2 a ON a.doc_id = p.i
         |  JOIN g2 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
         |o3 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
-        |  FROM pairs p JOIN g3 a ON a.doc_id = p.i
+        |  FROM bp p JOIN g3 a ON a.doc_id = p.i
         |  JOIN g3 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
         |o4 AS (SELECT p.i, p.j, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov
-        |  FROM pairs p JOIN g4 a ON a.doc_id = p.i
+        |  FROM bp p JOIN g4 a ON a.doc_id = p.i
         |  JOIN g4 b ON b.doc_id = p.j AND b.g = a.g GROUP BY 1, 2),
         |scored AS (SELECT p.i, p.j,
         |  CAST(
@@ -9167,7 +9196,7 @@ object SparkEntry {
         |    + CAST(CASE WHEN COALESCE(cb4.n, 0) = 0 THEN 0.0
         |        ELSE round(CAST(COALESCE(v4.ov, 0) AS DOUBLE) / CAST(cb4.n AS DOUBLE), 9) END AS DECIMAL(28,9))
         |    AS DOUBLE) * 0.25 AS chrr
-        |FROM pairs p
+        |FROM bp p
         |LEFT JOIN o1 v1 ON v1.i = p.i AND v1.j = p.j
         |LEFT JOIN o2 v2 ON v2.i = p.i AND v2.j = p.j
         |LEFT JOIN o3 v3 ON v3.i = p.i AND v3.j = p.j

@@ -60,6 +60,12 @@ WORKERS = int(_argv[3]) if len(_argv) > 3 else 8
 # driver's hash canonicalization will diverge from Spark's rendering.
 BANNED_TYPES = oracle_lint.BANNED
 
+# Queries whose Spark side rides TextStats.pairScaffold's deterministic
+# md5-ranked pair cap; their oracles replay uncapped (see the sentinel
+# in _check_one_inner).
+PAIR_CAPPED = {"q_rouge", "q_bleu", "q_chrf"}
+MAX_PAIR_REPORT = 1 << 20
+
 _con = None
 
 
@@ -167,6 +173,21 @@ def _check_one_inner(name, sql):
     duck_df, err = run_bounded(sql)
     if err is not None:
         return [f"FAIL {name}: duckdb error: {err}"]
+
+    # Pair-scoring cap sentinel (r14 advice): the Spark side caps the
+    # pair report at TextStats.MaxPairReport (2^20, md5-ranked) but the
+    # oracle replays the UNCAPPED pair set — a DuckDB ORDER BY md5 /
+    # LIMIT CTE was measured to wreck its join planning, so the cap
+    # cannot be mirrored. A corpus whose report crosses the cap breaks
+    # parity BY CONSTRUCTION; fail with the mechanism named instead of
+    # surfacing it as a baffling row-count mismatch. (Every input pair
+    # emits a row in these metrics, so the oracle's row count IS the
+    # uncapped pair count.)
+    if name in PAIR_CAPPED and len(duck_df) >= MAX_PAIR_REPORT:
+        return [f"FAIL {name}: oracle pair report has {len(duck_df)} rows "
+                f">= the Spark-side 2^20 cap — parity is broken by "
+                f"construction on this corpus; bound the scored window "
+                f"(the q_chrf id-window precedent) or raise MaxPairReport"]
 
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
