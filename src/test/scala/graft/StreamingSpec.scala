@@ -638,6 +638,88 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming-maintained metric grid serves the calibration-family head via SummaryRewrite") {
+    // r14 verdict item 7: the MV substitution was only proven on the
+    // q1_agg rollup shape; the 100 TB payoff is the recurring
+    // DOMAIN-GRID head of the metric family — every calibration /
+    // Brier / KS / Wasserstein query starts from the (arm, value)
+    // events histogram (armCumGrid's `h` node). The speed layer
+    // maintains that histogram; the optimizer must then route BOTH the
+    // histogram query itself AND a derived bin rollup computed on top
+    // of it onto the maintained grid, fact never re-scanned.
+    val dir = tmpDir("mvgrid")
+    val base = table("events")
+    base.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(base.schema).parquet(s"$dir/in")
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val mq = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/grid")
+      }
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    mq.awaitTermination()
+
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ graft.plans.SummaryRewrite
+    try {
+      val fact = spark.read.parquet(s"$dir/in")
+      graft.plans.SummaryRewrite.register(fact,
+        spark.read.parquet(s"$dir/grid"),
+        dims = Seq("event_type", "value"), cnt = Some("cnt"))
+      def scans(df: org.apache.spark.sql.DataFrame, frag: String) =
+        df.queryExecution.optimizedPlan.collectLeaves().exists {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(_.toString.contains(frag))
+              case _ => false
+            }
+          case _ => false
+        }
+      // the grid-shaped head itself
+      val hist = fact.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+      assert(scans(hist, "grid") && !scans(hist, "/in"),
+        hist.queryExecution.optimizedPlan.toString)
+      // a calibration-style 10-bin rollup DERIVED on top of the head:
+      // the inner aggregate rewrites onto the grid, the outer bins it —
+      // bin-sized work end to end, exactly the recurring-dashboard shape
+      val binned = hist
+        .select(col("event_type"),
+          least(floor(col("value") / lit(50.0)), lit(9.0)).cast("int").as("bin"),
+          col("c"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("c")).as("n_b"))
+      assert(scans(binned, "grid") && !scans(binned, "/in"),
+        binned.queryExecution.optimizedPlan.toString)
+      val gotHist = hist.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      val gotBinned = binned.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      graft.plans.SummaryRewrite.clear()
+      val wantHist = fact.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(gotHist === wantHist)
+      val wantBinned = fact.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"),
+          least(floor(col("value") / lit(50.0)), lit(9.0)).cast("int").as("bin"),
+          col("c"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("c")).as("n_b")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(gotBinned === wantBinned)
+      assert(gotBinned.nonEmpty && gotHist.size > gotBinned.size,
+        "grid must be finer than its bin rollup")
+    } finally {
+      spark.experimental.extraOptimizations = saved
+      graft.plans.SummaryRewrite.clear()
+    }
+  }
+
   test("observe surfaces per-batch gate metrics in streaming progress") {
     val in = MemoryStream[String]
     val (instrumented, _) = graft.operators.PipelineMetrics.gatePanel(
