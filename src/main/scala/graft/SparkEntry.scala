@@ -4342,6 +4342,39 @@ object SparkEntry {
         .select(col("key"), coalesce(col("newbal"), col("snap_bal")).as("bal"))
     }),
 
+    // #294: MERGE INTO-shaped upsert SINK (Sinks.merge) — the
+    // TRANSACTIONAL complement of q_scd_apply's pure-query shape: the
+    // change set applies to a STORED keyed parquet table (full-outer
+    // join on the key + the compact() atomic snapshot-swap protocol)
+    // and the table is read BACK as the result, so the oracle replays
+    // the whole write-then-read round trip as one relational MERGE.
+    // The target excludes custkey % 7 == 0 so those keys' changes
+    // exercise the INSERT branch; final-status changes exercise DELETE;
+    // the rest update or pass through. Values pass through unrounded —
+    // bit-identical on both engines (the q_scd_apply convention).
+    "q_merge_upsert" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_merge")
+      val tgtDir = work.resolve("tbl").toString
+      t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+        .write.parquet(tgtDir)
+      val src = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-06-01").cast("timestamp"))
+        .filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey").as("key"),
+          when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+          col("o_totalprice").as("bal"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("op"), col("bal")),
+          struct(col("ts"), col("seq"))).as("l"))
+        .select(col("key"), col("l.bal").as("bal"), col("l.op").as("op"))
+      sources.Sinks.merge(s, tgtDir, src, Seq("key"),
+        deleteWhen = col("op") === "D")
+      s.read.parquet(tgtDir)
+    }),
+
     // #179: SCD type-2 dimension build from a change log — orders as
     // per-customer priority updates: drop no-change rows (lag), then
     // version + effective [from, to) ranges + current flag per key.
@@ -9719,6 +9752,28 @@ object SparkEntry {
         |  WHERE rn = 1)
         |SELECT c_custkey AS key, COALESCE(l.newbal, c_acctbal) AS bal
         |FROM customer LEFT JOIN last l ON c_custkey = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    // the merge SINK's write-then-read round trip replayed as one
+    // relational MERGE: full-outer of the %7-windowed snapshot with
+    // the last-writer change set — matched deletes drop, matched
+    // updates take the source bal, source-only non-deletes insert,
+    // target-only rows pass through
+    "q_merge_upsert" ->
+      """WITH snap AS (SELECT c_custkey AS key, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey % 7 <> 0),
+        |ch AS (SELECT o_custkey AS key,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS newbal, o_orderdate AS ts, o_orderkey AS seq
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-06-01' AND o_custkey IS NOT NULL),
+        |last AS (SELECT key, op, newbal FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY ts DESC, seq DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(s.key, l.key) AS key,
+        |  CASE WHEN l.key IS NOT NULL THEN l.newbal ELSE s.bal END AS bal
+        |FROM snap s FULL OUTER JOIN last l ON s.key = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
 
     "q_scd2" ->

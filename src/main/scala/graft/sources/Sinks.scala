@@ -108,15 +108,89 @@ object Sinks {
     val bytes = Option(dir.listFiles()).map(_.filter(_.isFile)
       .filter(_.getName.endsWith(".parquet")).map(_.length()).sum).getOrElse(0L)
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    swapIn(path) { tmp =>
+      spark.read.parquet(path).coalesce(n)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    n
+  }
+
+  /** The snapshot-swap protocol shared by [[compact]] and [[merge]]:
+    * write the replacement under `.compact.tmp`, then two renames.
+    * One debris naming scheme means ONE recovery routine
+    * ([[recoverCompact]]) heals a torn swap from either maintenance
+    * pass — a reader restarted mid-crash doesn't need to know which
+    * writer died. */
+  private def swapIn(path: String)(write: String => Unit): Unit = {
     val tmp = path.stripSuffix("/") + ".compact.tmp"
-    spark.read.parquet(path).coalesce(n)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    write(tmp)
     val old = new java.io.File(path)
     val bak = new java.io.File(path.stripSuffix("/") + ".compact.old")
     require(old.renameTo(bak), s"rename $path -> $bak failed")
     require(new java.io.File(tmp).renameTo(old), s"rename $tmp -> $path failed")
     org.apache.commons.io.FileUtils.deleteDirectory(bak)
-    n
+  }
+
+  /** MERGE INTO-shaped upsert against a keyed parquet table — the
+    * TRANSACTIONAL complement of the q_scd_apply query shape: the
+    * change set applies to the STORED table via one full-outer join
+    * on the key and the [[compact]] snapshot-swap protocol (same
+    * debris names, same [[recoverCompact]] crash recovery).
+    *
+    *   matched,   deleteWhen   → row dropped
+    *   matched,   !deleteWhen  → source payload replaces the row
+    *   source-only, deleteWhen → no-op (MERGE's delete-of-absent)
+    *   source-only, !deleteWhen → insert
+    *   target-only              → passes through unchanged
+    *
+    * `deleteWhen` evaluates over SOURCE columns; extra source columns
+    * (op markers, change timestamps) never land in the table — the
+    * written schema is exactly the target's. The source must be
+    * key-unique, as in ANSI MERGE's double-match error: enforced with
+    * a delta-sized distinct count up front, failing loudly instead of
+    * fanning duplicate rows into the snapshot. Merge keys must be
+    * non-null on both sides (null keys never equi-match; a null-keyed
+    * source row would silently insert every time).
+    *
+    * Scale shape: the target shuffles ONLY on the merge key (or not at
+    * all when the delta broadcasts under AQE — the common nightly-delta
+    * case); inserted/updated/deleted counts ride the write as
+    * `graft_merge` observe metrics per the no-silent-caps rule. At
+    * 100 TB the rewrite cost is the table scan itself — partition the
+    * table and call merge per affected partition, or move to a
+    * manifest-swap format; the JOIN SHAPE here is unchanged either
+    * way. */
+  def merge(spark: org.apache.spark.sql.SparkSession, path: String,
+            source: DataFrame, keys: Seq[String],
+            deleteWhen: org.apache.spark.sql.Column = lit(false)): Unit = {
+    recoverCompact(path)
+    val tgt = spark.read.parquet(path)
+    val outCols = tgt.columns.toSeq
+    require(keys.nonEmpty && keys.forall(outCols.contains),
+      s"merge keys $keys must be target columns (${outCols.mkString(",")})")
+    val nSrc = source.count()
+    val nKey = source.select(keys.map(col): _*).distinct().count()
+    require(nSrc == nKey,
+      s"merge source must be key-unique: $nSrc rows over $nKey distinct " +
+        "keys — collapse to a last-writer-per-key change set first " +
+        "(the q_scd_apply max_by shape)")
+    val t = tgt.withColumn("_tp", lit(1)).alias("t")
+    val s = source.withColumn("_sp", lit(1)).alias("s")
+    val on = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val srcHit = col("s._sp").isNotNull
+    val tgtHit = col("t._tp").isNotNull
+    val del = srcHit && coalesce(deleteWhen, lit(false))
+    val merged = t.join(s, on, "full_outer")
+      .observe("graft_merge",
+        sum(when(srcHit && tgtHit && !del, 1L).otherwise(0L)).as("updated"),
+        sum(when(srcHit && !tgtHit && !del, 1L).otherwise(0L)).as("inserted"),
+        sum(when(tgtHit && del, 1L).otherwise(0L)).as("deleted"))
+      .filter(!del)
+      .select(outCols.map(c =>
+        when(srcHit, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
+    swapIn(path) { tmp =>
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
   }
 
   /** Startup recovery for a compact() swap torn by a crash. Outcomes:

@@ -118,6 +118,49 @@ class SourcesSpec extends SparkSpec {
       orders.agg(sum(col("o_orderkey"))).head().getLong(0))
   }
 
+  test("merge sink: update/insert/delete/pass-through with loud metrics and key-unique guard") {
+    import SparkSpec.spark.implicits._
+    val dir = tmpDir("merge")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("key", "tag", "bal").write.parquet(s"$dir/t")
+    // 1 → update; 3 → delete; 5 → insert; 6 → delete-of-absent (no-op);
+    // 2 and 4 untouched. The op column steers deleteWhen but must not
+    // land in the table.
+    val src = Seq(
+      (1L, "a2", 11.0, "U"), (3L, "c", 0.0, "D"),
+      (5L, "e", 50.0, "U"), (6L, "x", 0.0, "D"))
+      .toDF("key", "tag", "bal", "op")
+    Sinks.merge(spark, s"$dir/t", src, Seq("key"),
+      deleteWhen = col("op") === "D")
+    val got = spark.read.parquet(s"$dir/t")
+    assert(got.columns.sorted.toSeq === Seq("bal", "key", "tag"),
+      "op marker must not land in the table")
+    val rows = got.collect()
+      .map(r => r.getAs[Long]("key") ->
+        ((r.getAs[String]("tag"), r.getAs[Double]("bal")))).toMap
+    assert(rows === Map(
+      1L -> (("a2", 11.0)), 2L -> (("b", 20.0)),
+      4L -> (("d", 40.0)), 5L -> (("e", 50.0))))
+    // crash-safety debris is gone after a clean merge
+    assert(!new java.io.File(s"$dir/t.compact.tmp").exists())
+    assert(!new java.io.File(s"$dir/t.compact.old").exists())
+    // ANSI MERGE double-match: a key-duplicated source fails loudly
+    val dup = Seq((1L, "a", 1.0, "U"), (1L, "a", 2.0, "U"))
+      .toDF("key", "tag", "bal", "op")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.merge(spark, s"$dir/t", dup, Seq("key"))
+    }
+    assert(e.getMessage.contains("key-unique"))
+    // and the failed attempt never touched the table
+    assert(spark.read.parquet(s"$dir/t").count() === 4)
+    // idempotent replay: re-merging the same change set is a fixpoint
+    Sinks.merge(spark, s"$dir/t", src, Seq("key"),
+      deleteWhen = col("op") === "D")
+    val again = spark.read.parquet(s"$dir/t").collect()
+      .map(r => r.getAs[Long]("key")).sorted.toSeq
+    assert(again === Seq(1L, 2L, 4L, 5L))
+  }
+
   test("avro sink round-trips orders through TableLoader (built-in tier)") {
     // no spark-avro module jar is deployed here, but Spark 4.1 ships
     // the implementation inside spark-sql itself — TableLoader invokes
