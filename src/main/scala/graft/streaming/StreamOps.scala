@@ -126,6 +126,61 @@ object StreamOps {
     }
   }
 
+  /** Streaming CDC apply — the SPEED-LAYER twin of `Sinks.merge` (the
+    * batch/speed symmetry every family here keeps): each micro-batch
+    * of change events collapses to its last writer per key (max_by
+    * over `orderCols`, the q_scd_apply shape — ANSI MERGE rejects
+    * double matches, so the collapse is what makes a raw change
+    * stream mergeable at all) and MERGEs into the keyed parquet table
+    * via the full-outer join + atomic snapshot swap. Rows whose
+    * `opCol` equals `deleteOp` delete; everything else upserts.
+    * `orderCols` and `opCol` never land in the table (Sinks.merge
+    * writes exactly the target's schema).
+    *
+    * Bootstrap: a missing table initializes from the first batch's
+    * non-delete payload — the change stream IS the initial load, the
+    * standard CDC-snapshot-then-tail pattern.
+    *
+    * Exactly-once note: foreachBatch can replay a batch after a
+    * failure. Replay is safe by construction here — merging the SAME
+    * collapsed change set twice is a fixpoint (SourcesSpec pins the
+    * idempotent-replay property), and a swap torn mid-crash is healed
+    * by recoverCompact at the next merge. Cross-batch ordering stays
+    * the caller's contract (the fold-family rule): a change arriving
+    * in a LATER batch wins regardless of orderCols, so deliver
+    * key-partitioned in order for last-writer semantics across
+    * batches. */
+  def cdcApply(changes: DataFrame, tablePath: String, keys: Seq[String],
+               orderCols: Seq[String], opCol: String = "op",
+               deleteOp: String = "D")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val nonKey = batch.columns.filterNot(keys.contains).toSeq
+      val last = batch.groupBy(keys.map(col): _*)
+        .agg(max_by(struct(nonKey.map(col): _*),
+          struct(orderCols.map(col): _*)).as("_l"))
+        .select(keys.map(col) ++ nonKey.map(c => col(s"_l.$c").as(c)): _*)
+      val tableExists =
+        try { spark.read.parquet(tablePath); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (tableExists) {
+        // an empty replayed batch must not rewrite the table for nothing
+        if (!last.isEmpty)
+          graft.sources.Sinks.merge(spark, tablePath, last, keys,
+            deleteWhen = col(opCol) === deleteOp)
+      } else {
+        val payload = batch.columns.toSeq
+          .filterNot(orderCols.contains).filterNot(_ == opCol)
+        if (!last.isEmpty)
+          last.filter(col(opCol) =!= deleteOp)
+            .select(payload.map(col): _*)
+            .write.parquet(tablePath)
+      }
+      ()
+    }
+  }
+
   /** Streaming MMR retrieval serving — the speed-layer twin of
     * `operators.Ann.mmrTopK` (the batch/speed symmetry every family
     * here keeps): arriving QUERY vectors re-rank against a LOADED

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.sources.ParquetResultStore
+import graft.sources.{ParquetResultStore, Sinks}
 import graft.streaming._
 
 class StreamingSpec extends SparkSpec {
@@ -292,6 +292,49 @@ class StreamingSpec extends SparkSpec {
       assert(alerts.toSeq === Seq(("up", 13.0)),
         "cusum must fire at the id-ordered 9.0 event with S+ = 4 + 9")
     } finally { q1.stop(); q2.stop() }
+  }
+
+  test("streaming CDC apply maintains the keyed table across batches, replay-idempotent") {
+    // the speed-layer twin of Sinks.merge: change events collapse to
+    // last-writer-per-key per micro-batch and MERGE into the table
+    val dir = tmpDir("cdc")
+    val path = s"$dir/tbl"
+    val in = MemoryStream[(Long, String, Double, String, Long)]
+    val q = StreamOps.cdcApply(
+      in.toDF().toDF("key", "tag", "bal", "op", "seq"),
+      path, keys = Seq("key"), orderCols = Seq("seq"))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // batch 1 bootstraps the table: key 1 changes twice (seq order
+      // must win, not arrival order), key 2 inserts, key 9's
+      // delete-of-absent no-ops
+      in.addData(
+        (1L, "a-stale", 1.0, "U", 2L), (1L, "a", 10.0, "U", 5L),
+        (2L, "b", 20.0, "U", 1L), (9L, "x", 0.0, "D", 1L))
+      q.processAllAvailable()
+      def snap() = spark.read.parquet(path).collect()
+        .map(r => r.getAs[Long]("key") ->
+          ((r.getAs[String]("tag"), r.getAs[Double]("bal")))).toMap
+      assert(snap() === Map(1L -> (("a", 10.0)), 2L -> (("b", 20.0))))
+      assert(spark.read.parquet(path).columns.sorted.toSeq ===
+        Seq("bal", "key", "tag"), "op/seq markers must not land in the table")
+      // batch 2: update key 1, delete key 2, insert key 3
+      in.addData(
+        (1L, "a2", 11.0, "U", 6L), (2L, "b", 0.0, "D", 7L),
+        (3L, "c", 30.0, "U", 1L))
+      q.processAllAvailable()
+      assert(snap() === Map(1L -> (("a2", 11.0)), 3L -> (("c", 30.0))))
+      // replay idempotence: re-merging batch 2's collapsed change set
+      // is a fixpoint (the foreachBatch-replay failure mode)
+      import SparkSpec.spark.implicits._
+      val replay = Seq(
+        (1L, "a2", 11.0, "U", 6L), (2L, "b", 0.0, "D", 7L),
+        (3L, "c", 30.0, "U", 1L)).toDF("key", "tag", "bal", "op", "seq")
+      Sinks.merge(spark, path,
+        replay.select(col("key"), col("tag"), col("bal"), col("op")),
+        Seq("key"), deleteWhen = col("op") === "D")
+      assert(snap() === Map(1L -> (("a2", 11.0)), 3L -> (("c", 30.0))))
+    } finally q.stop()
   }
 
   test("streaming CUSUM fires on a mean shift and stays quiet otherwise") {
