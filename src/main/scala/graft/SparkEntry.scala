@@ -173,6 +173,49 @@ object SparkEntry {
       |  JOIN tot ta ON ta.arm = a.arm JOIN tot tb ON tb.arm = b.arm)
       |""".stripMargin)
 
+  /** Oracle twin of q_bradley_terry: the directed doubled-win table off
+    * [[ArmCdfGridSql]], then the TEN MM iterations UNROLLED as CTE
+    * pairs (d_t = per-arm denominator with round(9) DECIMAL-summed
+    * terms, p_t = update + Σp=1 renormalize) — both engines replay the
+    * identical fixed-step trajectory, so the hash compare pins the
+    * whole optimization path, not just a converged fixpoint. */
+  private val BradleyTerrySql: String = {
+    val base = ArmCdfGridSql +
+      """,
+        |u AS (SELECT e1, e2, n1, n2,
+        |    SUM(CAST(c1 AS DECIMAL(19,0)) *
+        |      (CAST(cum2 AS DECIMAL(19,0)) * 2 - CAST(c2 AS DECIMAL(19,0)))) AS u2
+        |  FROM j GROUP BY e1, e2, n1, n2),
+        |pairs AS MATERIALIZED (
+        |  SELECT e1 AS i, e2 AS jj, CAST(u2 AS DECIMAL(28,0)) AS w2,
+        |    CAST(n1 * n2 AS DECIMAL(28,0)) AS nn FROM u
+        |  UNION ALL
+        |  SELECT e2, e1, CAST(CAST(n1 AS DECIMAL(19,0)) * CAST(n2 AS DECIMAL(19,0)) * 2
+        |      - u2 AS DECIMAL(28,0)),
+        |    CAST(n1 * n2 AS DECIMAL(28,0)) FROM u),
+        |wins AS MATERIALIZED (SELECT i, SUM(w2) AS w2tot FROM pairs GROUP BY i),
+        |p0 AS (SELECT i, ROUND(1.0 / CAST(k AS DOUBLE), 9) AS p
+        |  FROM (SELECT DISTINCT i FROM pairs)
+        |  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS k
+        |              FROM (SELECT DISTINCT i FROM pairs)))""".stripMargin
+    val iters = (1 to 10).map { it =>
+      s"""d$it AS (SELECT pairs.i,
+         |    SUM(CAST(ROUND(2.0 * CAST(nn AS DOUBLE) / (pi.p + pj.p), 9)
+         |      AS DECIMAL(28,9))) AS dd
+         |  FROM pairs JOIN p${it - 1} pi ON pi.i = pairs.i
+         |  JOIN p${it - 1} pj ON pj.i = pairs.jj GROUP BY pairs.i),
+         |u$it AS (SELECT wins.i,
+         |    ROUND(CAST(w2tot AS DOUBLE) / CAST(dd AS DOUBLE), 9) AS p
+         |  FROM wins JOIN d$it ON d$it.i = wins.i),
+         |p$it AS MATERIALIZED (SELECT i, ROUND(p / CAST(sp AS DOUBLE), 9) AS p
+         |  FROM u$it CROSS JOIN
+         |    (SELECT SUM(CAST(p AS DECIMAL(28,9))) AS sp FROM u$it))""".stripMargin
+    }.mkString(",\n")
+    base + ",\n" + iters + "\n" +
+      """SELECT p10.i AS arm, CAST(w2tot AS BIGINT) AS wins2, p
+        |FROM p10 JOIN wins ON wins.i = p10.i ORDER BY arm""".stripMargin
+  }
+
   /** Oracle-side verified near-dup PAIRS at exact Jaccard ≥ 0.8 over
     * distinct 3-shingles — the inverted-index join replay of
     * `Dedup.minHashNearDups` (per-gram equi-join, |A∪B| = |A|+|B|−|A∩B|;
@@ -6492,6 +6535,395 @@ object SparkEntry {
         .select(col("nation"), col("n_cust"),
           round(col("sq") / (col("tot") * col("tot")), 9).as("hhi"))
     }),
+
+    // #295: McNemar's test on PAIRED classifiers — the model-comparison
+    // test an eval harness actually needs (two models scored on the
+    // SAME items; the marginals cancel, only the DISCORDANT counts
+    // carry signal — an unpaired test wastes exactly the pairing).
+    // Model A: value ≥ the exact discrete p50 (q_threshold_metrics's
+    // histogram median); model B: the deterministic md5-parity coin
+    // (replayable baseline). n10 = only-A-correct, n01 = only-B-correct;
+    // χ² = (|n10−n01|−1)²/(n10+n01) with the Edwards continuity
+    // correction, NULL when no discordant pairs exist. All counts are
+    // exact integers off one scan + the 2-dp value histogram; the
+    // statistic is one shared IEEE tree round(9).
+    "q_mcnemar" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          col("value").cast("decimal(18,2)").as("v"),
+          (col("event_type") === "purchase").as("y"))
+      val h = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val wc = boundedGlobal("2-dec value histogram, |distinct values| rows")
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = h.agg(sum(col("c")).cast("long").as("nn"))
+      val med = h.withColumn("cum", sum(col("c")).over(wc))
+        .crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") >= expr("(nn + 1) div 2"), col("v")))
+          .as("p50"))
+      val pb = NativeExpressions.md5Prefix60(
+        concat(lit("mcn:"), col("event_id"))) % 2 === 0
+      val cm = ev.crossJoin(broadcast(med))
+        .select((col("v") >= col("p50")).as("pa"), pb.as("pb"), col("y"))
+        .agg(sum(when(col("pa") === col("y") && col("pb") =!= col("y"), 1L)
+            .otherwise(0L)).as("n10"),
+          sum(when(col("pa") =!= col("y") && col("pb") === col("y"), 1L)
+            .otherwise(0L)).as("n01"))
+      def nd(c: Column) = c.cast("double")
+      cm.select(col("n10"), col("n01"),
+        when(col("n10") + col("n01") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (abs(nd(col("n10")) - nd(col("n01"))) - lit(1.0)) *
+              (abs(nd(col("n10")) - nd(col("n01"))) - lit(1.0)) /
+              (nd(col("n10")) + nd(col("n01"))), 9)).as("chi2"))
+    }),
+
+    // #296: Bradley–Terry preference strengths over the event arms
+    // (Bradley & Terry 1952; Hunter 2004 MM — THE pairwise-preference
+    // model behind RLHF reward fitting and arena leaderboards).
+    // Comparisons = all cross-arm value pairs, read off the SAME
+    // domain-sized CDF grid as q_mannwhitney — the doubled win count
+    // w2(i→j) = Σ c_i·(2·cum_j − c_j) (ties split) is exactly the U
+    // test's integer accumulator, so pair discovery never touches the
+    // events scan twice. Ten FIXED MM iterations unrolled (both engines
+    // replay the identical trajectory — convergence is a property of
+    // the answer, determinism of the query): each step divides the
+    // integer win total by Σ_j 2n_ij/(p_i+p_j) with per-term round(9)
+    // DECIMAL sums, then renormalizes to Σp = 1. Arms-sized state
+    // (k rows, k² pairs) throughout; one events shuffle total.
+    "q_bradley_terry" -> ((s, dir) => {
+      val (j, totA, totB) = armCdfGrid(s, dir)
+      def d19(c: Column) = c.cast("decimal(19,0)")
+      def nd(c: Column) = c.cast("double")
+      val u = j.join(broadcast(totA), "e1").join(broadcast(totB), "e2")
+        .groupBy(col("e1"), col("e2"), col("n1"), col("n2"))
+        .agg(sum(d19(col("c1")) *
+          (d19(col("cum2")) * lit(2) - d19(col("c2")))).as("u2"))
+      val pairs = u.select(col("e1").as("i"), col("e2").as("jj"),
+          col("u2").cast("decimal(28,0)").as("w2"),
+          (col("n1") * col("n2")).cast("decimal(28,0)").as("nn"))
+        .union(u.select(col("e2").as("i"), col("e1").as("jj"),
+          (d19(col("n1")) * d19(col("n2")) * lit(2) - col("u2"))
+            .cast("decimal(28,0)").as("w2"),
+          (col("n1") * col("n2")).cast("decimal(28,0)").as("nn")))
+        .localCheckpoint(true) // k²-row table feeds all 10 iterations
+      val wins = pairs.groupBy(col("i")).agg(sum(col("w2")).as("w2tot"))
+      val arms = pairs.select(col("i")).distinct()
+      val kTab = arms.agg(count(lit(1)).as("k"))
+      var p = arms.crossJoin(broadcast(kTab))
+        .select(col("i"), round(lit(1.0) / nd(col("k")), 9).as("p"))
+      for (_ <- 1 to 10) {
+        val d = pairs
+          .join(p.select(col("i"), col("p").as("pi")), "i")
+          .join(p.select(col("i").as("j2"), col("p").as("pj")),
+            col("jj") === col("j2"))
+          .select(col("i"),
+            round(lit(2.0) * nd(col("nn")) / (col("pi") + col("pj")), 9)
+              .cast("decimal(28,9)").as("term"))
+          .groupBy(col("i")).agg(sum(col("term")).as("dd"))
+        val upd = wins.join(d, "i")
+          .select(col("i"),
+            round(nd(col("w2tot")) / nd(col("dd")), 9).as("p"))
+        val sp = upd.agg(sum(col("p").cast("decimal(28,9)")).as("sp"))
+        // each step references the previous p three times (pi, pj, and
+        // inside the normalizer) — checkpoint the k-row state so the
+        // plan stays O(1) deep instead of tripling per iteration
+        p = upd.crossJoin(broadcast(sp))
+          .select(col("i"), round(col("p") / nd(col("sp")), 9).as("p"))
+          .localCheckpoint(true)
+      }
+      p.join(wins, "i")
+        .select(col("i").as("arm"), col("w2tot").cast("long").as("wins2"),
+          col("p"))
+        .orderBy(col("arm"))
+    }),
+
+    // #297: mutual information of the (lang, source) contingency table
+    // — the INFORMATION-theoretic association beside q_cramers_v's
+    // normalized-χ² strength (MI reads in nats: "how many nats does
+    // knowing the source tell you about the language" — the quantity a
+    // stratified sampler or a leakage audit actually budgets), plus
+    // both marginal entropies and the sqrt-normalized NMI ∈ [0,1].
+    // Cell/marginal counts are exact integers off ONE doc scan; every
+    // ln term is round(9) into a DECIMAL sum (order-free), the four
+    // outputs close in round(6) per the transcendental rule.
+    "q_mutual_info" -> ((s, dir) => {
+      val cxy = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      val cx = cxy.groupBy(col("lang")).agg(sum(col("c")).as("nx"))
+      val cy = cxy.groupBy(col("source")).agg(sum(col("c")).as("ny"))
+      val tot = cxy.agg(sum(col("c")).cast("long").as("nn"))
+      def nd(c: Column) = c.cast("double")
+      val mi = cxy.join(broadcast(cx), "lang")
+        .join(broadcast(cy), "source")
+        .crossJoin(broadcast(tot))
+        .select(round(nd(col("c")) / nd(col("nn")) *
+            log(nd(col("c")) * nd(col("nn")) /
+              (nd(col("nx")) * nd(col("ny")))), 9)
+          .cast("decimal(28,9)").as("tmi"))
+        .agg(sum(col("tmi")).as("smi"))
+      val hx = cx.crossJoin(broadcast(tot))
+        .select(round(nd(col("nx")) / nd(col("nn")) *
+            log(nd(col("nx")) / nd(col("nn"))), 9)
+          .cast("decimal(28,9)").as("th"))
+        .agg(sum(col("th")).as("shx"))
+      val hy = cy.crossJoin(broadcast(tot))
+        .select(round(nd(col("ny")) / nd(col("nn")) *
+            log(nd(col("ny")) / nd(col("nn"))), 9)
+          .cast("decimal(28,9)").as("th"))
+        .agg(sum(col("th")).as("shy"))
+      mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .crossJoin(broadcast(tot))
+        .select(col("nn"),
+          round(nd(col("smi")), 6).as("mi"),
+          round(-nd(col("shx")), 6).as("h_lang"),
+          round(-nd(col("shy")), 6).as("h_source"),
+          round(nd(col("smi")) /
+            sqrt(nd(col("shx")) * nd(col("shy"))), 6).as("nmi"))
+    }),
+
+    // #298: distinct-1 / distinct-2 generation-diversity ratios per
+    // source (Li et al. NAACL 2016 — the standard repetitiveness read
+    // on generated text: distinct n-grams over total n-grams; a
+    // mode-collapsed or boilerplate-heavy source scores low where
+    // entropy alone can hide it behind a long tail). Unigram and
+    // bigram families each collapse corpus → vocab-sized in one hash
+    // agg; the ratios are single integer divisions round(9).
+    "q_distinct_n" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val base = tp(s, dir, "documents").select(col("source"), toks.as("tk"))
+      val uni = base.select(col("source"), explode(col("tk")).as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_uni"),
+          count(lit(1)).as("d_uni"))
+      val bi = base.filter(size(col("tk")) >= 2)
+        .select(col("source"), explode(transform(
+          sequence(lit(1), size(col("tk")) - lit(1)),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + lit(1))))).as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).cast("long").as("n_bi"),
+          count(lit(1)).as("d_bi"))
+      def nd(c: Column) = c.cast("double")
+      uni.join(bi, Seq("source"))
+        .select(col("source"), col("n_uni"), col("d_uni"),
+          round(nd(col("d_uni")) / nd(col("n_uni")), 9).as("distinct_1"),
+          col("n_bi"), col("d_bi"),
+          round(nd(col("d_bi")) / nd(col("n_bi")), 9).as("distinct_2"))
+        .orderBy(col("source"))
+    }),
+
+    // #299: Chao1 species-richness estimator over the bigram vocabulary
+    // (Chao 1984, bias-corrected form — the UNSEEN-vocabulary size
+    // beside q_good_turing's unseen MASS and q_heaps' growth exponent:
+    // "how many bigram types exist that this corpus hasn't shown yet"
+    // is the number a vocab-sizing or coverage plan extrapolates on):
+    // chao1 = V + f1(f1−1)/(2(f2+1)) off the same count-of-counts
+    // table as Good–Turing — corpus collapses to bigram-vocab-sized
+    // then COC-sized; integers until one shared tree round(9).
+    "q_chao1" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(lower(col("text")))
+      val coc = tp(s, dir, "documents")
+        .select(toks.as("tk")).filter(size(col("tk")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), size(col("tk")) - lit(1)),
+          i => concat_ws(" ", element_at(col("tk"), i),
+            element_at(col("tk"), i + lit(1))))).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("r"))
+        .groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      def nd(c: Column) = c.cast("double")
+      coc.agg(sum(col("n_r")).cast("long").as("v_obs"),
+          coalesce(sum(when(col("r") === 1, col("n_r"))), lit(0L))
+            .cast("long").as("f1"),
+          coalesce(sum(when(col("r") === 2, col("n_r"))), lit(0L))
+            .cast("long").as("f2"))
+        .select(col("v_obs"), col("f1"), col("f2"),
+          round(nd(col("v_obs")) +
+            nd(col("f1")) * (nd(col("f1")) - lit(1.0)) /
+              (lit(2.0) * (nd(col("f2")) + lit(1.0))), 9).as("chao1"))
+    }),
+
+    // #300: Fleiss' kappa over the FULL-PANEL units (Fleiss 1971 — the
+    // fixed-panel multi-rater agreement beside q_krippendorff's alpha:
+    // alpha admits missing ratings via the coincidence matrix, Fleiss
+    // is the classical m-raters-per-unit statistic reviewers expect on
+    // a complete annotation grid; same units/raters/ratings as the
+    // alpha row, restricted to units all k arms rated). Both agreement
+    // sums are INTEGERS — S_o = ΣΣ c(c−1) and S_e = Σ(Σc)² — so P̄,
+    // P̄e and kappa close in one shared tree round(9); everything after
+    // the (unit, rater) dedup is rating-domain-sized.
+    "q_fleiss_kappa" -> ((s, dir) => {
+      val r = t(s, dir, "events")
+        .select((col("user_id") % 100).as("unit"),
+          col("event_type").as("rater"),
+          floor(col("value") / lit(25.0)).cast("int").as("v"))
+        .groupBy(col("unit"), col("rater")).agg(min(col("v")).as("v"))
+      val kTab = r.select(col("rater")).distinct()
+        .agg(count(lit(1)).as("k"))
+      val mu = r.groupBy(col("unit")).agg(count(lit(1)).as("m"))
+      val full = mu.crossJoin(broadcast(kTab))
+        .filter(col("m") === col("k")).select(col("unit"))
+      val cu = r.join(full, "unit")
+        .groupBy(col("unit"), col("v")).agg(count(lit(1)).as("c"))
+      val so = cu.agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L))
+        .cast("long").as("s_o"))
+      val se = cu.groupBy(col("v")).agg(sum(col("c")).as("sc"))
+        .agg(coalesce(sum(col("sc") * col("sc")), lit(0L))
+          .cast("long").as("s_e"))
+      val nu = full.agg(count(lit(1)).as("n_units"))
+      def nd(c: Column) = c.cast("double")
+      val pBar = nd(col("s_o")) / (nd(col("n_units")) * nd(col("k")) *
+        (nd(col("k")) - lit(1.0)))
+      val pE = nd(col("s_e")) / (nd(col("n_units")) * nd(col("k")) *
+        (nd(col("n_units")) * nd(col("k"))))
+      nu.crossJoin(broadcast(kTab)).crossJoin(broadcast(so))
+        .crossJoin(broadcast(se))
+        .select(col("n_units"), col("k").as("m"), col("s_o"), col("s_e"),
+          round(pBar, 9).as("p_bar"), round(pE, 9).as("p_e"),
+          round((pBar - pE) / (lit(1.0) - pE), 9).as("kappa"))
+    }),
+
+    // #301: V-measure (homogeneity / completeness, Rosenberg &
+    // Hirschberg EMNLP 2007) of the IVF cells vs the documents' source
+    // labels — the INFORMATION-theoretic external validation beside
+    // q_rand_index's pair-counting ARI (ARI counts pair agreements;
+    // h/c DIAGNOSE the failure mode: homogeneity falls when a cell
+    // mixes classes, completeness falls when a class shatters across
+    // cells — the pair a curation pipeline reads to decide whether to
+    // split or merge cells). Same oracle-exact stride-init +
+    // round(9)-argmax assignment and the same checkpointed
+    // cells × sources contingency table as ARI; every ln term is
+    // round(9) into a DECIMAL sum, h and c close round(6), and V is
+    // the harmonic mean of the two ROUNDED values (engine-identical by
+    // construction).
+    "q_v_measure" -> ((s, dir) => {
+      val embs = tp(s, dir, "embeddings")
+      val cents = operators.AnnIvf.fit(embs, "vec_id", "embedding", 16,
+        iters = 0)
+      val assigned = operators.AnnIvf
+        .assign(embs, cents, "vec_id", "embedding", simRound = Some(9))
+        .select(col("id"), col("cid"))
+      val gold = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("source"))
+      val ct = assigned.join(gold, "id")
+        .groupBy(col("cid"), col("source")).agg(count(lit(1)).as("nij"))
+        .localCheckpoint(true) // feeds four aggregations (r14 ARI note)
+      def nd(c: Column) = c.cast("double")
+      val ak = ct.groupBy(col("cid")).agg(sum(col("nij")).as("ak"))
+      val bc = ct.groupBy(col("source")).agg(sum(col("nij")).as("bc"))
+      val tot = ct.agg(sum(col("nij")).cast("long").as("nn"))
+      val hck = ct.join(broadcast(ak), "cid").crossJoin(broadcast(tot))
+        .select(round(nd(col("nij")) / nd(col("nn")) *
+            log(nd(col("nij")) / nd(col("ak"))), 9)
+          .cast("decimal(28,9)").as("th"))
+        .agg(sum(col("th")).as("s_ck"))
+      val hkc = ct.join(broadcast(bc), "source").crossJoin(broadcast(tot))
+        .select(round(nd(col("nij")) / nd(col("nn")) *
+            log(nd(col("nij")) / nd(col("bc"))), 9)
+          .cast("decimal(28,9)").as("th"))
+        .agg(sum(col("th")).as("s_kc"))
+      val hc = bc.crossJoin(broadcast(tot))
+        .select(round(nd(col("bc")) / nd(col("nn")) *
+            log(nd(col("bc")) / nd(col("nn"))), 9)
+          .cast("decimal(28,9)").as("th"))
+        .agg(sum(col("th")).as("s_c"))
+      val hk = ak.crossJoin(broadcast(tot))
+        .select(round(nd(col("ak")) / nd(col("nn")) *
+            log(nd(col("ak")) / nd(col("nn"))), 9)
+          .cast("decimal(28,9)").as("th"))
+        .agg(sum(col("th")).as("s_k"))
+      // H(C|K) = −s_ck, H(C) = −s_c (sums are ≤ 0);
+      // h = 1 − H(C|K)/H(C) = 1 − s_ck/s_c
+      val rounded = hck.crossJoin(broadcast(hkc)).crossJoin(broadcast(hc))
+        .crossJoin(broadcast(hk)).crossJoin(broadcast(tot))
+        .select(col("nn"),
+          round(lit(1.0) - nd(col("s_ck")) / nd(col("s_c")), 6)
+            .as("homogeneity"),
+          round(lit(1.0) - nd(col("s_kc")) / nd(col("s_k")), 6)
+            .as("completeness"))
+      rounded.select(col("nn"), col("homogeneity"), col("completeness"),
+        when(col("homogeneity") + col("completeness") === lit(0.0),
+          lit(0.0))
+          .otherwise(round(lit(2.0) * col("homogeneity") *
+            col("completeness") /
+            (col("homogeneity") + col("completeness")), 6))
+          .as("v_measure"))
+    }),
+
+    // #302: Theil's uncertainty coefficient U(lang|source) and
+    // U(source|lang) — the ASYMMETRIC association beside q_mutual_info
+    // (MI is symmetric; U answers the directional question a feature
+    // audit asks: "what fraction of the LANGUAGE's uncertainty does
+    // knowing the source resolve", and its transpose — the two differ
+    // exactly when the marginals do). Same contingency scan and
+    // round(9)-term DECIMAL sums as q_mutual_info; each U is one
+    // division of those sums, round(6).
+    "q_theil_u" -> ((s, dir) => {
+      val cxy = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+      val cx = cxy.groupBy(col("lang")).agg(sum(col("c")).as("nx"))
+      val cy = cxy.groupBy(col("source")).agg(sum(col("c")).as("ny"))
+      val tot = cxy.agg(sum(col("c")).cast("long").as("nn"))
+      def nd(c: Column) = c.cast("double")
+      val mi = cxy.join(broadcast(cx), "lang")
+        .join(broadcast(cy), "source")
+        .crossJoin(broadcast(tot))
+        .select(round(nd(col("c")) / nd(col("nn")) *
+            log(nd(col("c")) * nd(col("nn")) /
+              (nd(col("nx")) * nd(col("ny")))), 9)
+          .cast("decimal(28,9)").as("tmi"))
+        .agg(sum(col("tmi")).as("smi"))
+      val hx = cx.crossJoin(broadcast(tot))
+        .select(round(nd(col("nx")) / nd(col("nn")) *
+            log(nd(col("nx")) / nd(col("nn"))), 9)
+          .cast("decimal(28,9)").as("th"))
+        .agg(sum(col("th")).as("shx"))
+      val hy = cy.crossJoin(broadcast(tot))
+        .select(round(nd(col("ny")) / nd(col("nn")) *
+            log(nd(col("ny")) / nd(col("nn"))), 9)
+          .cast("decimal(28,9)").as("th"))
+        .agg(sum(col("th")).as("shy"))
+      mi.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+        .crossJoin(broadcast(tot))
+        .select(col("nn"),
+          round(nd(col("smi")) / -nd(col("shx")), 6).as("u_lang"),
+          round(nd(col("smi")) / -nd(col("shy")), 6).as("u_source"))
+    }),
+
+    // #303: average precision of `value` ranking 'purchase' — the
+    // PR-side single number beside q_auc's ROC ranking and q_lift's
+    // decile table (on a rare positive class AP moves where AUC
+    // saturates; it is THE retrieval/eval summary number). Ties share
+    // a 2-dp score block and the convention is BLOCK-END precision
+    // (every block's positives score the precision after the whole
+    // block lands — deterministic, engine-identical, no per-row
+    // permutation anywhere): AP = Σ_b cp_b·(cumTP_b/cumN_b) / P.
+    // The corpus collapses to the 2-dp histogram in one agg; the
+    // descending cumulative runs on the domain-sized grid; per-block
+    // terms round(9) into a DECIMAL sum, AP closes round(6).
+    "q_avg_precision" -> ((s, dir) => {
+      val h = t(s, dir, "events")
+        .select(col("value").cast("decimal(18,2)").as("v"),
+          when(col("event_type") === "purchase", lit(1L))
+            .otherwise(lit(0L)).as("p"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"), sum(col("p")).as("cp"))
+      val wd = boundedGlobal("2-dec value histogram, |distinct values| rows")
+        .orderBy(col("v").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.withColumn("cum_n", sum(col("c")).over(wd))
+        .withColumn("cum_tp", sum(col("cp")).over(wd))
+      val tot = h.agg(sum(col("c")).cast("long").as("nn"),
+        sum(col("cp")).cast("long").as("np"))
+      def nd(c: Column) = c.cast("double")
+      cum.select(round(nd(col("cp") * col("cum_tp")) / nd(col("cum_n")), 9)
+          .cast("decimal(28,9)").as("term"))
+        .agg(sum(col("term")).as("s"))
+        .crossJoin(broadcast(tot))
+        .select(col("nn"), col("np"),
+          round(nd(col("s")) / nd(col("np")), 6).as("avg_prec"))
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -10827,5 +11259,202 @@ object SparkEntry {
         |    (CAST(SUM(CAST(rev AS DECIMAL(38,2))) AS DOUBLE) *
         |     CAST(SUM(CAST(rev AS DECIMAL(38,2))) AS DOUBLE)), 9) AS hhi
         |FROM cust GROUP BY nation""".stripMargin,
+
+    // paired-classifier discordant counts; the md5-parity coin replays
+    // via the same hex-prefix composition NativeExprSpec pins
+    "q_mcnemar" ->
+      """WITH ev AS (SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    event_type = 'purchase' AS y FROM events),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY v),
+        |cc AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM h),
+        |med AS (SELECT MIN(CASE WHEN cum >= (nn + 1) // 2 THEN v END) AS p50
+        |  FROM cc CROSS JOIN tot),
+        |cl AS (SELECT (v >= p50) AS pa,
+        |    (('0x' || substring(md5('mcn:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 2 = 0) AS pb,
+        |    y FROM ev CROSS JOIN med),
+        |cm AS (SELECT
+        |    CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS n01
+        |  FROM cl)
+        |SELECT n10, n01,
+        |  CASE WHEN n10 + n01 = 0 THEN NULL
+        |    ELSE ROUND((abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0)
+        |      * (abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE)) - 1.0)
+        |      / (CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE)), 9) END AS chi2
+        |FROM cm""".stripMargin,
+
+    "q_bradley_terry" -> BradleyTerrySql,
+
+    // ln terms round(9) into DECIMAL sums; mi/h/nmi close round(6)
+    "q_mutual_info" ->
+      """WITH cxy AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cx AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nx FROM cxy GROUP BY lang),
+        |cy AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ny FROM cxy GROUP BY source),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cxy),
+        |mi AS (SELECT SUM(CAST(ROUND(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * ln(CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9) AS DECIMAL(28,9))) AS smi
+        |  FROM cxy JOIN cx USING (lang) JOIN cy USING (source) CROSS JOIN tot),
+        |hx AS (SELECT SUM(CAST(ROUND(CAST(nx AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * ln(CAST(nx AS DOUBLE) / CAST(nn AS DOUBLE)), 9) AS DECIMAL(28,9))) AS shx
+        |  FROM cx CROSS JOIN tot),
+        |hy AS (SELECT SUM(CAST(ROUND(CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * ln(CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE)), 9) AS DECIMAL(28,9))) AS shy
+        |  FROM cy CROSS JOIN tot)
+        |SELECT nn, ROUND(CAST(smi AS DOUBLE), 6) AS mi,
+        |  ROUND(-CAST(shx AS DOUBLE), 6) AS h_lang,
+        |  ROUND(-CAST(shy AS DOUBLE), 6) AS h_source,
+        |  ROUND(CAST(smi AS DOUBLE)
+        |    / sqrt(CAST(shx AS DOUBLE) * CAST(shy AS DOUBLE)), 6) AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot""".stripMargin,
+
+    // vocab-sized integer counts, one division per ratio
+    "q_distinct_n" ->
+      """WITH t AS (SELECT source,
+        |    list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |ug AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM
+        |    (SELECT source, unnest(tk) AS g FROM t) GROUP BY 1, 2),
+        |uni AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_uni,
+        |    CAST(count(*) AS BIGINT) AS d_uni FROM ug GROUP BY source),
+        |bg AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c FROM
+        |    (SELECT source, unnest(list_transform(range(1, len(tk)),
+        |       i -> tk[i] || ' ' || tk[i+1])) AS g
+        |     FROM t WHERE len(tk) >= 2) GROUP BY 1, 2),
+        |bi AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_bi,
+        |    CAST(count(*) AS BIGINT) AS d_bi FROM bg GROUP BY source)
+        |SELECT uni.source, n_uni, d_uni,
+        |  ROUND(CAST(d_uni AS DOUBLE) / CAST(n_uni AS DOUBLE), 9) AS distinct_1,
+        |  n_bi, d_bi,
+        |  ROUND(CAST(d_bi AS DOUBLE) / CAST(n_bi AS DOUBLE), 9) AS distinct_2
+        |FROM uni JOIN bi ON bi.source = uni.source ORDER BY uni.source""".stripMargin,
+
+    // the Good–Turing bigram COC table closed with the Chao1 tree
+    "q_chao1" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |v AS (SELECT g, CAST(count(*) AS BIGINT) AS r FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1])) AS g
+        |    FROM t WHERE len(tk) >= 2) GROUP BY g),
+        |coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM v GROUP BY r),
+        |m AS (SELECT CAST(SUM(n_r) AS BIGINT) AS v_obs,
+        |    CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT) AS f1,
+        |    CAST(COALESCE(SUM(CASE WHEN r = 2 THEN n_r END), 0) AS BIGINT) AS f2
+        |  FROM coc)
+        |SELECT v_obs, f1, f2,
+        |  ROUND(CAST(v_obs AS DOUBLE) + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+        |    / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 9) AS chao1
+        |FROM m""".stripMargin,
+
+    // full-panel units only; S_o and S_e stay integer so kappa is one
+    // shared tree
+    "q_fleiss_kappa" ->
+      """WITH r AS (SELECT user_id % 100 AS unit, event_type AS rater,
+        |    CAST(floor(value / 25.0) AS INT) AS v FROM events),
+        |rr AS (SELECT unit, rater, MIN(v) AS v FROM r GROUP BY 1, 2),
+        |kt AS (SELECT CAST(count(DISTINCT rater) AS BIGINT) AS k FROM rr),
+        |mu AS (SELECT unit, CAST(count(*) AS BIGINT) AS m FROM rr GROUP BY unit),
+        |full_u AS (SELECT unit FROM mu CROSS JOIN kt WHERE m = k),
+        |cu AS (SELECT rr.unit, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM rr JOIN full_u ON full_u.unit = rr.unit GROUP BY 1, 2),
+        |so AS (SELECT CAST(COALESCE(SUM(c * (c - 1)), 0) AS BIGINT) AS s_o FROM cu),
+        |se AS (SELECT CAST(COALESCE(SUM(sc * sc), 0) AS BIGINT) AS s_e
+        |  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS sc FROM cu GROUP BY v)),
+        |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_units FROM full_u)
+        |SELECT n_units, k AS m, s_o, s_e,
+        |  ROUND(CAST(s_o AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)
+        |    * (CAST(k AS DOUBLE) - 1.0)), 9) AS p_bar,
+        |  ROUND(CAST(s_e AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)
+        |    * (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE))), 9) AS p_e,
+        |  ROUND((CAST(s_o AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(k AS DOUBLE) - 1.0))
+        |    - CAST(s_e AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE))))
+        |    / (1.0 - CAST(s_e AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)))), 9) AS kappa
+        |FROM nu CROSS JOIN kt CROSS JOIN so CROSS JOIN se""".stripMargin,
+
+    // same stride-init + round(9)-argmax assignment and contingency
+    // table as q_rand_index; ln terms round(9) into DECIMAL sums, h/c
+    // close round(6), V is the harmonic mean of the ROUNDED h and c
+    "q_v_measure" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+        |st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+        |c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
+        |      FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+        |sims AS (SELECT e.vec_id AS id, c.cid,
+        |    round(list_cosine_similarity(ve, ce), 9) AS sim FROM e CROSS JOIN c),
+        |rk AS (SELECT id, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rr FROM sims),
+        |asn AS (SELECT id, cid FROM rk WHERE rr = 1),
+        |ct AS MATERIALIZED (SELECT a.cid, d.source, CAST(count(*) AS BIGINT) AS nij
+        |  FROM asn a JOIN documents d ON d.doc_id = a.id GROUP BY 1, 2),
+        |ak AS (SELECT cid, CAST(SUM(nij) AS BIGINT) AS ak FROM ct GROUP BY cid),
+        |bc AS (SELECT source, CAST(SUM(nij) AS BIGINT) AS bc FROM ct GROUP BY source),
+        |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS nn FROM ct),
+        |hck AS (SELECT SUM(CAST(ROUND(CAST(nij AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * ln(CAST(nij AS DOUBLE) / CAST(ak AS DOUBLE)), 9) AS DECIMAL(28,9))) AS s_ck
+        |  FROM ct JOIN ak USING (cid) CROSS JOIN tot),
+        |hkc AS (SELECT SUM(CAST(ROUND(CAST(nij AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * ln(CAST(nij AS DOUBLE) / CAST(bc AS DOUBLE)), 9) AS DECIMAL(28,9))) AS s_kc
+        |  FROM ct JOIN bc USING (source) CROSS JOIN tot),
+        |hcm AS (SELECT SUM(CAST(ROUND(CAST(bc AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * ln(CAST(bc AS DOUBLE) / CAST(nn AS DOUBLE)), 9) AS DECIMAL(28,9))) AS s_c
+        |  FROM bc CROSS JOIN tot),
+        |hkm AS (SELECT SUM(CAST(ROUND(CAST(ak AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * ln(CAST(ak AS DOUBLE) / CAST(nn AS DOUBLE)), 9) AS DECIMAL(28,9))) AS s_k
+        |  FROM ak CROSS JOIN tot),
+        |r AS (SELECT nn,
+        |    ROUND(1.0 - CAST(s_ck AS DOUBLE) / CAST(s_c AS DOUBLE), 6) AS homogeneity,
+        |    ROUND(1.0 - CAST(s_kc AS DOUBLE) / CAST(s_k AS DOUBLE), 6) AS completeness
+        |  FROM hck CROSS JOIN hkc CROSS JOIN hcm CROSS JOIN hkm CROSS JOIN tot)
+        |SELECT nn, homogeneity, completeness,
+        |  CASE WHEN homogeneity + completeness = 0.0 THEN 0.0
+        |    ELSE ROUND(2.0 * homogeneity * completeness
+        |      / (homogeneity + completeness), 6) END AS v_measure
+        |FROM r""".stripMargin,
+
+    // q_mutual_info's sums, one division each, round(6)
+    "q_theil_u" ->
+      """WITH cxy AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cx AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS nx FROM cxy GROUP BY lang),
+        |cy AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ny FROM cxy GROUP BY source),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cxy),
+        |mi AS (SELECT SUM(CAST(ROUND(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * ln(CAST(c AS DOUBLE) * CAST(nn AS DOUBLE)
+        |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9) AS DECIMAL(28,9))) AS smi
+        |  FROM cxy JOIN cx USING (lang) JOIN cy USING (source) CROSS JOIN tot),
+        |hx AS (SELECT SUM(CAST(ROUND(CAST(nx AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * ln(CAST(nx AS DOUBLE) / CAST(nn AS DOUBLE)), 9) AS DECIMAL(28,9))) AS shx
+        |  FROM cx CROSS JOIN tot),
+        |hy AS (SELECT SUM(CAST(ROUND(CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    * ln(CAST(ny AS DOUBLE) / CAST(nn AS DOUBLE)), 9) AS DECIMAL(28,9))) AS shy
+        |  FROM cy CROSS JOIN tot)
+        |SELECT nn,
+        |  ROUND(CAST(smi AS DOUBLE) / -CAST(shx AS DOUBLE), 6) AS u_lang,
+        |  ROUND(CAST(smi AS DOUBLE) / -CAST(shy AS DOUBLE), 6) AS u_source
+        |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot""".stripMargin,
+
+    // block-end tie convention on the descending 2-dp histogram
+    "q_avg_precision" ->
+      """WITH h AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cp
+        |  FROM events GROUP BY 1),
+        |cum AS (SELECT v, c, cp,
+        |    CAST(SUM(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+        |    CAST(SUM(cp) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tp
+        |  FROM h),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn, CAST(SUM(cp) AS BIGINT) AS np FROM h),
+        |s AS (SELECT SUM(CAST(ROUND(CAST(cp * cum_tp AS DOUBLE)
+        |    / CAST(cum_n AS DOUBLE), 9) AS DECIMAL(28,9))) AS s FROM cum)
+        |SELECT nn, np, ROUND(CAST(s AS DOUBLE) / CAST(np AS DOUBLE), 6) AS avg_prec
+        |FROM s CROSS JOIN tot""".stripMargin,
   )
 }
