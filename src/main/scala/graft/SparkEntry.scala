@@ -6585,16 +6585,18 @@ object SparkEntry {
     // domain-sized CDF grid as q_mannwhitney — the doubled win count
     // w2(i→j) = Σ c_i·(2·cum_j − c_j) (ties split) is exactly the U
     // test's integer accumulator, so pair discovery never touches the
-    // events scan twice. Ten FIXED MM iterations unrolled (both engines
-    // replay the identical trajectory — convergence is a property of
-    // the answer, determinism of the query): each step divides the
-    // integer win total by Σ_j 2n_ij/(p_i+p_j) with per-term round(9)
-    // DECIMAL sums, then renormalizes to Σp = 1. Arms-sized state
-    // (k rows, k² pairs) throughout; one events shuffle total.
+    // events scan twice. Ten FIXED MM iterations (both engines replay
+    // the identical trajectory — convergence is a property of the
+    // answer, determinism of the query): each step divides the integer
+    // win total by Σ_j 2n_ij/(p_i+p_j) with per-term round(9) DECIMAL
+    // sums, then renormalizes to Σp = 1. The loop runs FUSED in one
+    // task over the k²-row pair table (Preference.btFused — arms are
+    // domain-sized; the unrolled engine-side twin spent ~30 fixed-cost
+    // broadcast stages, 7.3 s vs ~1.5 s at sf0.1, and is kept as the
+    // PreferenceSpec parity reference). One events shuffle total.
     "q_bradley_terry" -> ((s, dir) => {
       val (j, totA, totB) = armCdfGrid(s, dir)
       def d19(c: Column) = c.cast("decimal(19,0)")
-      def nd(c: Column) = c.cast("double")
       val u = j.join(broadcast(totA), "e1").join(broadcast(totB), "e2")
         .groupBy(col("e1"), col("e2"), col("n1"), col("n2"))
         .agg(sum(d19(col("c1")) *
@@ -6606,36 +6608,7 @@ object SparkEntry {
           (d19(col("n1")) * d19(col("n2")) * lit(2) - col("u2"))
             .cast("decimal(28,0)").as("w2"),
           (col("n1") * col("n2")).cast("decimal(28,0)").as("nn")))
-        .localCheckpoint(true) // k²-row table feeds all 10 iterations
-      val wins = pairs.groupBy(col("i")).agg(sum(col("w2")).as("w2tot"))
-      val arms = pairs.select(col("i")).distinct()
-      val kTab = arms.agg(count(lit(1)).as("k"))
-      var p = arms.crossJoin(broadcast(kTab))
-        .select(col("i"), round(lit(1.0) / nd(col("k")), 9).as("p"))
-      for (_ <- 1 to 10) {
-        val d = pairs
-          .join(p.select(col("i"), col("p").as("pi")), "i")
-          .join(p.select(col("i").as("j2"), col("p").as("pj")),
-            col("jj") === col("j2"))
-          .select(col("i"),
-            round(lit(2.0) * nd(col("nn")) / (col("pi") + col("pj")), 9)
-              .cast("decimal(28,9)").as("term"))
-          .groupBy(col("i")).agg(sum(col("term")).as("dd"))
-        val upd = wins.join(d, "i")
-          .select(col("i"),
-            round(nd(col("w2tot")) / nd(col("dd")), 9).as("p"))
-        val sp = upd.agg(sum(col("p").cast("decimal(28,9)")).as("sp"))
-        // each step references the previous p three times (pi, pj, and
-        // inside the normalizer) — checkpoint the k-row state so the
-        // plan stays O(1) deep instead of tripling per iteration
-        p = upd.crossJoin(broadcast(sp))
-          .select(col("i"), round(col("p") / nd(col("sp")), 9).as("p"))
-          .localCheckpoint(true)
-      }
-      p.join(wins, "i")
-        .select(col("i").as("arm"), col("w2tot").cast("long").as("wins2"),
-          col("p"))
-        .orderBy(col("arm"))
+      operators.Preference.btFused(pairs).orderBy(col("arm"))
     }),
 
     // #297: mutual information of the (lang, source) contingency table
@@ -6782,7 +6755,13 @@ object SparkEntry {
         .crossJoin(broadcast(se))
         .select(col("n_units"), col("k").as("m"), col("s_o"), col("s_e"),
           round(pBar, 9).as("p_bar"), round(pE, 9).as("p_e"),
-          round((pBar - pE) / (lit(1.0) - pE), 9).as("kappa"))
+          // P̄e = 1 (the rating domain collapsed to one category —
+          // happens at sf1, where every unit's min-rating hits bucket
+          // 0) leaves kappa 0/0; pin it to 0.0, the q_krippendorff
+          // degenerate-agreement convention
+          when(lit(1.0) - pE === lit(0.0), lit(0.0))
+            .otherwise(round((pBar - pE) / (lit(1.0) - pE), 9))
+            .as("kappa"))
     }),
 
     // #301: V-measure (homogeneity / completeness, Rosenberg &
@@ -11371,12 +11350,14 @@ object SparkEntry {
         |    * (CAST(k AS DOUBLE) - 1.0)), 9) AS p_bar,
         |  ROUND(CAST(s_e AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)
         |    * (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE))), 9) AS p_e,
-        |  ROUND((CAST(s_o AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)
+        |  CASE WHEN 1.0 - CAST(s_e AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)
+        |      * (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE))) = 0.0 THEN 0.0
+        |  ELSE ROUND((CAST(s_o AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)
         |      * (CAST(k AS DOUBLE) - 1.0))
         |    - CAST(s_e AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)
         |      * (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE))))
         |    / (1.0 - CAST(s_e AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)
-        |      * (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)))), 9) AS kappa
+        |      * (CAST(n_units AS DOUBLE) * CAST(k AS DOUBLE)))), 9) END AS kappa
         |FROM nu CROSS JOIN kt CROSS JOIN so CROSS JOIN se""".stripMargin,
 
     // same stride-init + round(9)-argmax assignment and contingency
