@@ -27,6 +27,24 @@ class BenchCalSpec extends AnyFunSuite {
     assert(Bench.calRefFromRecord(contended, "q_bpe_encode").isEmpty)
   }
 
+  test("calRefFromRecord ignores probe_drift RATIO echoes (r15 false-contention bug)") {
+    // per-probe grading writes each probe's NAME with its drift RATIO
+    // inside every pass block; caught live: the ~1.0x ratios were
+    // adopted as seconds (2.61 -> 1.03 for the bpe probe) and an
+    // honest run graded ~2.9x "contended" against a ref that was
+    // never a time
+    val withRatios =
+      """{"metric":"top10","value":0.22,
+        |"calibration":{"pass_1":{"q_top10_tokens":0.26,"q_bpe_encode":2.69,
+        |"drift":1.0,"probe_drift":{"q_top10_tokens":0.76,"q_bpe_encode":1.03},"drifted":false},
+        |"pass_2":{"q_top10_tokens":0.33,"q_bpe_encode":2.72,
+        |"drift":1.03,"probe_drift":{"q_top10_tokens":0.95,"q_bpe_encode":1.04},"drifted":false},
+        |"refs":{"q_top10_tokens":0.35,"q_bpe_encode":2.61}},
+        |"contended":false,"_total":244.5}""".stripMargin
+    assert(Bench.calRefFromRecord(withRatios, "q_bpe_encode").contains(2.69))
+    assert(Bench.calRefFromRecord(withRatios, "q_top10_tokens").contains(0.26))
+  }
+
   test("calRefFromRecord is None without a calibration block or probe reading") {
     assert(Bench.calRefFromRecord("""{"contended":false}""", "q_top10_tokens").isEmpty)
     assert(Bench.calRefFromRecord(record, "q_nonexistent_probe").isEmpty)
