@@ -6903,6 +6903,228 @@ object SparkEntry {
         .select(col("nn"), col("np"),
           round(nd(col("s")) / nd(col("np")), 6).as("avg_prec"))
     }),
+
+    // #304: Cochran's Q over THREE paired classifiers (Cochran 1950 —
+    // the k-model generalization of q_mcnemar's two-model test: an
+    // eval harness comparing a model zoo on one eval set asks "do ANY
+    // of these differ" before pairwise drilling, or the p-values
+    // inflate): A = value ≥ exact p50, B = value ≥ exact p25 (the
+    // liberal variant), C = the md5-parity coin; x_ij = classifier j
+    // correct on item i. Q = (k−1)(k·ΣC_j² − S1²)/(k·S1 − S2) with
+    // column totals C_j, S1 = ΣR_i, S2 = ΣR_i² ALL exact integers off
+    // ONE scan + the 2-dp histogram; NULL when every item has
+    // R_i ∈ {0, k} (the test's undefined case). One shared tree
+    // round(9).
+    "q_cochran_q" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"),
+          col("value").cast("decimal(18,2)").as("v"),
+          (col("event_type") === "purchase").as("y"))
+      val h = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val wc = boundedGlobal("2-dec value histogram, |distinct values| rows")
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = h.agg(sum(col("c")).cast("long").as("nn"))
+      val cuts = h.withColumn("cum", sum(col("c")).over(wc))
+        .crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") >= expr("(nn + 1) div 2"), col("v")))
+            .as("p50"),
+          min(when(col("cum") * 4 >= col("nn") + 1, col("v"))).as("p25"))
+      val coin = NativeExpressions.md5Prefix60(
+        concat(lit("cq:"), col("event_id"))) % 2 === 0
+      val rows = ev.crossJoin(broadcast(cuts))
+        .select(
+          when((col("v") >= col("p50")) === col("y"), 1L).otherwise(0L)
+            .as("a"),
+          when((col("v") >= col("p25")) === col("y"), 1L).otherwise(0L)
+            .as("b"),
+          when(coin === col("y"), 1L).otherwise(0L).as("cc"))
+        .select(col("a"), col("b"), col("cc"),
+          (col("a") + col("b") + col("cc")).as("r"))
+      val agg = rows.agg(count(lit(1)).as("n"),
+        sum(col("a")).cast("long").as("c_a"),
+        sum(col("b")).cast("long").as("c_b"),
+        sum(col("cc")).cast("long").as("c_c"),
+        sum(col("r")).cast("long").as("s1"),
+        sum(col("r") * col("r")).cast("long").as("s2"))
+      def nd(c: Column) = c.cast("double")
+      agg.select(col("n"), col("c_a"), col("c_b"), col("c_c"),
+        when(col("s1") * 3 - col("s2") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(2.0) *
+            (lit(3.0) * (nd(col("c_a")) * nd(col("c_a")) +
+              nd(col("c_b")) * nd(col("c_b")) +
+              nd(col("c_c")) * nd(col("c_c"))) -
+              nd(col("s1")) * nd(col("s1"))) /
+            (lit(3.0) * nd(col("s1")) - nd(col("s2"))), 9)).as("q_stat"))
+    }),
+
+    // #308: paired bootstrap test between two classifiers (Koehn,
+    // EMNLP 2004 — THE significance convention for comparing two
+    // models on ONE eval set, the method LLM eval papers cite for
+    // "is A actually better than B"): model A = value ≥ exact p50,
+    // model B = the md5-parity coin (the q_mcnemar pair); per item,
+    // d_i = correct(A) − correct(B) ∈ {−1, 0, 1}, and each of B = 200
+    // replicates draws Poisson(1) weights by the SAME deterministic
+    // md5 inverse-CDF as q_bootstrap_ci — so the replicate delta
+    // Σ w_i·d_i is a pure INTEGER, exact end to end: wins/ties counts,
+    // p(A better) = wins/B (one division round(9)), and the 95% CI
+    // bounds are discrete order statistics of integer deltas. One
+    // B-way explode over one scan; everything after is B-sized.
+    "q_paired_bootstrap" -> ((s, dir) => {
+      val B = 200
+      val thr = Seq(424136118829305329L, 848272237658610659L,
+        1060340297073263324L, 1131029650211480879L, 1148701988496035267L,
+        1152236456152946145L, 1152825534095764625L, 1152909688087595836L,
+        1152920207336574738L)
+      val ev0 = tp(s, dir, "events")
+        .select(col("event_id"),
+          col("value").cast("decimal(18,2)").as("v"),
+          (col("event_type") === "purchase").as("y"))
+      val h = ev0.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val wc = boundedGlobal("2-dec value histogram, |distinct values| rows")
+        .orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = h.agg(sum(col("c")).cast("long").as("nn"))
+      val med = h.withColumn("cum", sum(col("c")).over(wc))
+        .crossJoin(broadcast(tot))
+        .agg(min(when(col("cum") >= expr("(nn + 1) div 2"), col("v")))
+          .as("p50"))
+      val coin = NativeExpressions.md5Prefix60(
+        concat(lit("mcn:"), col("event_id"))) % 2 === 0
+      val ev = ev0.crossJoin(broadcast(med))
+        .select(col("event_id"),
+          (when((col("v") >= col("p50")) === col("y"), 1L).otherwise(0L) -
+            when(coin === col("y"), 1L).otherwise(0L)).as("d"))
+      val hh = NativeExpressions.md5Prefix60(concat(lit("boot:"),
+        col("event_id"), lit(":"), col("r")))
+      val w = thr.tail.zipWithIndex.foldLeft(when(hh < lit(thr.head), 0)) {
+        case (acc, (tk, i)) => acc.when(hh < lit(tk), i + 1)
+      }.otherwise(9)
+      val rep = ev.withColumn("r", explode(sequence(lit(0), lit(B - 1))))
+        .withColumn("w", w)
+        .groupBy(col("r"))
+        .agg(sum(col("w") * col("d")).cast("long").as("delta"))
+      val wrk = boundedGlobal("B=200 replicate deltas")
+        .orderBy(col("delta"), col("r"))
+      val ranked = rep.withColumn("rn", row_number().over(wrk))
+      def nd(c: Column) = c.cast("double")
+      ranked.agg(count(lit(1)).as("n_repl"),
+          sum(when(col("delta") > 0, 1L).otherwise(0L)).cast("long")
+            .as("n_wins"),
+          sum(when(col("delta") === 0, 1L).otherwise(0L)).cast("long")
+            .as("n_ties"),
+          min(when(col("rn") === 5, col("delta"))).as("d_lo"),
+          max(when(col("rn") === 196, col("delta"))).as("d_hi"))
+        .select(col("n_repl"), col("n_wins"), col("n_ties"),
+          round(nd(col("n_wins")) / nd(col("n_repl")), 9).as("p_a_better"),
+          col("d_lo"), col("d_hi"))
+    }),
+
+    // #305: MRR@10 of the LSH index vs brute force — the FIRST-HIT
+    // grade completing the index-quality quartet (recall = set
+    // overlap, NDCG = graded positions, RBO = ranking agreement, MRR =
+    // "where does the TRUE nearest neighbor land", the number a
+    // retrieval serving SLO is usually written against): per query,
+    // the brute-force rank-1 neighbor's position in the index's
+    // top-10; rr = 1/rank round(9), 0.0 on a miss (never a silent
+    // drop). Both sides reuse the exact-replay ANN scaffolds; work is
+    // queries × 10 after the index probes.
+    "q_mrr" -> ((s, dir) => {
+      val e = tp(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val bf1 = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id").as("true_top1"))
+      val ls = AnnLsh.annTopKExact(e, q, "vec_id", "embedding", 10)
+        .select(col("q_id").as("lq"), col("rn").as("rank"),
+          col("n_id").as("ln"))
+      bf1.join(ls, bf1("q_id") === col("lq") &&
+          col("true_top1") === col("ln"), "left")
+        .select(col("q_id"), col("true_top1"),
+          coalesce(col("rank"), lit(0)).cast("long").as("rank"),
+          coalesce(round(lit(1.0) / col("rank").cast("double"), 9),
+            lit(0.0)).as("rr"))
+        .orderBy(col("q_id"))
+    }),
+
+    // #306: Kendall's W — rank concordance of the arms' orderings of
+    // user cohorts (Kendall & Babington Smith 1939; the MULTI-rater
+    // ordinal agreement beside q_fleiss_kappa's nominal panel and
+    // q_spearman's two-ranking correlation: "do the k arms rank the
+    // same cohorts high", the check before averaging per-arm
+    // leaderboards into one). Cohort score = decimal-exact value sum
+    // per (arm, cohort); ranks per arm over the n-cohort domain
+    // (deterministic tie-break on cohort id — exact-decimal ties are
+    // broken identically on both engines); rank sums R_i stay INTEGER,
+    // so W = (12·ΣR_i² − 3·m²·n·(n+1)²) / (m²·(n³−n)) is one shared
+    // tree round(9). Domain-sized windows only.
+    "q_kendall_w" -> ((s, dir) => {
+      val sc = t(s, dir, "events")
+        .select(col("event_type").as("arm"),
+          (col("user_id") % 20).as("obj"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("arm"), col("obj"))
+        .agg(sum(col("v")).as("score"))
+      val wr = Window.partitionBy(col("arm"))
+        .orderBy(col("score").desc, col("obj"))
+      val ranks = sc.withColumn("rk", row_number().over(wr))
+      val rsum = ranks.groupBy(col("obj"))
+        .agg(sum(col("rk")).cast("long").as("r_i"),
+          count(lit(1)).as("m_obj"))
+      val dims = ranks.agg(countDistinct(col("arm")).as("m"),
+        countDistinct(col("obj")).as("n"))
+      def nd(c: Column) = c.cast("double")
+      rsum.agg(sum(col("r_i") * col("r_i")).cast("long").as("sum_r2"))
+        .crossJoin(broadcast(dims))
+        .select(col("m"), col("n"), col("sum_r2"),
+          round((lit(12.0) * nd(col("sum_r2")) -
+            lit(3.0) * nd(col("m")) * nd(col("m")) * nd(col("n")) *
+              (nd(col("n")) + lit(1.0)) * (nd(col("n")) + lit(1.0))) /
+            (nd(col("m")) * nd(col("m")) *
+              (nd(col("n")) * nd(col("n")) * nd(col("n")) - nd(col("n")))),
+            9).as("w"))
+    }),
+
+    // #307: log-odds ratio with informative Dirichlet prior, src0 vs
+    // src1 (Monroe, Colaresi & Quinn 2008, "Fightin' Words" — THE
+    // corpus-comparison method for "which words distinguish these two
+    // sources": raw ratios explode on rare words, PMI overweights
+    // frequency; the full-corpus prior shrinks both). Prior α_w = the
+    // word's corpus count; δ_w = ln((y1+α)/(n1+α0−y1−α)) −
+    // ln((y2+α)/(n2+α0−y2−α)), z = δ/√(1/(y1+α)+1/(y2+α)). All counts
+    // exact integers off one tokenize; each ln rounds 9 (the
+    // transcendental rule), sqrt is IEEE-exact, the closing trees
+    // round 9. Top-20 by (z desc, token) — the src0-distinctive head.
+    // Vocab-sized work throughout.
+    "q_log_odds" -> ((s, dir) => {
+      val tk = tp(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+      val prior = tk.groupBy(col("w")).agg(count(lit(1)).as("aw"))
+      val a0 = prior.agg(sum(col("aw")).cast("long").as("a0"))
+      def srcCnt(src: String, as: String) = tk
+        .filter(col("source") === src)
+        .groupBy(col("w")).agg(count(lit(1)).as(as))
+      val y1 = srcCnt("src0", "y1")
+      val y2 = srcCnt("src1", "y2")
+      val n1 = y1.agg(coalesce(sum(col("y1")), lit(0L)).cast("long").as("n1"))
+      val n2 = y2.agg(coalesce(sum(col("y2")), lit(0L)).cast("long").as("n2"))
+      def nd(c: Column) = c.cast("double")
+      val j = prior.join(y1, Seq("w"), "left").join(y2, Seq("w"), "left")
+        .na.fill(0L, Seq("y1", "y2"))
+        .crossJoin(broadcast(a0)).crossJoin(broadcast(n1))
+        .crossJoin(broadcast(n2))
+      val l1 = round(log((nd(col("y1")) + nd(col("aw"))) /
+        (nd(col("n1")) + nd(col("a0")) - nd(col("y1")) - nd(col("aw")))), 9)
+      val l2 = round(log((nd(col("y2")) + nd(col("aw"))) /
+        (nd(col("n2")) + nd(col("a0")) - nd(col("y2")) - nd(col("aw")))), 9)
+      val variance = lit(1.0) / (nd(col("y1")) + nd(col("aw"))) +
+        lit(1.0) / (nd(col("y2")) + nd(col("aw")))
+      j.select(col("w"), col("y1"), col("y2"), col("aw"),
+          round(l1 - l2, 9).as("delta"),
+          round((l1 - l2) / sqrt(variance), 9).as("z"))
+        .orderBy(col("z").desc, col("w")).limit(20)
+    }),
   )
 
   // ---------------------------------------------------------------------------
@@ -11437,5 +11659,143 @@ object SparkEntry {
         |    / CAST(cum_n AS DOUBLE), 9) AS DECIMAL(28,9))) AS s FROM cum)
         |SELECT nn, np, ROUND(CAST(s AS DOUBLE) / CAST(np AS DOUBLE), 6) AS avg_prec
         |FROM s CROSS JOIN tot""".stripMargin,
+
+    // three paired classifiers; all counts integer, one closing tree
+    "q_cochran_q" ->
+      """WITH ev AS (SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    event_type = 'purchase' AS y FROM events),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY v),
+        |cc AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM h),
+        |cuts AS (SELECT MIN(CASE WHEN cum >= (nn + 1) // 2 THEN v END) AS p50,
+        |    MIN(CASE WHEN cum * 4 >= nn + 1 THEN v END) AS p25
+        |  FROM cc CROSS JOIN tot),
+        |rows_t AS (SELECT
+        |    CASE WHEN (v >= p50) = y THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN (v >= p25) = y THEN 1 ELSE 0 END AS b,
+        |    CASE WHEN (('0x' || substring(md5('cq:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 2 = 0) = y THEN 1 ELSE 0 END AS cq
+        |  FROM ev CROSS JOIN cuts),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(a) AS BIGINT) AS c_a, CAST(SUM(b) AS BIGINT) AS c_b,
+        |    CAST(SUM(cq) AS BIGINT) AS c_c,
+        |    CAST(SUM(a + b + cq) AS BIGINT) AS s1,
+        |    CAST(SUM((a + b + cq) * (a + b + cq)) AS BIGINT) AS s2
+        |  FROM rows_t)
+        |SELECT n, c_a, c_b, c_c,
+        |  CASE WHEN s1 * 3 - s2 = 0 THEN NULL
+        |    ELSE ROUND(2.0 * (3.0 * (CAST(c_a AS DOUBLE) * CAST(c_a AS DOUBLE)
+        |        + CAST(c_b AS DOUBLE) * CAST(c_b AS DOUBLE)
+        |        + CAST(c_c AS DOUBLE) * CAST(c_c AS DOUBLE))
+        |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |      / (3.0 * CAST(s1 AS DOUBLE) - CAST(s2 AS DOUBLE)), 9) END AS q_stat
+        |FROM agg""".stripMargin,
+
+    // integer replicate deltas off the shared deterministic Poisson
+    // weights; p(A better) is the only division
+    "q_paired_bootstrap" ->
+      """WITH ev0 AS (SELECT event_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |    event_type = 'purchase' AS y FROM events),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM ev0 GROUP BY v),
+        |cc AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM h),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM h),
+        |med AS (SELECT MIN(CASE WHEN cum >= (nn + 1) // 2 THEN v END) AS p50
+        |  FROM cc CROSS JOIN tot),
+        |ev AS (SELECT event_id,
+        |    (CASE WHEN (v >= p50) = y THEN 1 ELSE 0 END)
+        |      - (CASE WHEN (('0x' || substring(md5('mcn:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 2 = 0) = y THEN 1 ELSE 0 END) AS d
+        |  FROM ev0 CROSS JOIN med),
+        |hw AS (SELECT d, r,
+        |    ('0x' || substring(md5('boot:' || CAST(event_id AS VARCHAR)
+        |      || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM ev CROSS JOIN (SELECT unnest(range(200)) AS r)),
+        |ww AS (SELECT d, r, CASE
+        |    WHEN h < 424136118829305329 THEN 0
+        |    WHEN h < 848272237658610659 THEN 1
+        |    WHEN h < 1060340297073263324 THEN 2
+        |    WHEN h < 1131029650211480879 THEN 3
+        |    WHEN h < 1148701988496035267 THEN 4
+        |    WHEN h < 1152236456152946145 THEN 5
+        |    WHEN h < 1152825534095764625 THEN 6
+        |    WHEN h < 1152909688087595836 THEN 7
+        |    WHEN h < 1152920207336574738 THEN 8
+        |    ELSE 9 END AS w FROM hw),
+        |rep AS (SELECT r, CAST(SUM(w * d) AS BIGINT) AS delta
+        |  FROM ww GROUP BY r),
+        |rk AS (SELECT delta,
+        |    row_number() OVER (ORDER BY delta, r) AS rn FROM rep)
+        |SELECT CAST(count(*) AS BIGINT) AS n_repl,
+        |  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_wins,
+        |  CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+        |  ROUND(CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 9) AS p_a_better,
+        |  MIN(CASE WHEN rn = 5 THEN delta END) AS d_lo,
+        |  MAX(CASE WHEN rn = 196 THEN delta END) AS d_hi
+        |FROM rk""".stripMargin,
+
+    // brute-force rank-1 located in the LSH top-10; rank 0 = miss
+    "q_mrr" ->
+      (s"""WITH bf AS ($AnnBruteSql),
+        |lf AS ($AnnLshSql)
+        |SELECT bf.q_id, bf.n_id AS true_top1,
+        |  CAST(COALESCE(lf.rn, 0) AS BIGINT) AS rank,
+        |  COALESCE(ROUND(1.0 / CAST(lf.rn AS DOUBLE), 9), 0.0) AS rr
+        |FROM bf LEFT JOIN lf ON lf.q_id = bf.q_id AND lf.n_id = bf.n_id
+        |WHERE bf.rn = 1 ORDER BY bf.q_id""").stripMargin,
+
+    // integer rank sums over domain-sized per-arm windows
+    "q_kendall_w" ->
+      """WITH sc AS (SELECT event_type AS arm, user_id % 20 AS obj,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS score
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT arm, obj, ROW_NUMBER() OVER (PARTITION BY arm
+        |    ORDER BY score DESC, obj) AS rk FROM sc),
+        |rs AS (SELECT obj, CAST(SUM(rk) AS BIGINT) AS r_i FROM rk GROUP BY obj),
+        |dims AS (SELECT CAST(count(DISTINCT arm) AS BIGINT) AS m,
+        |    CAST(count(DISTINCT obj) AS BIGINT) AS n FROM rk),
+        |s2 AS (SELECT CAST(SUM(r_i * r_i) AS BIGINT) AS sum_r2 FROM rs)
+        |SELECT m, n, sum_r2,
+        |  ROUND((12.0 * CAST(sum_r2 AS DOUBLE)
+        |      - 3.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE) * CAST(n AS DOUBLE)
+        |        * (CAST(n AS DOUBLE) + 1.0) * (CAST(n AS DOUBLE) + 1.0))
+        |    / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE)
+        |      * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |        - CAST(n AS DOUBLE))), 9) AS w
+        |FROM s2 CROSS JOIN dims""".stripMargin,
+
+    // Monroe et al. log-odds with the corpus-count Dirichlet prior;
+    // each ln rounds 9, the z tree closes round 9
+    "q_log_odds" ->
+      """WITH tk AS (SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |prior AS (SELECT w, CAST(count(*) AS BIGINT) AS aw FROM tk GROUP BY w),
+        |a0 AS (SELECT CAST(SUM(aw) AS BIGINT) AS a0 FROM prior),
+        |y1 AS (SELECT w, CAST(count(*) AS BIGINT) AS y1 FROM tk
+        |  WHERE source = 'src0' GROUP BY w),
+        |y2 AS (SELECT w, CAST(count(*) AS BIGINT) AS y2 FROM tk
+        |  WHERE source = 'src1' GROUP BY w),
+        |n1 AS (SELECT CAST(COALESCE(SUM(y1), 0) AS BIGINT) AS n1 FROM y1),
+        |n2 AS (SELECT CAST(COALESCE(SUM(y2), 0) AS BIGINT) AS n2 FROM y2),
+        |j AS (SELECT prior.w, COALESCE(y1.y1, 0) AS y1, COALESCE(y2.y2, 0) AS y2,
+        |    aw, a0, n1, n2
+        |  FROM prior LEFT JOIN y1 ON y1.w = prior.w LEFT JOIN y2 ON y2.w = prior.w
+        |  CROSS JOIN a0 CROSS JOIN n1 CROSS JOIN n2),
+        |d AS (SELECT w, y1, y2, aw,
+        |    ROUND(ln((CAST(y1 AS DOUBLE) + CAST(aw AS DOUBLE))
+        |      / (CAST(n1 AS DOUBLE) + CAST(a0 AS DOUBLE) - CAST(y1 AS DOUBLE)
+        |        - CAST(aw AS DOUBLE))), 9) AS l1,
+        |    ROUND(ln((CAST(y2 AS DOUBLE) + CAST(aw AS DOUBLE))
+        |      / (CAST(n2 AS DOUBLE) + CAST(a0 AS DOUBLE) - CAST(y2 AS DOUBLE)
+        |        - CAST(aw AS DOUBLE))), 9) AS l2,
+        |    1.0 / (CAST(y1 AS DOUBLE) + CAST(aw AS DOUBLE))
+        |      + 1.0 / (CAST(y2 AS DOUBLE) + CAST(aw AS DOUBLE)) AS vr
+        |  FROM j)
+        |SELECT w, y1, y2, aw, ROUND(l1 - l2, 9) AS delta,
+        |  ROUND((l1 - l2) / sqrt(vr), 9) AS z
+        |FROM d ORDER BY z DESC, w LIMIT 20""".stripMargin,
   )
 }
