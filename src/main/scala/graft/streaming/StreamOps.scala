@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Additional speed-layer operators: stream-stream join and streaming
@@ -664,5 +664,41 @@ object StreamOps {
           out.iterator
         })
       .toDF("key", "ts_sec", "direction", "statistic")
+  }
+
+  /** Streaming champion-vs-challenger discordance — the LIVE McNemar
+    * (the q_mcnemar batch row's speed-layer twin, same symmetry as the
+    * W1/conformal folds over the drift contract): per tumbling window,
+    * the paired discordant counts n10 (only champion correct) / n01
+    * (only challenger correct) between model A = value ≥ `p50` (the
+    * batch-fit threshold shipped in as a constant — fit once, monitor
+    * many, the IndexedSearch artifact rule) and model B = the
+    * deterministic md5-parity coin, against the label column; χ² with
+    * the Edwards continuity correction rides each row, NULL when the
+    * window has no discordant pairs (the batch row's convention). The
+    * concordant marginals cancel EXACTLY as in the batch test, so the
+    * monitor alarms on "the champion stopped beating the challenger",
+    * not on traffic mix. STATELESS windowed integer aggregation — no
+    * mapGroupsWithState, so batch ≡ stream is structural and state is
+    * one (n10, n01) pair per open window. */
+  def streamingMcnemar(events: DataFrame, tsCol: String, idCol: String,
+                       valCol: String, labelCol: String, p50: Double,
+                       windowLen: String = "1 hour",
+                       watermark: String = "30 minutes"): DataFrame = {
+    val pa = col(valCol).cast("double") >= lit(p50)
+    val pb = graft.functions.NativeExpressions.md5Prefix60(
+      concat(lit("mcn:"), col(idCol))) % 2 === 0
+    val y = col(labelCol)
+    def nd(c: Column) = c.cast("double")
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(sum(when(pa === y && pb =!= y, 1L).otherwise(0L)).as("n10"),
+        sum(when(pa =!= y && pb === y, 1L).otherwise(0L)).as("n01"))
+      .select(col("window.start").as("win_start"), col("n10"), col("n01"),
+        when(col("n10") + col("n01") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (abs(nd(col("n10")) - nd(col("n01"))) - lit(1.0)) *
+              (abs(nd(col("n10")) - nd(col("n01"))) - lit(1.0)) /
+              (nd(col("n10")) + nd(col("n01"))), 9)).as("chi2"))
   }
 }

@@ -860,4 +860,50 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(dir)
     }
   }
+
+  test("streaming McNemar fold equals batch; chi2 matches the closed form, NULL when concordant") {
+    // (ts, id, value, label): window 0 mixes discordant outcomes,
+    // window 1 is fully concordant (every row: A correct AND B's
+    // verdict equal to A's) — impossible to hand-pick against the md5
+    // coin, so window 1 instead uses values that make A's verdict
+    // follow the label exactly and asserts via the recomputed counts
+    val rows = (0L until 12L).map { i =>
+      (ts(f"2024-01-01 00:${5 + (i % 50)}%02d:00"), i, if (i % 3 == 0) 80.0 else 10.0,
+        i % 2 == 0)
+    } ++ (12L until 20L).map { i =>
+      (ts(f"2024-01-01 01:${5 + (i % 50)}%02d:00"), i, 42.0, true)
+    }
+    val batchDf = rows.toDF("ts", "id", "value", "y")
+    val in = MemoryStream[(Timestamp, Long, Double, Boolean)]
+    val streamDf = in.toDF().toDF("ts", "id", "value", "y")
+    val out = StreamOps.streamingMcnemar(streamDf, "ts", "id", "value", "y",
+      p50 = 50.0, windowLen = "1 hour")
+    val q = out.writeStream.format("memory").queryName("mcn_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows.take(7): _*); q.processAllAvailable()
+      in.addData(rows.drop(7): _*); q.processAllAvailable() // cross-batch window fill
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getTimestamp(0).toString ->
+          (r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      val streamed = asMap(spark.table("mcn_stream"))
+      val batch = asMap(StreamOps.streamingMcnemar(batchDf, "ts", "id",
+        "value", "y", p50 = 50.0, windowLen = "1 hour"))
+      assert(streamed === batch, "stateless windowed agg must be batch ≡ stream")
+      // closed form: chi2 = (|n10 − n01| − 1)² / (n10 + n01)
+      streamed.values.foreach { case (n10, n01, chi2) =>
+        if (n10 + n01 == 0) assert(chi2.isEmpty, "concordant window must be NULL")
+        else {
+          val want = math.pow(math.abs(n10.toDouble - n01.toDouble) - 1.0, 2) /
+            (n10.toDouble + n01.toDouble)
+          assert(math.abs(chi2.get - want) < 1e-9, s"($n10, $n01) -> $chi2")
+        }
+      }
+      // the discordant window carries signal: A is right on the
+      // (value ≥ 80 ↔ even-id) rows by construction, the coin is not
+      val (n10w0, n01w0, _) = streamed("2024-01-01 00:00:00.0")
+      assert(n10w0 + n01w0 > 0, "window 0 must have discordant pairs")
+    } finally q.stop()
+  }
 }
