@@ -6651,8 +6651,14 @@ object SparkEntry {
           round(nd(col("smi")), 6).as("mi"),
           round(-nd(col("shx")), 6).as("h_lang"),
           round(-nd(col("shy")), 6).as("h_source"),
-          round(nd(col("smi")) /
-            sqrt(nd(col("shx")) * nd(col("shy"))), 6).as("nmi"))
+          // degenerate-marginal pin (repo convention — q_fleiss_kappa
+          // pins P̄e=1 → 0.0, q_v_measure guards h+c=0): one-category
+          // lang or source ⇒ its entropy sum is 0 and sqrt(shx·shy)=0;
+          // MI is 0 too, so 0/0 would emit NaN whose engine hash
+          // parity is not guaranteed. Pin nmi to 0.0, oracle mirrors.
+          when(col("shx") === 0 || col("shy") === 0, lit(0.0))
+            .otherwise(round(nd(col("smi")) /
+              sqrt(nd(col("shx")) * nd(col("shy"))), 6)).as("nmi"))
     }),
 
     // #298: distinct-1 / distinct-2 generation-diversity ratios per
@@ -11509,8 +11515,9 @@ object SparkEntry {
         |SELECT nn, ROUND(CAST(smi AS DOUBLE), 6) AS mi,
         |  ROUND(-CAST(shx AS DOUBLE), 6) AS h_lang,
         |  ROUND(-CAST(shy AS DOUBLE), 6) AS h_source,
-        |  ROUND(CAST(smi AS DOUBLE)
-        |    / sqrt(CAST(shx AS DOUBLE) * CAST(shy AS DOUBLE)), 6) AS nmi
+        |  CASE WHEN shx = 0 OR shy = 0 THEN 0.0
+        |    ELSE ROUND(CAST(smi AS DOUBLE)
+        |      / sqrt(CAST(shx AS DOUBLE) * CAST(shy AS DOUBLE)), 6) END AS nmi
         |FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot""".stripMargin,
 
     // vocab-sized integer counts, one division per ratio

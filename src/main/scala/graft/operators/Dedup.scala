@@ -217,26 +217,62 @@ object Dedup {
     * (j, i) are distinct rows with different denominators. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int = 3,
-                       minContainment: Double = 0.5): DataFrame =
-    containmentPlan(docs, idCol, textCol, shingleN, minContainment)._1
+                       minContainment: Double = 0.5,
+                       maxGramDf: Int = Int.MaxValue): DataFrame =
+    containmentPlan(docs, idCol, textCol, shingleN, minContainment,
+      maxGramDf)._1
 
   /** OWNED cache lifetime for [[containmentPairs]] — same loan contract
     * as [[withMinHashNearDups]]. */
   def withContainmentPairs[A](docs: DataFrame, idCol: String, textCol: String,
-                              shingleN: Int = 3, minContainment: Double = 0.5)
+                              shingleN: Int = 3, minContainment: Double = 0.5,
+                              maxGramDf: Int = Int.MaxValue)
                              (consume: DataFrame => A): A = {
-    val (pairs, sh) = containmentPlan(docs, idCol, textCol, shingleN, minContainment)
+    val (pairs, sh) = containmentPlan(docs, idCol, textCol, shingleN,
+      minContainment, maxGramDf)
     try consume(pairs) finally sh.unpersist(blocking = true)
   }
 
   private def containmentPlan(docs: DataFrame, idCol: String, textCol: String,
-                              shingleN: Int, minContainment: Double)
+                              shingleN: Int, minContainment: Double,
+                              maxGramDf: Int = Int.MaxValue)
       : (DataFrame, DataFrame) = {
     val sh = shingleDf(docs, idCol, textCol, shingleN)
       .filter(size(col("sh")) > 0) // empty sets excluded, as in minHashPlan
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.select(col("id").as("i"), size(col("sh")).as("size_i"))
-    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val ex0 = sh.select(col("id"), explode(col("sh")).as("g"))
+    // Opt-in per-gram document-frequency budget (default OFF =
+    // Int.MaxValue — exhaustive semantics and every oracle replay
+    // untouched). The cost of the self-join below is Σ_g df(g)², and on
+    // a corpus with duplicated content both the df term and the output
+    // pair report SQUARE (the r15 sf1 sweep measured a 979× pair
+    // blow-up, 512 → 501,200, on 10× rows). With maxGramDf set, each
+    // gram keeps only its maxGramDf posting-list members with the
+    // lowest md5(g|id) — the same content-keyed, replay-stable
+    // subsample as minHashPlan's maxBucket, varying per gram so no doc
+    // is systematically dropped from every posting list — capping
+    // per-gram join fan-out at maxGramDf². Capping the posting list can
+    // only UNDERCOUNT `shared`, so capped containment is a lower bound
+    // and recall degrades LOUDLY, never silently: rows_dropped /
+    // rows_kept / grams_capped ride the frame as
+    // `graft_containment_cap` observe metrics (DedupSpec reads them via
+    // observedMetrics). The rank window shuffles on the same gram key
+    // the candidate join shuffles on — a per-gram sort, not a new
+    // exchange pattern.
+    val ex =
+      if (maxGramDf == Int.MaxValue) ex0
+      else {
+        val byGram = Window.partitionBy(col("g"))
+          .orderBy(md5(concat_ws("|", col("g"), col("id"))))
+        ex0.withColumn("_r", row_number().over(byGram))
+          .observe("graft_containment_cap",
+            sum(when(col("_r") > maxGramDf, 1L).otherwise(0L)).as("rows_dropped"),
+            sum(when(col("_r") <= maxGramDf, 1L).otherwise(0L)).as("rows_kept"),
+            sum(when(col("_r") === maxGramDf + 1, 1L).otherwise(0L))
+              .as("grams_capped"))
+          .filter(col("_r") <= maxGramDf).drop("_r")
+      }
     val out = ex.as("a").join(ex.as("b"),
         col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("i"), col("b.id").as("j"))

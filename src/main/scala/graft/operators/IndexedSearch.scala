@@ -181,6 +181,37 @@ object IndexedSearch {
     spark.read.parquet(s"$dir/ivf_assigned")
       .select(col("id"), col("vec"), col("cid").cast("long").as("cid"))
 
+  /** The published generation id, if any — the public seam a drift
+    * monitor ([[graft.streaming.StreamOps.driftRefit]]) watches to
+    * detect a swap and to assert no-refit-on-the-hot-path. */
+  def currentGeneration(spark: SparkSession, dir: String): Option[String] =
+    readPointer(spark, dir)
+
+  /** Cell-share baseline of the SERVED generation: (band = cid,
+    * p = cell share) off the persisted `ivf_assigned` artifact — the
+    * fit-time arrival distribution a PSI drift monitor compares
+    * against ([[graft.streaming.StreamOps.psiOf]]'s baseline shape).
+    * Cell-count-sized output; one artifact scan (already
+    * cid-partitioned, so the groupBy is a partition count). */
+  def servedCellShares(spark: SparkSession, dir: String): DataFrame = {
+    val a = loadAssigned(spark, resolve(spark, dir))
+    val tot = a.groupBy().agg(count(lit(1)).as("tot"))
+    a.groupBy(col("cid").as("band")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("band"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+  }
+
+  /** Assign `embs` to the SERVED generation's centroids — the arrival
+    * side of the cell-share drift comparison. Returns (id, vec, cid)
+    * as [[AnnIvf.assign]]. */
+  def assignServed(spark: SparkSession, dir: String, embs: DataFrame,
+                   idCol: String, vecCol: String): DataFrame = {
+    val gen = resolve(spark, dir)
+    AnnIvf.assign(embs, AnnIvf.loadIndex(spark, s"$gen/ivf_centroids"),
+      idCol, vecCol)
+  }
+
   /** Per-cell silhouette of the SERVED index: resolves the published
     * generation and grades exactly the (centroids, assigned corpus)
     * pair production queries probe — the quality gate the refitting

@@ -36,6 +36,13 @@ import graft.operators.BoundedWindow.boundedGlobal
   * replayed locally in the fused path, the q_mmr round9 rule), and
   * every Σ-term accumulator is an exact scale-9 decimal sum
   * (order-free), so fused, unrolled, and the oracle agree on the hash.
+  *
+  * Degenerate inputs fail LOUDLY in both paths, never silently
+  * diverge: a duplicate directed (i, jj) row, a pair of zero-win arms
+  * sharing a pair row (both strengths hit 0, the MM term divides by
+  * zero), or an arm compared nowhere (nn=0 everywhere) raise a clear
+  * error in the fused path; the unrolled twin raises ANSI
+  * DIVIDE_BY_ZERO at the same step (PreferenceSpec pins both).
   */
 object Preference {
 
@@ -60,6 +67,15 @@ object Preference {
         val hasPair = Array.ofDim[Boolean](k, k)
         rs.foreach { case (a, b, w2, nn) =>
           val ia = idx(a); val ib = idx(b)
+          // at most one row per directed (i, jj): a duplicate would
+          // double-count w2tot but OVERWRITE nnD — silently diverging
+          // from the unrolled twin, which sums per-row denominator
+          // terms. Enforce the stated contract loudly (k² rows — the
+          // check is free).
+          require(!hasPair(ia)(ib),
+            s"btFused: duplicate directed pair ($a, $b) in the doubled-win " +
+              "table — pre-aggregate duplicates (groupBy(i, jj).sum) before " +
+              "fitting")
           w2tot(ia) += BigInt(w2.toBigInteger)
           nnD(ia)(ib) = nn.doubleValue
           hasPair(ia)(ib) = true
@@ -80,11 +96,39 @@ object Preference {
             while (j < k) {
               if (hasPair(i)(j)) {
                 val term = round9(2.0 * nnD(i)(j) / (p(i) + p(j)))
+                // Degenerate pair: both arms at strength 0 (a zero-win
+                // arm hits p=0 after one MM step; two such arms sharing
+                // a pair row violate the doubled-win invariant) makes
+                // this term 2·nn/0 = Inf. The unrolled twin throws
+                // ANSI DIVIDE_BY_ZERO at the same step; here
+                // BigDecimal.valueOf(Inf) would surface as a baffling
+                // NumberFormatException — fail loudly with the
+                // degeneracy named instead (PreferenceSpec pins both).
+                if (term.isNaN || term.isInfinite)
+                  throw new IllegalStateException(
+                    s"btFused: degenerate MM term for pair " +
+                      s"('${players(i)}', '${players(j)}') at iteration $t — " +
+                      s"both arms at strength 0 (p_i=${p(i)}, p_j=${p(j)}); " +
+                      "the doubled-win invariant w2(i,j)+w2(j,i)=2*nn is " +
+                      "violated (both arms have zero total wins yet a shared " +
+                      "pair row); drop zero-win arms before fitting. The " +
+                      "unrolled twin raises DIVIDE_BY_ZERO here under ANSI.")
                 dd = dd.add(java.math.BigDecimal.valueOf(term).setScale(9))
               }
               j += 1
             }
             u(i) = round9(w2totD(i) / dd.doubleValue)
+            // dd can still be exactly 0 (every pair row for this arm
+            // has nn=0): the strength update is undefined, and the
+            // unrolled twin raises DIVIDE_BY_ZERO on w2tot/dd under
+            // ANSI. Same loud contract.
+            if (u(i).isNaN || u(i).isInfinite)
+              throw new IllegalStateException(
+                s"btFused: arm '${players(i)}' has an undefined MM update " +
+                  s"at iteration $t (denominator ${dd.doubleValue}) — every " +
+                  "pair row for it carries nn=0; drop uncompared arms " +
+                  "before fitting. The unrolled twin raises DIVIDE_BY_ZERO " +
+                  "here under ANSI.")
             i += 1
           }
           var sp = java.math.BigDecimal.ZERO

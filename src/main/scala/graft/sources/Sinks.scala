@@ -164,7 +164,20 @@ object Sinks {
             source: DataFrame, keys: Seq[String],
             deleteWhen: org.apache.spark.sql.Column = lit(false)): Unit = {
     recoverCompact(path)
-    val tgt = spark.read.parquet(path)
+    val merged = mergedFrame(spark.read.parquet(path), source, keys, deleteWhen)
+    swapIn(path) { tmp =>
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+  }
+
+  /** The MERGE join shape shared by [[merge]] (in-place swap, one
+    * generation) and [[VersionedTable.merge]] (append-a-snapshot time
+    * travel): full-outer on the keys, source payload wins, deletes
+    * filtered, counts on the frame as `graft_merge` observe metrics. */
+  private[sources] def mergedFrame(tgt: DataFrame, source: DataFrame,
+                                   keys: Seq[String],
+                                   deleteWhen: org.apache.spark.sql.Column)
+      : DataFrame = {
     val outCols = tgt.columns.toSeq
     require(keys.nonEmpty && keys.forall(outCols.contains),
       s"merge keys $keys must be target columns (${outCols.mkString(",")})")
@@ -180,7 +193,7 @@ object Sinks {
     val srcHit = col("s._sp").isNotNull
     val tgtHit = col("t._tp").isNotNull
     val del = srcHit && coalesce(deleteWhen, lit(false))
-    val merged = t.join(s, on, "full_outer")
+    t.join(s, on, "full_outer")
       .observe("graft_merge",
         sum(when(srcHit && tgtHit && !del, 1L).otherwise(0L)).as("updated"),
         sum(when(srcHit && !tgtHit && !del, 1L).otherwise(0L)).as("inserted"),
@@ -188,9 +201,6 @@ object Sinks {
       .filter(!del)
       .select(outCols.map(c =>
         when(srcHit, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
-    swapIn(path) { tmp =>
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    }
   }
 
   /** Startup recovery for a compact() swap torn by a crash. Outcomes:

@@ -181,6 +181,132 @@ object StreamOps {
     }
   }
 
+  /** Drift-triggered index maintenance — the closed loop between the
+    * banded drift monitors and the [[graft.operators.IndexedSearch]]
+    * artifact store. Each micro-batch of arriving embeddings:
+    *
+    *  1. appends (replay-idempotent id anti-join, the nearDupIngest
+    *     guard) to the `corpusPath` embedding store;
+    *  2. assigns the fresh vectors to the SERVED generation's
+    *     centroids and folds a PSI over the CELL-SHARE distribution vs
+    *     the generation's fit-time baseline (cells are the bands —
+    *     "arrivals no longer land where the index was balanced" IS
+    *     index staleness, measured by the index's own partition);
+    *  3. on psi > `psiThreshold`, refits from the accumulated corpus —
+    *     `IndexedSearch.fit` stages a full new generation and commits
+    *     it with the atomic CURRENT-pointer rename, so `serveIvf`/
+    *     `servePq` readers keep serving the OLD generation mid-refit
+    *     and the N-1 GC grace keeps their in-flight scans alive across
+    *     the swap.
+    *
+    * The SERVING path never fits: refit decisions live here, on the
+    * maintenance stream, and the serve entry points only resolve
+    * CURRENT (no-refit-on-the-hot-path — StreamingSpec asserts the
+    * generation is unchanged by serving and changed only by an alarm).
+    * A missing index bootstraps from the first batch's corpus.
+    *
+    * Each batch appends one audit row to `reportPath`:
+    * (batch_id, n_new, psi, refit, gen_before, gen_after) — the
+    * no-silent-maintenance rule; psi is NULL on the bootstrap batch.
+    * The PSI fold is q_psi's convention (1e-6 floor, grid = baseline ∪
+    * observed cells, round 9) computed driver-side over
+    * cell-count-sized arrays — monitoring state, never data-sized.
+    *
+    * Scale shape: per batch, one anti-join against the corpus ids, one
+    * batch-sized centroid assignment (broadcast centroids), one
+    * cell-sized artifact aggregate. The refit itself scans the full
+    * corpus — the maintenance job's honest cost, paid only on alarm
+    * and off the serving path. */
+  def driftRefit(embStream: DataFrame, indexDir: String, corpusPath: String,
+                 reportPath: String, idCol: String, vecCol: String,
+                 psiThreshold: Double = 0.2, nlist: Int = 16,
+                 m: Int = 8, subDim: Int = 8, ksub: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.IndexedSearch
+    embStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val existingIds: DataFrame =
+        try spark.read.parquet(corpusPath).select(col(idCol))
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          spark.emptyDataFrame.select(lit(0L).as(idCol)).filter(lit(false)) }
+      val fresh = batch.select(col(idCol), col(vecCol))
+        .join(existingIds, Seq(idCol), "left_anti")
+        .localCheckpoint(true) // reused: append + assign; pin one copy
+      val nNew = fresh.count()
+      if (nNew > 0) {
+        fresh.write.mode("append").parquet(corpusPath)
+        val genBefore = IndexedSearch.currentGeneration(spark, indexDir)
+        val (psi, refit) = genBefore match {
+          case None => (None, true) // bootstrap: first fit IS the alarm
+          case Some(_) =>
+            val q0 = IndexedSearch
+              .assignServed(spark, indexDir, fresh, idCol, vecCol)
+              .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            val p0 = IndexedSearch.servedCellShares(spark, indexDir)
+              .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+            val cells = q0.keySet ++ p0.keySet
+            val tot = q0.values.sum.toDouble
+            val s = cells.toSeq.map { c =>
+              val q = math.max(q0.getOrElse(c, 0L) / tot, 1e-6)
+              val p = math.max(p0.getOrElse(c, 0.0), 1e-6)
+              (q - p) * math.log(q / p)
+            }.sum
+            val psi = BigDecimal(s)
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (Some(psi), psi > psiThreshold)
+        }
+        if (refit)
+          IndexedSearch.fit(spark.read.parquet(corpusPath), idCol, vecCol,
+            indexDir, nlist = nlist, m = m, subDim = subDim, ksub = ksub)
+        val genAfter = IndexedSearch.currentGeneration(spark, indexDir)
+        Seq((batchId, nNew, psi, refit, genBefore, genAfter))
+          .toDF("batch_id", "n_new", "psi", "refit", "gen_before", "gen_after")
+          .coalesce(1).write.mode("append").parquet(reportPath)
+      }
+      ()
+    }
+  }
+
+  /** [[cdcApply]] against a [[graft.sources.VersionedTable]] — the
+    * time-traveling CDC sink: each micro-batch's collapsed change set
+    * commits as a NEW snapshot version instead of swapping in place,
+    * so downstream consumers can pin "the table as of version N"
+    * while the stream keeps applying, and retention is
+    * `VersionedTable.vacuum`. Same last-writer collapse, bootstrap,
+    * and idempotent-replay reasoning as [[cdcApply]] — a replayed
+    * batch re-merges the same change set, committing a value-identical
+    * new version (a fixpoint in CONTENT, not in version count; exactly
+    *-once version numbering is not the contract, table state is).
+    * An empty batch commits nothing. */
+  def cdcApplyVersioned(changes: DataFrame, tablePath: String,
+                        keys: Seq[String], orderCols: Seq[String],
+                        opCol: String = "op", deleteOp: String = "D")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val nonKey = batch.columns.filterNot(keys.contains).toSeq
+      val last = batch.groupBy(keys.map(col): _*)
+        .agg(max_by(struct(nonKey.map(col): _*),
+          struct(orderCols.map(col): _*)).as("_l"))
+        .select(keys.map(col) ++ nonKey.map(c => col(s"_l.$c").as(c)): _*)
+      if (!last.isEmpty) {
+        import graft.sources.VersionedTable
+        if (VersionedTable.currentVersion(tablePath).isDefined)
+          VersionedTable.merge(spark, tablePath, last, keys,
+            deleteWhen = col(opCol) === deleteOp)
+        else {
+          val payload = batch.columns.toSeq
+            .filterNot(orderCols.contains).filterNot(_ == opCol)
+          VersionedTable.init(spark, tablePath,
+            last.filter(col(opCol) =!= deleteOp).select(payload.map(col): _*))
+        }
+      }
+      ()
+    }
+  }
+
   /** Streaming MMR retrieval serving — the speed-layer twin of
     * `operators.Ann.mmrTopK` (the batch/speed symmetry every family
     * here keeps): arriving QUERY vectors re-rank against a LOADED

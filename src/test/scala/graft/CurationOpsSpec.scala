@@ -358,6 +358,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.values.map(_._3).sum === 100.0, "allocation spends the budget")
   }
 
+  test("q_mutual_info: one-category marginal pins nmi to 0.0, never NaN") {
+    // a single-lang corpus has H(lang) = 0, so sqrt(shx·shy) = 0 and
+    // the unguarded nmi would be 0/0 = NaN (engine hash parity on NaN
+    // is not guaranteed); the repo's degenerate-case convention pins
+    // it to 0.0 in BOTH the Spark query and the DuckDB oracle
+    val dir = tmpDir("nmi")
+    Seq((1L, "en", "wiki"), (2L, "en", "web"), (3L, "en", "web"))
+      .toDF("doc_id", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("q_mutual_info")(ss, dir).collect().head
+    assert(row.getAs[Double]("h_lang") === 0.0)
+    assert(row.getAs[Double]("nmi") === 0.0, "degenerate marginal pins to 0.0")
+    assert(!row.getAs[Double]("nmi").isNaN)
+  }
+
   test("q_pass_at_k: telescoped product hits every branch exactly") {
     val dir = tmpDir("passk")
     // success = value > 80; per user: (n, c) of (12,0) -> 0.0,

@@ -111,6 +111,56 @@ class DedupSpec extends SparkSpec {
     assert(!rows.exists { case ((i, j), _) => i == 3L || j == 3L })
   }
 
+  test("containment gram-df budget trips loudly on a replicated corpus") {
+    import SparkSpec.spark.implicits._
+    // 40 verbatim replicas: every shingle's posting list carries all 40
+    // docs, so the per-gram self-join fans out 40² per gram — the r15
+    // sf1 sweep's Σ df² blow-up shape
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val nGrams = text.split(" ").length - 2 // distinct 3-shingles per doc
+    val replicated = (0L until 40L).map(i => (i, text)).toDF("doc_id", "text")
+    val cap = 8
+    // threshold 0.0 on the capped path: the cap keeps a DIFFERENT
+    // md5-ranked 8-subset per gram, so a given pair co-survives only a
+    // few posting lists and its (lower-bound) containment lands far
+    // below 0.5 — the capped report is observed unthresholded here
+    val capped = Dedup.containmentPairs(replicated, "doc_id", "text",
+      3, 0.0, maxGramDf = cap)
+    val rows = capped.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // loud degrade: observe metrics report exactly what was skipped —
+    // nGrams posting lists × (40 − 8) rows dropped, every gram capped
+    val m = capped.queryExecution.observedMetrics("graft_containment_cap")
+    assert(m.getAs[Long]("grams_capped") === nGrams.toLong)
+    assert(m.getAs[Long]("rows_dropped") === nGrams.toLong * 32L)
+    assert(m.getAs[Long]("rows_kept") === nGrams.toLong * 8L)
+    // capped containment is a LOWER bound (posting-list members only
+    // undercount `shared`; the uncapped score here is 1.0), and
+    // directional pair work is bounded by the budget fan-out, not the
+    // replica count
+    assert(rows.values.forall(c => c > 0.0 && c <= 1.0))
+    assert(rows.size <= nGrams * cap * (cap - 1))
+    assert(rows.nonEmpty)
+    // replay-stable (md5-ranked keep set)
+    val again = Dedup.containmentPairs(replicated, "doc_id", "text",
+      3, 0.0, maxGramDf = cap).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(again === rows)
+    // default OFF: uncapped call scores every directed replica pair at
+    // 1.0 and carries no metrics node
+    val full = Dedup.containmentPairs(replicated, "doc_id", "text", 3, 0.5)
+    assert(full.count() === 40L * 39L)
+    assert(!full.queryExecution.observedMetrics.contains("graft_containment_cap"))
+    // real corpus, budget far above any honest posting list: output
+    // unchanged vs the exhaustive plan
+    val cappedReal = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5,
+      maxGramDf = 1 << 20)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedReal === ref)
+  }
+
   test("loan variants leave no cached blocks after consumption") {
     val sc = spark.sparkContext
     def cachedIds = sc.getPersistentRDDs.keySet

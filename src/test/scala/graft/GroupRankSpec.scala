@@ -120,14 +120,27 @@ class GroupRankSpec extends SparkSpec {
 
   test("no cached blocks survive a prefixSum/ntile/q_spearman/q_gini run") {
     val sc = SparkSpec.spark.sparkContext
-    def persisted = sc.getPersistentRDDs.size
-    val before = persisted
+    // The context is shared with concurrently-running suites, so the
+    // global persistent-RDD COUNT can move in either direction during
+    // this test (another suite persisting or unpersisting mid-window).
+    // Assert only on ids CREATED during this test's window: any id
+    // absent before and present after is a leak attributable to us —
+    // immune to concurrent unpersists of pre-existing ids.
+    def persistedIds = sc.getPersistentRDDs.keySet
+    val before = persistedIds
     GroupRank.prefixSum(mkDf(5), Seq("g"), Seq("v", "id"), None, "ps").count()
     GroupRank.ntile(mkDf(5), Seq("g"), Seq("v", "id"), 4, "t").count()
     SparkEntry.queries("q_spearman")(SparkSpec.spark, sf).count()
     SparkEntry.queries("q_gini")(SparkSpec.spark, sf).count()
     // the two-pass operators own no cache: consuming their outputs must
-    // leave the persistent-RDD registry exactly where it started
-    assert(persisted === before, s"leaked ${persisted - before} cached RDDs")
+    // not leave behind any NEW cached RDD. A concurrent suite's
+    // TRANSIENT persist (created during our window, unpersisted when
+    // that suite's loan scope exits) can be alive at snapshot time; a
+    // genuine leak from this test never clears, so poll briefly before
+    // declaring one.
+    def leaked = persistedIds.diff(before)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(leaked.isEmpty, s"leaked cached RDD ids: ${leaked.mkString(",")}")
   }
 }

@@ -537,4 +537,104 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("approx sketches drop into the exact plans: shape never worse, " +
+      "error bounded (SURVEY rows 130/136/141)") {
+    // SURVEY §2 asserts q_window_users / q_len_deciles / q_mad swap
+    // their exact aggregate for the HLL / approx_percentile sketch "on
+    // the same plan" at 100 TB. Assert it: build the swapped twin of
+    // each EXACT registered plan, check the physical shape is the same
+    // or strictly simpler (a sketch must never ADD an exchange — for
+    // count_distinct it actually REMOVES the Expand re-shuffle), and
+    // bound the sketch error against the exact result.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def nExchanges(df: DataFrame): Int = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.size
+    def nJoins(df: DataFrame): Int = df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.size
+
+    // --- row 130: q_window_users — HLL for exact count_distinct
+    val exactWu = SparkEntry.queries("q_window_users")(spark, sf)
+    val approxWu = table("events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(approx_count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("n_users"), col("n_events"))
+    assert(nExchanges(approxWu) <= nExchanges(exactWu),
+      "HLL swap must not add a shuffle (it drops the distinct Expand)")
+    assert(nJoins(approxWu) === nJoins(exactWu))
+    val exWu = exactWu.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val apWu = approxWu.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(apWu.keySet === exWu.keySet, "same windows either way")
+    // default rsd 5%: 3-sigma relative error bound per window
+    exWu.foreach { case (w, n) =>
+      assert(math.abs(apWu(w) - n) <= math.max(1.0, 0.15 * n),
+        s"window $w: exact $n vs HLL ${apWu(w)}")
+    }
+
+    // --- row 141: q_mad — approx_percentile for both exact percentiles
+    val exactMad = SparkEntry.queries("q_mad")(spark, sf)
+    val li = table("lineitem").select(col("l_returnflag"), col("l_quantity"))
+    val medA = li.groupBy(col("l_returnflag").as("rf"))
+      .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("med"))
+    val approxMad = li.join(broadcast(medA), col("l_returnflag") === col("rf"))
+      .groupBy(col("l_returnflag"))
+      .agg(first(col("med")).as("med"),
+        percentile_approx(abs(col("l_quantity") - col("med")), lit(0.5),
+          lit(10000)).as("mad"))
+      .select(col("l_returnflag"), round(col("med"), 9).as("med"),
+        round(col("mad"), 9).as("mad"))
+    // identical shape: same exchanges, still one broadcast join, both
+    // percentile flavors are TypedImperativeAggregates
+    assert(nExchanges(approxMad) === nExchanges(exactMad))
+    assert(nJoins(approxMad) === nJoins(exactMad))
+    assert(approxMad.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val exM = exactMad.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val apM = approxMad.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(apM.keySet === exM.keySet)
+    exM.foreach { case (g, (med, mad)) =>
+      // exact interpolates between adjacent quarter-exact quantities;
+      // the sketch returns an element — off by at most one rank step
+      // at this accuracy, so a 5% relative band is generous
+      assert(math.abs(apM(g)._1 - med) <= 0.05 * math.max(med, 1.0),
+        s"$g med: $med vs ${apM(g)._1}")
+      assert(math.abs(apM(g)._2 - mad) <= 0.05 * math.max(mad, 1.0),
+        s"$g mad: $mad vs ${apM(g)._2}")
+    }
+
+    // --- row 136: q_len_deciles — approx_percentile-derived cutpoints
+    // feeding the UNCHANGED assignment + 10-group rollup tail
+    val exactLd = SparkEntry.queries("q_len_deciles")(spark, sf)
+    val d = table("documents").select(col("doc_id"), col("n_chars"))
+    val cutsA = d.agg(percentile_approx(col("n_chars"),
+      array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("cuts"))
+    val approxLd = d.crossJoin(broadcast(cutsA))
+      .select(col("n_chars"),
+        size(filter(col("cuts"), c => c <= col("n_chars")))
+          .cast("long").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+    assert(nExchanges(approxLd) <= nExchanges(exactLd),
+      "sketch cutpoints must not add a shuffle over histogram cutpoints")
+    val exL = exactLd.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val apL = approxLd.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tot = exL.values.sum.toDouble
+    // decile populations agree up to boundary docs: total variation
+    // across the 10 buckets bounded at 10% of the corpus
+    val tv = (exL.keySet ++ apL.keySet).toSeq
+      .map(k => math.abs(exL.getOrElse(k, 0L) - apL.getOrElse(k, 0L))).sum
+    assert(tv / tot <= 0.10, s"decile-population total variation $tv / $tot")
+  }
 }

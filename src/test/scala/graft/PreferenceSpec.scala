@@ -45,6 +45,57 @@ class PreferenceSpec extends SparkSpec {
     assert(wins == Map("A" -> 11L, "B" -> 6L, "C" -> 7L), wins.toString)
   }
 
+  test("degenerate tables fail LOUDLY in both paths; duplicates rejected") {
+    val s = spark
+    import s.implicits._
+    def rootMsg(t: Throwable): String = {
+      var cur = t; val sb = new StringBuilder
+      while (cur != null) { sb.append(cur.getMessage).append('\n'); cur = cur.getCause }
+      sb.toString
+    }
+
+    // Z and Y never win anything (their head-to-head rows carry w2=0
+    // both ways — violating the doubled-win invariant): both hit
+    // strength 0 after one MM step, so the (Z, Y) term is
+    // 2·nn/(0+0) = Inf. Under Spark 4 ANSI the UNROLLED twin throws
+    // DIVIDE_BY_ZERO at that step; the fused path must not surface a
+    // baffling BigDecimal.valueOf(Inf) NumberFormatException — it
+    // fails with the degeneracy named.
+    val degenerate = Seq(
+      ("A", "Z", 8L, 4L), ("Z", "A", 0L, 4L),
+      ("A", "Y", 8L, 4L), ("Y", "A", 0L, 4L),
+      ("Z", "Y", 0L, 4L), ("Y", "Z", 0L, 4L)
+    ).toDF("i", "jj", "w2", "nn")
+    val eFused = intercept[org.apache.spark.SparkException] {
+      Preference.btFused(degenerate).collect()
+    }
+    assert(rootMsg(eFused).contains("degenerate MM term"))
+    val eUnrolled = intercept[Throwable] {
+      Preference.btUnrolled(degenerate).collect()
+    }
+    assert(rootMsg(eUnrolled).contains("DIVIDE_BY_ZERO"),
+      s"unrolled twin crashes at the same step under ANSI: ${rootMsg(eUnrolled)}")
+
+    // duplicate directed pair: the contract is one row per (i, jj) —
+    // enforced with the mechanism named, not a silent nn overwrite
+    // that diverges from the unrolled twin's per-row term sums
+    val dup = handPairs.union(Seq(("A", "B", 6L, 4L)).toDF("i", "jj", "w2", "nn"))
+    val eDup = intercept[org.apache.spark.SparkException] {
+      Preference.btFused(dup).collect()
+    }
+    assert(rootMsg(eDup).contains("duplicate directed pair"))
+
+    // nn=0 everywhere for an arm: the update denominator is 0 and the
+    // strength undefined — loud in the fused path too
+    val uncompared = Seq(
+      ("Z", "Y", 0L, 0L), ("Y", "Z", 0L, 0L)
+    ).toDF("i", "jj", "w2", "nn")
+    val eDeg = intercept[org.apache.spark.SparkException] {
+      Preference.btFused(uncompared).collect()
+    }
+    assert(rootMsg(eDeg).contains("undefined MM update"))
+  }
+
   test("parity holds on the sf0.001 events-derived pair table") {
     // the registered query end-to-end vs the unrolled twin fed the
     // same pair table: build pairs exactly as q_bradley_terry does

@@ -337,6 +337,122 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor closes the loop: alarm refits + atomic swap, " +
+      "serving survives, no refit on the hot path") {
+    import graft.operators.IndexedSearch
+    val dir = tmpDir("drift")
+    val idx = s"$dir/index"; val corpus = s"$dir/corpus"
+    val report = s"$dir/report"
+    // 64-dim corpus of 4 tight clusters: one-hot at dim (i/10)%4 (BLOCK
+    // layout, so the stride-10 k-means seeding lands exactly one seed
+    // per cluster) plus an id-keyed epsilon at dim 60 so every cosine
+    // is distinct — rankings are deterministic and
+    // generation-independent (nprobe = nlist = 4 probes every cell, so
+    // serving is exhaustive in both generations)
+    def vec(i: Long, hotDim: Int): Array[Float] = {
+      val v = Array.fill(64)(0.0f)
+      v(hotDim) = 1.0f
+      v(60) = (i + 1) * 0.001f
+      v
+    }
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.driftRefit(
+      in.toDF().toDF("vec_id", "embedding"), idx, corpus, report,
+      "vec_id", "embedding", psiThreshold = 0.2, nlist = 4)
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      def gen() = IndexedSearch.currentGeneration(spark, idx)
+      // batch 1: 40 in-distribution vectors → bootstrap fit
+      in.addData((0L until 40L).map(i => (i, vec(i, ((i / 10) % 4).toInt))): _*)
+      q.processAllAvailable()
+      val gen1 = gen()
+      assert(gen1.isDefined, "bootstrap batch fits the first generation")
+      // pure one-hot query (no epsilon): cos = 1/|v_i|, so the SMALLEST
+      // epsilons — the lowest cluster-0 ids — rank first, an order no
+      // later batch can displace (later ids carry larger epsilons)
+      val qv = Array.fill(64)(0.0f); qv(0) = 1.0f
+      val queries = Seq((100L, qv)).toDF("vec_id", "embedding")
+      def top5() = IndexedSearch
+        .serveIvf(spark, idx, queries, "vec_id", "embedding", 5)
+        .orderBy(col("rn")).collect().map(_.getAs[Long]("n_id")).toSeq
+      val before = top5()
+      assert(before === Seq(0L, 1L, 2L, 3L, 4L),
+        "closest cluster-0 vectors in id-epsilon order")
+      assert(gen() === gen1, "serving never refits (hot path is read-only)")
+      // batch 2: same distribution → psi below threshold → no refit
+      in.addData((40L until 80L).map(i => (i, vec(i, ((i / 10) % 4).toInt))): _*)
+      q.processAllAvailable()
+      assert(gen() === gen1, "in-distribution batch must not regenerate")
+      // batch 3: shifted arrivals (mass at an unseen direction) → alarm
+      in.addData((80L until 120L).map(i => (i, vec(i, 32))): _*)
+      q.processAllAvailable()
+      val gen2 = gen()
+      assert(gen2.isDefined && gen2 != gen1,
+        "drift alarm triggers a refit and the atomic pointer swap")
+      // serving parity across the swap: the query's true neighbors are
+      // unchanged, and the new generation serves them identically
+      assert(top5() === before, "post-swap serving returns the same top-k")
+      // audit trail: one row per non-empty batch, refit flags honest
+      val rep = spark.read.parquet(report).collect()
+        .map(r => r.getAs[Long]("batch_id") ->
+          ((r.getAs[Long]("n_new"), Option(r.getAs[java.lang.Double]("psi")),
+            r.getAs[Boolean]("refit")))).toMap
+      assert(rep.size === 3)
+      val byBatch = rep.toSeq.sortBy(_._1).map(_._2)
+      assert(byBatch(0)._3 && byBatch(0)._2.isEmpty,
+        "bootstrap: refit=true, psi=null")
+      assert(!byBatch(1)._3 && byBatch(1)._2.exists(_ < 0.2),
+        s"in-distribution psi stays quiet: ${byBatch(1)._2}")
+      assert(byBatch(2)._3 && byBatch(2)._2.exists(_ > 0.2),
+        s"shifted psi alarms: ${byBatch(2)._2}")
+      assert(byBatch.map(_._1) === Seq(40L, 40L, 40L))
+    } finally q.stop()
+  }
+
+  test("streaming CDC-apply onto a versioned table: each batch commits " +
+      "a snapshot, old versions stay readable mid-stream") {
+    import graft.sources.VersionedTable
+    val dir = tmpDir("cdcv")
+    val path = s"$dir/tbl"
+    val in = MemoryStream[(Long, String, Double, String, Long)]
+    val q = StreamOps.cdcApplyVersioned(
+      in.toDF().toDF("key", "tag", "bal", "op", "seq"),
+      path, keys = Seq("key"), orderCols = Seq("seq"))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      def snap(asOf: Option[Long]) =
+        VersionedTable.read(spark, path, asOf).collect()
+          .map(r => r.getAs[Long]("key") ->
+            ((r.getAs[String]("tag"), r.getAs[Double]("bal")))).toMap
+      // batch 1 bootstraps v1 (delete-of-absent no-ops, seq order wins)
+      in.addData(
+        (1L, "a-stale", 1.0, "U", 2L), (1L, "a", 10.0, "U", 5L),
+        (2L, "b", 20.0, "U", 1L), (9L, "x", 0.0, "D", 1L))
+      q.processAllAvailable()
+      assert(VersionedTable.currentVersion(path) === Some(1L))
+      assert(snap(None) === Map(1L -> (("a", 10.0)), 2L -> (("b", 20.0))))
+      // batch 2 commits v2; v1 remains readable (time travel mid-stream)
+      in.addData(
+        (1L, "a2", 11.0, "U", 6L), (2L, "b", 0.0, "D", 7L),
+        (3L, "c", 30.0, "U", 1L))
+      q.processAllAvailable()
+      assert(VersionedTable.currentVersion(path) === Some(2L))
+      assert(snap(Some(2L)) === Map(1L -> (("a2", 11.0)), 3L -> (("c", 30.0))))
+      assert(snap(Some(1L)) === Map(1L -> (("a", 10.0)), 2L -> (("b", 20.0))),
+        "the pre-batch snapshot survives the stream's merge")
+      assert(VersionedTable.read(spark, path, None).columns.sorted.toSeq ===
+        Seq("bal", "key", "tag"), "op/seq markers never land in the table")
+      // replayed batch = value-identical NEW version (content fixpoint)
+      import SparkSpec.spark.implicits._
+      val replay = Seq(
+        (1L, "a2", 11.0, "U"), (2L, "b", 0.0, "D"), (3L, "c", 30.0, "U"))
+        .toDF("key", "tag", "bal", "op")
+      VersionedTable.merge(spark, path, replay, Seq("key"),
+        deleteWhen = col("op") === "D")
+      assert(snap(None) === snap(Some(2L)))
+    } finally q.stop()
+  }
+
   test("streaming CUSUM fires on a mean shift and stays quiet otherwise") {
     import java.sql.Timestamp
     val in = MemoryStream[(Long, Timestamp, Double)]

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** Snapshot time travel + retention on the MERGE sink: immutable
+  * versions, pinned readers surviving concurrent merges/vacuums, and
+  * retention that keeps K + pins (the round-15 verdict's contract). */
+class VersionedTableSpec extends SparkSpec {
+
+  private val ss = SparkSpec.spark
+  import ss.implicits._
+
+  private def state(path: String, asOf: Option[Long] = None) =
+    VersionedTable.read(ss, path, asOf).collect()
+      .map(r => r.getAs[Long]("key") ->
+        ((r.getAs[String]("tag"), r.getAs[Double]("bal")))).toMap
+
+  private def base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("key", "tag", "bal")
+
+  test("read-at-version parity across two merges") {
+    val p = s"${tmpDir("vt")}/t"
+    assert(VersionedTable.init(ss, p, base) === 1L)
+    // v2: update 1, delete 3, insert 5
+    val d1 = Seq((1L, "a2", 11.0, "U"), (3L, "c", 0.0, "D"),
+      (5L, "e", 50.0, "U")).toDF("key", "tag", "bal", "op")
+    assert(VersionedTable.merge(ss, p, d1, Seq("key"),
+      deleteWhen = col("op") === "D") === 2L)
+    // v3: delete 5, insert 7
+    val d2 = Seq((5L, "e", 0.0, "D"), (7L, "g", 70.0, "U"))
+      .toDF("key", "tag", "bal", "op")
+    assert(VersionedTable.merge(ss, p, d2, Seq("key"),
+      deleteWhen = col("op") === "D") === 3L)
+    // every version stays readable, each with its own state
+    assert(state(p, Some(1L)) === Map(1L -> (("a", 10.0)),
+      2L -> (("b", 20.0)), 3L -> (("c", 30.0))))
+    assert(state(p, Some(2L)) === Map(1L -> (("a2", 11.0)),
+      2L -> (("b", 20.0)), 5L -> (("e", 50.0))))
+    assert(state(p, Some(3L)) === Map(1L -> (("a2", 11.0)),
+      2L -> (("b", 20.0)), 7L -> (("g", 70.0))))
+    // latest == v3; op marker never lands in the table
+    assert(state(p) === state(p, Some(3L)))
+    assert(VersionedTable.read(ss, p).columns.sorted.toSeq ===
+      Seq("bal", "key", "tag"))
+    assert(VersionedTable.versions(p) === Seq(1L, 2L, 3L))
+    // asking for a never-committed version names the mechanism
+    val e = intercept[IllegalStateException] {
+      VersionedTable.read(ss, p, Some(9L))
+    }
+    assert(e.getMessage.contains("not available"))
+  }
+
+  test("a reader's plan survives concurrent merges (immutable snapshots)") {
+    val p = s"${tmpDir("vt")}/t"
+    VersionedTable.init(ss, p, base)
+    // resolve the plan FIRST (the concurrent reader), merge AFTER,
+    // materialize LAST — the snapshot dir it scans is never touched
+    val pinnedPlan = VersionedTable.read(ss, p, Some(1L))
+    val d = Seq((2L, "b9", 99.0, "U")).toDF("key", "tag", "bal", "op")
+    VersionedTable.merge(ss, p, d, Seq("key"))
+    VersionedTable.merge(ss, p,
+      Seq((1L, "a", 0.0, "D")).toDF("key", "tag", "bal", "op"),
+      Seq("key"), deleteWhen = col("op") === "D")
+    val got = pinnedPlan.collect().map(_.getAs[Long]("key")).sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L), "v1 content unchanged under merges")
+    assert(state(p).keySet === Set(2L, 3L))
+  }
+
+  test("vacuum keeps K newest + pins; pinned reader survives vacuum") {
+    val p = s"${tmpDir("vt")}/t"
+    VersionedTable.init(ss, p, base) // v1
+    val pinId = VersionedTable.pin(p) // pin v1
+    for (i <- 1 to 3) // v2..v4
+      VersionedTable.merge(ss, p,
+        Seq((10L + i, s"t$i", i.toDouble, "U")).toDF("key", "tag", "bal", "op"),
+        Seq("key"))
+    assert(VersionedTable.versions(p) === Seq(1L, 2L, 3L, 4L))
+    // keep=2 → {3,4} plus pinned 1; only 2 is vacuumed
+    assert(VersionedTable.vacuum(p, keep = 2) === Seq(2L))
+    assert(VersionedTable.versions(p) === Seq(1L, 3L, 4L))
+    // the pinned version still reads in full
+    assert(state(p, Some(1L)).keySet === Set(1L, 2L, 3L))
+    // a vacuumed version reads as a clean error, not a half-dir scan
+    val e = intercept[IllegalStateException] {
+      VersionedTable.read(ss, p, Some(2L))
+    }
+    assert(e.getMessage.contains("vacuumed") ||
+      e.getMessage.contains("not available"))
+    // release the pin: the next vacuum reclaims v1 (and keeps current)
+    VersionedTable.unpin(p, pinId)
+    assert(VersionedTable.vacuum(p, keep = 1).toSet === Set(1L, 3L))
+    assert(VersionedTable.versions(p) === Seq(4L))
+    assert(state(p).keySet === Set(1L, 2L, 3L, 11L, 12L, 13L))
+    // snapshot dirs of vacuumed versions are gone from disk
+    val dirs = new java.io.File(p).listFiles().map(_.getName).toSet
+    assert(!dirs.contains("snap-00000001") && !dirs.contains("snap-00000002"))
+    assert(dirs.contains("snap-00000004"))
+  }
+
+  test("withPinned loan: pin held during use, released after") {
+    val p = s"${tmpDir("vt")}/t"
+    VersionedTable.init(ss, p, base)
+    VersionedTable.merge(ss, p,
+      Seq((4L, "d", 40.0, "U")).toDF("key", "tag", "bal", "op"), Seq("key"))
+    val n = VersionedTable.withPinned(ss, p) { df =>
+      // vacuum inside the loan: the pinned current (v2) must survive
+      VersionedTable.vacuum(p, keep = 1)
+      df.count()
+    }
+    assert(n === 4L)
+    // after the loan the pin is gone
+    val pins = new java.io.File(s"$p/_pins").listFiles()
+    assert(pins == null || pins.isEmpty)
+  }
+
+  test("unpublished staging debris below current is vacuumed; init guards") {
+    val p = s"${tmpDir("vt")}/t"
+    VersionedTable.init(ss, p, base)
+    VersionedTable.merge(ss, p,
+      Seq((4L, "d", 40.0, "U")).toDF("key", "tag", "bal", "op"), Seq("key"))
+    // fake a crashed writer: a snap dir below current with no manifest
+    val debris = new java.io.File(p, "snap-00000001x")
+    val orphan = new java.io.File(p, "snap-00000001")
+    // (v1 is committed; simulate an orphan at a NEW uncommitted number
+    // below current by vacuuming v1 away first)
+    VersionedTable.vacuum(p, keep = 1)
+    base.write.parquet(new java.io.File(p, "snap-00000001").getPath)
+    assert(orphan.exists())
+    VersionedTable.vacuum(p, keep = 1)
+    assert(!orphan.exists(), "unpublished snap below current is debris")
+    assert(!debris.exists())
+    assert(state(p).keySet === Set(1L, 2L, 3L, 4L))
+    // double-init fails loudly
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.init(ss, p, base)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+}

@@ -189,6 +189,19 @@ def _check_one_inner(name, sql):
                 f"construction on this corpus; bound the scored window "
                 f"(the q_chrf id-window precedent) or raise MaxPairReport"]
 
+    # Containment blow-up sentinel (r15 verdict): q_containment's
+    # Spark side is UNCAPPED by default (oracle parity holds at any
+    # size), but its output squares on a duplicated corpus (sf1
+    # measured 979×, 512 → 501,200 pairs). Past the pair-family budget
+    # the comparison itself becomes the scale-killer; fail loudly with
+    # the valve named (Dedup.containmentPairs maxGramDf) instead of
+    # letting the gate degrade silently-slowly.
+    if name == "q_containment" and len(duck_df) >= MAX_PAIR_REPORT:
+        return [f"FAIL {name}: containment report has {len(duck_df)} rows "
+                f">= the 2^20 pair-family budget — enable the "
+                f"maxGramDf valve on Dedup.containmentPairs (or bound "
+                f"the scored id window) before scaling this corpus"]
+
     def norm(df):
         df = df.reindex(sorted(df.columns), axis=1)
         return df.sort_values(by=list(df.columns), ignore_index=True)
