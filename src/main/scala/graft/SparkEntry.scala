@@ -4418,6 +4418,50 @@ object SparkEntry {
       s.read.parquet(tgtDir)
     }),
 
+    // #294a: snapshot TIME TRAVEL round trip (sources.VersionedTable —
+    // the multi-generation MERGE sink): init a versioned table from the
+    // customer base, apply TWO chronological change-set merges (same
+    // last-writer collapse + delete semantics as q_merge_upsert), then
+    // read ALL THREE versions back via read(asOf) and emit each
+    // version's state fingerprint (row count + exact decimal balance
+    // sum). The oracle replays the version chain relationally — v2 =
+    // MERGE(v1, changes1), v3 = MERGE(v2, changes2) — so the hash pins
+    // that every historical snapshot equals the state the engine held
+    // when that version committed, not just the latest. Fingerprints
+    // are decimal(28,2) sums (order-free exact, 2-decimal money).
+    "q_time_travel" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_tt")
+      val tbl = work.resolve("tbl").toString
+      val base = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+      sources.VersionedTable.init(s, tbl, base)
+      def changes(lo: String, hi: String) = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp"))
+        .filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey").as("key"),
+          when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+          col("o_totalprice").as("bal"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("op"), col("bal")),
+          struct(col("ts"), col("seq"))).as("l"))
+        .select(col("key"), col("l.bal").as("bal"), col("l.op").as("op"))
+      sources.VersionedTable.merge(s, tbl,
+        changes("1997-01-01", "1997-07-01"), Seq("key"),
+        deleteWhen = col("op") === "D")
+      sources.VersionedTable.merge(s, tbl,
+        changes("1997-07-01", "1999-01-01"), Seq("key"),
+        deleteWhen = col("op") === "D")
+      (1L to 3L).map { v =>
+        sources.VersionedTable.read(s, tbl, Some(v))
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("bal").cast("decimal(28,2)")).as("sum_bal"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_bal"))
+      }.reduce(_.unionAll(_)).orderBy(col("version"))
+    }),
+
     // #179: SCD type-2 dimension build from a change log — orders as
     // per-customer priority updates: drop no-change rows (lag), then
     // version + effective [from, to) ranges + current flag per key.
@@ -10414,6 +10458,52 @@ object SparkEntry {
         |  CASE WHEN l.key IS NOT NULL THEN l.newbal ELSE s.bal END AS bal
         |FROM snap s FULL OUTER JOIN last l ON s.key = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+
+    // the version chain replayed relationally: v2 = MERGE(v1, ch1),
+    // v3 = MERGE(v2, ch2); per-version fingerprints close in exact
+    // decimal(28,2) sums
+    "q_time_travel" ->
+      """WITH v1 AS (SELECT c_custkey AS key, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey % 7 <> 0),
+        |ch1 AS (SELECT o_custkey AS key,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS newbal, o_orderdate AS ts, o_orderkey AS seq
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01'
+        |    AND o_custkey IS NOT NULL),
+        |last1 AS (SELECT key, op, newbal FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY ts DESC, seq DESC) AS rn FROM ch1)
+        |  WHERE rn = 1),
+        |v2 AS (SELECT COALESCE(s.key, l.key) AS key,
+        |    CASE WHEN l.key IS NOT NULL THEN l.newbal ELSE s.bal END AS bal
+        |  FROM v1 s FULL OUTER JOIN last1 l ON s.key = l.key
+        |  WHERE l.op IS NULL OR l.op <> 'D'),
+        |ch2 AS (SELECT o_custkey AS key,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS newbal, o_orderdate AS ts, o_orderkey AS seq
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01'
+        |    AND o_custkey IS NOT NULL),
+        |last2 AS (SELECT key, op, newbal FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY ts DESC, seq DESC) AS rn FROM ch2)
+        |  WHERE rn = 1),
+        |v3 AS (SELECT COALESCE(s.key, l.key) AS key,
+        |    CASE WHEN l.key IS NOT NULL THEN l.newbal ELSE s.bal END AS bal
+        |  FROM v2 s FULL OUTER JOIN last2 l ON s.key = l.key
+        |  WHERE l.op IS NULL OR l.op <> 'D')
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  SUM(CAST(bal AS DECIMAL(28,2))) AS sum_bal FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  SUM(CAST(bal AS DECIMAL(28,2))) FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  SUM(CAST(bal AS DECIMAL(28,2))) FROM v3
+        |ORDER BY version""".stripMargin,
 
     "q_scd2" ->
       """WITH c AS (SELECT o_custkey AS key, o_orderpriority AS attr,

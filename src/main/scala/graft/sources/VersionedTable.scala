@@ -118,6 +118,44 @@ object VersionedTable {
     spark.read.parquet(snapDir(path, v).getPath)
   }
 
+  /** Change feed between two committed versions — the CDC READ side of
+    * the time-travel contract (Delta's table_changes shape): one row
+    * per key whose state differs between `fromV` and `toV`, classified
+    * `op` ∈ {I, U, D} and carrying the `toV`-side payload (null
+    * payload columns on a delete, the standard change-feed convention).
+    * Unchanged keys never leave the join. The q_snapshot_diff
+    * full-outer shape over two IMMUTABLE snapshot dirs, so the feed is
+    * stable however many merges commit after `toV`; comparison is
+    * null-safe per column (`<=>`), no content hashing. Consuming the
+    * feed with [[merge]] (deleteWhen = op === "D") on a copy of
+    * `fromV` reproduces `toV` exactly — VersionedTableSpec pins the
+    * round trip. Scale: one key-shuffled (or AQE-broadcast) join over
+    * the two snapshots; output is change-sized. */
+  def readChanges(spark: SparkSession, path: String, fromV: Long,
+                  toV: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(fromV < toV, s"readChanges wants fromV < toV, got $fromV >= $toV")
+    val a = read(spark, path, Some(fromV)).withColumn("_ap", lit(1)).alias("a")
+    val b = read(spark, path, Some(toV)).withColumn("_bp", lit(1)).alias("b")
+    val cols = read(spark, path, Some(toV)).columns.toSeq
+    require(keys.nonEmpty && keys.forall(cols.contains),
+      s"change keys $keys must be table columns (${cols.mkString(",")})")
+    val nonKey = cols.filterNot(keys.contains)
+    val on = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val aHit = col("a._ap").isNotNull
+    val bHit = col("b._bp").isNotNull
+    val same = nonKey.map(c => col(s"a.$c") <=> col(s"b.$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    a.join(b, on, "full_outer")
+      .select(
+        (when(aHit && !bHit, "D")
+          .when(!aHit && bHit, "I")
+          .when(!same, "U")).as("op") +:
+        (keys.map(k => coalesce(col(s"b.$k"), col(s"a.$k")).as(k)) ++
+          nonKey.map(c => col(s"b.$c").as(c))): _*)
+      .filter(col("op").isNotNull)
+  }
+
   /** Pin `version` (default: current) against [[vacuum]]. Returns the
     * pin id; release with [[unpin]]. Pins are files — they survive the
     * process and hold for OTHER processes' vacuums too. */

@@ -99,6 +99,52 @@ class VersionedTableSpec extends SparkSpec {
     assert(dirs.contains("snap-00000004"))
   }
 
+  test("readChanges: classified change feed; applying it replays the version") {
+    val p = s"${tmpDir("vt")}/t"
+    VersionedTable.init(ss, p, base) // v1: 1,2,3
+    val d1 = Seq((1L, "a2", 11.0, "U"), (3L, "c", 0.0, "D"),
+      (5L, "e", 50.0, "U")).toDF("key", "tag", "bal", "op")
+    VersionedTable.merge(ss, p, d1, Seq("key"),
+      deleteWhen = col("op") === "D") // v2: 1',2,5
+    val d2 = Seq((5L, "e", 0.0, "D"), (7L, "g", 70.0, "U"))
+      .toDF("key", "tag", "bal", "op")
+    VersionedTable.merge(ss, p, d2, Seq("key"),
+      deleteWhen = col("op") === "D") // v3: 1',2,7
+    def feed(a: Long, b: Long) =
+      VersionedTable.readChanges(ss, p, a, b, Seq("key")).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          Option(r.getAs[String]("tag")))).toSet
+    // v1 -> v2: update 1, delete 3, insert 5; key 2 never appears
+    assert(feed(1L, 2L) === Set(("U", 1L, Some("a2")), ("D", 3L, None),
+      ("I", 5L, Some("e"))))
+    // v1 -> v3 composes: 5's insert+delete cancels OUT of the feed
+    assert(feed(1L, 3L) === Set(("U", 1L, Some("a2")), ("D", 3L, None),
+      ("I", 7L, Some("g"))))
+    // delete rows carry null payload (the change-feed convention)
+    val del = VersionedTable.readChanges(ss, p, 1L, 2L, Seq("key"))
+      .filter(col("op") === "D").collect().head
+    assert(del.isNullAt(del.fieldIndex("tag")) &&
+      del.isNullAt(del.fieldIndex("bal")))
+    // round trip: v1 copy + feed(1 -> 3) merged = v3 content exactly
+    val p2 = s"${tmpDir("vt")}/replay"
+    VersionedTable.init(ss, p2, VersionedTable.read(ss, p, Some(1L)))
+    VersionedTable.merge(ss, p2,
+      VersionedTable.readChanges(ss, p, 1L, 3L, Seq("key")),
+      Seq("key"), deleteWhen = col("op") === "D")
+    val replayed = VersionedTable.read(ss, p2).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("tag"),
+        r.getAs[Double]("bal"))).toSet
+    val v3 = VersionedTable.read(ss, p, Some(3L)).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("tag"),
+        r.getAs[Double]("bal"))).toSet
+    assert(replayed === v3, "merge(feed) must reproduce the target version")
+    // bad bounds fail loudly
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readChanges(ss, p, 3L, 1L, Seq("key"))
+    }
+    assert(e.getMessage.contains("fromV < toV"))
+  }
+
   test("withPinned loan: pin held during use, released after") {
     val p = s"${tmpDir("vt")}/t"
     VersionedTable.init(ss, p, base)
