@@ -258,8 +258,13 @@ object StreamOps {
             (Some(psi), psi > psiThreshold)
         }
         if (refit)
+          // qualityReport: an UNATTENDED refit must grade itself — the
+          // per-cell silhouette of the exact partition it published
+          // travels inside the generation (IndexedSearch.silhouette
+          // returns it without a recompute)
           IndexedSearch.fit(spark.read.parquet(corpusPath), idCol, vecCol,
-            indexDir, nlist = nlist, m = m, subDim = subDim, ksub = ksub)
+            indexDir, nlist = nlist, m = m, subDim = subDim, ksub = ksub,
+            qualityReport = true)
         val genAfter = IndexedSearch.currentGeneration(spark, indexDir)
         Seq((batchId, nNew, psi, refit, genBefore, genAfter))
           .toDF("batch_id", "n_new", "psi", "refit", "gen_before", "gen_after")

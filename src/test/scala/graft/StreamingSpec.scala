@@ -392,6 +392,11 @@ class StreamingSpec extends SparkSpec {
       // serving parity across the swap: the query's true neighbors are
       // unchanged, and the new generation serves them identically
       assert(top5() === before, "post-swap serving returns the same top-k")
+      // an unattended refit grades itself: the new generation carries
+      // its persisted fit_quality report (returned without a recompute)
+      val qual = IndexedSearch.silhouette(spark, idx)
+      assert(qual.columns.contains("cid") && qual.count() > 0,
+        "auto-refit generation must carry a fit-quality report")
       // audit trail: one row per non-empty batch, refit flags honest
       val rep = spark.read.parquet(report).collect()
         .map(r => r.getAs[Long]("batch_id") ->
