@@ -156,6 +156,76 @@ object VersionedTable {
       .filter(col("op").isNotNull)
   }
 
+  /** Incremental CDC relay — checkpointed propagation of this table's
+    * change feed into any consumer (the incremental
+    * materialized-view-maintenance primitive): reads the last relayed
+    * version from `checkpointFile`, hands `apply` the I/U/D feed from
+    * there to the current version (or, on the FIRST relay, the full
+    * current snapshot synthesized as inserts — the bootstrap), and
+    * advances the checkpoint with an atomic tmp+rename ONLY after
+    * `apply` returns. Crash between apply and checkpoint replays the
+    * same feed — at-least-once, which is exactly-once in effect when
+    * `apply` merges (same-change-set re-merge is a fixpoint, the
+    * cdcApply reasoning). Returns Some((fromV, toV, result)) when work
+    * was relayed, None when already caught up.
+    *
+    * A relay that falls behind a [[vacuum]] fails LOUDLY (readChanges
+    * resolves a vacuumed base version to a clean error, never a
+    * partial feed) — keep `vacuum(keep)` at or above the relay lag, or
+    * [[pin]] the relay's floor. */
+  def relayChanges[A](spark: SparkSession, path: String, keys: Seq[String],
+                      checkpointFile: String)
+                     (apply: (DataFrame, Long, Long) => A)
+      : Option[(Long, Long, A)] = {
+    import org.apache.spark.sql.functions._
+    val cur = currentVersion(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val ckpt = new File(checkpointFile)
+    val last: Long =
+      if (!ckpt.exists()) 0L
+      else {
+        val m = "\"version\"\\s*:\\s*(\\d+)".r
+          .findFirstMatchIn(new String(
+            java.nio.file.Files.readAllBytes(ckpt.toPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        m.map(_.group(1).toLong).getOrElse(
+          throw new IllegalStateException(s"unreadable relay checkpoint $ckpt"))
+      }
+    if (last >= cur) return None
+    val feed =
+      if (last == 0L) { // bootstrap: full current snapshot as inserts
+        val snap = read(spark, path, Some(cur))
+        snap.select(lit("I").as("op") +: snap.columns.map(col): _*)
+      } else readChanges(spark, path, last, cur, keys)
+    val out = apply(feed, last, cur)
+    Option(ckpt.getParentFile).foreach(_.mkdirs())
+    val tmp = new File(ckpt.getParentFile,
+      "." + ckpt.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      s"""{"version":$cur}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, ckpt.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Some((last, cur, out))
+  }
+
+  /** [[relayChanges]] into ANOTHER versioned table: bootstrap inits the
+    * destination, every later relay merges the feed (deletes honored
+    * via op = D) as a new destination version — chained tables each
+    * keep their own history while staying content-equal to the source
+    * at every relay point. Returns the destination version committed,
+    * or None when caught up. */
+  def relayInto(spark: SparkSession, srcPath: String, dstPath: String,
+                keys: Seq[String], checkpointFile: String): Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    relayChanges(spark, srcPath, keys, checkpointFile) { (feed, from, _) =>
+      if (from == 0L) init(spark, dstPath, feed.drop("op"))
+      else merge(spark, dstPath, feed, keys,
+        deleteWhen = col("op") === "D")
+    }.map(_._3)
+  }
+
   /** Pin `version` (default: current) against [[vacuum]]. Returns the
     * pin id; release with [[unpin]]. Pins are files — they survive the
     * process and hold for OTHER processes' vacuums too. */

@@ -458,6 +458,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream -> versioned table -> relay: the full CDC pipeline keeps " +
+      "a downstream table content-equal at every relay point") {
+    import graft.sources.VersionedTable
+    val dir = tmpDir("cdcrelay")
+    val src = s"$dir/src"; val dst = s"$dir/dst"; val ckpt = s"$dir/relay.json"
+    val in = MemoryStream[(Long, String, Double, String, Long)]
+    val q = StreamOps.cdcApplyVersioned(
+      in.toDF().toDF("key", "tag", "bal", "op", "seq"),
+      src, keys = Seq("key"), orderCols = Seq("seq"))
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      def content(p: String) = VersionedTable.read(spark, p).collect()
+        .map(r => (r.getAs[Long]("key"), r.getAs[String]("tag"),
+          r.getAs[Double]("bal"))).toSet
+      in.addData((1L, "a", 10.0, "U", 1L), (2L, "b", 20.0, "U", 1L))
+      q.processAllAvailable()
+      VersionedTable.relayInto(spark, src, dst, Seq("key"), ckpt)
+      assert(content(dst) === content(src), "bootstrap relay")
+      in.addData((1L, "a2", 11.0, "U", 2L), (2L, "b", 0.0, "D", 2L),
+        (3L, "c", 30.0, "U", 1L))
+      q.processAllAvailable()
+      VersionedTable.relayInto(spark, src, dst, Seq("key"), ckpt)
+      assert(content(dst) === content(src), "incremental relay after a batch")
+      assert(content(dst) === Set((1L, "a2", 11.0), (3L, "c", 30.0)))
+      // the downstream table kept its OWN history across the hops
+      assert(VersionedTable.versions(dst) === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming CUSUM fires on a mean shift and stays quiet otherwise") {
     import java.sql.Timestamp
     val in = MemoryStream[(Long, Timestamp, Double)]

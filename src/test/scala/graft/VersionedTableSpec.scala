@@ -145,6 +145,57 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("fromV < toV"))
   }
 
+  test("relay: checkpointed incremental propagation keeps a downstream " +
+      "table content-equal; replay after a torn checkpoint is a fixpoint") {
+    val root = tmpDir("vt")
+    val src = s"$root/src"; val dst = s"$root/dst"
+    val ckpt = s"$root/relay.json"
+    def content(p: String) = VersionedTable.read(ss, p).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("tag"),
+        r.getAs[Double]("bal"))).toSet
+    VersionedTable.init(ss, src, base) // src v1
+    // bootstrap relay: dst inits from the full snapshot
+    assert(VersionedTable.relayInto(ss, src, dst, Seq("key"), ckpt)
+      === Some(1L))
+    assert(content(dst) === content(src))
+    // caught up: no work, no new destination version
+    assert(VersionedTable.relayInto(ss, src, dst, Seq("key"), ckpt) === None)
+    assert(VersionedTable.versions(dst) === Seq(1L))
+    // two source merges, ONE relay: the feed composes (5's insert+
+    // delete cancels) and dst lands content-equal in one hop
+    VersionedTable.merge(ss, src,
+      Seq((1L, "a2", 11.0, "U"), (3L, "c", 0.0, "D"), (5L, "e", 50.0, "U"))
+        .toDF("key", "tag", "bal", "op"),
+      Seq("key"), deleteWhen = col("op") === "D") // src v2
+    VersionedTable.merge(ss, src,
+      Seq((5L, "e", 0.0, "D"), (7L, "g", 70.0, "U"))
+        .toDF("key", "tag", "bal", "op"),
+      Seq("key"), deleteWhen = col("op") === "D") // src v3
+    assert(VersionedTable.relayInto(ss, src, dst, Seq("key"), ckpt)
+      === Some(2L))
+    assert(content(dst) === content(src))
+    // torn checkpoint (crash between apply and advance): rewind the
+    // checkpoint and relay again — the same feed re-merges to the same
+    // content (at-least-once is exactly-once in effect)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(ckpt), """{"version":1}""")
+    assert(VersionedTable.relayInto(ss, src, dst, Seq("key"), ckpt)
+      === Some(3L))
+    assert(content(dst) === content(src), "replayed feed is a fixpoint")
+    // a relay that fell behind a vacuum fails loudly, never partial
+    VersionedTable.merge(ss, src,
+      Seq((9L, "i", 90.0, "U")).toDF("key", "tag", "bal", "op"),
+      Seq("key")) // src v4
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(ckpt), """{"version":1}""")
+    VersionedTable.vacuum(src, keep = 1) // drops v1..v3
+    val e = intercept[IllegalStateException] {
+      VersionedTable.relayInto(ss, src, dst, Seq("key"), ckpt)
+    }
+    assert(e.getMessage.contains("not available") ||
+      e.getMessage.contains("vacuumed"))
+  }
+
   test("withPinned loan: pin held during use, released after") {
     val p = s"${tmpDir("vt")}/t"
     VersionedTable.init(ss, p, base)
