@@ -4435,7 +4435,10 @@ object SparkEntry {
       val base = t(s, dir, "customer")
         .filter(col("c_custkey") % 7 =!= 0)
         .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
-      sources.VersionedTable.init(s, tbl, base)
+      // clusterBy stamps per-file key min/max into v1's manifest, so
+      // both merges below rewrite only their stats-pruned candidate
+      // files (the r17 O(delta) commit shape) — content is unchanged
+      sources.VersionedTable.init(s, tbl, base, clusterBy = Seq("key"))
       def changes(lo: String, hi: String) = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
           col("o_orderdate") < lit(hi).cast("timestamp"))

@@ -1,65 +1,103 @@
 package graft.sources
 
 import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.JsonUtil
 
 /** Snapshot time travel + retention for the MERGE/CDC sink — the
   * multi-generation complement of [[Sinks.merge]]'s in-place swap
   * (which keeps exactly one generation; a production MERGE contract
-  * reads "as of version N" and vacuums old snapshots, the
-  * Delta/Iceberg table shape re-expressed over plain parquet dirs and
+  * reads "as of version N" and vacuums old snapshots — the
+  * Delta/Iceberg table shape re-expressed over plain parquet files and
   * a manifest directory).
   *
   * Layout under the table root:
   * {{{
-  *   <path>/_versions/00000001.json   commit manifests, one per version
-  *   <path>/snap-00000001/            immutable parquet snapshot dirs
-  *   <path>/_pins/<id>.pin            reader pins (version holds)
+  *   <path>/_versions/00000003.json  one manifest per committed version:
+  *                                   {version, base, schema DDL,
+  *                                    files:[{path, rows, stats}]}
+  *   <path>/data/<uuid>/part-*.parquet  immutable data files; each
+  *                                   commit stages its NEW files under
+  *                                   a fresh uuid dir, so no writer can
+  *                                   ever touch another's data
+  *   <path>/_pins/<id>.pin           reader pins (version holds)
   * }}}
   *
-  * Commit protocol: a writer stages the FULL next snapshot under
-  * `snap-<v>` (Spark writes `_SUCCESS` last), then publishes with ONE
-  * atomic manifest rename — `_versions/.tmp-<v>` → `_versions/<v>.json`.
-  * The rename is the commit point: a crash before it leaves an
-  * unpublished `snap-` dir that [[vacuum]] clears as debris (writers
-  * allocate strictly above the current version, so debris below it can
-  * never be in-flight); a rename that fails because the destination
-  * exists means another writer won that version — the loser restages
-  * at the next number (optimistic concurrency, Delta's protocol).
+  * **File-granular commits (r17).** A version is a MANIFEST — a list
+  * of parquet files with row counts and per-column min/max stats — not
+  * a directory. [[merge]] rewrites ONLY the files whose key ranges can
+  * contain a source key (stats pruning); every other file is SHARED
+  * with the previous version by listing the same path again. A 1-row
+  * CDC batch against a 100 TB table therefore costs one file rewrite
+  * plus one manifest write, not a table rewrite — commits are
+  * O(delta), the Delta/Iceberg write-amplification shape.
+  *
+  * Commit protocol: a writer stages its new files under a UNIQUE
+  * `data/<uuid>/` dir (never a version-derived name — a lost race must
+  * not be able to touch the winner's committed files), then publishes
+  * with ONE atomic hard-link CAS: `_versions/.tmp-*` is linked to
+  * `_versions/<v>.json`, which fails iff `<v>` already exists
+  * (O_EXCL semantics — unlike rename, a link can never silently
+  * replace a winner; on HDFS/S3 the same point is a conditional
+  * create/put). The link is the commit point: a crash before it
+  * leaves unreferenced staging files that [[vacuum]] age-gates away as
+  * debris; a failed link means another writer won that version.
+  *
+  * **Optimistic concurrency (r17).** A manifest records the `base`
+  * version it was derived from, and [[merge]] always targets
+  * base + 1. A merge that loses the CAS deletes its staged files and
+  * RE-DERIVES against the new current version — so two concurrent
+  * mergers serialize and BOTH change sets land (Delta's
+  * compare-and-swap loop), instead of last-write-wins.
+  * [[init]]/[[overwrite]] are blind writes: init fails on a lost race
+  * (the table exists), overwrite retries the CAS at the next number
+  * without restaging (its snapshot is not derived from the base).
   *
   * Readers resolve a manifest — latest, or a pinned/explicit version —
-  * and scan that snapshot dir. Snapshot dirs are IMMUTABLE: a merge
-  * never touches prior dirs, so a reader holding version N survives
-  * any number of concurrent merges, and [[vacuum]] is the only delete
-  * path. Vacuum keeps the newest `keep` versions, the current version,
-  * and every pinned version; pins are files so they hold across
-  * processes and crashes (stale ones are the operator's to clear —
-  * same contract as Delta's retention override).
+  * and scan exactly its file list. Data files are IMMUTABLE: a merge
+  * never rewrites a file in place, so a reader holding version N
+  * survives any number of concurrent merges, and [[vacuum]] is the
+  * only delete path. Vacuum keeps the newest `keep` versions, the
+  * current version, and every pinned version; it deletes dropped
+  * manifests FIRST, then data files reachable from no kept manifest
+  * (manifest-reachability GC — a file shared into a kept version
+  * survives the vacuum of the version that wrote it). Pins are files,
+  * so they hold across processes and crashes.
   *
-  * Scale shape: identical to [[Sinks.merge]] — the per-merge cost is
-  * the key-shuffled (or AQE-broadcast) full-outer join and a full
-  * snapshot rewrite; at 100 TB, partition the table and version per
-  * partition, or swap file-level manifests in under the SAME commit
-  * protocol (manifest rename as the commit point is unchanged). The
-  * versioning layer itself adds one directory listing per read and one
-  * rename per commit — nothing data-sized. */
+  * Scale shape: per merge, one stats-pruning pass (source's distinct
+  * keys × the broadcast file-stats table — delta × file-count, never
+  * data-sized), one key-shuffled (or AQE-broadcast) merge join over
+  * ONLY the candidate files + the source, one delta-sized write, one
+  * manifest link. Reads add one manifest parse. Nothing is
+  * table-sized except the first merge after an unclustered [[init]]
+  * (no stats yet → every file is a candidate once; pass `clusterBy`
+  * to init to start pruned).
+  */
 object VersionedTable {
 
   private val Pad = 8
 
   private def versionsDir(path: String) = new File(path.stripSuffix("/"), "_versions")
   private def pinsDir(path: String) = new File(path.stripSuffix("/"), "_pins")
-  private def snapDir(path: String, v: Long) =
-    new File(path.stripSuffix("/"), f"snap-$v%08d")
+  private def dataDir(path: String) = new File(path.stripSuffix("/"), "data")
   private def manifest(path: String, v: Long) =
     new File(versionsDir(path), f"$v%08d.json")
 
-  private def parseVersion(name: String): Option[Long] =
-    if (name.endsWith(".json") && name.length == Pad + 5)
-      name.stripSuffix(".json").toLongOption
+  /** Any all-digit `<n>.json` name parses — the zero-pad is purely for
+    * lexicographic listing, so versions past 8 digits (9+ digit names)
+    * stay visible to [[versions]]/[[currentVersion]] instead of
+    * silently resetting allocation. */
+  private def parseVersion(name: String): Option[Long] = {
+    val stem = name.stripSuffix(".json")
+    if (name.endsWith(".json") && stem.nonEmpty && stem.forall(_.isDigit))
+      stem.toLongOption
     else None
+  }
 
   /** All committed versions, ascending (empty for a missing table). */
   def versions(path: String): Seq[Long] =
@@ -69,53 +107,293 @@ object VersionedTable {
   /** The latest committed version, if any. */
   def currentVersion(path: String): Option[Long] = versions(path).lastOption
 
-  /** Create the table at version 1. Fails if the table already has
-    * committed versions (use [[merge]] or [[overwrite]] to evolve). */
-  def init(spark: SparkSession, path: String, df: DataFrame): Long = {
-    require(currentVersion(path).isEmpty,
-      s"versioned table at $path already exists (current " +
-        s"version ${currentVersion(path).get}); use merge/overwrite")
-    commit(path, df)
+  /** The relative data-file paths a version's manifest references —
+    * the public seam the O(delta) contract is asserted on (a small
+    * merge's manifest shares all but the rewritten files with its
+    * base). */
+  def files(path: String, asOf: Option[Long] = None): Seq[String] =
+    readManifest(path, resolveVersion(path, asOf)).files.map(_.path)
+
+  // ---------------------------------------------------------------- //
+  // manifest model + JSON                                            //
+  // ---------------------------------------------------------------- //
+
+  private case class FileEntry(path: String, rows: Long,
+                               stats: Map[String, (String, String)])
+  private case class ManifestData(version: Long, base: Long,
+                                  schema: StructType, files: Seq[FileEntry])
+
+  private def manifestJson(v: Long, base: Long, schemaDdl: String,
+                           files: Seq[FileEntry]): String = {
+    val fs = files.map { f =>
+      val st = f.stats.toSeq.sortBy(_._1).map { case (k, (mn, mx)) =>
+        s"${JsonUtil.quote(k)}:[${JsonUtil.quote(mn)},${JsonUtil.quote(mx)}]"
+      }.mkString("{", ",", "}")
+      s"""{"path":${JsonUtil.quote(f.path)},"rows":${f.rows},"stats":$st}"""
+    }.mkString("[", ",", "]")
+    s"""{"version":$v,"base":$base,"schema":${JsonUtil.quote(schemaDdl)},""" +
+      s""""files":$fs}"""
   }
 
-  /** Full-snapshot replace as a NEW version (the blind-write path —
-    * CTAS semantics; prior versions stay readable until vacuumed). */
-  def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
-    commit(path, df)
-
-  /** MERGE INTO the current snapshot, committing the result as a new
-    * version — same join shape, key-uniqueness contract, and
-    * `graft_merge` observe metrics as [[Sinks.merge]] (shared code).
-    * Returns the committed version. Merge writers are SINGLE-WRITER
-    * by contract (the Sinks.merge/compact maintenance rule): the
-    * commit race-retry below re-stages the SAME derived snapshot, so
-    * two concurrent merges would last-write-wins each other rather
-    * than serialize — readers are the concurrency this layer buys. */
-  def merge(spark: SparkSession, path: String, source: DataFrame,
-            keys: Seq[String],
-            deleteWhen: org.apache.spark.sql.Column = lit(false)): Long = {
-    val cur = currentVersion(path).getOrElse(
-      throw new IllegalStateException(
-        s"versioned table at $path has no committed version; init() first"))
-    commit(path, Sinks.mergedFrame(read(spark, path, Some(cur)), source,
-      keys, deleteWhen))
-  }
-
-  /** Read the table — the latest version, or `asOf` a specific one.
-    * The returned plan scans an immutable snapshot dir, so it stays
-    * valid across concurrent merges and until that version is
-    * vacuumed. */
-  def read(spark: SparkSession, path: String, asOf: Option[Long] = None)
-      : DataFrame = {
-    val v = asOf.getOrElse(currentVersion(path).getOrElse(
+  private def resolveVersion(path: String, asOf: Option[Long]): Long =
+    asOf.getOrElse(currentVersion(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path")))
+
+  private def readManifest(path: String, v: Long): ManifestData = {
+    import scala.jdk.CollectionConverters._
     val m = manifest(path, v)
     if (!m.exists())
       throw new IllegalStateException(
         s"version $v of $path is not available (committed: " +
           s"${versions(path).mkString(",")}) — it was never committed or " +
           "has been vacuumed")
-    spark.read.parquet(snapDir(path, v).getPath)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(m)
+    val files = root.get("files").elements().asScala.map { n =>
+      val statsNode = n.get("stats")
+      val stats = statsNode.fieldNames().asScala.map { k =>
+        val arr = statsNode.get(k)
+        k -> ((arr.get(0).asText(), arr.get(1).asText()))
+      }.toMap
+      FileEntry(n.get("path").asText(), n.get("rows").asLong(), stats)
+    }.toSeq
+    ManifestData(root.get("version").asLong(), root.get("base").asLong(),
+      StructType.fromDDL(root.get("schema").asText()), files)
+  }
+
+  /** The atomic commit point: hard-link the fully-written tmp manifest
+    * to `_versions/<v>.json`. createLink has O_EXCL semantics — it
+    * FAILS if the destination exists, where a rename would silently
+    * replace the winner — so exactly one writer can ever own a version
+    * number. Returns false on a lost race. */
+  private def tryPublish(path: String, v: Long, json: String): Boolean = {
+    versionsDir(path).mkdirs()
+    val tmp = new File(versionsDir(path),
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    java.nio.file.Files.write(tmp.toPath, json.getBytes(UTF_8))
+    try {
+      java.nio.file.Files.createLink(manifest(path, v).toPath, tmp.toPath)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally { tmp.delete(); () }
+  }
+
+  // ---------------------------------------------------------------- //
+  // staging                                                          //
+  // ---------------------------------------------------------------- //
+
+  /** Column types whose min/max survive a string round trip EXACTLY —
+    * stats on float/double are skipped (a cast-to-string-and-back can
+    * move the boundary by a ULP, and a pruning bound that excludes a
+    * real match is a correctness bug, not a performance one). */
+  private def statable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+         BooleanType | DateType | TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private case class Staged(dirRel: String, files: Seq[FileEntry])
+
+  /** Write `df` into a fresh unique `data/<uuid>/` dir (clustered by
+    * `clusterBy` via repartitionByRange + sortWithinPartitions when
+    * given, so per-file key ranges are disjoint and stats pruning
+    * bites), then read the NEW files back once to record per-file
+    * (rows, min/max of statCols). The read-back is staged-data-sized —
+    * delta-sized on a merge. Zero-row part files are dropped from both
+    * the manifest and the dir. */
+  private def stage(spark: SparkSession, path: String, df: DataFrame,
+                    clusterBy: Seq[String], numFiles: Int,
+                    statCols: Seq[String]): Staged = {
+    val dirRel = s"data/${java.util.UUID.randomUUID().toString}"
+    val abs = new File(path.stripSuffix("/"), dirRel)
+    val cols = clusterBy.map(col)
+    val out =
+      if (clusterBy.nonEmpty && numFiles > 0)
+        df.repartitionByRange(numFiles, cols: _*).sortWithinPartitions(cols: _*)
+      else if (clusterBy.nonEmpty)
+        df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+      else if (numFiles > 0) df.repartition(numFiles)
+      else df
+    out.write.parquet(abs.getPath)
+    val back = spark.read.parquet(abs.getPath)
+    val stat = statCols.filter(c =>
+      back.schema.fieldNames.contains(c) && statable(back.schema(c).dataType))
+    val aggs = count(lit(1L)).as("__n") +: stat.flatMap(k => Seq(
+      min(col(k)).cast("string").as(s"__mn_$k"),
+      max(col(k)).cast("string").as(s"__mx_$k")))
+    val entries = back
+      .groupBy(col("_metadata.file_name").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        val stats = stat.flatMap { k =>
+          val mn = r.getAs[String](s"__mn_$k")
+          val mx = r.getAs[String](s"__mx_$k")
+          if (mn == null || mx == null) None else Some(k -> ((mn, mx)))
+        }.toMap
+        FileEntry(s"$dirRel/${r.getAs[String]("__f")}",
+          r.getAs[Long]("__n"), stats)
+      }
+    val kept = entries.map(_.path.split('/').last).toSet
+    Option(abs.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !kept.contains(f.getName))
+      .foreach { f =>
+        f.delete()
+        new File(f.getParentFile, "." + f.getName + ".crc").delete()
+      }
+    Staged(dirRel, entries)
+  }
+
+  private def readFiles(spark: SparkSession, path: String,
+                        schema: StructType, files: Seq[FileEntry]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else
+      spark.read.schema(schema).parquet(files.map(f =>
+        new File(path.stripSuffix("/"), f.path).getPath): _*)
+
+  // ---------------------------------------------------------------- //
+  // writes                                                           //
+  // ---------------------------------------------------------------- //
+
+  /** Create the table at version 1. Fails if the table already has
+    * committed versions (use [[merge]] or [[overwrite]] to evolve).
+    * `clusterBy` range-clusters the files on those columns and records
+    * per-file min/max stats, so the FIRST merge already prunes; an
+    * unclustered init is still correct — its files just lack stats, so
+    * the first merge rewrites them all (and leaves them clustered by
+    * the merge keys). */
+  def init(spark: SparkSession, path: String, df: DataFrame,
+           clusterBy: Seq[String] = Nil, numFiles: Int = 0): Long = {
+    require(currentVersion(path).isEmpty,
+      s"versioned table at $path already exists (current " +
+        s"version ${currentVersion(path).get}); use merge/overwrite")
+    val staged = stage(spark, path, df, clusterBy, numFiles, clusterBy)
+    if (!tryPublish(path, 1L,
+        manifestJson(1L, 0L, df.schema.toDDL, staged.files))) {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new File(path.stripSuffix("/"), staged.dirRel))
+      throw new IllegalArgumentException(
+        s"versioned table at $path already exists (lost the init race); " +
+          "use merge/overwrite")
+    }
+    1L
+  }
+
+  /** Full-snapshot replace as a NEW version (the blind-write path —
+    * CTAS semantics; prior versions stay readable until vacuumed, and
+    * prior versions' files are untouched — this version simply shares
+    * none of them). Not derived from the current version, so a lost
+    * CAS race just retries at the next number without restaging. */
+  def overwrite(spark: SparkSession, path: String, df: DataFrame,
+                clusterBy: Seq[String] = Nil, numFiles: Int = 0): Long = {
+    val staged = stage(spark, path, df, clusterBy, numFiles, clusterBy)
+    while (true) {
+      val v = currentVersion(path).getOrElse(0L) + 1
+      if (tryPublish(path, v,
+          manifestJson(v, v - 1, df.schema.toDDL, staged.files))) return v
+    }
+    -1L // unreachable
+  }
+
+  /** Which of the base version's files can contain a source key:
+    * join the source's DISTINCT keys against the broadcast per-file
+    * min/max stats (delta × file-count work, never data-sized). Files
+    * without stats on a key column are conservatively candidates.
+    * Returns (candidates to rewrite, untouched files to share). */
+  private def pruneCandidates(spark: SparkSession, m: ManifestData,
+                              source: DataFrame, keys: Seq[String])
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    import scala.jdk.CollectionConverters._
+    if (m.files.isEmpty) return (Nil, Nil)
+    val statsSchema = StructType(StructField("__vt_file", StringType) +:
+      keys.flatMap(k => Seq(StructField(s"__vt_mn_$k", StringType),
+        StructField(s"__vt_mx_$k", StringType))))
+    val rows: Seq[Row] = m.files.map(f => Row.fromSeq(f.path +:
+      keys.flatMap(k => f.stats.get(k) match {
+        case Some((mn, mx)) => Seq(mn, mx)
+        case None => Seq(null, null)
+      })))
+    val statsDf = spark.createDataFrame(rows.asJava, statsSchema)
+    val cond = keys.map { k =>
+      val dt = m.schema(k).dataType
+      val mn = col(s"__vt_mn_$k").cast(dt)
+      val mx = col(s"__vt_mx_$k").cast(dt)
+      mn.isNull || mx.isNull || (col(k).cast(dt) >= mn && col(k).cast(dt) <= mx)
+    }.reduce(_ && _)
+    val needed = source.select(keys.map(col): _*).distinct()
+      .join(broadcast(statsDf), cond, "inner")
+      .select(col("__vt_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    m.files.partition(f => needed(f.path))
+  }
+
+  /** MERGE INTO the current version, committing the result as a new
+    * version — same join shape, key-uniqueness contract, and
+    * `graft_merge` observe metrics as [[Sinks.merge]] (shared code),
+    * but O(delta): only the stats-pruned candidate files are read and
+    * rewritten; every other file is shared into the new manifest.
+    * Concurrent mergers serialize via the CAS loop — a loser discards
+    * its staged files and re-derives against the new current, so both
+    * change sets land. Returns the committed version.
+    * `numFiles` sizes the rewrite output (0 = one file per candidate
+    * rewritten, min 1). */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+            keys: Seq[String],
+            deleteWhen: org.apache.spark.sql.Column = lit(false),
+            numFiles: Int = 0): Long =
+    mergeWithHook(spark, path, source, keys, deleteWhen, numFiles)(() => ())
+
+  /** [[merge]] with a test seam run between staging and the CAS
+    * publish — VersionedTableSpec drives a deterministic two-writer
+    * race through it. */
+  private[graft] def mergeWithHook(spark: SparkSession, path: String,
+                                   source: DataFrame, keys: Seq[String],
+                                   deleteWhen: org.apache.spark.sql.Column,
+                                   numFiles: Int)
+                                  (beforePublish: () => Unit): Long = {
+    var attempts = 0
+    while (true) {
+      val cur = currentVersion(path).getOrElse(
+        throw new IllegalStateException(
+          s"versioned table at $path has no committed version; init() first"))
+      val m = readManifest(path, cur)
+      val (cands, untouched) = pruneCandidates(spark, m, source, keys)
+      val tgt = readFiles(spark, path, m.schema, cands)
+      val merged = Sinks.mergedFrame(tgt, source, keys, deleteWhen)
+      val n = if (numFiles > 0) numFiles else math.max(1, cands.size)
+      val staged = stage(spark, path, merged, keys, n, keys)
+      beforePublish()
+      if (tryPublish(path, cur + 1, manifestJson(cur + 1, cur,
+          m.schema.toDDL, untouched ++ staged.files)))
+        return cur + 1
+      // lost the CAS: the base moved under us — our rewrite of the OLD
+      // candidates may miss the winner's changes, so discard the staged
+      // files (ours alone; unique dir) and re-derive against the new
+      // current (optimistic concurrency, Delta's retry loop)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new File(path.stripSuffix("/"), staged.dirRel))
+      attempts += 1
+      require(attempts < 64,
+        s"merge on $path lost $attempts optimistic-concurrency races " +
+          "in a row; giving up rather than spinning")
+    }
+    -1L // unreachable
+  }
+
+  // ---------------------------------------------------------------- //
+  // reads                                                            //
+  // ---------------------------------------------------------------- //
+
+  /** Read the table — the latest version, or `asOf` a specific one.
+    * The returned plan scans exactly the manifest's immutable file
+    * list, so it stays valid across concurrent merges and until that
+    * version is vacuumed. */
+  def read(spark: SparkSession, path: String, asOf: Option[Long] = None)
+      : DataFrame = {
+    val m = readManifest(path, resolveVersion(path, asOf))
+    readFiles(spark, path, m.schema, m.files)
   }
 
   /** Change feed between two committed versions — the CDC READ side of
@@ -123,23 +401,34 @@ object VersionedTable {
     * per key whose state differs between `fromV` and `toV`, classified
     * `op` ∈ {I, U, D} and carrying the `toV`-side payload (null
     * payload columns on a delete, the standard change-feed convention).
-    * Unchanged keys never leave the join. The q_snapshot_diff
-    * full-outer shape over two IMMUTABLE snapshot dirs, so the feed is
-    * stable however many merges commit after `toV`; comparison is
-    * null-safe per column (`<=>`), no content hashing. Consuming the
-    * feed with [[merge]] (deleteWhen = op === "D") on a copy of
-    * `fromV` reproduces `toV` exactly — VersionedTableSpec pins the
-    * round trip. Scale: one key-shuffled (or AQE-broadcast) join over
-    * the two snapshots; output is change-sized. */
+    * FILE-GRANULAR FIRST: files shared by both manifests are identical
+    * by construction and never enter the join — row work is bounded by
+    * the files the merges between the versions actually rewrote, not
+    * the table. Comparison inside changed files is null-safe per
+    * column (`<=>`), no content hashing. Consuming the feed with
+    * [[merge]] (deleteWhen = op === "D") on a copy of `fromV`
+    * reproduces `toV` exactly — VersionedTableSpec pins the round
+    * trip. */
   def readChanges(spark: SparkSession, path: String, fromV: Long,
                   toV: Long, keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
     require(fromV < toV, s"readChanges wants fromV < toV, got $fromV >= $toV")
-    val a = read(spark, path, Some(fromV)).withColumn("_ap", lit(1)).alias("a")
-    val b = read(spark, path, Some(toV)).withColumn("_bp", lit(1)).alias("b")
-    val cols = read(spark, path, Some(toV)).columns.toSeq
+    val ma = readManifest(path, fromV)
+    val mb = readManifest(path, toV)
+    val cols = mb.schema.fieldNames.toSeq
+    require(!cols.contains("op"),
+      "readChanges synthesizes an 'op' column but the table already has " +
+        "one — the feed would carry duplicate 'op' columns; rename the " +
+        "payload column (cdcApply/cdcApplyVersioned parameterize it)")
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"change keys $keys must be table columns (${cols.mkString(",")})")
+    val shared = ma.files.map(_.path).toSet intersect
+      mb.files.map(_.path).toSet
+    val a = readFiles(spark, path, ma.schema,
+      ma.files.filterNot(f => shared(f.path)))
+      .withColumn("_ap", lit(1)).alias("a")
+    val b = readFiles(spark, path, mb.schema,
+      mb.files.filterNot(f => shared(f.path)))
+      .withColumn("_bp", lit(1)).alias("b")
     val nonKey = cols.filterNot(keys.contains)
     val on = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
     val aHit = col("a._ap").isNotNull
@@ -177,7 +466,6 @@ object VersionedTable {
                       checkpointFile: String)
                      (apply: (DataFrame, Long, Long) => A)
       : Option[(Long, Long, A)] = {
-    import org.apache.spark.sql.functions._
     val cur = currentVersion(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
     val ckpt = new File(checkpointFile)
@@ -186,8 +474,7 @@ object VersionedTable {
       else {
         val m = "\"version\"\\s*:\\s*(\\d+)".r
           .findFirstMatchIn(new String(
-            java.nio.file.Files.readAllBytes(ckpt.toPath),
-            java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.readAllBytes(ckpt.toPath), UTF_8))
         m.map(_.group(1).toLong).getOrElse(
           throw new IllegalStateException(s"unreadable relay checkpoint $ckpt"))
       }
@@ -195,15 +482,16 @@ object VersionedTable {
     val feed =
       if (last == 0L) { // bootstrap: full current snapshot as inserts
         val snap = read(spark, path, Some(cur))
+        require(!snap.columns.contains("op"),
+          "relayChanges synthesizes an 'op' column but the table already " +
+            "has one — rename the payload column")
         snap.select(lit("I").as("op") +: snap.columns.map(col): _*)
       } else readChanges(spark, path, last, cur, keys)
     val out = apply(feed, last, cur)
     Option(ckpt.getParentFile).foreach(_.mkdirs())
-    val tmp = new File(ckpt.getParentFile,
-      "." + ckpt.getName + ".tmp")
+    val tmp = new File(ckpt.getParentFile, "." + ckpt.getName + ".tmp")
     java.nio.file.Files.write(tmp.toPath,
-      s"""{"version":$cur}""".getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+      s"""{"version":$cur}""".getBytes(UTF_8))
     java.nio.file.Files.move(tmp.toPath, ckpt.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -211,20 +499,24 @@ object VersionedTable {
   }
 
   /** [[relayChanges]] into ANOTHER versioned table: bootstrap inits the
-    * destination, every later relay merges the feed (deletes honored
-    * via op = D) as a new destination version — chained tables each
-    * keep their own history while staying content-equal to the source
-    * at every relay point. Returns the destination version committed,
-    * or None when caught up. */
+    * destination (clustered on the relay keys, so its own merges prune
+    * from the first batch), every later relay merges the feed (deletes
+    * honored via op = D) as a new destination version — chained tables
+    * each keep their own history while staying content-equal to the
+    * source at every relay point. Returns the destination version
+    * committed, or None when caught up. */
   def relayInto(spark: SparkSession, srcPath: String, dstPath: String,
                 keys: Seq[String], checkpointFile: String): Option[Long] = {
-    import org.apache.spark.sql.functions.col
     relayChanges(spark, srcPath, keys, checkpointFile) { (feed, from, _) =>
-      if (from == 0L) init(spark, dstPath, feed.drop("op"))
+      if (from == 0L) init(spark, dstPath, feed.drop("op"), clusterBy = keys)
       else merge(spark, dstPath, feed, keys,
         deleteWhen = col("op") === "D")
     }.map(_._3)
   }
+
+  // ---------------------------------------------------------------- //
+  // pins + retention                                                 //
+  // ---------------------------------------------------------------- //
 
   /** Pin `version` (default: current) against [[vacuum]]. Returns the
     * pin id; release with [[unpin]]. Pins are files — they survive the
@@ -260,59 +552,68 @@ object VersionedTable {
 
   private def pinnedVersions(path: String): Set[Long] =
     Option(pinsDir(path).listFiles()).getOrElse(Array.empty)
-      .flatMap(f => f.getName.take(Pad).toLongOption).toSet
+      .flatMap(f => f.getName.takeWhile(_.isDigit).toLongOption).toSet
 
   /** Retention: keep the newest `keep` committed versions, plus the
-    * current version and every pinned one; delete the others'
-    * manifests THEN snapshot dirs (manifest-first, so a reader racing
-    * the delete resolves a clean "vacuumed" error, never a live
-    * manifest over a half-deleted dir). Also clears unpublished
-    * `snap-` debris BELOW the current version — a crashed writer's
-    * staging; writers allocate above current, so nothing in-flight is
-    * touched. Returns the versions removed. */
-  def vacuum(path: String, keep: Int): Seq[Long] = {
+    * current version and every pinned one. Deletes the dropped
+    * versions' manifests FIRST (a reader racing the delete resolves a
+    * clean "vacuumed" error, never a live manifest over half-deleted
+    * files), then data files reachable from NO kept manifest —
+    * manifest-reachability GC, so a file SHARED into a kept version
+    * survives the vacuum of the version that wrote it. Staging debris
+    * (data files referenced by no manifest at all — a crashed writer)
+    * is deleted only when older than `debrisAgeMs`, so an in-flight
+    * writer's staged-but-unpublished files are never swept; size the
+    * grace above the longest stage a writer can take, or vacuum when
+    * no writer is in flight. Returns the versions removed. */
+  def vacuum(path: String, keep: Int,
+             debrisAgeMs: Long = 3600L * 1000): Seq[Long] = {
     require(keep >= 1, "vacuum must keep at least the current version")
     val all = versions(path)
     if (all.isEmpty) return Nil
     val cur = all.last
     val keepSet = all.takeRight(keep).toSet ++ pinnedVersions(path) + cur
     val drop = all.filterNot(keepSet)
+    // resolve reachability BEFORE deleting anything
+    val keptFiles = all.filter(keepSet)
+      .flatMap(v => readManifest(path, v).files.map(_.path)).toSet
+    val dropFiles = drop
+      .flatMap(v => readManifest(path, v).files.map(_.path)).toSet
     drop.foreach { v =>
       require(manifest(path, v).delete(), s"could not delete manifest for $v")
-      org.apache.commons.io.FileUtils.deleteDirectory(snapDir(path, v))
     }
-    // unpublished staging dirs below current = crash debris
-    Option(new File(path.stripSuffix("/")).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
-      .flatMap(f => f.getName.stripPrefix("snap-").toLongOption.map(f -> _))
-      .filter { case (_, v) => v < cur && !manifest(path, v).exists() }
-      .foreach { case (f, _) =>
-        org.apache.commons.io.FileUtils.deleteDirectory(f)
+    (dropFiles -- keptFiles).foreach(rel => deleteDataFile(path, rel))
+    // staging debris: data files in NO manifest, age-gated so an
+    // in-flight writer's staged-but-unpublished files are never swept
+    val now = System.currentTimeMillis()
+    val referenced = keptFiles ++ dropFiles
+    Option(dataDir(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).foreach { d =>
+        val payload = Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith(".") &&
+            f.getName != "_SUCCESS")
+        val debris = payload.filter(f =>
+          !referenced.contains(s"data/${d.getName}/${f.getName}") &&
+            now - f.lastModified() > debrisAgeMs)
+        if (payload.nonEmpty && debris.length == payload.length)
+          // every data file in the dir is old unreferenced debris —
+          // a crashed writer's whole staging; sweep the dir
+          org.apache.commons.io.FileUtils.deleteDirectory(d)
+        else debris.foreach { f =>
+          f.delete()
+          new File(d, "." + f.getName + ".crc").delete()
+        }
       }
     drop
   }
 
-  /** Stage the full snapshot, then publish with one atomic manifest
-    * rename; on a lost race (another writer committed the same
-    * number), restage at the next version. */
-  private def commit(path: String, df: DataFrame): Long = {
-    versionsDir(path).mkdirs()
-    var v = currentVersion(path).getOrElse(0L) + 1
-    while (true) {
-      val snap = snapDir(path, v)
-      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(snap.getPath)
-      val tmp = new File(versionsDir(path), f".tmp-$v%08d")
-      val payload = s"""{"version":$v,"dir":"${snap.getName}"}"""
-      java.nio.file.Files.write(tmp.toPath,
-        payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      if (manifest(path, v).exists() || !tmp.renameTo(manifest(path, v))) {
-        // lost the race: clear our staging and retry one version up
-        tmp.delete()
-        org.apache.commons.io.FileUtils.deleteDirectory(snap)
-        v = math.max(v + 1, currentVersion(path).getOrElse(0L) + 1)
-      } else return v
-    }
-    v // unreachable
+  private def deleteDataFile(path: String, rel: String): Unit = {
+    val f = new File(path.stripSuffix("/"), rel)
+    f.delete()
+    new File(f.getParentFile, "." + f.getName + ".crc").delete()
+    // drop the parent uuid dir once only markers remain
+    val left = Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+    if (left.forall(s => s.getName.startsWith(".") || s.getName == "_SUCCESS"))
+      org.apache.commons.io.FileUtils.deleteDirectory(f.getParentFile)
   }
 }

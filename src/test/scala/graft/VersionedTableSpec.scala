@@ -93,10 +93,17 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.vacuum(p, keep = 1).toSet === Set(1L, 3L))
     assert(VersionedTable.versions(p) === Seq(4L))
     assert(state(p).keySet === Set(1L, 2L, 3L, 11L, 12L, 13L))
-    // snapshot dirs of vacuumed versions are gone from disk
-    val dirs = new java.io.File(p).listFiles().map(_.getName).toSet
-    assert(!dirs.contains("snap-00000001") && !dirs.contains("snap-00000002"))
-    assert(dirs.contains("snap-00000004"))
+    // manifest-reachability GC: every data file on disk is referenced
+    // by the one remaining manifest; vacuumed-only files are gone
+    val curFiles = VersionedTable.files(p).toSet
+    val dd = new java.io.File(p, "data")
+    val onDisk = Option(dd.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => s"data/${d.getName}/${f.getName}")).toSet
+    assert(onDisk === curFiles,
+      "disk holds exactly the files reachable from kept manifests")
   }
 
   test("readChanges: classified change feed; applying it replays the version") {
@@ -212,27 +219,102 @@ class VersionedTableSpec extends SparkSpec {
     assert(pins == null || pins.isEmpty)
   }
 
-  test("unpublished staging debris below current is vacuumed; init guards") {
+  test("unreferenced staging debris is age-gated vacuumed; init guards") {
     val p = s"${tmpDir("vt")}/t"
     VersionedTable.init(ss, p, base)
     VersionedTable.merge(ss, p,
       Seq((4L, "d", 40.0, "U")).toDF("key", "tag", "bal", "op"), Seq("key"))
-    // fake a crashed writer: a snap dir below current with no manifest
-    val debris = new java.io.File(p, "snap-00000001x")
-    val orphan = new java.io.File(p, "snap-00000001")
-    // (v1 is committed; simulate an orphan at a NEW uncommitted number
-    // below current by vacuuming v1 away first)
-    VersionedTable.vacuum(p, keep = 1)
-    base.write.parquet(new java.io.File(p, "snap-00000001").getPath)
+    // fake a crashed writer: a staged data dir referenced by NO manifest
+    val orphan = new java.io.File(p, "data/0000dead-beef-0000-0000-000000000000")
+    base.write.parquet(orphan.getPath)
     assert(orphan.exists())
+    // younger than the grace period: vacuum must NOT sweep it — it is
+    // indistinguishable from an in-flight writer's staging
     VersionedTable.vacuum(p, keep = 1)
-    assert(!orphan.exists(), "unpublished snap below current is debris")
-    assert(!debris.exists())
+    assert(orphan.exists(), "fresh staging is never swept (could be in flight)")
+    // age it past the grace: now it is crash debris
+    def age(f: java.io.File): Unit = {
+      f.setLastModified(1000L)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(age)
+    }
+    age(orphan)
+    VersionedTable.vacuum(p, keep = 1)
+    assert(!orphan.exists(), "unpublished staging older than the grace is debris")
     assert(state(p).keySet === Set(1L, 2L, 3L, 4L))
     // double-init fails loudly
     val e = intercept[IllegalArgumentException] {
       VersionedTable.init(ss, p, base)
     }
     assert(e.getMessage.contains("already exists"))
+  }
+
+  test("merge commits are O(delta): a small merge rewrites only the " +
+      "files whose key ranges it touches and shares the rest") {
+    val p = s"${tmpDir("vt")}/t"
+    val big = ss.range(0L, 4000L).select(col("id").as("key"),
+      concat(lit("t"), col("id")).as("tag"),
+      col("id").cast("double").as("bal"))
+    VersionedTable.init(ss, p, big, clusterBy = Seq("key"), numFiles = 8)
+    val before = VersionedTable.files(p).toSet
+    assert(before.size >= 6, s"clustered init lays out ~8 files: $before")
+    // the delta touches keys 10..12 — inside one file's key range
+    val d = Seq((10L, "x", 1.0), (11L, "x", 2.0), (12L, "x", 3.0))
+      .toDF("key", "tag", "bal")
+    VersionedTable.merge(ss, p, d, Seq("key"))
+    val after = VersionedTable.files(p).toSet
+    val shared = (before intersect after).size
+    assert(shared >= before.size - 2,
+      s"a 3-row merge must share nearly all files ($shared of ${before.size})")
+    assert((after -- before).nonEmpty && (after -- before).size <= 2,
+      "the rewrite is delta-sized, not table-sized")
+    // and the content is exactly the merged state
+    assert(VersionedTable.read(ss, p).count() === 4000L)
+    assert(VersionedTable.read(ss, p).filter(col("key") === 11L)
+      .collect().head.getAs[String]("tag") === "x")
+    // v1 stays readable in full (its files were shared or kept)
+    assert(VersionedTable.read(ss, p, Some(1L)).filter(col("key") === 11L)
+      .collect().head.getAs[String]("tag") === "t11")
+  }
+
+  test("two concurrent mergers both land (optimistic-concurrency CAS)") {
+    val p = s"${tmpDir("vt")}/t"
+    VersionedTable.init(ss, p, base, clusterBy = Seq("key"))
+    val m1 = Seq((1L, "a2", 11.0)).toDF("key", "tag", "bal")
+    val m2 = Seq((5L, "e", 50.0)).toDF("key", "tag", "bal")
+    // writer 1 stages its rewrite; IN ITS COMMIT WINDOW writer 2 merges
+    // and wins version 2. Writer 1's CAS then fails, it discards its
+    // staged files, re-derives against v2, and lands as v3 — BOTH
+    // change sets present, nobody last-write-wins the other.
+    var raced = false
+    val v = VersionedTable.mergeWithHook(ss, p, m1, Seq("key"),
+      lit(false), 0) { () =>
+      if (!raced) { raced = true; VersionedTable.merge(ss, p, m2, Seq("key")) }
+    }
+    assert(v === 3L, "the losing merger re-derives and commits the next version")
+    assert(VersionedTable.versions(p) === Seq(1L, 2L, 3L))
+    assert(state(p) === Map(1L -> (("a2", 11.0)), 2L -> (("b", 20.0)),
+      3L -> (("c", 30.0)), 5L -> (("e", 50.0))))
+    // the intermediate version holds ONLY the race winner's change
+    assert(state(p, Some(2L)) === Map(1L -> (("a", 10.0)),
+      2L -> (("b", 20.0)), 3L -> (("c", 30.0)), 5L -> (("e", 50.0))))
+  }
+
+  test("a table with its own 'op' column refuses readChanges loudly") {
+    val p = s"${tmpDir("vt")}/t"
+    VersionedTable.init(ss, p, Seq((1L, "U")).toDF("key", "op"))
+    VersionedTable.merge(ss, p, Seq((2L, "I")).toDF("key", "op"), Seq("key"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.readChanges(ss, p, 1L, 2L, Seq("key"))
+    }
+    assert(e.getMessage.contains("op"))
+  }
+
+  test("versions past 8 digits stay visible (manifest name parse)") {
+    val p = s"${tmpDir("vt")}/t"
+    VersionedTable.init(ss, p, base)
+    val vd = new java.io.File(p, "_versions")
+    java.nio.file.Files.write(
+      new java.io.File(vd, "123456789.json").toPath, "{}".getBytes("UTF-8"))
+    assert(VersionedTable.versions(p) === Seq(1L, 123456789L))
   }
 }
