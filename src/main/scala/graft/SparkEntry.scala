@@ -529,6 +529,58 @@ object SparkEntry {
       |      FROM s)
       |SELECT q_id, rn, n_id FROM r WHERE rn <= 10""".stripMargin
 
+  /** IVF×PQ composed replay (cell-prune, then ADC): the AnnIvfSql
+    * coarse quantizer (stride-init centroids, argmax-cosine
+    * assignment, top-4 probed cells per query) restricts the candidate
+    * set, and the AnnPqSql machinery (stride-init codebooks,
+    * argmax-cosine codes, per-query LUT, decimal-exact ADC sum) scores
+    * ONLY those candidates — the recall side of q_ann_recall_ivfpq.
+    * One shared stride (n/16) drives both quantizers, as in the
+    * engine. */
+  private val AnnIvfPqSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+      |st AS (SELECT greatest(count(*) // 16, 1) AS stride FROM e),
+      |c AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
+      |      FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT 16),
+      |a AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rr
+      |    FROM e CROSS JOIN c) WHERE rr = 1),
+      |p AS (
+      |  SELECT q_id, cid FROM (
+      |    SELECT e.vec_id AS q_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(ve, ce) DESC, cid) AS rr
+      |    FROM e CROSS JOIN c WHERE e.vec_id < 5) WHERE rr <= 4),
+      |sub AS (SELECT vec_id AS id, unnest(range(0, 8)) AS m,
+      |    unnest(list_transform(range(0, 8), i -> ve[i*8+1 : i*8+8])) AS s FROM e),
+      |cb AS (SELECT m, CAST(rn - 1 AS BIGINT) AS cid, s AS cc FROM (
+      |    SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY id) AS rn
+      |    FROM sub, st WHERE id % stride = 0) WHERE rn <= 16),
+      |enc AS (SELECT id, m, cid AS code FROM (
+      |    SELECT sub.id, sub.m, cb.cid,
+      |      row_number() OVER (PARTITION BY sub.id, sub.m
+      |        ORDER BY list_cosine_similarity(sub.s, cb.cc) DESC, cb.cid ASC) AS rn
+      |    FROM sub JOIN cb ON sub.m = cb.m) WHERE rn = 1),
+      |lut AS (SELECT q.id AS q_id, cb.m, cb.cid,
+      |    list_inner_product(q.s, cb.cc) AS pdot
+      |  FROM sub q JOIN cb ON q.m = cb.m WHERE q.id < 5),
+      |sc AS (SELECT lut.q_id, enc.id AS n_id,
+      |    CAST(SUM(CAST(pdot AS DECIMAL(28,12))) AS DOUBLE) AS score
+      |  FROM enc
+      |    JOIN a ON a.vec_id = enc.id
+      |    JOIN p ON p.cid = a.cid
+      |    JOIN lut ON enc.m = lut.m AND enc.code = lut.cid
+      |      AND lut.q_id = p.q_id
+      |  WHERE enc.id <> lut.q_id
+      |  GROUP BY lut.q_id, enc.id)
+      |SELECT q_id, rn, n_id FROM (
+      |  SELECT q_id, n_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rn
+      |  FROM sc) WHERE rn <= 10""".stripMargin
+
   /** PQ-ADC replay: 8 × 8-dim subspaces, 16 stride-init codebook
     * entries each, argmax-cosine codes (tie → low cid), per-query dot
     * LUT, decimal-exact ADC sum — shared by q_ann_pq and the recall
@@ -4120,6 +4172,24 @@ object SparkEntry {
         .select(col("q_id").as("iq"), col("n_id").as("in_"))
       bf.join(iv, bf("q_id") === col("iq") && bf("n_id") === col("in_"), "left")
         .groupBy(col("q_id")).agg(count(col("in_")).as("n_hit"))
+    }),
+
+    // #134c: recall@10 of the COMPOSED IVF×PQ serve (cell-prune, then
+    // ADC over only the probed cells' codes — the path a 100 TB
+    // deployment runs: nprobe/nlist of m-byte codes per query, raw
+    // vectors never read) vs the brute-force ground truth. Both
+    // quantizers stride-init (iters = 0) so the whole compose replays
+    // exactly in external SQL.
+    "q_ann_recall_ivfpq" -> ((s, dir) => {
+      val e = tp(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+        .select(col("q_id"), col("n_id"))
+      val ip = AnnPq.annTopKIvfPq(e, q, "vec_id", "embedding", 10,
+          nlist = 16, nprobe = 4)
+        .select(col("q_id").as("cq"), col("n_id").as("cn"))
+      bf.join(ip, bf("q_id") === col("cq") && bf("n_id") === col("cn"), "left")
+        .groupBy(col("q_id")).agg(count(col("cn")).as("n_hit"))
     }),
 
     // #135: byte-budget media shard packing (the webdataset/tar-shard
@@ -7887,6 +7957,15 @@ object SparkEntry {
         |iv AS ($AnnIvfSql)
         |SELECT bf.q_id, count(iv.n_id) AS n_hit
         |FROM bf LEFT JOIN iv ON bf.q_id = iv.q_id AND bf.n_id = iv.n_id
+        |GROUP BY bf.q_id""".stripMargin,
+
+    // recall@10 of the composed IVF×PQ serve (probed cells only, ADC
+    // scoring) vs the brute-force ground truth
+    "q_ann_recall_ivfpq" ->
+      s"""WITH bf AS ($AnnBruteSql),
+        |ip AS ($AnnIvfPqSql)
+        |SELECT bf.q_id, count(ip.n_id) AS n_hit
+        |FROM bf LEFT JOIN ip ON bf.q_id = ip.q_id AND bf.n_id = ip.n_id
         |GROUP BY bf.q_id""".stripMargin,
 
     "q_lang_id" ->

@@ -135,12 +135,16 @@ object AnnIvf {
     centroids
   }
 
-  /** Probe the nprobe max-cosine cells per query, exact-rank inside. */
-  def search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
-             idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+  /** The (q_id, q_vec, cid) probe set: each query's nprobe max-cosine
+    * cells (tie → low cid). Queries × nprobe rows — always
+    * broadcast-sized relative to the corpus; shared by [[search]]'s
+    * exact re-rank and AnnPq.searchEncodedPruned's composed IVF×PQ
+    * serve. */
+  def probes(centroids: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probeW = Window.partitionBy("q_id").orderBy(col("csim").desc, col("cid").asc)
-    val probes = queries
+    queries
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .crossJoin(broadcast(centroids))
       .select(col("q_id"), col("q_vec"), col("cid"),
@@ -148,6 +152,13 @@ object AnnIvf {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select("q_id", "q_vec", "cid")
+  }
+
+  /** Probe the nprobe max-cosine cells per query, exact-rank inside. */
+  def search(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = this.probes(centroids, queries, idCol, vecCol, nprobe)
     val rankW = Window.partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)
     // the probe set is (queries × nprobe) rows — orders of magnitude
     // smaller than the assigned corpus; broadcast it so the per-cell

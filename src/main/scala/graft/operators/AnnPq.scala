@@ -127,6 +127,75 @@ object AnnPq {
       .select(col("q_id"), col("rn"), col("n_id"))
   }
 
+  /** The IVF×PQ composed serve — cell-prune, THEN ADC: each query
+    * probes its nprobe max-cosine coarse cells (AnnIvf.probes) and
+    * ADC-scores ONLY those cells' PQ codes. `enc` must carry the cell
+    * id alongside the codes — (id, m, code, cid) — which is how
+    * IndexedSearch.fit persists the codes artifact (partitioned by
+    * cid). The probed cid set (≤ nlist, driver-tiny) is pushed as a
+    * STATIC `isin` filter, so a cid-partitioned artifact prunes at the
+    * file level before any row is read; the per-query scoping join and
+    * the LUT are both broadcast. Raw vectors are never touched: coarse
+    * probing reads the broadcast centroid table, scoring reads codes —
+    * at 100 TB a query costs nprobe/nlist of the CODES (m bytes per
+    * vector), the compute-side and memory-side scale dials composed.
+    * Returns (q_id, rn, n_id). */
+  def searchEncodedPruned(enc: DataFrame, codebooks: DataFrame,
+                          centroids: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          nprobe: Int = 4, m: Int = 8, subDim: Int = 8)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(enc.columns.contains("cid"),
+      "searchEncodedPruned needs cell ids on the codes — (id, m, code, " +
+        "cid); refit the artifact (IndexedSearch.fit) or join the codes " +
+        "with the IVF assignment first")
+    val probes = AnnIvf.probes(centroids, queries, idCol, vecCol, nprobe)
+      .select(col("q_id").as("pq_qid"), col("cid").cast("long").as("cell"))
+    // static cell pruning: the probed cid set is at most nlist values —
+    // collected once, pushed into the scan as a partition filter
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val lut = subspaces(queries, idCol, vecCol, m, subDim)
+      .withColumnRenamed("id", "lq_qid").withColumnRenamed("sub", "qs")
+      .join(broadcast(codebooks), "m")
+      .select(col("lq_qid"), col("m").as("lm"), col("cid").as("lc"),
+        Vectors.dot(col("qs"), col("centroid")).as("pdot"))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    enc.select(col("id"), col("m"), col("code"),
+        col("cid").cast("long").as("cell"))
+      .filter(col("cell").isin(cells: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("pq_qid"))
+      .join(broadcast(lut), col("pq_qid") === col("lq_qid") &&
+        col("m") === col("lm") && col("code") === col("lc"))
+      .groupBy(col("pq_qid").as("q_id"), col("id"))
+      .agg(sum(col("pdot").cast("decimal(28,12)")).cast("double").as("score"))
+      .select(col("q_id"), col("id").as("n_id"), col("score"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("n_id"))
+  }
+
+  /** [[searchEncodedPruned]] fitting both quantizers inline with the
+    * deterministic stride-init (no Lloyd refinement, no float
+    * averaging — the oracle-replayable path q_ann_recall_ivfpq runs;
+    * production persists artifacts via IndexedSearch.fit and serves
+    * with serveIvfPq). Returns (q_id, rn, n_id). */
+  def annTopKIvfPq(df: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nlist: Int = 16,
+                   nprobe: Int = 4, m: Int = 8, subDim: Int = 8,
+                   ksub: Int = 16): DataFrame = {
+    val centroids = AnnIvf.fit(df, idCol, vecCol, nlist, iters = 0)
+    val assigned = AnnIvf.assign(df, centroids, idCol, vecCol)
+    val cb = fitCodebooks(df, idCol, vecCol, m, subDim, ksub)
+    val enc = encode(df, cb, idCol, vecCol, m, subDim)
+      .join(assigned.select(col("id"), col("cid")), "id")
+    searchEncodedPruned(enc, cb, centroids, queries, idCol, vecCol,
+      k, nprobe, m, subDim)
+  }
+
   /** Top-k by ADC inner-product score, fitting codebooks inline
     * (test/bench path; production persists artifacts and serves via
     * [[searchEncoded]]). Returns (q_id, rn, n_id). */

@@ -64,8 +64,14 @@ object IndexedSearch {
       AnnPq.fitCodebooks(embs, idCol, vecCol, m, subDim, ksub),
       idCol, vecCol, m, subDim, pqIters)
     AnnPq.saveCodebooks(cb, s"$gen/pq_codebooks")
+    // codes carry their coarse cell and persist PARTITIONED BY cid —
+    // the artifact layout serveIvfPq's cell-prune-then-ADC path prunes
+    // at the file level (a probe reads nprobe/nlist of the code files,
+    // never the rest); servePq's full ADC scan is unchanged by the
+    // extra column
     AnnPq.encode(embs, cb, idCol, vecCol, m, subDim)
-      .write.mode("overwrite").parquet(s"$gen/pq_codes")
+      .join(assigned.select(col("id"), col("cid")), "id")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$gen/pq_codes")
     // optional fit-quality report (r13 verdict item 4): per-cell
     // silhouette of the ASSIGNMENT just persisted — scored with
     // silhouetteAssigned so the report grades the exact partition the
@@ -255,6 +261,26 @@ object IndexedSearch {
     AnnPq.searchEncoded(spark.read.parquet(s"$gen/pq_codes"),
       AnnPq.loadCodebooks(spark, s"$gen/pq_codebooks"),
       queries, idCol, vecCol, k, m, subDim)
+  }
+
+  /** The composed serve — cell-prune, THEN ADC: probe nprobe coarse
+    * cells via the broadcast centroid table, ADC-score ONLY those
+    * cells' persisted PQ codes (the cid-partitioned `pq_codes`
+    * artifact prunes at the file level through the static probed-cid
+    * filter), top-k on the LUT sums. Raw vectors are never read at
+    * serve time — [[serveIvf]]'s compute-side pruning and [[servePq]]'s
+    * memory-side codes composed, the shape a 100 TB deployment
+    * actually runs: a query touches nprobe/nlist of m-bytes-per-vector
+    * codes. Generations fit before the codes carried cells refuse
+    * loudly (refit to enable). Returns (q_id, rn, n_id). */
+  def serveIvfPq(spark: SparkSession, dir: String, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+                 m: Int = 8, subDim: Int = 8): DataFrame = {
+    val gen = resolve(spark, dir)
+    AnnPq.searchEncodedPruned(spark.read.parquet(s"$gen/pq_codes"),
+      AnnPq.loadCodebooks(spark, s"$gen/pq_codebooks"),
+      AnnIvf.loadIndex(spark, s"$gen/ivf_centroids"),
+      queries, idCol, vecCol, k, nprobe, m, subDim)
   }
 
   /** Past this many query ids, [[serveHybrid]]'s lexical arm stops

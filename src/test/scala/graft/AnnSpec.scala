@@ -158,6 +158,58 @@ class AnnSpec extends SparkSpec {
     assert(viaJoin.nonEmpty)
   }
 
+  test("IndexedSearch: composed IVF×PQ serve ADC-scans ONLY the probed " +
+      "cells' code files; probing all cells equals the full PQ serve") {
+    import graft.operators.IndexedSearch
+    val dir = tmpDir("ivfpq")
+    IndexedSearch.fit(emb, "vec_id", "embedding", dir)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rn", "n_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // nprobe = nlist probes every cell: the composed path must equal
+    // the full-ADC memory-side serve EXACTLY (same scores, same ties)
+    assert(triples(IndexedSearch.serveIvfPq(spark, dir, queries,
+        "vec_id", "embedding", 10, nprobe = 16)) ===
+      triples(IndexedSearch.servePq(spark, dir, queries,
+        "vec_id", "embedding", 10)))
+    // nprobe = 2: the pq_codes scan reads EXACTLY the probed cells'
+    // files — the collected cid set prunes partitions statically
+    val pruned = IndexedSearch.serveIvfPq(spark, dir, queries,
+      "vec_id", "embedding", 10, nprobe = 2)
+    assert(pruned.collect().nonEmpty)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val codeScans = scans(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("pq_codes")))
+    assert(codeScans.nonEmpty, "expected a pq_codes file scan")
+    val filesRead = codeScans.map(_.metrics("numFiles").value).max
+    // ground truth: the cells the 5 queries actually probe, and the
+    // parquet files under exactly those partitions
+    val gen = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "CURRENT").toPath), "UTF-8").trim
+    val probed = AnnIvf.probes(
+        AnnIvf.loadIndex(spark, s"$dir/$gen/ivf_centroids"),
+        queries, "vec_id", "embedding", 2)
+      .select("cid").distinct().collect().map(_.getLong(0)).toSet
+    assert(probed.size < 16, s"5 queries x nprobe 2 probe < all cells: $probed")
+    val probedFiles = probed.toSeq.map(c =>
+      Option(new java.io.File(s"$dir/$gen/pq_codes/cid=$c").listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))).sum
+    assert(filesRead === probedFiles.toLong,
+      s"scan must read exactly the probed cells' files " +
+        s"($probedFiles expected, $filesRead read)")
+  }
+
   test("IndexedSearch: artifact commit is atomic — crash debris never serves, re-fit swaps generations") {
     import graft.operators.IndexedSearch
     val dir = tmpDir("idxatomic")
