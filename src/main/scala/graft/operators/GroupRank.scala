@@ -39,10 +39,22 @@ import org.apache.spark.sql.types.LongType
   */
 object GroupRank {
 
+  /** The driver-offset tables below are per-(partition, group)-sized —
+    * bounded-cardinality by design (deciles, arms, folds at every
+    * current call site). Past this many entries the mechanism is the
+    * wrong tool and the collect fails LOUDLY instead of risking a
+    * silent driver OOM (the no-silent-degradation rule). */
+  val MaxDriverEntries: Int = 1 << 20
+
   /** Adds `outCol` = EXCLUSIVE per-group prefix sum of `weightCol`
-    * (Long; 1 per row when None) in `orderCols` order. */
+    * (Long; 1 per row when None) in `orderCols` order.
+    * `maxDriverEntries` bounds the per-(partition, group) offset table
+    * collected to the driver — raise it deliberately for a genuinely
+    * larger bounded key, or use a window/two-phase aggregate for
+    * high-cardinality groups. */
   def prefixSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
-                weightCol: Option[String], outCol: String): DataFrame = {
+                weightCol: Option[String], outCol: String,
+                maxDriverEntries: Int = MaxDriverEntries): DataFrame = {
     require(groupCols.nonEmpty && orderCols.nonEmpty,
       "groupCols and orderCols must be non-empty")
     val spark = df.sparkSession
@@ -71,6 +83,13 @@ object GroupRank {
         if (cur != null) out += ((pi, cur, run))
         out.iterator
       }.collect()
+    require(partGroupSums.length <= maxDriverEntries,
+      s"GroupRank.prefixSum collected ${partGroupSums.length} " +
+        s"per-(partition, group) offset entries to the driver (bound " +
+        s"$maxDriverEntries): the group key's cardinality is too high " +
+        "for the driver-offset mechanism — raise maxDriverEntries " +
+        "deliberately, or rank high-cardinality groups with a window/" +
+        "two-phase aggregate instead")
 
     // Driver: prefix-sum each group's totals in partition order.
     val offsets: Map[(Int, List[Any]), Long] = partGroupSums

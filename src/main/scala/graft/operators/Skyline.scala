@@ -25,8 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
+  /** `maxDriverEntries` bounds the per-partition maxima array collected
+    * to the driver (one Double per partition — the bound exists so a
+    * pathological million-partition input fails with the mechanism
+    * named instead of creeping toward a driver OOM). */
   def frontier2d(df: DataFrame, xCol: String, yCol: String,
-                 tieCols: Seq[String]): DataFrame = {
+                 tieCols: Seq[String],
+                 maxDriverEntries: Int = GroupRank.MaxDriverEntries)
+      : DataFrame = {
     val spark = df.sparkSession
     val orderCols: Seq[Column] =
       col(xCol).asc +: col(yCol).desc +: tieCols.map(col(_).asc)
@@ -60,6 +66,11 @@ object Skyline {
       it.foreach(r => { val y = yOf(r); if (y > best) best = y })
       Iterator((pid, best))
     }.collect().sortBy(_._1).map(_._2)
+    require(maxima.length <= maxDriverEntries,
+      s"Skyline.frontier2d collected ${maxima.length} per-partition " +
+        s"maxima to the driver (bound $maxDriverEntries): repartition " +
+        "the input to fewer partitions, or raise maxDriverEntries " +
+        "deliberately")
     // prefixMax(p) = max y over all partitions strictly before p
     val prefix = maxima.scanLeft(Double.NegativeInfinity)(math.max).dropRight(1)
     val bc = spark.sparkContext.broadcast(prefix)

@@ -205,9 +205,12 @@ object StreamOps {
     * generation is unchanged by serving and changed only by an alarm).
     * A missing index bootstraps from the first batch's corpus.
     *
-    * Each batch appends one audit row to `reportPath`:
+    * EVERY batch appends one audit row to `reportPath`:
     * (batch_id, n_new, psi, refit, gen_before, gen_after) — the
-    * no-silent-maintenance rule; psi is NULL on the bootstrap batch.
+    * no-silent-maintenance rule; psi is NULL on the bootstrap batch,
+    * and a replayed/all-duplicate batch still leaves its
+    * (n_new = 0, psi null, refit false) row, so the trail can
+    * distinguish "batch never arrived" from "batch fully deduped".
     * The PSI fold is q_psi's convention (1e-6 floor, grid = baseline ∪
     * observed cells, round 9) computed driver-side over
     * cell-count-sized arrays — monitoring state, never data-sized.
@@ -234,42 +237,49 @@ object StreamOps {
         .join(existingIds, Seq(idCol), "left_anti")
         .localCheckpoint(true) // reused: append + assign; pin one copy
       val nNew = fresh.count()
-      if (nNew > 0) {
-        fresh.write.mode("append").parquet(corpusPath)
-        val genBefore = IndexedSearch.currentGeneration(spark, indexDir)
-        val (psi, refit) = genBefore match {
-          case None => (None, true) // bootstrap: first fit IS the alarm
-          case Some(_) =>
-            val q0 = IndexedSearch
-              .assignServed(spark, indexDir, fresh, idCol, vecCol)
-              .groupBy(col("cid")).agg(count(lit(1)).as("n"))
-              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-            val p0 = IndexedSearch.servedCellShares(spark, indexDir)
-              .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-            val cells = q0.keySet ++ p0.keySet
-            val tot = q0.values.sum.toDouble
-            val s = cells.toSeq.map { c =>
-              val q = math.max(q0.getOrElse(c, 0L) / tot, 1e-6)
-              val p = math.max(p0.getOrElse(c, 0.0), 1e-6)
-              (q - p) * math.log(q / p)
-            }.sum
-            val psi = BigDecimal(s)
-              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-            (Some(psi), psi > psiThreshold)
+      val genBefore = IndexedSearch.currentGeneration(spark, indexDir)
+      val (psi, refit): (Option[Double], Boolean) =
+        if (nNew == 0L) (None, false) // replayed/all-duplicate batch
+        else {
+          fresh.write.mode("append").parquet(corpusPath)
+          genBefore match {
+            case None => (None, true) // bootstrap: first fit IS the alarm
+            case Some(_) =>
+              val q0 = IndexedSearch
+                .assignServed(spark, indexDir, fresh, idCol, vecCol)
+                .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+                .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+              val p0 = IndexedSearch.servedCellShares(spark, indexDir)
+                .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+              val cells = q0.keySet ++ p0.keySet
+              val tot = q0.values.sum.toDouble
+              val s = cells.toSeq.map { c =>
+                val q = math.max(q0.getOrElse(c, 0L) / tot, 1e-6)
+                val p = math.max(p0.getOrElse(c, 0.0), 1e-6)
+                (q - p) * math.log(q / p)
+              }.sum
+              val psiV = BigDecimal(s)
+                .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+              (Some(psiV), psiV > psiThreshold)
+          }
         }
-        if (refit)
-          // qualityReport: an UNATTENDED refit must grade itself — the
-          // per-cell silhouette of the exact partition it published
-          // travels inside the generation (IndexedSearch.silhouette
-          // returns it without a recompute)
-          IndexedSearch.fit(spark.read.parquet(corpusPath), idCol, vecCol,
-            indexDir, nlist = nlist, m = m, subDim = subDim, ksub = ksub,
-            qualityReport = true)
-        val genAfter = IndexedSearch.currentGeneration(spark, indexDir)
-        Seq((batchId, nNew, psi, refit, genBefore, genAfter))
-          .toDF("batch_id", "n_new", "psi", "refit", "gen_before", "gen_after")
-          .coalesce(1).write.mode("append").parquet(reportPath)
-      }
+      if (refit)
+        // qualityReport: an UNATTENDED refit must grade itself — the
+        // per-cell silhouette of the exact partition it published
+        // travels inside the generation (IndexedSearch.silhouette
+        // returns it without a recompute)
+        IndexedSearch.fit(spark.read.parquet(corpusPath), idCol, vecCol,
+          indexDir, nlist = nlist, m = m, subDim = subDim, ksub = ksub,
+          qualityReport = true)
+      val genAfter = IndexedSearch.currentGeneration(spark, indexDir)
+      // one audit row per batch UNCONDITIONALLY — an all-duplicate
+      // (replayed) batch leaves (n_new = 0, psi null, refit false,
+      // unchanged generation), so the trail distinguishes "batch never
+      // arrived" from "batch fully deduped" (the no-silent-maintenance
+      // rule)
+      Seq((batchId, nNew, psi, refit, genBefore, genAfter))
+        .toDF("batch_id", "n_new", "psi", "refit", "gen_before", "gen_after")
+        .coalesce(1).write.mode("append").parquet(reportPath)
       ()
     }
   }

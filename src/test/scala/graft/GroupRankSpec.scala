@@ -31,6 +31,23 @@ class GroupRankSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("prefixSum refuses a high-cardinality group key loudly " +
+      "(driver-offset bound)") {
+    // the driver offset table is per-(partition, group)-sized — a key
+    // with more groups than the bound must fail with the mechanism
+    // named, never creep toward a driver OOM
+    val df = mkDf(4)
+    val e = intercept[IllegalArgumentException] {
+      GroupRank.prefixSum(df, Seq("id"), Seq("v"), None, "s",
+        maxDriverEntries = 16)
+    }
+    assert(e.getMessage.contains("maxDriverEntries") &&
+      e.getMessage.contains("cardinality"))
+    // the same call under the default bound succeeds (5000 ids)
+    assert(GroupRank.prefixSum(df, Seq("id"), Seq("v"), None, "s")
+      .count() === 5000L)
+  }
+
   test("prefixSum matches the exclusive running sum per group") {
     val df = mkDf(5).groupBy("g", "v").agg(count(lit(1)).as("c"))
     val got = GroupRank.prefixSum(df, Seq("g"), Seq("v"), Some("c"), "smaller")

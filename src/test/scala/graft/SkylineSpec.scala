@@ -29,6 +29,19 @@ class SkylineSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("frontier2d refuses a partition count past the driver bound loudly") {
+    val li = table("lineitem")
+      .select(col("l_extendedprice").as("price"), col("l_quantity").as("qty"),
+        col("l_orderkey"), col("l_linenumber"))
+    // AQE may coalesce the small test input to one range partition, so
+    // drive the guard with a zero bound — the trip path is the same
+    val e = intercept[IllegalArgumentException] {
+      Skyline.frontier2d(li, "price", "qty",
+        Seq("l_orderkey", "l_linenumber"), maxDriverEntries = 0)
+    }
+    assert(e.getMessage.contains("maxDriverEntries"))
+  }
+
   test("frontier is non-dominated: no survivor beats another") {
     val li = table("lineitem")
       .select(col("l_extendedprice").as("price"), col("l_quantity").as("qty"),

@@ -397,12 +397,19 @@ class StreamingSpec extends SparkSpec {
       val qual = IndexedSearch.silhouette(spark, idx)
       assert(qual.columns.contains("cid") && qual.count() > 0,
         "auto-refit generation must carry a fit-quality report")
-      // audit trail: one row per non-empty batch, refit flags honest
+      // batch 4: a pure REPLAY of batch 3 — every id already ingested,
+      // so n_new = 0; the audit row must still land (the trail has to
+      // distinguish "batch never arrived" from "batch fully deduped")
+      // and the generation must not move
+      in.addData((80L until 120L).map(i => (i, vec(i, 32))): _*)
+      q.processAllAvailable()
+      assert(gen() === gen2, "an all-duplicate batch never refits")
+      // audit trail: one row per batch INCLUDING the all-duplicate one
       val rep = spark.read.parquet(report).collect()
         .map(r => r.getAs[Long]("batch_id") ->
           ((r.getAs[Long]("n_new"), Option(r.getAs[java.lang.Double]("psi")),
             r.getAs[Boolean]("refit")))).toMap
-      assert(rep.size === 3)
+      assert(rep.size === 4)
       val byBatch = rep.toSeq.sortBy(_._1).map(_._2)
       assert(byBatch(0)._3 && byBatch(0)._2.isEmpty,
         "bootstrap: refit=true, psi=null")
@@ -410,7 +417,9 @@ class StreamingSpec extends SparkSpec {
         s"in-distribution psi stays quiet: ${byBatch(1)._2}")
       assert(byBatch(2)._3 && byBatch(2)._2.exists(_ > 0.2),
         s"shifted psi alarms: ${byBatch(2)._2}")
-      assert(byBatch.map(_._1) === Seq(40L, 40L, 40L))
+      assert(byBatch(3) === ((0L, None, false)),
+        "replayed batch: n_new=0, psi=null, refit=false — still audited")
+      assert(byBatch.map(_._1) === Seq(40L, 40L, 40L, 0L))
     } finally q.stop()
   }
 
