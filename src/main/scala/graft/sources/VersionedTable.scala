@@ -514,6 +514,61 @@ object VersionedTable {
     }.map(_._3)
   }
 
+  private val RelayStagedSuffix = "__relay_staged"
+
+  /** [[relayChanges]] into a BUCKETED managed table ([[Sinks.bucketed]])
+    * — the CDC-maintained downstream that is also JOIN-OPTIMAL: the
+    * bootstrap writes the snapshot bucketed on `keys.head` (sorted
+    * within buckets on `keys`), and every later relay merges the feed
+    * and rewrites the table with the SAME bucket spec, so every
+    * downstream equi-join/groupBy on the key stays a zero-Exchange
+    * sort-merge join forever while the relay keeps the content equal
+    * to the source at every relay point. The merge join itself also
+    * rides the bucketing: the target side arrives hash-distributed on
+    * the bucket column, so only the delta-sized feed shuffles.
+    *
+    * The rewrite swaps via a staged table + metastore rename (DROP +
+    * ALTER TABLE RENAME). The two-step swap is healed on entry:
+    * staged-with-live rolls BACK (the checkpoint never advanced, the
+    * relay replays the same feed — a fixpoint), staged-without-live
+    * rolls FORWARD. Single maintenance writer per table, the
+    * Sinks.compact rule. Returns the (fromV, toV) bounds relayed, or
+    * None when caught up. */
+  def relayIntoBucketed(spark: SparkSession, srcPath: String, table: String,
+                        keys: Seq[String], numBuckets: Int,
+                        checkpointFile: String): Option[(Long, Long)] = {
+    recoverBucketedRelay(spark, table)
+    relayChanges(spark, srcPath, keys, checkpointFile) { (feed, from, _) =>
+      if (from == 0L)
+        Sinks.bucketed(feed.drop("op"), table, keys.head, numBuckets,
+          sortCols = keys)
+      else {
+        val merged = Sinks.mergedFrame(spark.table(table), feed, keys,
+          col("op") === "D")
+        val staged = table + RelayStagedSuffix
+        Sinks.bucketed(merged, staged, keys.head, numBuckets,
+          sortCols = keys)
+        spark.sql(s"DROP TABLE `$table`")
+        spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+      }
+      ()
+    }.map { case (f, t, _) => (f, t) }
+  }
+
+  /** Heal a bucketed-relay swap torn by a crash: a staged table WITH a
+    * live one rolls back (the relay checkpoint never advanced, so the
+    * feed replays — re-merging the same change set is a fixpoint); a
+    * staged table WITHOUT a live one rolls forward. Idempotent. */
+  def recoverBucketedRelay(spark: SparkSession, table: String): Unit = {
+    val staged = table + RelayStagedSuffix
+    if (spark.catalog.tableExists(staged)) {
+      if (spark.catalog.tableExists(table))
+        spark.sql(s"DROP TABLE `$staged`")
+      else
+        spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+    }
+  }
+
   // ---------------------------------------------------------------- //
   // pins + retention                                                 //
   // ---------------------------------------------------------------- //

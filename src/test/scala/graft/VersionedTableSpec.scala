@@ -203,6 +203,51 @@ class VersionedTableSpec extends SparkSpec {
       e.getMessage.contains("vacuumed"))
   }
 
+  test("bucketed CDC relay: downstream stays content-equal AND " +
+      "join-optimal (zero-Exchange SMJ on the merge key)") {
+    val root = tmpDir("vtb")
+    val src = s"$root/src"; val ckpt = s"$root/relay.json"
+    val tbl = "vt_relay_bkt"; val dim = "vt_relay_dim"
+    ss.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    ss.sql(s"DROP TABLE IF EXISTS `$dim`")
+    def content(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("tag"),
+        r.getAs[Double]("bal"))).toSet
+    VersionedTable.init(ss, src, base, clusterBy = Seq("key"))
+    // bootstrap relays the full snapshot into the bucketed layout
+    assert(VersionedTable.relayIntoBucketed(ss, src, tbl, Seq("key"),
+      4, ckpt) === Some((0L, 1L)))
+    assert(content(ss.table(tbl)) === content(VersionedTable.read(ss, src)))
+    // two source merges, ONE relay hop: the feed composes and the
+    // bucketed downstream lands content-equal
+    VersionedTable.merge(ss, src,
+      Seq((1L, "a2", 11.0, "U"), (3L, "c", 0.0, "D"), (5L, "e", 50.0, "U"))
+        .toDF("key", "tag", "bal", "op"),
+      Seq("key"), deleteWhen = col("op") === "D")
+    VersionedTable.merge(ss, src,
+      Seq((5L, "e", 0.0, "D"), (7L, "g", 70.0, "U"))
+        .toDF("key", "tag", "bal", "op"),
+      Seq("key"), deleteWhen = col("op") === "D")
+    assert(VersionedTable.relayIntoBucketed(ss, src, tbl, Seq("key"),
+      4, ckpt) === Some((1L, 3L)))
+    assert(content(ss.table(tbl)) === content(VersionedTable.read(ss, src)))
+    // caught up: no work
+    assert(VersionedTable.relayIntoBucketed(ss, src, tbl, Seq("key"),
+      4, ckpt) === None)
+    // the relay-maintained table is join-optimal: an SMJ against a
+    // compatibly-bucketed dim plans with ZERO Exchange on either side
+    graft.sources.Sinks.bucketed(
+      base.select(col("key"), col("tag").as("t2")), dim, "key", 4, Seq("key"))
+    val joined = ss.table(tbl).hint("merge")
+      .join(ss.table(dim), "key")
+    assert(joined.count() > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"relayed bucketed table still shuffles:\n$plan")
+    ss.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    ss.sql(s"DROP TABLE IF EXISTS `$dim`")
+  }
+
   test("withPinned loan: pin held during use, released after") {
     val p = s"${tmpDir("vt")}/t"
     VersionedTable.init(ss, p, base)
