@@ -181,8 +181,13 @@ object Sinks {
     val outCols = tgt.columns.toSeq
     require(keys.nonEmpty && keys.forall(outCols.contains),
       s"merge keys $keys must be target columns (${outCols.mkString(",")})")
-    val nSrc = source.count()
-    val nKey = source.select(keys.map(col): _*).distinct().count()
+    // both counts in ONE delta-sized job; count_distinct over the keys
+    // STRUCT so an (invalid) all-null key still counts as a distinct
+    // value, exactly like the two-job distinct().count() it replaces
+    val guard = source.agg(count(lit(1)).as("n"),
+      count_distinct(struct(keys.map(col): _*)).as("k")).collect().head
+    val nSrc = guard.getLong(0)
+    val nKey = guard.getLong(1)
     require(nSrc == nKey,
       s"merge source must be key-unique: $nSrc rows over $nKey distinct " +
         "keys — collapse to a last-writer-per-key change set first " +

@@ -71,9 +71,10 @@ import graft.JsonUtil
   *
   * Scale shape: per merge, one stats-pruning pass (source's distinct
   * keys × the broadcast file-stats table — delta × file-count, never
-  * data-sized), one key-shuffled (or AQE-broadcast) merge join over
-  * ONLY the candidate files + the source, one delta-sized write, one
-  * manifest link. Reads add one manifest parse. Nothing is
+  * data-sized, with a range-only O(files) fallback past the
+  * comparison budget), one key-shuffled (or AQE-broadcast) merge join
+  * over ONLY the candidate files + the source, one delta-sized write,
+  * one manifest link. Reads add one manifest parse. Nothing is
   * table-sized except the first merge after an unclustered [[init]]
   * (no stats yet → every file is a candidate once; pass `clusterBy`
   * to init to start pruned).
@@ -297,36 +298,97 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Per-key pruning work is (distinct source keys × files) cheap
+    * comparisons in a broadcast join — exact, but quadratic-shaped.
+    * Past this budget (a huge delta against a many-file table — the
+    * regime where most files are getting rewritten anyway) pruning
+    * falls back to RANGE-ONLY: one delta-sized min/max aggregate of
+    * the source keys, intersected with each file's stats driver-side.
+    * Both paths are conservative supersets of the truly-matched
+    * files, so the choice is performance-only. */
+  private val MaxPruneComparisons: Long = 2L << 30
+
   /** Which of the base version's files can contain a source key:
     * join the source's DISTINCT keys against the broadcast per-file
-    * min/max stats (delta × file-count work, never data-sized). Files
+    * min/max stats (delta × file-count work, never data-sized), or
+    * the range-only fallback above past `maxPruneComparisons`. Files
     * without stats on a key column are conservatively candidates.
-    * Returns (candidates to rewrite, untouched files to share). */
-  private def pruneCandidates(spark: SparkSession, m: ManifestData,
-                              source: DataFrame, keys: Seq[String])
-      : (Seq[FileEntry], Seq[FileEntry]) = {
+    * Returns (candidates to rewrite, untouched files to share, number
+    * of distinct source keys). */
+  private def pruneCandidateFiles(
+      spark: SparkSession, m: ManifestData, source: DataFrame,
+      keys: Seq[String],
+      maxPruneComparisons: Long = MaxPruneComparisons)
+      : (Seq[FileEntry], Seq[FileEntry], Long) = {
     import scala.jdk.CollectionConverters._
-    if (m.files.isEmpty) return (Nil, Nil)
-    val statsSchema = StructType(StructField("__vt_file", StringType) +:
-      keys.flatMap(k => Seq(StructField(s"__vt_mn_$k", StringType),
-        StructField(s"__vt_mx_$k", StringType))))
-    val rows: Seq[Row] = m.files.map(f => Row.fromSeq(f.path +:
-      keys.flatMap(k => f.stats.get(k) match {
-        case Some((mn, mx)) => Seq(mn, mx)
-        case None => Seq(null, null)
-      })))
-    val statsDf = spark.createDataFrame(rows.asJava, statsSchema)
-    val cond = keys.map { k =>
-      val dt = m.schema(k).dataType
-      val mn = col(s"__vt_mn_$k").cast(dt)
-      val mx = col(s"__vt_mx_$k").cast(dt)
-      mn.isNull || mx.isNull || (col(k).cast(dt) >= mn && col(k).cast(dt) <= mx)
-    }.reduce(_ && _)
-    val needed = source.select(keys.map(col): _*).distinct()
-      .join(broadcast(statsDf), cond, "inner")
-      .select(col("__vt_file")).distinct()
-      .collect().map(_.getString(0)).toSet
-    m.files.partition(f => needed(f.path))
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+      .localCheckpoint(true) // reused: count + prune join (or min/max)
+    val nKeys = srcKeys.count()
+    if (m.files.isEmpty) return (Nil, Nil, nKeys)
+    if (nKeys * m.files.size <= maxPruneComparisons) {
+      val statsSchema = StructType(StructField("__vt_file", StringType) +:
+        keys.flatMap(k => Seq(StructField(s"__vt_mn_$k", StringType),
+          StructField(s"__vt_mx_$k", StringType))))
+      val rows: Seq[Row] = m.files.map(f => Row.fromSeq(f.path +:
+        keys.flatMap(k => f.stats.get(k) match {
+          case Some((mn, mx)) => Seq(mn, mx)
+          case None => Seq(null, null)
+        })))
+      val statsDf = spark.createDataFrame(rows.asJava, statsSchema)
+      val cond = keys.map { k =>
+        val dt = m.schema(k).dataType
+        val mn = col(s"__vt_mn_$k").cast(dt)
+        val mx = col(s"__vt_mx_$k").cast(dt)
+        mn.isNull || mx.isNull ||
+          (col(k).cast(dt) >= mn && col(k).cast(dt) <= mx)
+      }.reduce(_ && _)
+      val needed = srcKeys
+        .join(broadcast(statsDf), cond, "inner")
+        .select(col("__vt_file")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (c, u) = m.files.partition(f => needed(f.path))
+      (c, u, nKeys)
+    } else {
+      // range-only fallback: the source's global per-column key range
+      // (one delta-sized aggregate) intersected with file stats on the
+      // driver — O(files) work regardless of delta size
+      val aggs = keys.flatMap(k => Seq(
+        min(col(k)).cast("string").as(s"__mn_$k"),
+        max(col(k)).cast("string").as(s"__mx_$k")))
+      val r = srcKeys.agg(aggs.head, aggs.tail: _*).collect().head
+      def overlaps(f: FileEntry): Boolean = keys.forall { k =>
+        f.stats.get(k) match {
+          case None => true // no stats: conservative candidate
+          case Some((fmn, fmx)) =>
+            val smn = r.getAs[String](s"__mn_$k")
+            val smx = r.getAs[String](s"__mx_$k")
+            if (smn == null || smx == null) true
+            else {
+              val dt = m.schema(k).dataType
+              // string round trips are exact for every statable type;
+              // compare in the COLUMN's ordering by parsing both sides
+              cmp(dt, fmn, smx) <= 0 && cmp(dt, smn, fmx) <= 0
+            }
+        }
+      }
+      val (c, u) = m.files.partition(overlaps)
+      (c, u, nKeys)
+    }
+  }
+
+  /** Driver-side ordered comparison of two stat strings under the
+    * column's type ordering (the same semantics the column comparison
+    * in the per-key path uses). */
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case _: DecimalType => new java.math.BigDecimal(a)
+      .compareTo(new java.math.BigDecimal(b))
+    case BooleanType => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    // StringType, DateType ("yyyy-MM-dd"), TimestampType
+    // ("yyyy-MM-dd HH:mm:ss[.SSSSSS]"): lexicographic IS the type
+    // ordering for the cast-to-string forms Spark emits
+    case _ => a.compareTo(b)
   }
 
   /** MERGE INTO the current version, committing the result as a new
@@ -345,13 +407,22 @@ object VersionedTable {
             numFiles: Int = 0): Long =
     mergeWithHook(spark, path, source, keys, deleteWhen, numFiles)(() => ())
 
-  /** [[merge]] with a test seam run between staging and the CAS
-    * publish — VersionedTableSpec drives a deterministic two-writer
-    * race through it. */
+  /** Auto file sizing for a merge's rewrite output: one file per
+    * rewritten candidate keeps steady-state file sizes stable, and the
+    * keys-per-file floor keeps an insert-heavy merge (few candidates,
+    * huge source) from funnelling into one giant single-task file. */
+  private val RowsPerNewFile: Long = 1L << 20
+
+  /** [[merge]] with test seams: `beforePublish` runs between staging
+    * and the CAS publish (VersionedTableSpec drives a deterministic
+    * two-writer race through it), `maxPruneComparisons` forces the
+    * range-only pruning fallback. */
   private[graft] def mergeWithHook(spark: SparkSession, path: String,
                                    source: DataFrame, keys: Seq[String],
                                    deleteWhen: org.apache.spark.sql.Column,
-                                   numFiles: Int)
+                                   numFiles: Int,
+                                   maxPruneComparisons: Long =
+                                     MaxPruneComparisons)
                                   (beforePublish: () => Unit): Long = {
     var attempts = 0
     while (true) {
@@ -359,10 +430,13 @@ object VersionedTable {
         throw new IllegalStateException(
           s"versioned table at $path has no committed version; init() first"))
       val m = readManifest(path, cur)
-      val (cands, untouched) = pruneCandidates(spark, m, source, keys)
+      val (cands, untouched, nKeys) =
+        pruneCandidateFiles(spark, m, source, keys, maxPruneComparisons)
       val tgt = readFiles(spark, path, m.schema, cands)
       val merged = Sinks.mergedFrame(tgt, source, keys, deleteWhen)
-      val n = if (numFiles > 0) numFiles else math.max(1, cands.size)
+      val n = if (numFiles > 0) numFiles
+        else math.max(math.max(1, cands.size),
+          math.ceil(nKeys.toDouble / RowsPerNewFile).toInt)
       val staged = stage(spark, path, merged, keys, n, keys)
       beforePublish()
       if (tryPublish(path, cur + 1, manifestJson(cur + 1, cur,

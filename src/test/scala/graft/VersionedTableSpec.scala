@@ -321,6 +321,27 @@ class VersionedTableSpec extends SparkSpec {
       .collect().head.getAs[String]("tag") === "t11")
   }
 
+  test("pruning falls back to range-only past the comparison budget " +
+      "and stays O(delta) for a contiguous delta") {
+    val p = s"${tmpDir("vt")}/t"
+    val big = ss.range(0L, 4000L).select(col("id").as("key"),
+      concat(lit("t"), col("id")).as("tag"),
+      col("id").cast("double").as("bal"))
+    VersionedTable.init(ss, p, big, clusterBy = Seq("key"), numFiles = 8)
+    val before = VersionedTable.files(p).toSet
+    val d = Seq((10L, "x", 1.0), (11L, "x", 2.0)).toDF("key", "tag", "bal")
+    // budget 0 forces the range-only path; a contiguous 2-key delta
+    // still overlaps only one file's key range
+    VersionedTable.mergeWithHook(ss, p, d, Seq("key"), lit(false), 0,
+      maxPruneComparisons = 0L)(() => ())
+    val after = VersionedTable.files(p).toSet
+    assert((before intersect after).size >= before.size - 2,
+      "range-only pruning still shares nearly all files")
+    assert(VersionedTable.read(ss, p).count() === 4000L)
+    assert(VersionedTable.read(ss, p).filter(col("key") === 10L)
+      .collect().head.getAs[String]("tag") === "x")
+  }
+
   test("two concurrent mergers both land (optimistic-concurrency CAS)") {
     val p = s"${tmpDir("vt")}/t"
     VersionedTable.init(ss, p, base, clusterBy = Seq("key"))
