@@ -174,20 +174,28 @@ object Sinks {
     * generation) and [[VersionedTable.merge]] (append-a-snapshot time
     * travel): full-outer on the keys, source payload wins, deletes
     * filtered, counts on the frame as `graft_merge` observe metrics. */
+  /** The merge source's (row count, distinct key count) in ONE
+    * delta-sized job; count_distinct over the keys STRUCT so an
+    * (invalid) all-null key still counts as a distinct value, exactly
+    * like the two-job distinct().count() it replaces. Shared so
+    * VersionedTable.merge can compute it once and reuse it for both
+    * its pruning-budget decision and [[mergedFrame]]'s guard. */
+  private[sources] def sourceKeyCounts(source: DataFrame,
+                                       keys: Seq[String]): (Long, Long) = {
+    val guard = source.agg(count(lit(1)).as("n"),
+      count_distinct(struct(keys.map(col): _*)).as("k")).collect().head
+    (guard.getLong(0), guard.getLong(1))
+  }
+
   private[sources] def mergedFrame(tgt: DataFrame, source: DataFrame,
                                    keys: Seq[String],
-                                   deleteWhen: org.apache.spark.sql.Column)
+                                   deleteWhen: org.apache.spark.sql.Column,
+                                   precounted: Option[(Long, Long)] = None)
       : DataFrame = {
     val outCols = tgt.columns.toSeq
     require(keys.nonEmpty && keys.forall(outCols.contains),
       s"merge keys $keys must be target columns (${outCols.mkString(",")})")
-    // both counts in ONE delta-sized job; count_distinct over the keys
-    // STRUCT so an (invalid) all-null key still counts as a distinct
-    // value, exactly like the two-job distinct().count() it replaces
-    val guard = source.agg(count(lit(1)).as("n"),
-      count_distinct(struct(keys.map(col): _*)).as("k")).collect().head
-    val nSrc = guard.getLong(0)
-    val nKey = guard.getLong(1)
+    val (nSrc, nKey) = precounted.getOrElse(sourceKeyCounts(source, keys))
     require(nSrc == nKey,
       s"merge source must be key-unique: $nSrc rows over $nKey distinct " +
         "keys — collapse to a last-writer-per-key change set first " +

@@ -317,14 +317,12 @@ object VersionedTable {
     * of distinct source keys). */
   private def pruneCandidateFiles(
       spark: SparkSession, m: ManifestData, source: DataFrame,
-      keys: Seq[String],
+      keys: Seq[String], nKeys: Long,
       maxPruneComparisons: Long = MaxPruneComparisons)
-      : (Seq[FileEntry], Seq[FileEntry], Long) = {
+      : (Seq[FileEntry], Seq[FileEntry]) = {
     import scala.jdk.CollectionConverters._
     val srcKeys = source.select(keys.map(col): _*).distinct()
-      .localCheckpoint(true) // reused: count + prune join (or min/max)
-    val nKeys = srcKeys.count()
-    if (m.files.isEmpty) return (Nil, Nil, nKeys)
+    if (m.files.isEmpty) return (Nil, Nil)
     if (nKeys * m.files.size <= maxPruneComparisons) {
       val statsSchema = StructType(StructField("__vt_file", StringType) +:
         keys.flatMap(k => Seq(StructField(s"__vt_mn_$k", StringType),
@@ -346,8 +344,7 @@ object VersionedTable {
         .join(broadcast(statsDf), cond, "inner")
         .select(col("__vt_file")).distinct()
         .collect().map(_.getString(0)).toSet
-      val (c, u) = m.files.partition(f => needed(f.path))
-      (c, u, nKeys)
+      m.files.partition(f => needed(f.path))
     } else {
       // range-only fallback: the source's global per-column key range
       // (one delta-sized aggregate) intersected with file stats on the
@@ -371,8 +368,7 @@ object VersionedTable {
             }
         }
       }
-      val (c, u) = m.files.partition(overlaps)
-      (c, u, nKeys)
+      m.files.partition(overlaps)
     }
   }
 
@@ -425,15 +421,20 @@ object VersionedTable {
                                      MaxPruneComparisons)
                                   (beforePublish: () => Unit): Long = {
     var attempts = 0
+    // ONE delta-sized job feeds the key-unique guard, the pruning
+    // budget, and the output file sizing — computed once; the source
+    // is fixed across CAS retries
+    val counts @ (_, nKeys) = Sinks.sourceKeyCounts(source, keys)
     while (true) {
       val cur = currentVersion(path).getOrElse(
         throw new IllegalStateException(
           s"versioned table at $path has no committed version; init() first"))
       val m = readManifest(path, cur)
-      val (cands, untouched, nKeys) =
-        pruneCandidateFiles(spark, m, source, keys, maxPruneComparisons)
+      val (cands, untouched) = pruneCandidateFiles(spark, m, source, keys,
+        nKeys, maxPruneComparisons)
       val tgt = readFiles(spark, path, m.schema, cands)
-      val merged = Sinks.mergedFrame(tgt, source, keys, deleteWhen)
+      val merged = Sinks.mergedFrame(tgt, source, keys, deleteWhen,
+        precounted = Some(counts))
       val n = if (numFiles > 0) numFiles
         else math.max(math.max(1, cands.size),
           math.ceil(nKeys.toDouble / RowsPerNewFile).toInt)
@@ -451,6 +452,42 @@ object VersionedTable {
       attempts += 1
       require(attempts < 64,
         s"merge on $path lost $attempts optimistic-concurrency races " +
+          "in a row; giving up rather than spinning")
+    }
+    -1L // unreachable
+  }
+
+  /** Small-file compaction as a NEW version — the maintenance pass
+    * O(delta) commits eventually need: every merge adds a fresh
+    * (often small) file, and a long-running CDC-maintained table's
+    * read cost becomes per-file open/footer overhead (the
+    * [[Sinks.compact]] problem restated over manifests). Rewrites the
+    * CURRENT content into `numFiles` files clustered and
+    * stats-stamped on `clusterBy` — pass the table's merge keys so
+    * the compacted files carry the stats the next merge prunes on —
+    * and commits under the SAME hard-link CAS: content unchanged,
+    * history readable, pins hold, superseded files reclaimed by the
+    * next [[vacuum]]. A concurrent merge that wins the version race
+    * is never lost: compact re-reads the new current and re-derives
+    * (committing stale content would silently drop the merge). */
+  def compact(spark: SparkSession, path: String, clusterBy: Seq[String],
+              numFiles: Int = 0): Long = {
+    var attempts = 0
+    while (true) {
+      val cur = currentVersion(path).getOrElse(
+        throw new IllegalStateException(s"no committed version at $path"))
+      val m = readManifest(path, cur)
+      val staged = stage(spark, path,
+        readFiles(spark, path, m.schema, m.files), clusterBy, numFiles,
+        clusterBy)
+      if (tryPublish(path, cur + 1,
+          manifestJson(cur + 1, cur, m.schema.toDDL, staged.files)))
+        return cur + 1
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new File(path.stripSuffix("/"), staged.dirRel))
+      attempts += 1
+      require(attempts < 64,
+        s"compact on $path lost $attempts optimistic-concurrency races " +
           "in a row; giving up rather than spinning")
     }
     -1L // unreachable

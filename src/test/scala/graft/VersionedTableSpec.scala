@@ -365,6 +365,33 @@ class VersionedTableSpec extends SparkSpec {
       2L -> (("b", 20.0)), 3L -> (("c", 30.0)), 5L -> (("e", 50.0))))
   }
 
+  test("compact: file growth from many merges collapses into a new " +
+      "version with identical content; history and pruning survive") {
+    val p = s"${tmpDir("vt")}/t"
+    VersionedTable.init(ss, p, base, clusterBy = Seq("key"))
+    // ten point merges: O(delta) commits each add a fresh file
+    for (i <- 1 to 10)
+      VersionedTable.merge(ss, p,
+        Seq((100L + i, s"n$i", i.toDouble)).toDF("key", "tag", "bal"),
+        Seq("key"))
+    val grown = VersionedTable.files(p).size
+    assert(grown >= 10, s"each merge adds at least one file ($grown)")
+    val before = state(p)
+    val v = VersionedTable.compact(ss, p, Seq("key"), numFiles = 2)
+    assert(v === 12L, "compaction commits as the next version")
+    assert(VersionedTable.files(p).size <= 2, "file count collapsed")
+    assert(state(p) === before, "content unchanged by compaction")
+    // history: the pre-compact version still reads
+    assert(state(p, Some(11L)) === before)
+    // the compacted files carry key stats: a point merge stays O(delta)
+    val fBefore = VersionedTable.files(p).toSet
+    VersionedTable.merge(ss, p,
+      Seq((101L, "z", 0.5)).toDF("key", "tag", "bal"), Seq("key"))
+    val fAfter = VersionedTable.files(p).toSet
+    assert((fBefore intersect fAfter).size >= fBefore.size - 1,
+      "post-compact merge rewrites at most one compacted file")
+  }
+
   test("a table with its own 'op' column refuses readChanges loudly") {
     val p = s"${tmpDir("vt")}/t"
     VersionedTable.init(ss, p, Seq((1L, "U")).toDF("key", "op"))
