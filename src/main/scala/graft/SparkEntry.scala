@@ -4535,6 +4535,47 @@ object SparkEntry {
       }.reduce(_.unionAll(_)).orderBy(col("version"))
     }),
 
+    // #294c: q_time_travel's version chain read back through the SQL
+    // surface — `spark.read.format("graft-table").option("versionAsOf",
+    // v)` — instead of the Scala API: same table build, same oracle
+    // (the relational MERGE replay), so the hash pins that the FORMAT
+    // path resolves every historical manifest to the identical state.
+    // The format route is also the stats-pruned read path
+    // (GraftManifestFileIndex), exercised here under a real workload.
+    "q_time_travel_sql" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_tts")
+      val tbl = work.resolve("tbl").toString
+      val base = t(s, dir, "customer")
+        .filter(col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+      sources.VersionedTable.init(s, tbl, base, clusterBy = Seq("key"))
+      def changes(lo: String, hi: String) = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+          col("o_orderdate") < lit(hi).cast("timestamp"))
+        .filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey").as("key"),
+          when(col("o_orderstatus") === "F", "D").otherwise("U").as("op"),
+          col("o_totalprice").as("bal"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("seq"))
+        .groupBy(col("key"))
+        .agg(max_by(struct(col("op"), col("bal")),
+          struct(col("ts"), col("seq"))).as("l"))
+        .select(col("key"), col("l.bal").as("bal"), col("l.op").as("op"))
+      sources.VersionedTable.merge(s, tbl,
+        changes("1997-01-01", "1997-07-01"), Seq("key"),
+        deleteWhen = col("op") === "D")
+      sources.VersionedTable.merge(s, tbl,
+        changes("1997-07-01", "1999-01-01"), Seq("key"),
+        deleteWhen = col("op") === "D")
+      (1L to 3L).map { v =>
+        s.read.format("graft-table").option("versionAsOf", v.toString)
+          .load(tbl)
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("bal").cast("decimal(28,2)")).as("sum_bal"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_bal"))
+      }.reduce(_.unionAll(_)).orderBy(col("version"))
+    }),
+
     // #179: SCD type-2 dimension build from a change log — orders as
     // per-customer priority updates: drop no-change rows (lag), then
     // version + effective [from, to) ranges + current flag per key.
@@ -10545,6 +10586,51 @@ object SparkEntry {
     // v3 = MERGE(v2, ch2); per-version fingerprints close in exact
     // decimal(28,2) sums
     "q_time_travel" ->
+      """WITH v1 AS (SELECT c_custkey AS key, c_acctbal AS bal
+        |  FROM customer WHERE c_custkey % 7 <> 0),
+        |ch1 AS (SELECT o_custkey AS key,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS newbal, o_orderdate AS ts, o_orderkey AS seq
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-07-01'
+        |    AND o_custkey IS NOT NULL),
+        |last1 AS (SELECT key, op, newbal FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY ts DESC, seq DESC) AS rn FROM ch1)
+        |  WHERE rn = 1),
+        |v2 AS (SELECT COALESCE(s.key, l.key) AS key,
+        |    CASE WHEN l.key IS NOT NULL THEN l.newbal ELSE s.bal END AS bal
+        |  FROM v1 s FULL OUTER JOIN last1 l ON s.key = l.key
+        |  WHERE l.op IS NULL OR l.op <> 'D'),
+        |ch2 AS (SELECT o_custkey AS key,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS newbal, o_orderdate AS ts, o_orderkey AS seq
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |    AND o_orderdate < TIMESTAMP '1999-01-01'
+        |    AND o_custkey IS NOT NULL),
+        |last2 AS (SELECT key, op, newbal FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |      ORDER BY ts DESC, seq DESC) AS rn FROM ch2)
+        |  WHERE rn = 1),
+        |v3 AS (SELECT COALESCE(s.key, l.key) AS key,
+        |    CASE WHEN l.key IS NOT NULL THEN l.newbal ELSE s.bal END AS bal
+        |  FROM v2 s FULL OUTER JOIN last2 l ON s.key = l.key
+        |  WHERE l.op IS NULL OR l.op <> 'D')
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+        |  SUM(CAST(bal AS DECIMAL(28,2))) AS sum_bal FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  SUM(CAST(bal AS DECIMAL(28,2))) FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  SUM(CAST(bal AS DECIMAL(28,2))) FROM v3
+        |ORDER BY version""".stripMargin,
+
+    // identical relational replay — the format() read path must resolve
+    // each version to the same state the Scala API does
+    "q_time_travel_sql" ->
       """WITH v1 AS (SELECT c_custkey AS key, c_acctbal AS bal
         |  FROM customer WHERE c_custkey % 7 <> 0),
         |ch1 AS (SELECT o_custkey AS key,

@@ -67,7 +67,7 @@ object GroupRank {
 
     // Pass 1: per-(partition, group) totals. Sorted input ⇒ groups are
     // contiguous, so one running Long per run suffices.
-    val partGroupSums: Array[(Int, List[Any], Long)] =
+    val entriesRdd =
       rdd.mapPartitionsWithIndex { (pi, it) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Int, List[Any], Long)]
         var cur: List[Any] = null
@@ -82,14 +82,22 @@ object GroupRank {
         }
         if (cur != null) out += ((pi, cur, run))
         out.iterator
-      }.collect()
-    require(partGroupSums.length <= maxDriverEntries,
-      s"GroupRank.prefixSum collected ${partGroupSums.length} " +
+      }
+    // Bound BEFORE materializing on the driver: count() keeps the
+    // entries on the executors (one Long per partition comes back), so
+    // a genuinely high-cardinality key trips the require instead of
+    // OOMing inside the collect the guard exists to prevent. The
+    // recount reuses `sorted`'s shuffle — only the cheap streaming
+    // run-length pass re-executes.
+    val nEntries = entriesRdd.count()
+    require(nEntries <= maxDriverEntries,
+      s"GroupRank.prefixSum would collect $nEntries " +
         s"per-(partition, group) offset entries to the driver (bound " +
         s"$maxDriverEntries): the group key's cardinality is too high " +
         "for the driver-offset mechanism — raise maxDriverEntries " +
         "deliberately, or rank high-cardinality groups with a window/" +
         "two-phase aggregate instead")
+    val partGroupSums: Array[(Int, List[Any], Long)] = entriesRdd.collect()
 
     // Driver: prefix-sum each group's totals in partition order.
     val offsets: Map[(Int, List[Any]), Long] = partGroupSums

@@ -54,6 +54,15 @@ object Skyline {
     }
     // stage 1: local running-max filter + this partition's max y
     val rdd = sorted.rdd
+    // The driver array is exactly one Double per partition, and the
+    // partition count is known driver-side WITHOUT running a job —
+    // bound before anything materializes (a post-collect require could
+    // only rename the OOM it was meant to prevent).
+    require(rdd.getNumPartitions <= maxDriverEntries,
+      s"Skyline.frontier2d would collect ${rdd.getNumPartitions} " +
+        s"per-partition maxima to the driver (bound $maxDriverEntries): " +
+        "repartition the input to fewer partitions, or raise " +
+        "maxDriverEntries deliberately")
     val survivors = rdd.mapPartitionsWithIndex { (pid, it) =>
       var best = Double.NegativeInfinity
       it.flatMap { r =>
@@ -66,11 +75,6 @@ object Skyline {
       it.foreach(r => { val y = yOf(r); if (y > best) best = y })
       Iterator((pid, best))
     }.collect().sortBy(_._1).map(_._2)
-    require(maxima.length <= maxDriverEntries,
-      s"Skyline.frontier2d collected ${maxima.length} per-partition " +
-        s"maxima to the driver (bound $maxDriverEntries): repartition " +
-        "the input to fewer partitions, or raise maxDriverEntries " +
-        "deliberately")
     // prefixMax(p) = max y over all partitions strictly before p
     val prefix = maxima.scanLeft(Double.NegativeInfinity)(math.max).dropRight(1)
     val bc = spark.sparkContext.broadcast(prefix)

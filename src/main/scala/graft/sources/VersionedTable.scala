@@ -3,7 +3,7 @@ package graft.sources
 import java.io.File
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,8 +19,10 @@ import graft.JsonUtil
   * Layout under the table root:
   * {{{
   *   <path>/_versions/00000003.json  one manifest per committed version:
-  *                                   {version, base, schema DDL,
-  *                                    files:[{path, rows, stats}]}
+  *                                   {version, base, ts, op, metrics,
+  *                                    schema DDL, files:[{path, rows,
+  *                                    bytes, stats}]} — ts/op/metrics
+  *                                   feed [[describeHistory]]
   *   <path>/data/<uuid>/part-*.parquet  immutable data files; each
   *                                   commit stages its NEW files under
   *                                   a fresh uuid dir, so no writer can
@@ -115,32 +117,89 @@ object VersionedTable {
   def files(path: String, asOf: Option[Long] = None): Seq[String] =
     readManifest(path, resolveVersion(path, asOf)).files.map(_.path)
 
+  /** The table's version chain as a DataFrame — Delta's DESCRIBE
+    * HISTORY, the operational contract users expect alongside time
+    * travel: one row per COMMITTED (un-vacuumed) version, newest
+    * first, with the commit wall-clock, the operation that produced
+    * it, manifest-level size (file/row/byte counts over the version's
+    * full file list, shared files included), and the commit's write
+    * metrics — a merge carries the `graft_merge` observe counts
+    * (updated / inserted / deleted) plus files_rewritten /
+    * files_shared / source_keys, so the O(delta) claim is auditable
+    * per commit from the table itself. Driver work is one manifest
+    * parse per retained version (retention-bounded, never
+    * data-sized); pre-r18 manifests surface null ts/operation. */
+  def describeHistory(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows: Seq[Row] = versions(path).sorted.reverse.map { v =>
+      val m = readManifest(path, v)
+      def g(k: String): java.lang.Long = m.metrics.get(k)
+        .map(java.lang.Long.valueOf).orNull
+      Row(m.version, m.base,
+        if (m.ts == 0L) null else new java.sql.Timestamp(m.ts),
+        if (m.op.isEmpty) null else m.op,
+        m.files.size.toLong, m.files.map(_.rows).sum,
+        m.files.map(_.bytes).sum,
+        g("updated"), g("inserted"), g("deleted"),
+        g("files_rewritten"), g("files_shared"))
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("base", LongType, nullable = false),
+      StructField("ts", TimestampType),
+      StructField("operation", StringType),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("updated", LongType), StructField("inserted", LongType),
+      StructField("deleted", LongType),
+      StructField("files_rewritten", LongType),
+      StructField("files_shared", LongType)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The newest version whose commit timestamp is ≤ `tsMillis` — the
+    * resolution rule behind the DSv2 `timestampAsOf` option. */
+  def versionAt(path: String, tsMillis: Long): Option[Long] =
+    versions(path).sorted
+      .takeWhile(v => readManifest(path, v).ts <= tsMillis).lastOption
+
   // ---------------------------------------------------------------- //
   // manifest model + JSON                                            //
   // ---------------------------------------------------------------- //
 
-  private case class FileEntry(path: String, rows: Long,
-                               stats: Map[String, (String, String)])
-  private case class ManifestData(version: Long, base: Long,
-                                  schema: StructType, files: Seq[FileEntry])
+  private[graft] case class FileEntry(path: String, rows: Long, bytes: Long,
+                                        stats: Map[String, (String, String)])
+  private[graft] case class ManifestData(version: Long, base: Long,
+                                           schema: StructType,
+                                           files: Seq[FileEntry],
+                                           ts: Long = 0L, op: String = "",
+                                           metrics: Map[String, Long] =
+                                             Map.empty)
 
   private def manifestJson(v: Long, base: Long, schemaDdl: String,
-                           files: Seq[FileEntry]): String = {
+                           files: Seq[FileEntry], op: String,
+                           metrics: Map[String, Long]): String = {
     val fs = files.map { f =>
       val st = f.stats.toSeq.sortBy(_._1).map { case (k, (mn, mx)) =>
         s"${JsonUtil.quote(k)}:[${JsonUtil.quote(mn)},${JsonUtil.quote(mx)}]"
       }.mkString("{", ",", "}")
-      s"""{"path":${JsonUtil.quote(f.path)},"rows":${f.rows},"stats":$st}"""
+      s"""{"path":${JsonUtil.quote(f.path)},"rows":${f.rows},""" +
+        s""""bytes":${f.bytes},"stats":$st}"""
     }.mkString("[", ",", "]")
-    s"""{"version":$v,"base":$base,"schema":${JsonUtil.quote(schemaDdl)},""" +
-      s""""files":$fs}"""
+    val ms = metrics.toSeq.sortBy(_._1)
+      .map { case (k, n) => s"${JsonUtil.quote(k)}:$n" }
+      .mkString("{", ",", "}")
+    s"""{"version":$v,"base":$base,"ts":${System.currentTimeMillis()},""" +
+      s""""op":${JsonUtil.quote(op)},"metrics":$ms,""" +
+      s""""schema":${JsonUtil.quote(schemaDdl)},"files":$fs}"""
   }
 
   private def resolveVersion(path: String, asOf: Option[Long]): Long =
     asOf.getOrElse(currentVersion(path).getOrElse(
       throw new IllegalStateException(s"no committed version at $path")))
 
-  private def readManifest(path: String, v: Long): ManifestData = {
+  private[graft] def readManifest(path: String, v: Long): ManifestData = {
     import scala.jdk.CollectionConverters._
     val m = manifest(path, v)
     if (!m.exists())
@@ -155,10 +214,16 @@ object VersionedTable {
         val arr = statsNode.get(k)
         k -> ((arr.get(0).asText(), arr.get(1).asText()))
       }.toMap
-      FileEntry(n.get("path").asText(), n.get("rows").asLong(), stats)
+      FileEntry(n.get("path").asText(), n.get("rows").asLong(),
+        Option(n.get("bytes")).map(_.asLong()).getOrElse(0L), stats)
     }.toSeq
+    val metrics = Option(root.get("metrics")).map { mn =>
+      mn.fieldNames().asScala.map(k => k -> mn.get(k).asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     ManifestData(root.get("version").asLong(), root.get("base").asLong(),
-      StructType.fromDDL(root.get("schema").asText()), files)
+      StructType.fromDDL(root.get("schema").asText()), files,
+      Option(root.get("ts")).map(_.asLong()).getOrElse(0L),
+      Option(root.get("op")).map(_.asText()).getOrElse(""), metrics)
   }
 
   /** The atomic commit point: hard-link the fully-written tmp manifest
@@ -194,6 +259,27 @@ object VersionedTable {
     case _ => false
   }
 
+  /** TZ-INDEPENDENT stat string for a min/max value. Timestamps are
+    * stored as epoch MICROS (a long), never as a cast-to-string form:
+    * cast(timestamp↔string) depends on spark.sql.session.timeZone, so
+    * a commit and a later prune running under different session TZs
+    * (or a value inside a DST fall-back overlap, where the string form
+    * is ambiguous) could reconstruct a shifted bound and exclude a
+    * file that truly contains a matching key — a silent duplicate-row
+    * corruption, not a perf miss. Every other statable type's
+    * cast-to-string is already TZ-free and exact. */
+  private def statStr(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c).cast("string")
+    case _ => c.cast("string")
+  }
+
+  /** Inverse of [[statStr]]: reconstruct a typed column from the
+    * stored stat string for Spark-side comparisons. */
+  private def statLit(s: Column, dt: DataType): Column = dt match {
+    case TimestampType => timestamp_micros(s.cast("long"))
+    case _ => s.cast(dt)
+  }
+
   private case class Staged(dirRel: String, files: Seq[FileEntry])
 
   /** Write `df` into a fresh unique `data/<uuid>/` dir (clustered by
@@ -220,9 +306,11 @@ object VersionedTable {
     val back = spark.read.parquet(abs.getPath)
     val stat = statCols.filter(c =>
       back.schema.fieldNames.contains(c) && statable(back.schema(c).dataType))
-    val aggs = count(lit(1L)).as("__n") +: stat.flatMap(k => Seq(
-      min(col(k)).cast("string").as(s"__mn_$k"),
-      max(col(k)).cast("string").as(s"__mx_$k")))
+    val aggs = count(lit(1L)).as("__n") +: stat.flatMap { k =>
+      val dt = back.schema(k).dataType
+      Seq(statStr(min(col(k)), dt).as(s"__mn_$k"),
+        statStr(max(col(k)), dt).as(s"__mx_$k"))
+    }
     val entries = back
       .groupBy(col("_metadata.file_name").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -232,8 +320,9 @@ object VersionedTable {
           val mx = r.getAs[String](s"__mx_$k")
           if (mn == null || mx == null) None else Some(k -> ((mn, mx)))
         }.toMap
-        FileEntry(s"$dirRel/${r.getAs[String]("__f")}",
-          r.getAs[Long]("__n"), stats)
+        val name = r.getAs[String]("__f")
+        FileEntry(s"$dirRel/$name", r.getAs[Long]("__n"),
+          new File(abs, name).length(), stats)
       }
     val kept = entries.map(_.path.split('/').last).toSet
     Option(abs.listFiles()).getOrElse(Array.empty)
@@ -272,7 +361,8 @@ object VersionedTable {
         s"version ${currentVersion(path).get}); use merge/overwrite")
     val staged = stage(spark, path, df, clusterBy, numFiles, clusterBy)
     if (!tryPublish(path, 1L,
-        manifestJson(1L, 0L, df.schema.toDDL, staged.files))) {
+        manifestJson(1L, 0L, df.schema.toDDL, staged.files, "init",
+          writeMetrics(staged)))) {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new File(path.stripSuffix("/"), staged.dirRel))
       throw new IllegalArgumentException(
@@ -293,10 +383,15 @@ object VersionedTable {
     while (true) {
       val v = currentVersion(path).getOrElse(0L) + 1
       if (tryPublish(path, v,
-          manifestJson(v, v - 1, df.schema.toDDL, staged.files))) return v
+          manifestJson(v, v - 1, df.schema.toDDL, staged.files, "overwrite",
+            writeMetrics(staged)))) return v
     }
     -1L // unreachable
   }
+
+  private def writeMetrics(staged: Staged): Map[String, Long] = Map(
+    "files_written" -> staged.files.size.toLong,
+    "rows_written" -> staged.files.map(_.rows).sum)
 
   /** Per-key pruning work is (distinct source keys × files) cheap
     * comparisons in a broadcast join — exact, but quadratic-shaped.
@@ -335,8 +430,8 @@ object VersionedTable {
       val statsDf = spark.createDataFrame(rows.asJava, statsSchema)
       val cond = keys.map { k =>
         val dt = m.schema(k).dataType
-        val mn = col(s"__vt_mn_$k").cast(dt)
-        val mx = col(s"__vt_mx_$k").cast(dt)
+        val mn = statLit(col(s"__vt_mn_$k"), dt)
+        val mx = statLit(col(s"__vt_mx_$k"), dt)
         mn.isNull || mx.isNull ||
           (col(k).cast(dt) >= mn && col(k).cast(dt) <= mx)
       }.reduce(_ && _)
@@ -349,9 +444,11 @@ object VersionedTable {
       // range-only fallback: the source's global per-column key range
       // (one delta-sized aggregate) intersected with file stats on the
       // driver — O(files) work regardless of delta size
-      val aggs = keys.flatMap(k => Seq(
-        min(col(k)).cast("string").as(s"__mn_$k"),
-        max(col(k)).cast("string").as(s"__mx_$k")))
+      val aggs = keys.flatMap { k =>
+        val dt = m.schema(k).dataType
+        Seq(statStr(min(col(k)), dt).as(s"__mn_$k"),
+          statStr(max(col(k)), dt).as(s"__mx_$k"))
+      }
       val r = srcKeys.agg(aggs.head, aggs.tail: _*).collect().head
       def overlaps(f: FileEntry): Boolean = keys.forall { k =>
         f.stats.get(k) match {
@@ -374,17 +471,42 @@ object VersionedTable {
 
   /** Driver-side ordered comparison of two stat strings under the
     * column's type ordering (the same semantics the column comparison
-    * in the per-key path uses). */
-  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
-    case ByteType | ShortType | IntegerType | LongType =>
+    * in the per-key path uses). Strings compare as UTF-8 BYTES, not
+    * java.lang.String.compareTo: Spark's min/max order strings by
+    * UTF-8 binary (code-point) order while compareTo uses UTF-16
+    * code units, and the two disagree for supplementary characters
+    * (U+F000 sorts above U+1F600 in UTF-16 but below in UTF-8) — a
+    * mismatched ordering could report no-overlap for a file that truly
+    * overlaps, breaking the conservative-superset invariant. */
+  private[sources] def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType | TimestampType =>
+      // timestamps are stored as epoch micros (statStr)
       java.lang.Long.compare(a.toLong, b.toLong)
     case _: DecimalType => new java.math.BigDecimal(a)
       .compareTo(new java.math.BigDecimal(b))
     case BooleanType => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
-    // StringType, DateType ("yyyy-MM-dd"), TimestampType
-    // ("yyyy-MM-dd HH:mm:ss[.SSSSSS]"): lexicographic IS the type
-    // ordering for the cast-to-string forms Spark emits
+    case DateType =>
+      // ISO form; parse rather than compare text so extended years
+      // ("+10000-01-01") and BCE ("-0044-03-15") order correctly
+      java.lang.Long.compare(java.time.LocalDate.parse(a).toEpochDay,
+        java.time.LocalDate.parse(b).toEpochDay)
+    case StringType => utf8Cmp(a, b)
     case _ => a.compareTo(b)
+  }
+
+  /** Lexicographic compare of the UTF-8 encodings — matches
+    * UTF8String.compareTo, the ordering Spark's min/max produced the
+    * stats under. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** MERGE INTO the current version, committing the result as a new
@@ -396,12 +518,52 @@ object VersionedTable {
     * its staged files and re-derives against the new current, so both
     * change sets land. Returns the committed version.
     * `numFiles` sizes the rewrite output (0 = one file per candidate
-    * rewritten, min 1). */
+    * rewritten, min 1).
+    *
+    * **Schema evolution (r18).** With `mergeSchema = true`, source
+    * columns the table lacks are APPENDED (nullable) to the table
+    * schema: rewritten files carry them, the new manifest records the
+    * widened DDL, untouched files are shared as-is and NULL-FILL the
+    * added columns on read (the explicit-schema parquet read does
+    * this for free), and prior versions keep reading under their own
+    * manifests' DDL. Columns referenced by `deleteWhen` are treated
+    * as CONTROL columns (op markers) and never evolve in; a shared
+    * column whose type differs refuses loudly — evolution is
+    * strictly additive, never a cast. Default `false` preserves the
+    * r17 contract: unknown source columns are silently dropped. */
   def merge(spark: SparkSession, path: String, source: DataFrame,
             keys: Seq[String],
             deleteWhen: org.apache.spark.sql.Column = lit(false),
-            numFiles: Int = 0): Long =
-    mergeWithHook(spark, path, source, keys, deleteWhen, numFiles)(() => ())
+            numFiles: Int = 0, mergeSchema: Boolean = false): Long =
+    mergeWithHook(spark, path, source, keys, deleteWhen, numFiles,
+      mergeSchema)(() => ())
+
+  /** The widened table schema under `mergeSchema = true`: target
+    * fields first (stable order for existing readers), then source-
+    * only non-control fields, nullable (old files have no values).
+    * Control columns = whatever `deleteWhen` references, discovered
+    * by analyzing it against the source (deleteWhen's documented
+    * contract is that it evaluates over source columns) — an op
+    * marker used only to classify deletes never becomes table data. */
+  private def evolvedSchema(tgt: StructType, source: DataFrame,
+                            deleteWhen: org.apache.spark.sql.Column)
+      : StructType = {
+    val src = source.schema
+    val ctl: Set[String] =
+      try source.select(deleteWhen.as("__dw")).queryExecution.analyzed
+        .expressions.flatMap(_.references.map(_.name)).toSet
+      catch { case _: Exception => Set.empty } // unanalyzable: evolve all
+    val tgtNames = tgt.fieldNames.toSet
+    for (tf <- tgt.fields; sf <- src.fields.find(_.name == tf.name))
+      require(sf.dataType == tf.dataType,
+        s"mergeSchema is additive-only: column ${tf.name} is " +
+          s"${tf.dataType.simpleString} in the table but " +
+          s"${sf.dataType.simpleString} in the source — cast the source " +
+          "explicitly, evolution never changes an existing column's type")
+    val extra = src.fields
+      .filterNot(f => tgtNames.contains(f.name) || ctl.contains(f.name))
+    StructType(tgt.fields ++ extra.map(_.copy(nullable = true)))
+  }
 
   /** Auto file sizing for a merge's rewrite output: one file per
     * rewritten candidate keeps steady-state file sizes stable, and the
@@ -417,6 +579,7 @@ object VersionedTable {
                                    source: DataFrame, keys: Seq[String],
                                    deleteWhen: org.apache.spark.sql.Column,
                                    numFiles: Int,
+                                   mergeSchema: Boolean = false,
                                    maxPruneComparisons: Long =
                                      MaxPruneComparisons)
                                   (beforePublish: () => Unit): Long = {
@@ -430,18 +593,35 @@ object VersionedTable {
         throw new IllegalStateException(
           s"versioned table at $path has no committed version; init() first"))
       val m = readManifest(path, cur)
+      // re-derived per CAS attempt: a concurrent merge may itself have
+      // evolved the schema
+      val outSchema =
+        if (mergeSchema) evolvedSchema(m.schema, source, deleteWhen)
+        else m.schema
       val (cands, untouched) = pruneCandidateFiles(spark, m, source, keys,
         nKeys, maxPruneComparisons)
-      val tgt = readFiles(spark, path, m.schema, cands)
+      // candidates read under the WIDENED schema: pre-evolution files
+      // null-fill the added columns, so the merge join sees one shape
+      val tgt = readFiles(spark, path, outSchema, cands)
+      // unique-named Observation per CAS attempt (an Observation is
+      // single-use): the stage() write below is the action that fills
+      // it, so the merge counts are known by publish time and ride
+      // into the manifest for describeHistory
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_merge_${java.util.UUID.randomUUID().toString.take(8)}")
       val merged = Sinks.mergedFrame(tgt, source, keys, deleteWhen,
-        precounted = Some(counts))
+        precounted = Some(counts), obs = Some(obs))
       val n = if (numFiles > 0) numFiles
         else math.max(math.max(1, cands.size),
           math.ceil(nKeys.toDouble / RowsPerNewFile).toInt)
       val staged = stage(spark, path, merged, keys, n, keys)
+      val mm = obs.get.collect { case (k, v: Long) => k -> v }
       beforePublish()
       if (tryPublish(path, cur + 1, manifestJson(cur + 1, cur,
-          m.schema.toDDL, untouched ++ staged.files)))
+          outSchema.toDDL, untouched ++ staged.files, "merge",
+          mm ++ Map("files_rewritten" -> cands.size.toLong,
+            "files_shared" -> untouched.size.toLong,
+            "source_keys" -> nKeys))))
         return cur + 1
       // lost the CAS: the base moved under us — our rewrite of the OLD
       // candidates may miss the winner's changes, so discard the staged
@@ -481,7 +661,9 @@ object VersionedTable {
         readFiles(spark, path, m.schema, m.files), clusterBy, numFiles,
         clusterBy)
       if (tryPublish(path, cur + 1,
-          manifestJson(cur + 1, cur, m.schema.toDDL, staged.files)))
+          manifestJson(cur + 1, cur, m.schema.toDDL, staged.files,
+            "compact", writeMetrics(staged) +
+              ("files_before" -> m.files.size.toLong))))
         return cur + 1
       org.apache.commons.io.FileUtils.deleteDirectory(
         new File(path.stripSuffix("/"), staged.dirRel))
@@ -493,6 +675,38 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** The maintenance POLICY over [[compact]] + [[vacuum]] — the
+    * "who decides when" the r17 verdict flagged: a long-running CDC
+    * stream grows one file per merge until an operator intervenes, so
+    * this is the self-tending entry point a scheduler (or
+    * `cdcApplyVersioned(autoCompactFiles = …)`) calls after commits.
+    * Compacts IFF the current manifest's file count exceeds
+    * `maxFiles` — into ceil(tableBytes / targetFileBytes) files,
+    * clustered and stats-stamped on `clusterBy` (pass the merge keys)
+    * so the next merge still prunes — then vacuums to `keepVersions`
+    * (pins always hold; pass Int.MaxValue to skip). Idempotent and
+    * cheap when under the bound: one manifest parse, no Spark jobs.
+    * Returns the compaction's committed version, if one ran. */
+  def maintain(spark: SparkSession, path: String, clusterBy: Seq[String],
+               maxFiles: Int, keepVersions: Int = Int.MaxValue,
+               targetFileBytes: Long = 128L << 20,
+               debrisAgeMs: Long = 3600L * 1000): Option[Long] = {
+    require(maxFiles >= 1, "maintain needs maxFiles >= 1")
+    val cur = currentVersion(path).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    val m = readManifest(path, cur)
+    val compacted =
+      if (m.files.size <= maxFiles) None
+      else {
+        val bytes = m.files.map(_.bytes).sum
+        val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        Some(compact(spark, path, clusterBy, numFiles = n))
+      }
+    if (keepVersions != Int.MaxValue)
+      vacuum(path, keepVersions, debrisAgeMs)
+    compacted
+  }
+
   // ---------------------------------------------------------------- //
   // reads                                                            //
   // ---------------------------------------------------------------- //
@@ -500,11 +714,34 @@ object VersionedTable {
   /** Read the table — the latest version, or `asOf` a specific one.
     * The returned plan scans exactly the manifest's immutable file
     * list, so it stays valid across concurrent merges and until that
-    * version is vacuumed. */
+    * version is vacuumed.
+    *
+    * The scan's file source is a [[GraftManifestFileIndex]] (r18), so
+    * a filter on a stats-carrying column PRUNES THE PLANNED FILE LIST
+    * by the manifest's per-file min/max — `read(...).filter(key === k)`
+    * on a clustered 64k-file table plans ~1 file, the read-path dual
+    * of merge's `pruneCandidateFiles` — while execution stays on the
+    * native vectorized parquet reader with whole-stage codegen. */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None)
-      : DataFrame = {
+      : DataFrame =
+    spark.baseRelationToDataFrame(relation(spark, path, asOf))
+
+  /** The HadoopFsRelation behind [[read]] and `format("graft-table")`:
+    * the resolved manifest's schema + a manifest-backed FileIndex.
+    * See [[GraftTableDataSource]] for why this is the integration
+    * seam (Delta's architecture) rather than a bespoke DSv2 reader. */
+  private[sources] def relation(spark: SparkSession, path: String,
+                                asOf: Option[Long])
+      : org.apache.spark.sql.execution.datasources.HadoopFsRelation = {
     val m = readManifest(path, resolveVersion(path, asOf))
-    readFiles(spark, path, m.schema, m.files)
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = new GraftManifestFileIndex(spark, path, m),
+      partitionSchema = new StructType(),
+      dataSchema = m.schema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
   }
 
   /** Change feed between two committed versions — the CDC READ side of
@@ -532,9 +769,20 @@ object VersionedTable {
         "payload column (cdcApply/cdcApplyVersioned parameterize it)")
     require(keys.nonEmpty && keys.forall(cols.contains),
       s"change keys $keys must be table columns (${cols.mkString(",")})")
+    // schema evolution between the versions is additive-only: read
+    // BOTH sides under the to-side (widened) schema, so fromV files
+    // null-fill the added columns and the diff classifies over the
+    // widened payload (a row whose only change is the new column going
+    // null → value is a U, exactly right)
+    require(ma.schema.fields.forall(f =>
+        mb.schema.fields.exists(g => g.name == f.name &&
+          g.dataType == f.dataType)),
+      s"readChanges($fromV -> $toV): version $toV's schema is missing or " +
+        s"retypes columns of version $fromV's — feeds only compose across " +
+        "ADDITIVE evolution (mergeSchema appends nullable columns)")
     val shared = ma.files.map(_.path).toSet intersect
       mb.files.map(_.path).toSet
-    val a = readFiles(spark, path, ma.schema,
+    val a = readFiles(spark, path, mb.schema,
       ma.files.filterNot(f => shared(f.path)))
       .withColumn("_ap", lit(1)).alias("a")
     val b = readFiles(spark, path, mb.schema,
@@ -770,6 +1018,15 @@ object VersionedTable {
           new File(d, "." + f.getName + ".crc").delete()
         }
       }
+    // manifest-staging debris: a writer that crashed between writing
+    // its `.tmp-*` manifest and the createLink leaves the tmp file
+    // behind forever (tryPublish's finally never ran) — sweep them
+    // under the same age gate as the data-dir debris, so an in-flight
+    // publisher's tmp is never deleted out from under its link call
+    Option(versionsDir(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".tmp-") &&
+        now - f.lastModified() > debrisAgeMs)
+      .foreach(_.delete())
     drop
   }
 

@@ -294,10 +294,26 @@ object StreamOps {
     * batch re-merges the same change set, committing a value-identical
     * new version (a fixpoint in CONTENT, not in version count; exactly
     *-once version numbering is not the contract, table state is).
-    * An empty batch commits nothing. */
+    * An empty batch commits nothing.
+    *
+    * **Self-tending (r18).** `autoCompactFiles = N` invokes
+    * [[graft.sources.VersionedTable.maintain]] after a commit whenever
+    * the manifest's file count exceeds N (clustered on the merge
+    * keys, so pruning survives compaction), and `vacuumKeep = K`
+    * bounds retention to the newest K versions (+ pins) — without
+    * these a long-running stream grows one file and one manifest per
+    * batch until an operator intervenes. Size `vacuumKeep` ABOVE any
+    * downstream relay's lag (or pin the relay's floor).
+    * `mergeSchema = true` lets a CDC source that grows a column flow
+    * through: order columns are projected out of the collapsed batch
+    * (they are sequencing metadata, not payload — the bootstrap
+    * already excludes them) and the remaining source-only columns
+    * evolve additively per `VersionedTable.merge`. */
   def cdcApplyVersioned(changes: DataFrame, tablePath: String,
                         keys: Seq[String], orderCols: Seq[String],
-                        opCol: String = "op", deleteOp: String = "D")
+                        opCol: String = "op", deleteOp: String = "D",
+                        mergeSchema: Boolean = false,
+                        autoCompactFiles: Int = 0, vacuumKeep: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
@@ -308,14 +324,21 @@ object StreamOps {
         .select(keys.map(col) ++ nonKey.map(c => col(s"_l.$c").as(c)): _*)
       if (!last.isEmpty) {
         import graft.sources.VersionedTable
-        if (VersionedTable.currentVersion(tablePath).isDefined)
-          VersionedTable.merge(spark, tablePath, last, keys,
-            deleteWhen = col(opCol) === deleteOp)
-        else {
+        if (VersionedTable.currentVersion(tablePath).isDefined) {
+          val src = if (mergeSchema) last.drop(orderCols: _*) else last
+          VersionedTable.merge(spark, tablePath, src, keys,
+            deleteWhen = col(opCol) === deleteOp, mergeSchema = mergeSchema)
+          if (autoCompactFiles > 0 || vacuumKeep > 0)
+            VersionedTable.maintain(spark, tablePath, keys,
+              maxFiles = if (autoCompactFiles > 0) autoCompactFiles
+                         else Int.MaxValue,
+              keepVersions = if (vacuumKeep > 0) vacuumKeep else Int.MaxValue)
+        } else {
           val payload = batch.columns.toSeq
             .filterNot(orderCols.contains).filterNot(_ == opCol)
           VersionedTable.init(spark, tablePath,
-            last.filter(col(opCol) =!= deleteOp).select(payload.map(col): _*))
+            last.filter(col(opCol) =!= deleteOp).select(payload.map(col): _*),
+            clusterBy = keys)
         }
       }
       ()
