@@ -25,6 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   df.write.format("graft-table").mode("overwrite").save(path)    // new full version
   *   df.write.format("graft-table").mode("append")
   *     .option("mergeKeys", "key").save(path)                       // MERGE upsert
+  *   spark.read.format("graft-table").option("readChangeFeed", true)
+  *     .option("startingVersion", 1).option("endingVersion", 3)
+  *     .option("changeKeys", "key").load(path)                      // I/U/D feed
   * }}}
   *
   * Architecture: the provider resolves the requested version's
@@ -70,14 +73,36 @@ class GraftTableDataSource extends RelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = tablePath(parameters)
-    val asOf: Option[Long] = opt(parameters, "versionAsOf").map(_.toLong)
-      .orElse(opt(parameters, "timestampAsOf").map { s =>
-        val ms = java.sql.Timestamp.valueOf(s).getTime
-        VersionedTable.versionAt(path, ms).getOrElse(
+    if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
+      // CDC read surface (Delta's table_changes shape): the I/U/D feed
+      // between two committed versions. The feed is a JOIN over the
+      // non-shared files, not a file list, so it rides a computed
+      // relation — delta-sized by the file-granular diff, never
+      // table-sized, per VersionedTable.readChanges.
+      val from = opt(parameters, "startingVersion").map(_.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-table readChangeFeed needs .option(\"startingVersion\", v)"))
+      val to = opt(parameters, "endingVersion").map(_.toLong)
+        .orElse(VersionedTable.currentVersion(path)).getOrElse(
           throw new IllegalArgumentException(
-            s"graft-table: no version of $path committed at or before $s"))
-      })
-    VersionedTable.relation(spark, path, asOf)
+            s"graft-table: no committed version at $path"))
+      val keys = opt(parameters, "changeKeys")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(
+          throw new IllegalArgumentException(
+            "graft-table readChangeFeed needs .option(\"changeKeys\", " +
+              "\"k1,k2\") naming the table's merge keys"))
+      new ComputedRelation(sqlContext,
+        VersionedTable.readChanges(spark, path, from, to, keys))
+    } else {
+      val asOf: Option[Long] = opt(parameters, "versionAsOf").map(_.toLong)
+        .orElse(opt(parameters, "timestampAsOf").map { s =>
+          val ms = java.sql.Timestamp.valueOf(s).getTime
+          VersionedTable.versionAt(path, ms).getOrElse(
+            throw new IllegalArgumentException(
+              s"graft-table: no version of $path committed at or before $s"))
+        })
+      VersionedTable.relation(spark, path, asOf)
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -114,6 +139,26 @@ class GraftTableDataSource extends RelationProvider
     }
     createRelation(sqlContext, parameters)
   }
+}
+
+/** A computed DataFrame exposed through the v1 relation seam — used
+  * ONLY for the change-feed read, where the result is a delta-sized
+  * JOIN rather than a file list. `needConversion = false` with the
+  * analyzed plan's internal-row RDD avoids a per-row Row conversion
+  * (the JDBC-source pattern); the feed is bounded by the non-shared
+  * files between the two versions, so nothing here is table-sized. */
+private[sources] class ComputedRelation(
+    override val sqlContext: SQLContext,
+    df: org.apache.spark.sql.DataFrame)
+  extends BaseRelation with org.apache.spark.sql.sources.TableScan {
+
+  override def schema: StructType = df.schema
+
+  override def needConversion: Boolean = false
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    df.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
 }
 
 /** [[FileIndex]] over one resolved manifest: `listFiles` answers

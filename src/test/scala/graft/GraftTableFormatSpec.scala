@@ -148,6 +148,48 @@ class GraftTableFormatSpec extends SparkSpec {
       s"expected the key predicate pushed to parquet, got: $meta")
   }
 
+  test("readChangeFeed: the I/U/D feed rides the format surface and " +
+      "matches the API change feed") {
+    val p = s"${tmpDir("gtf")}/t"
+    mkVersions(p)
+    val feed = ss.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("endingVersion", "2").option("changeKeys", "key").load(p)
+    val got = feed.collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("key"))).toSet
+    assert(got === Set(("U", 1L), ("D", 3L), ("I", 5L)))
+    // endingVersion defaults to current; the composed 1 -> 3 feed
+    // carries v3's insert alongside v2's changes
+    val toCur = ss.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("changeKeys", "key").load(p)
+    val composed = toCur.collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[Long]("key"))).toSet
+    assert(composed === Set(("U", 1L), ("D", 3L), ("I", 5L), ("I", 7L)))
+    // missing options refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      ss.read.format("graft-table")
+        .option("readChangeFeed", "true").load(p)
+    }
+    assert(e.getMessage.contains("startingVersion"))
+  }
+
+  test("SQL interface: a loaded version registers as a temp view and " +
+      "time-travel queries run in pure SQL") {
+    val p = s"${tmpDir("gtf")}/t"
+    mkVersions(p)
+    ss.read.format("graft-table").option("versionAsOf", "1").load(p)
+      .createOrReplaceTempView("gtf_v1")
+    ss.read.format("graft-table").load(p)
+      .createOrReplaceTempView("gtf_cur")
+    val got = ss.sql(
+      """SELECT c.key, v1.tag AS was, c.tag AS now
+        |FROM gtf_cur c JOIN gtf_v1 v1 ON c.key = v1.key
+        |ORDER BY c.key""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, "a", "a2"), (2L, "b", "b")))
+  }
+
   test("write surface: save modes map to init / overwrite / MERGE") {
     val p = s"${tmpDir("gtf")}/t"
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("key", "tag", "bal")
