@@ -182,20 +182,80 @@ object TextStats {
         count(lit(1)).cast("double")), 6).as("surprisal"))
   }
 
-  /** (id, g, c): token n-gram MULTISET counts per doc — the clipped-
-    * overlap input for [[rougePairs]]. Unlike Dedup.shingleDf this
-    * keeps duplicates (ROUGE clips on per-gram min COUNT, a set would
+  private val GramStructType = "array<struct<n:int,g:string>>"
+
+  /** ALL word n-gram orders 1..maxN in ONE explode pass: (id, n, g, c)
+    * token n-gram MULTISET counts per doc — the clipped-overlap input
+    * for [[rougePairs]]/[[bleuPairs]]. Unlike Dedup.shingleDf this
+    * keeps duplicates (clipping uses per-gram min COUNT, a set would
     * over-credit repeated grams); takes the PRE-TOKENIZED (id, tk)
-    * frame so both gram orders explode from one tokenization pass —
-    * tokens already an attribute per the Dedup evaluation-shape rule. */
-  private def gramCounts(tk: DataFrame, n: Int): DataFrame = {
-    val g =
-      if (n == 1) tk.select(col("id"), explode(col("tk")).as("g"))
-      else tk.filter(size(col("tk")) >= n)
-        .select(col("id"),
-          explode(transform(sequence(lit(1), size(col("tk")) - lit(n - 1)),
-            i => concat_ws(" ", slice(col("tk"), i, lit(n))))).as("g"))
-    g.groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+    * frame so every gram order explodes from one tokenization pass.
+    * Value-identical per order to the pre-r18 single-order gramCounts
+    * (the order rides the row, so no cross-order gram collision is
+    * possible). r18 fusion: the per-order form ran the tokenize-explode
+    * subtree and its (id, g) exchange once per order — 4 corpus passes
+    * and 4 shuffles for BLEU — where one pass emitting (n, g) structs
+    * carries every order through a single exchange (guide §2.4). */
+  private def gramCountsUpTo(tk: DataFrame, maxN: Int): DataFrame = {
+    val arrs: Seq[Column] = (1 to maxN).map { n =>
+      if (n == 1)
+        transform(col("tk"), t => struct(lit(1).as("n"), t.as("g")))
+      else
+        when(size(col("tk")) >= n,
+          transform(sequence(lit(1), size(col("tk")) - lit(n - 1)),
+            i => struct(lit(n).as("n"),
+              concat_ws(" ", slice(col("tk"), i, lit(n))).as("g"))))
+          .otherwise(array().cast(GramStructType))
+    }
+    tk.select(col("id"), explode(concat(arrs: _*)).as("x"))
+      .select(col("id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col("id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+  }
+
+  /** ALL char n-gram orders 1..maxN in ONE pass over the whitespace-
+    * stripped text — the char-gram twin of [[gramCountsUpTo]], one
+    * substring-explode + one exchange instead of maxN of each. */
+  private def charGramCountsUpTo(tk: DataFrame, maxN: Int): DataFrame = {
+    val cs = tk.select(col("id"), concat_ws("", col("tk")).as("s"))
+    val arrs: Seq[Column] = (1 to maxN).map { n =>
+      when(length(col("s")) >= n,
+        transform(sequence(lit(1), length(col("s")) - lit(n - 1)),
+          i => struct(lit(n).as("n"), col("s").substr(i, lit(n)).as("g"))))
+        .otherwise(array().cast(GramStructType))
+    }
+    cs.select(col("id"), explode(concat(arrs: _*)).as("x"))
+      .select(col("id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col("id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Clipped overlap + per-doc gram totals for EVERY order at once,
+    * off one (id, n, g, c) table `g`: ov carries a `ov<n>` column per
+    * order (Σ_g min(ci, cj) conditional on the order), lens a `len<n>`
+    * column per order. The gram table is materialized ONCE
+    * (localCheckpoint) because three consumers read it — the two pair
+    * sides and the length rollup — and the pair sides then meet in a
+    * single (j, n, g) equi-join instead of one join per order.
+    * Per-order values are exactly the pre-r18 per-order overlap's: a pair/doc with no
+    * order-n grams yields NULL here and 0 after the callers'
+    * `na.fill(0)`, identical to the old left-join + fill. */
+  private def overlapAll(p: DataFrame, g0: DataFrame, orders: Seq[Int])
+      : (DataFrame, DataFrame) = {
+    val g = g0.localCheckpoint(true)
+    val lens = g.groupBy(col("id")).agg(
+      orders.map(n => sum(when(col("n") === n, col("c"))).as(s"len$n")).head,
+      orders.tail.map(n => sum(when(col("n") === n, col("c"))).as(s"len$n")): _*)
+    val ov = p
+      .join(g.select(col("id").as("i"), col("n"), col("g"),
+        col("c").as("ci")), "i")
+      .join(g.select(col("id").as("j"), col("n"), col("g"),
+        col("c").as("cj")), Seq("j", "n", "g"))
+      .groupBy(col("i"), col("j"))
+      .agg(
+        orders.map(n => sum(when(col("n") === n,
+          least(col("ci"), col("cj")))).as(s"ov$n")).head,
+        orders.tail.map(n => sum(when(col("n") === n,
+          least(col("ci"), col("cj")))).as(s"ov$n")): _*)
+    (ov, lens)
   }
 
   /** Default [[pairScaffold]] report cap: ~1M pairs keeps every
@@ -252,42 +312,6 @@ object TextStats {
     (p, tk)
   }
 
-  /** Per-pair CLIPPED n-gram overlap Σ_g min(c_i(g), c_j(g)) named
-    * `ovName`, plus the per-doc n-gram length table — the shared inner
-    * join of both pair metrics. */
-  private def gramOverlap(p: DataFrame, tk: DataFrame, n: Int,
-                          ovName: String): (DataFrame, DataFrame) =
-    overlapOf(p, gramCounts(tk, n), ovName)
-
-  /** Clipped-overlap core shared by the word-gram and char-gram
-    * metrics: from a (id, g, c) gram-count frame, the per-pair
-    * Σ_g min(c_i, c_j) named `ovName` plus the per-doc gram totals. */
-  private def overlapOf(p: DataFrame, g: DataFrame,
-                        ovName: String): (DataFrame, DataFrame) = {
-    val lens = g.groupBy(col("id")).agg(sum(col("c")).as("len"))
-    val ov = p
-      .join(g.select(col("id").as("i"), col("g"), col("c").as("ci")), "i")
-      .join(g.select(col("id").as("j"), col("g"), col("c").as("cj")),
-        Seq("j", "g"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(least(col("ci"), col("cj"))).as(ovName))
-    (ov, lens)
-  }
-
-  /** Per-doc character n-gram multiset counts over the whitespace-
-    * stripped text (chrF's standard space removal): tokens re-join with
-    * no separator, grams are `substr` windows. Same (id, g, c) shape as
-    * [[gramCounts]]; the shuffle carries n-char strings, bounded by
-    * Σ doc chars per order. */
-  private def charGramCounts(tk: DataFrame, n: Int): DataFrame = {
-    val cs = tk.select(col("id"), concat_ws("", col("tk")).as("s"))
-    cs.filter(length(col("s")) >= n)
-      .select(col("id"),
-        explode(transform(sequence(lit(1), length(col("s")) - lit(n - 1)),
-          i => col("s").substr(i, lit(n)))).as("g"))
-      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
-  }
-
   /** chrF₂ character n-gram F-score for a PAIR TABLE (i = candidate,
     * j = reference) — the CHARACTER-level eval metric beside
     * [[rougePairs]]'s word recall/F and [[bleuPairs]]'s word precision
@@ -308,15 +332,16 @@ object TextStats {
                 textCol: String,
                 maxPairs: Int = MaxPairReport): DataFrame = {
     val (p, tk) = pairScaffold(docs, pairs, idCol, textCol, maxPairs)
-    val joined = (1 to 4).foldLeft(p) { (acc, n) =>
-      val (ov, lens) = overlapOf(p, charGramCounts(tk, n), s"ov$n")
-      acc.join(ov, Seq("i", "j"), "left")
-        .join(lens.select(col("id").as("i"), col("len").as(s"ci$n")),
-          Seq("i"), "left")
-        .join(lens.select(col("id").as("j"), col("len").as(s"cj$n")),
-          Seq("j"), "left")
-        .na.fill(0L, Seq(s"ov$n", s"ci$n", s"cj$n"))
-    }
+    // r18: one fused char-gram pass + one overlap join for all four
+    // orders (was 4× explode subtree, 12 joins) — guide §2.4
+    val (ov, lens) = overlapAll(p, charGramCountsUpTo(tk, 4), 1 to 4)
+    val joined = p
+      .join(ov, Seq("i", "j"), "left")
+      .join(lens.select(col("id").as("i") +:
+        (1 to 4).map(n => col(s"len$n").as(s"ci$n")): _*), Seq("i"), "left")
+      .join(lens.select(col("id").as("j") +:
+        (1 to 4).map(n => col(s"len$n").as(s"cj$n")): _*), Seq("j"), "left")
+      .na.fill(0L, (1 to 4).flatMap(n => Seq(s"ov$n", s"ci$n", s"cj$n")))
     def nd(c: Column) = c.cast("double")
     def prec(n: Int): Column = // one integer/integer division, round 9
       when(col(s"ci$n") === 0L, lit(0.0))
@@ -361,22 +386,20 @@ object TextStats {
                  textCol: String,
                  maxPairs: Int = MaxPairReport): DataFrame = {
     val (p, tk) = pairScaffold(docs, pairs, idCol, textCol, maxPairs)
-    def overlap(n: Int, ovName: String, liName: String, ljName: String)
-        : DataFrame = {
-      val (ov, lens) = gramOverlap(p, tk, n, ovName)
-      p.join(ov, Seq("i", "j"), "left")
-        .join(lens.select(col("id").as("i"), col("len").as(liName)),
-          Seq("i"), "left")
-        .join(lens.select(col("id").as("j"), col("len").as(ljName)),
-          Seq("j"), "left")
-        .na.fill(0L, Seq(ovName, liName, ljName))
-    }
-    val o1 = overlap(1, "ov1", "li1", "lj1")
-    val o2 = overlap(2, "ov2", "li2", "lj2")
+    // r18: one fused gram pass + one overlap join for both orders
+    // (was 2× explode subtree, 6 joins) — guide §2.4
+    val (ov, lens) = overlapAll(p, gramCountsUpTo(tk, 2), 1 to 2)
+    val joined = p
+      .join(ov, Seq("i", "j"), "left")
+      .join(lens.select(col("id").as("i"), col("len1").as("li1"),
+        col("len2").as("li2")), Seq("i"), "left")
+      .join(lens.select(col("id").as("j"), col("len1").as("lj1"),
+        col("len2").as("lj2")), Seq("j"), "left")
+      .na.fill(0L, Seq("ov1", "li1", "lj1", "ov2", "li2", "lj2"))
     def nd(c: Column) = c.cast("double")
     def score(num: Column, den: Column): Column =
       when(den === 0L, lit(0.0)).otherwise(round(nd(num) / nd(den), 9))
-    o1.join(o2, Seq("i", "j"))
+    joined
       .select(col("i"), col("j"),
         score(col("ov1"), col("li1")).as("rouge1_p"),
         score(col("ov1"), col("lj1")).as("rouge1_r"),
@@ -403,19 +426,18 @@ object TextStats {
                 textCol: String,
                 maxPairs: Int = MaxPairReport): DataFrame = {
     val (p, tk) = pairScaffold(docs, pairs, idCol, textCol, maxPairs)
-    val perOrder = (1 to 4).map(n => n -> gramOverlap(p, tk, n, s"ov$n")).toMap
-    // reference unigram length r (for the brevity penalty), joined once
-    val base = p.join(
-      perOrder(1)._2.select(col("id").as("j"), col("len").as("rn1")),
-      Seq("j"), "left").na.fill(0L, Seq("rn1"))
-    // per order n: candidate n-gram count cn_n and clipped overlap ov_n
-    val joined = (1 to 4).foldLeft(base) { (acc, n) =>
-      val (ov, lens) = perOrder(n)
-      acc.join(ov, Seq("i", "j"), "left")
-        .join(lens.select(col("id").as("i"), col("len").as(s"cn$n")),
-          Seq("i"), "left")
-        .na.fill(0L, Seq(s"ov$n", s"cn$n"))
-    }
+    // r18: one fused gram pass + one overlap join for all four orders
+    // (was 4× explode subtree, 9 joins) — guide §2.4. rn1 = the
+    // reference's unigram length (brevity penalty), cn_n = candidate
+    // n-gram counts, ov_n = clipped overlaps — all off one lens/ov pair.
+    val (ov, lens) = overlapAll(p, gramCountsUpTo(tk, 4), 1 to 4)
+    val joined = p
+      .join(lens.select(col("id").as("j"), col("len1").as("rn1")),
+        Seq("j"), "left")
+      .join(ov, Seq("i", "j"), "left")
+      .join(lens.select(col("id").as("i") +:
+        (1 to 4).map(n => col(s"len$n").as(s"cn$n")): _*), Seq("i"), "left")
+      .na.fill(0L, "rn1" +: (1 to 4).flatMap(n => Seq(s"ov$n", s"cn$n")))
     def nd(c: Column) = c.cast("double")
     // per-order smoothed ln precision, round(9) then DECIMAL sum
     val lnTerms = (1 to 4).map { n =>

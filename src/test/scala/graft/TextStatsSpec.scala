@@ -194,6 +194,31 @@ class TextStatsSpec extends SparkSpec {
     assert(m((5L, 6L)) === ((1.0, 1.0, 1.0, 0.0)))  // no bigrams: 0/0 -> 0.0
   }
 
+  test("chrfPairs: identical, partial, and empty-doc hand cases through the fused gram pass") {
+    // pins the r18 fused multi-order gram path (one explode for orders
+    // 1..4): per-order precisions/recalls must match the hand
+    // computation, short docs (< n chars) must contribute empty gram
+    // sets for the missing orders, and an empty doc must still emit
+    // its pair row with all-zero scores (retention contract).
+    val docs = Seq(
+      (1L, "ab cd"), (2L, "ab cd"),   // identical: P = R = F = 1
+      (3L, "ab cd"), (4L, "ab"),      // s="abcd" vs s="ab"
+      (5L, ""), (6L, "xyz"))          // empty candidate
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("i", "j")
+    val m = TextStats.chrfPairs(docs, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m.size === 3, "every input pair must emit a row")
+    assert(m((1L, 2L)) === ((1.0, 1.0, 1.0)))
+    // i: grams 1..4 of "abcd" = 4/3/2/1; j: "ab" = 2/1/0/0
+    // ov = 2/1/0/0 -> P = (0.5 + 1/3 + 0 + 0)/4, R = (1 + 1 + 0 + 0)/4
+    val (p, r, f) = m((3L, 4L))
+    assert(p === 0.208333333 && r === 0.5)
+    assert(f === 0.390625)              // 5PR/(4P+R), round(6)
+    assert(m((5L, 6L)) === ((0.0, 0.0, 0.0)))
+  }
+
   test("bleuPairs: identical pair scores 0; truncated candidate pays exactly the brevity penalty") {
     val docs = Seq(
       (1L, "a b c d"), (2L, "a b c d"),  // identical: every term ln(1)=0
