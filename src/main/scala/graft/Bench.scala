@@ -74,6 +74,17 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // r18 (guide §3.1/§9): let the planner pick shuffled-hash joins
+      // when its size conditions hold — SMJ's sort adds a pass both
+      // sides pay and spills gracefully only when memory is actually
+      // short; SHJ builds the smaller per-partition side. Scale-safe,
+      // not a local[32] tune: AQE skew splitting stays on and the
+      // planner's own per-partition size checks gate the choice, so a
+      // skewed 100 TB partition still gets SMJ/skew-split. Measured
+      // 5-15% on the join-heavy suite members (OPTIMIZATION_r18.md);
+      // SPARK_GRAFT_PREFER_SMJ=true restores the old planner bias.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -11,6 +11,8 @@ object Profile {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -17,6 +17,8 @@ object StageProbe {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -26,7 +28,7 @@ object StageProbe {
     case class JobRec(id: Int, desc: String, start: Long, var end: Long = 0,
                       var stages: Int = 0, var tasks: Int = 0,
                       var taskMs: Long = 0)
-    case class StageRec(id: Int, name: String, var tasks: Int = 0,
+    case class StageRec(id: Int, var name: String, var tasks: Int = 0,
                         var taskMs: Long = 0, var wallMs: Long = 0)
     val jobs = mutable.LinkedHashMap[Int, JobRec]()
     val stages = mutable.LinkedHashMap[Int, StageRec]()
@@ -52,6 +54,7 @@ object StageProbe {
           }
           val sr = stages.getOrElseUpdate(si.stageId,
             StageRec(si.stageId, si.name))
+          if (sr.name == "?") sr.name = si.name
           sr.tasks += si.numTasks
           sr.wallMs += (for (s <- si.submissionTime; c <- si.completionTime)
             yield c - s).getOrElse(0L)

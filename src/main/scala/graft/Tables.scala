@@ -32,7 +32,25 @@ object Tables {
       spark.conf.set(key, cur.map(_ + "," + rule).getOrElse(rule))
   }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Per-(session, dir, table) memo of the LAZY source plan — a
+    * catalog-style metadata cache (r18, guide §6: repeated listing/
+    * schema inference is driver work every query pays again). A
+    * DataFrame here is an unexecuted plan: every action on it still
+    * scans the parquet, so nothing about results is cached — this only
+    * stops the ~10 ms footer/schema re-read that `spark.read.parquet`
+    * performs on EVERY call, which across a 311-query bench (each
+    * query loading 1-3 tables, SQL queries registering all 11) summed
+    * to seconds of pure driver latency. Keyed on the session so a
+    * stopped session's plans are never reused; bounded by
+    * #sessions × #dirs × 10 tables. */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    planCache.computeIfAbsent((spark, sfDir, name),
+      _ => loadUncached(spark, sfDir, name))
+
+  private def loadUncached(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
     // default; read it as a nanos long, then rebuild a (micro) timestamp
     // with integer division — `ts div 1000`, NOT `/ 1000` which would go

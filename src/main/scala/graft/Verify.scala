@@ -43,6 +43,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench's join-planner posture (see Bench.scala) so the
+      // correctness gate runs the same physical plans it times
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -76,7 +76,13 @@ object CurationPipeline {
   def flagged(docs: DataFrame, idCol: String, textCol: String,
               benchmark: Option[DataFrame] = None,
               config: Config = Config()): DataFrame = {
-    val keep1 = exactKeepers(docs, idCol, textCol)
+    // r18 (guide §3.3): keep1 is an id-sized table whose defining agg
+    // (md5-normalize over the FULL corpus) is consumed three times —
+    // the dedup join feeding LSH, the `deduped` contamination input,
+    // and the flag join. Materialize it once; pre-r18 each consumer
+    // re-ran the corpus-sized normalize+agg pass (3 corpus passes at
+    // 100 TB for one id list).
+    val keep1 = exactKeepers(docs, idCol, textCol).localCheckpoint(true)
     val exact = docs.join(keep1, idCol)
     val keep2 = nearDupKeepers(exact, idCol, textCol, config.minHashTheta)
     // contamination is a per-doc property, but deriving it from the

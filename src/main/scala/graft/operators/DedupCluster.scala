@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate clustering: connected components over a candidate-pair
@@ -64,37 +64,55 @@ object DedupCluster {
   def components(edges: DataFrame, maxIters: Int): DataFrame = {
     // persist the edge list BEFORE symmetrizing: the union's two
     // branches each traverse the edge plan, which for LSH pipelines
-    // means running the candidate join twice
+    // means running the candidate join twice. The symmetrized table is
+    // cached PRE-PARTITIONED on the neighbor key `b` (r18, guide §2.4:
+    // a persisted partitioning is this loop's bucketed table) — every
+    // pass's neighbor-label lookup then shuffles only the node-sized
+    // label table, never the edge list; pre-r18 the cached edges
+    // re-exchanged each pass, an edge-sized shuffle × O(log d) passes.
     val e = edges.persist()
     val sym = e.select(col("i").as("a"), col("j").as("b"))
       .union(e.select(col("j").as("a"), col("i").as("b")))
+      .repartition(col("b"))
       .persist()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // the convergence sum rides each materializing action as an
+    // `observe` metric (r18): labels are min-monotone so sum(label)
+    // strictly decreases until fixpoint, and collecting it via the
+    // CollectMetrics accumulator costs zero extra jobs — pre-r18 the
+    // loop ran a separate aggregate job per pass just to read the sum.
+    def observed(df: DataFrame): (DataFrame, Observation) = {
+      val obs = Observation()
+      (df.observe(obs, sum(col("label").cast("decimal(38,0)")).as("s")), obs)
+    }
+    def sumOf(obs: Observation): java.math.BigDecimal =
+      obs.get("s").asInstanceOf[java.math.BigDecimal]
+    val (l0, obs0) = observed(sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
+    var labels = l0.localCheckpoint(true)
+    var prevSum = sumOf(obs0)
     var converged = prevSum == null // empty edge list: nothing to iterate
     var it = 0
     while (!converged && it < maxIters) {
-      // min over self-label and all neighbors' labels, one shuffle
-      val prop = labels.join(sym, labels("id") === sym("a"), "left")
-        .select(col("id"), col("label"), col("b"))
-        .join(labels.select(col("id").as("b2"), col("label").as("nl")),
-          col("b") === col("b2"), "left")
-        .groupBy(col("id"))
-        .agg(least(min(col("label")), coalesce(min(col("nl")), min(col("label"))))
-          .as("label"))
+      // min over self-label and all neighbors' labels: neighbor labels
+      // attach on the CACHED edge partitioning (b), aggregate to the
+      // min per node, then combine with the node's own label
+      val nbr = sym
+        .join(labels.select(col("id").as("_b"), col("label").as("nl")),
+          col("b") === col("_b"))
+        .groupBy(col("a")).agg(min(col("nl")).as("nl"))
+      val prop = labels.join(nbr, labels("id") === nbr("a"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
       // pointer-jumping shortcut: label := label(label). Labels form a
       // forest with label(id) <= id, so composing halves path lengths —
       // neighbor-min alone needs O(diameter) passes (a chain-shaped dup
       // graph defeats any fixed cap); with this the loop is O(log d).
-      val next = prop.join(
+      val (nextObs, obs) = observed(prop.join(
           prop.select(col("id").as("lid"), col("label").as("ll")),
           prop("label") === col("lid"), "left")
-        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint(true)
-      val s = labelSum(next)
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label")))
+      val next = nextObs.localCheckpoint(true)
+      val s = sumOf(obs)
       // `next` is fully materialized (eager checkpoint) — the previous
       // pass's checkpoint blocks are dead now. Dropping them here keeps
       // the loop's block footprint at one label table instead of one

@@ -285,10 +285,19 @@ object VersionedTable {
   /** Write `df` into a fresh unique `data/<uuid>/` dir (clustered by
     * `clusterBy` via repartitionByRange + sortWithinPartitions when
     * given, so per-file key ranges are disjoint and stats pruning
-    * bites), then read the NEW files back once to record per-file
-    * (rows, min/max of statCols). The read-back is staged-data-sized —
-    * delta-sized on a merge. Zero-row part files are dropped from both
-    * the manifest and the dir. */
+    * bites), then record per-file (rows, min/max of statCols) FROM THE
+    * PARQUET FOOTERS — driver-side metadata reads, one per staged
+    * file. r18 (guide §1.2/§6): the pre-r18 implementation re-READ the
+    * staged data through a second Spark job to aggregate the same
+    * min/max the writer had just computed into the footers — a full
+    * extra pass over every staged byte on every commit, plus one job
+    * of fixed latency. Footer stats are exact or absent, never wrong:
+    * parquet omits oversized stats and the reader drops stats whose
+    * sort order doesn't match the column type, and a column with no
+    * usable stats simply stays off the manifest — the prune paths
+    * treat it as always-candidate (conservative superset invariant).
+    * Zero-row part files are dropped from both the manifest and the
+    * dir, as before. */
   private def stage(spark: SparkSession, path: String, df: DataFrame,
                     clusterBy: Seq[String], numFiles: Int,
                     statCols: Seq[String]): Staged = {
@@ -302,38 +311,119 @@ object VersionedTable {
         df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
       else if (numFiles > 0) df.repartition(numFiles)
       else df
-    out.write.parquet(abs.getPath)
-    val back = spark.read.parquet(abs.getPath)
-    val stat = statCols.filter(c =>
-      back.schema.fieldNames.contains(c) && statable(back.schema(c).dataType))
-    val aggs = count(lit(1L)).as("__n") +: stat.flatMap { k =>
-      val dt = back.schema(k).dataType
-      Seq(statStr(min(col(k)), dt).as(s"__mn_$k"),
-        statStr(max(col(k)), dt).as(s"__mx_$k"))
+    // stage timestamps as annotated INT64 micros: INT96 (a possible
+    // session default) carries NO footer statistics, which would
+    // silently drop timestamp keys from stats pruning; micros is also
+    // exactly the TZ-independent epoch-micros form statStr records
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val tsPrev = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try out.write.parquet(abs.getPath)
+    finally tsPrev match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
     }
-    val entries = back
-      .groupBy(col("_metadata.file_name").as("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect().toSeq.map { r =>
-        val stats = stat.flatMap { k =>
-          val mn = r.getAs[String](s"__mn_$k")
-          val mx = r.getAs[String](s"__mx_$k")
-          if (mn == null || mx == null) None else Some(k -> ((mn, mx)))
-        }.toMap
-        val name = r.getAs[String]("__f")
-        FileEntry(s"$dirRel/$name", r.getAs[Long]("__n"),
-          new File(abs, name).length(), stats)
-      }
-    val kept = entries.map(_.path.split('/').last).toSet
-    Option(abs.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-        !kept.contains(f.getName))
-      .foreach { f =>
-        f.delete()
-        new File(f.getParentFile, "." + f.getName + ".crc").delete()
+    val schema = out.schema
+    val stat = statCols.filter(c =>
+      schema.fieldNames.contains(c) && statable(schema(c).dataType))
+    val entries = Option(abs.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+      .flatMap { f =>
+        val (rows, stats) = footerStats(f, schema, stat)
+        if (rows == 0L) {
+          f.delete()
+          new File(f.getParentFile, "." + f.getName + ".crc").delete()
+          None
+        } else Some(FileEntry(s"$dirRel/${f.getName}", rows, f.length(), stats))
       }
     Staged(dirRel, entries)
   }
+
+  /** (row count, per-column min/max in [[statStr]] string form) from
+    * one parquet file's footer. A column contributes stats only when
+    * EVERY row group carries usable stats for it (`hasNonNullValue`,
+    * correct sort order — parquet-side guarantees); anything
+    * surprising degrades to no-stats for that column, never to a
+    * wrong bound. */
+  private def footerStats(f: File, schema: StructType,
+                          statCols: Seq[String])
+      : (Long, Map[String, (String, String)]) = {
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.toURI),
+      new org.apache.hadoop.conf.Configuration())
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = statCols.flatMap { k =>
+        val dt = schema(k).dataType
+        val perBlock = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == k)
+            .flatMap(cc => footerMinMax(cc, dt))
+        }
+        if (perBlock.nonEmpty && perBlock.forall(_.isDefined)) {
+          val pairs = perBlock.flatten
+          val mn = pairs.map(_._1).reduce((a, b) => if (cmp(dt, a, b) <= 0) a else b)
+          val mx = pairs.map(_._2).reduce((a, b) => if (cmp(dt, a, b) >= 0) a else b)
+          Some(k -> ((mn, mx)))
+        } else None
+      }.toMap
+      (rows, stats)
+    } finally rdr.close()
+  }
+
+  /** One row group's (min, max) for a column, as [[statStr]] strings —
+    * None when the chunk has no usable statistics or the physical form
+    * isn't one Spark writes for this logical type. */
+  private def footerMinMax(cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                           dt: DataType): Option[(String, String)] =
+    try {
+      val st = cc.getStatistics
+      if (st == null || st.isEmpty || !st.hasNonNullValue) None
+      else {
+        import org.apache.parquet.column.statistics._
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        def ok(mn: String, mx: String) = Some((mn, mx))
+        (dt, st) match {
+          case (ByteType | ShortType | IntegerType, s: IntStatistics) =>
+            ok(s.getMin.toString, s.getMax.toString)
+          case (LongType, s: LongStatistics) =>
+            ok(s.getMin.toString, s.getMax.toString)
+          case (BooleanType, s: BooleanStatistics) =>
+            ok(s.getMin.toString, s.getMax.toString)
+          case (StringType, s: BinaryStatistics) =>
+            ok(s.genericGetMin.toStringUsingUTF8,
+              s.genericGetMax.toStringUsingUTF8)
+          case (DateType, s: IntStatistics) =>
+            ok(java.time.LocalDate.ofEpochDay(s.getMin.toLong).toString,
+              java.time.LocalDate.ofEpochDay(s.getMax.toLong).toString)
+          case (TimestampType, s: LongStatistics) =>
+            cc.getPrimitiveType.getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                ok(s.getMin.toString, s.getMax.toString)
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                  if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                ok((s.getMin * 1000L).toString, (s.getMax * 1000L).toString)
+              case _ => None // INT96 and friends: no usable stats
+            }
+          case (d: DecimalType, s: IntStatistics) =>
+            ok(java.math.BigDecimal.valueOf(s.getMin.toLong, d.scale).toPlainString,
+              java.math.BigDecimal.valueOf(s.getMax.toLong, d.scale).toPlainString)
+          case (d: DecimalType, s: LongStatistics) =>
+            ok(java.math.BigDecimal.valueOf(s.getMin, d.scale).toPlainString,
+              java.math.BigDecimal.valueOf(s.getMax, d.scale).toPlainString)
+          case (d: DecimalType, s: BinaryStatistics) =>
+            def dec(b: org.apache.parquet.io.api.Binary) =
+              new java.math.BigDecimal(
+                new java.math.BigInteger(b.getBytes), d.scale).toPlainString
+            ok(dec(s.genericGetMin), dec(s.genericGetMax))
+          case _ => None
+        }
+      }
+    } catch { case _: Exception => None }
 
   private def readFiles(spark: SparkSession, path: String,
                         schema: StructType, files: Seq[FileEntry]): DataFrame =
