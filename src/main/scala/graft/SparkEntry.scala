@@ -135,10 +135,20 @@ object SparkEntry {
 
   private def armCumGrid(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
+    // r18 (guide §3.3, the q_data_mix precedent): `h` is the
+    // events-scan + histogram subtree, and the scaffold consumes it
+    // FOUR+ times (grid's two distincts, the filled left join, tot —
+    // and armCdfGrid's self-join doubles the cum side). Without
+    // materialization every consumer re-runs the corpus scan
+    // (StageProbe: 4-6 full events passes per query across the 8
+    // scaffold queries). The histogram is domain-sized (arms ×
+    // distinct 2-dp values), so one eager localCheckpoint buys
+    // one-scan semantics for the whole family; values unchanged.
     val h = t(s, dir, "events")
       .select(col("event_type").as("arm"),
         col("value").cast("decimal(18,2)").as("v"))
       .groupBy(col("arm"), col("v")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val grid = h.select(col("v")).distinct()
       .crossJoin(broadcast(h.select(col("arm")).distinct()))
     val filled = grid.join(h, Seq("arm", "v"), "left").na.fill(0, Seq("c"))
@@ -1808,14 +1818,24 @@ object SparkEntry {
       // fused native md5-60bit: the B×n draw is THE hot path here
       // (20M hashes at sf0.1); value-identical to the
       // conv(substring(md5)) composition the oracle replays
-      // (NativeExprSpec), minus the hex-string round trip
-      val h = NativeExpressions.md5Prefix60(concat(lit("boot:"),
-        col("event_id"), lit(":"), col("r")))
+      // (NativeExprSpec), minus the hex-string round trip.
+      // The hash is STAGED as its own projection (r18, guide §7.2
+      // "duplicated subtrees"): inlining it into the 9-branch CASE
+      // makes Catalyst materialize NINE copies of the md5 per row
+      // (conditional branches are exempt from codegen subexpression
+      // elimination — the before-plan shows graft_md5_60 9×), and
+      // CollapseProject will not re-inline a non-cheap alias consumed
+      // more than once, so the staged column is hashed exactly once.
+      // Measured: the draw stage's task time dropped ~6× (see
+      // OPTIMIZATION_r18.md); values identical, thresholds unchanged.
+      val h = col("_h")
       val w = thr.tail.zipWithIndex.foldLeft(when(h < lit(thr.head), 0)) {
         case (acc, (tk, i)) => acc.when(h < lit(tk), i + 1)
       }.otherwise(9)
       val rep = ev.withColumn("r", explode(sequence(lit(0), lit(B - 1))))
-        .withColumn("w", w)
+        .withColumn("_h", NativeExpressions.md5Prefix60(concat(lit("boot:"),
+          col("event_id"), lit(":"), col("r"))))
+        .withColumn("w", w).drop("_h")
         .groupBy(col("arm"), col("r"))
         .agg(sum((col("v") * col("w").cast("decimal(2,0)"))
             .cast("decimal(28,4)")).as("sv"),
@@ -1848,10 +1868,14 @@ object SparkEntry {
     // decimal until the single final division, so both engines agree
     // bit-for-bit at round(9).
     "q_auc" -> ((s, dir) => {
+      // r18 (guide §3.3): h feeds grid ×2, filled and tot — checkpoint
+      // the domain-sized histogram so the events scan runs once
+      // (PlanAudit: 7 scans → 1; the armCumGrid fix, locally)
       val h = t(s, dir, "events")
         .select(col("event_type").as("arm"),
           col("value").cast("decimal(18,2)").as("v"))
         .groupBy(col("arm"), col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val grid = h.select(col("v")).distinct()
         .crossJoin(broadcast(h.select(col("arm")).distinct()))
       val filled = grid.join(h, Seq("arm", "v"), "left").na.fill(0, Seq("c"))
@@ -1888,11 +1912,14 @@ object SparkEntry {
     // rate are exact-integer ratios rounded once. Scans events once;
     // every shuffle after the first agg is value-domain-sized.
     "q_lift" -> ((s, dir) => {
+      // r18 (guide §3.3): h feeds the cumulative window and tot —
+      // checkpoint the price-domain histogram, one events scan
       val h = t(s, dir, "events")
         .select(col("value").cast("decimal(18,2)").as("v"),
           when(col("event_type") === "purchase", lit(1L))
             .otherwise(lit(0L)).as("p"))
         .groupBy(col("v")).agg(count(lit(1)).as("c"), sum(col("p")).as("cp"))
+        .localCheckpoint(true)
       val wlt = boundedGlobal("2-dec value histogram, |distinct prices| rows")
         .orderBy(col("v").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1930,9 +1957,14 @@ object SparkEntry {
     // domain-sized (source, n_chars → norm) mapping table; applying
     // it to docs is one broadcast equi-join.
     "q_quantile_norm" -> ((s, dir) => {
+      // r18 (guide §3.3): `h` feeds grid (×2), filled, nSrc and tot —
+      // five corpus scans without materialization (StageProbe showed
+      // six 32-task jobs of 4-13 s task time each). The histogram is
+      // domain-sized (sources × distinct n_chars); checkpoint once.
       val h = tp(s, dir, "documents")
         .select(col("source").as("src"), col("n_chars").as("x"))
         .groupBy(col("src"), col("x")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val grid = h.select(col("x")).distinct()
         .crossJoin(broadcast(h.select(col("src")).distinct()))
       val filled = grid.join(h, Seq("src", "x"), "left").na.fill(0, Seq("c"))
@@ -2594,8 +2626,11 @@ object SparkEntry {
     "q_ndcg" -> ((s, dir) => {
       val e = tp(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 5)
+      // r18 (guide §3.3): bf feeds both the DCG join and the IDCG agg —
+      // checkpoint the queries×k ranking so brute force runs once
       val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
         .select(col("q_id"), col("n_id"), (lit(11) - col("rn")).as("rel"))
+        .localCheckpoint(true)
       val ls = AnnLsh.annTopKExact(e, q, "vec_id", "embedding", 10)
         .select(col("q_id").as("lq"), col("n_id").as("ln"), col("rn").as("pos"))
       val dcg = ls.join(bf,
@@ -2624,10 +2659,13 @@ object SparkEntry {
     // over the class table — nothing data-sized after the first.
     "q_k_anonymity" -> ((s, dir) => {
       val k = 10L
+      // r18 (guide §3.3): g0 feeds keep0 and the generalization ladder —
+      // checkpoint the class table once (3 customer scans → 1)
       val g0 = t(s, dir, "customer")
         .select(col("c_nationkey").cast("long").as("nation"),
           col("c_mktsegment").as("segment"))
         .groupBy(col("nation"), col("segment")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val keep0 = g0.filter(col("n") >= k)
         .select(col("nation").cast("string").as("nation_out"),
           col("segment").as("segment_out"), col("n"), lit(0).as("level"))
@@ -2758,8 +2796,11 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 5)
       val bf = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
         .select(col("q_id"), col("n_id"), col("rn").as("bpos"))
+      // r18 (guide §3.3): ls feeds the overlap join AND the per-query
+      // universe — checkpoint the queries×k ranking, LSH runs once
       val ls = AnnLsh.annTopKExact(e, q, "vec_id", "embedding", 10)
         .select(col("q_id").as("lq"), col("n_id").as("ln"), col("rn").as("apos"))
+        .localCheckpoint(true)
       val wdf = RboWeights.toDF("d", "wv")
       val matched = ls.join(bf,
           col("lq") === col("q_id") && col("ln") === col("n_id"))
@@ -2787,11 +2828,15 @@ object SparkEntry {
     // matrix is |sources|²-bounded. Zero-overlap pairs don't emit (the
     // matrix is sparse by construction on both engines).
     "q_source_overlap" -> ((s, dir) => {
+      // r18 (guide §3.3): sg feeds the size rollup and both self-join
+      // sides — checkpoint the distinct (source, hash) table once
+      // (3 shingle-explode corpus passes → 1)
       val sg = Dedup.shingleDf(tp(s, dir, "documents"), "source", "text", 5)
         .select(col("id").as("source"), explode(col("sh")).as("g"))
         .select(col("source"),
           NativeExpressions.md5Prefix60(concat(lit("so:"), col("g"))).as("gh"))
         .distinct()
+        .localCheckpoint(true)
       val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
       sg.as("a").join(sg.as("b"),
           col("a.gh") === col("b.gh") && col("a.source") < col("b.source"))
@@ -3036,8 +3081,11 @@ object SparkEntry {
     "q_js_div" -> ((s, dir) => {
       val tk = tp(s, dir, "documents").select(col("source"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      // r18 (guide §3.3): cst feeds ns and j, and j self-joins —
+      // checkpoint the vocab-sized counts once (4 tokenize passes → 1)
       val cst = tk.groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val ns = cst.groupBy(col("source")).agg(sum(col("c")).as("n"))
       val j = cst.join(broadcast(ns), "source")
         .select(col("source"), col("token"),
@@ -3527,7 +3575,11 @@ object SparkEntry {
     // back as one row.
     "q_ppl_filter" -> ((s, dir) => {
       val d = tp(s, dir, "documents")
+      // r18 (guide §3.3): `sur` feeds the threshold histogram AND the
+      // final per-source account — doc-sized, so checkpoint once
+      // instead of running the whole bigram-scoring subtree twice.
       val sur = operators.TextStats.bigramSurprisal(d, "doc_id", "text")
+        .localCheckpoint(true)
       val hist = sur.groupBy(col("surprisal")).agg(count(lit(1)).as("c"))
       val w = boundedGlobal("round(6)-quantized surprisal histogram")
         .orderBy(col("surprisal"))
@@ -5152,7 +5204,10 @@ object SparkEntry {
           col("event_type").as("rater"),
           floor(col("value") / lit(25.0)).cast("int").as("v"))
         .groupBy(col("unit"), col("rater")).agg(min(col("v")).as("v"))
+      // r18 (guide §3.3): cu feeds mu and the coincidence join —
+      // checkpoint the unit×value table once (events scan ×2 → 1)
       val cu = r.groupBy(col("unit"), col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val mu = cu.groupBy(col("unit")).agg(sum(col("c")).as("m"))
       val j = cu.join(mu, "unit").filter(col("m") >= 2)
       val occ = j.select(round(
@@ -5180,7 +5235,10 @@ object SparkEntry {
     "q_cohen_kappa" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+      // r18 (guide §3.3): the confusion table feeds tot, agree and
+      // both pe margins — checkpoint once (4 langId scans → 1)
       val conf = d.groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val tot = conf.agg(sum(col("c")).cast("long").as("nn"))
       val agree = conf.filter(col("lang") === col("pred"))
         .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("po_n"))
@@ -5261,7 +5319,10 @@ object SparkEntry {
           slice(col("tk"), lit(2), size(col("tk")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
         .select(col("p.w1"), col("p.w2"))
+      // r18 (guide §3.3): cxy feeds left, right, types and the score
+      // join — checkpoint the bigram-vocab table once (4 passes → 1)
       val cxy = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+        .localCheckpoint(true)
       val left = cxy.groupBy(col("w1"))
         .agg(sum(col("cxy")).as("cx"), count(lit(1)).as("n1l"))
       val right = cxy.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
@@ -5294,8 +5355,11 @@ object SparkEntry {
           slice(col("tk"), lit(2), size(col("tk")) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
         .select(col("source"), col("p.w1"), col("p.w2"))
+      // r18 (guide §3.3): cxy feeds cx, nTot and the score join —
+      // checkpoint the bigram-vocab table once (3 tokenize passes → 1)
       val cxy = bg.groupBy(col("source"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("cxy"))
+        .localCheckpoint(true)
       val cx = cxy.groupBy(col("source"), col("w1"))
         .agg(sum(col("cxy")).as("cx"))
       val nTot = cxy.groupBy(col("source")).agg(sum(col("cxy")).as("nb"))
@@ -5318,10 +5382,13 @@ object SparkEntry {
     // doubles SUMMED IN DECIMAL (order-free, the q_js_div pattern)
     // against the full-series variance term, one final round(6).
     "q_acf" -> ((s, dir) => {
+      // r18 (guide §3.3): the daily series d feeds stats, dm (→ den,
+      // probe) and the lag join — checkpoint once (5 scans → 1)
       val d = t(s, dir, "events")
         .select(col("event_type").as("arm"), to_date(col("ts")).as("day"),
           col("value").cast("decimal(18,2)").as("v"))
         .groupBy(col("arm"), col("day")).agg(sum(col("v")).as("x"))
+        .localCheckpoint(true)
       val stats = d.groupBy(col("arm"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
         .withColumn("mean",
@@ -6810,8 +6877,10 @@ object SparkEntry {
     // ln term is round(9) into a DECIMAL sum (order-free), the four
     // outputs close in round(6) per the transcendental rule.
     "q_mutual_info" -> ((s, dir) => {
+      // r18 (guide §3.3): same contingency-checkpoint as q_theil_u
       val cxy = t(s, dir, "documents")
         .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val cx = cxy.groupBy(col("lang")).agg(sum(col("c")).as("nx"))
       val cy = cxy.groupBy(col("source")).agg(sum(col("c")).as("ny"))
       val tot = cxy.agg(sum(col("c")).cast("long").as("nn"))
@@ -6923,11 +6992,14 @@ object SparkEntry {
     // P̄e and kappa close in one shared tree round(9); everything after
     // the (unit, rater) dedup is rating-domain-sized.
     "q_fleiss_kappa" -> ((s, dir) => {
+      // r18 (guide §3.3): r feeds kTab, mu and cu — checkpoint the
+      // unit×rater table once (PlanAudit: 9 events scans → 1)
       val r = t(s, dir, "events")
         .select((col("user_id") % 100).as("unit"),
           col("event_type").as("rater"),
           floor(col("value") / lit(25.0)).cast("int").as("v"))
         .groupBy(col("unit"), col("rater")).agg(min(col("v")).as("v"))
+        .localCheckpoint(true)
       val kTab = r.select(col("rater")).distinct()
         .agg(count(lit(1)).as("k"))
       val mu = r.groupBy(col("unit")).agg(count(lit(1)).as("m"))
@@ -7035,8 +7107,11 @@ object SparkEntry {
     // round(9)-term DECIMAL sums as q_mutual_info; each U is one
     // division of those sums, round(6).
     "q_theil_u" -> ((s, dir) => {
+      // r18 (guide §3.3): the lang×source contingency feeds cx, cy,
+      // tot and mi — checkpoint it once (PlanAudit: 9 scans → 1)
       val cxy = t(s, dir, "documents")
         .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val cx = cxy.groupBy(col("lang")).agg(sum(col("c")).as("nx"))
       val cy = cxy.groupBy(col("source")).agg(sum(col("c")).as("ny"))
       val tot = cxy.agg(sum(col("c")).cast("long").as("nn"))
@@ -7190,13 +7265,16 @@ object SparkEntry {
         .select(col("event_id"),
           (when((col("v") >= col("p50")) === col("y"), 1L).otherwise(0L) -
             when(coin === col("y"), 1L).otherwise(0L)).as("d"))
-      val hh = NativeExpressions.md5Prefix60(concat(lit("boot:"),
-        col("event_id"), lit(":"), col("r")))
+      // staged hash column — same 9×-duplicated-md5 fix as
+      // q_bootstrap_ci above (guide §7.2); values identical
+      val hh = col("_h")
       val w = thr.tail.zipWithIndex.foldLeft(when(hh < lit(thr.head), 0)) {
         case (acc, (tk, i)) => acc.when(hh < lit(tk), i + 1)
       }.otherwise(9)
       val rep = ev.withColumn("r", explode(sequence(lit(0), lit(B - 1))))
-        .withColumn("w", w)
+        .withColumn("_h", NativeExpressions.md5Prefix60(concat(lit("boot:"),
+          col("event_id"), lit(":"), col("r"))))
+        .withColumn("w", w).drop("_h")
         .groupBy(col("r"))
         .agg(sum(col("w") * col("d")).cast("long").as("delta"))
       val wrk = boundedGlobal("B=200 replicate deltas")
@@ -7292,21 +7370,26 @@ object SparkEntry {
     // round 9. Top-20 by (z desc, token) — the src0-distinctive head.
     // Vocab-sized work throughout.
     "q_log_odds" -> ((s, dir) => {
-      val tk = tp(s, dir, "documents")
+      // r18 (guide §2.3 "aggregate before you shuffle" + §3.3): the
+      // prior and the two per-source counts were three separate
+      // groupBys over the corpus explode (plus n1/n2 re-running the
+      // filtered pair — PlanAudit: 6 documents scans). One conditional
+      // aggregation computes all three per token in a single pass —
+      // count_if(source = s) ≡ the old filter+count left-joined with
+      // na.fill(0) — and the vocab-sized result checkpoints once for
+      // its four consumers. Values identical.
+      val cnt = tp(s, dir, "documents")
         .select(col("source"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
-      val prior = tk.groupBy(col("w")).agg(count(lit(1)).as("aw"))
-      val a0 = prior.agg(sum(col("aw")).cast("long").as("a0"))
-      def srcCnt(src: String, as: String) = tk
-        .filter(col("source") === src)
-        .groupBy(col("w")).agg(count(lit(1)).as(as))
-      val y1 = srcCnt("src0", "y1")
-      val y2 = srcCnt("src1", "y2")
-      val n1 = y1.agg(coalesce(sum(col("y1")), lit(0L)).cast("long").as("n1"))
-      val n2 = y2.agg(coalesce(sum(col("y2")), lit(0L)).cast("long").as("n2"))
+        .groupBy(col("w")).agg(count(lit(1)).as("aw"),
+          count_if(col("source") === "src0").as("y1"),
+          count_if(col("source") === "src1").as("y2"))
+        .localCheckpoint(true)
+      val a0 = cnt.agg(sum(col("aw")).cast("long").as("a0"))
+      val n1 = cnt.agg(coalesce(sum(col("y1")), lit(0L)).cast("long").as("n1"))
+      val n2 = cnt.agg(coalesce(sum(col("y2")), lit(0L)).cast("long").as("n2"))
       def nd(c: Column) = c.cast("double")
-      val j = prior.join(y1, Seq("w"), "left").join(y2, Seq("w"), "left")
-        .na.fill(0L, Seq("y1", "y2"))
+      val j = cnt
         .crossJoin(broadcast(a0)).crossJoin(broadcast(n1))
         .crossJoin(broadcast(n2))
       val l1 = round(log((nd(col("y1")) + nd(col("aw"))) /

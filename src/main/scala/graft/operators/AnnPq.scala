@@ -45,11 +45,17 @@ object AnnPq {
     val n = df.count()
     val stride = math.max(n / ksub, 1L)
     val w = Window.partitionBy(col("m")).orderBy(col("id"))
+    // r18 (guide §3.3): the codebook is m × ksub rows but its plan
+    // carries a corpus subspace pass + the count job — and every serve
+    // path consumes it twice (encode + the query LUT), re-running both
+    // (PlanAudit: 8 embeddings scans in q_ann_recall_ivfpq, now 3).
+    // Checkpoint the tiny result; values unchanged.
     subspaces(df, idCol, vecCol, m, subDim)
       .filter(pmod(col("id"), lit(stride)) === 0)
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= ksub)
       .select(col("m"), (col("rn") - 1).cast("long").as("cid"),
         col("sub").as("centroid"))
+      .localCheckpoint(true)
   }
 
   /** Lloyd-refine the codebooks: re-center each (subspace, code) cell
@@ -64,6 +70,9 @@ object AnnPq {
     val subs = subspaces(df, idCol, vecCol, m, subDim)
     var cb = codebooks
     for (_ <- 0 until iters)
+      // per-pass localCheckpoint (r18): without it pass i+1's plan
+      // embeds and RE-EXECUTES every previous pass (the AnnIvf
+      // `localized` rationale — the table is m × ksub rows)
       cb = encode(df, cb, idCol, vecCol, m, subDim)
         .join(subs, Seq("id", "m"))
         .select(col("m"), col("code").as("cid"),
@@ -74,6 +83,7 @@ object AnnPq {
         .groupBy(col("m"), col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => s.getField("mv")).as("centroid"))
+        .localCheckpoint(true)
     cb
   }
 

@@ -85,27 +85,44 @@ object Attribution {
         col("ch") === chA, 1L).otherwise(0L)).over(w))
       .withColumn("cv", sum(when(col("kind") === 0 &&
         col("ch") === chB, 1L).otherwise(0L)).over(w))
-    val p = counted.filter(col("kind") === 1)
-      .select(col("event_id").as("cid"), col("cc").as("cc0"),
-        col("cv").as("cv0"))
-    val c = counted.filter(col("kind") === 2)
-      .select(col("event_id").as("cid"), col("cc").as("cc1"),
-        col("cv").as("cv1"))
-    val per = c.join(p, "cid")
+    // r18 (guide §2.4/§3.3): the probe and conversion snapshots pair
+    // up with ONE conditional aggregation on the conversion id — each
+    // cid has exactly one kind-1 and one kind-2 row — instead of the
+    // old p ⋈ c self-join, whose two sides each re-ran the whole
+    // union+window subtree (and the three credits-union branches then
+    // re-ran the join: PlanAudit counted 18 events scans in one plan,
+    // now 3 — one per union branch). The per-channel rollup collapses
+    // to ONE singleton aggregate + a 3-row explode (the funnel shape):
+    // same share expressions, same decimal sum, same presence rule
+    // (chA/chB rows exist iff any k>0 conversion, '(none)' iff any
+    // k=0), so values and schema are oracle-identical.
+    val per = counted.filter(col("kind") =!= 0)
+      .groupBy(col("event_id"))
+      .agg(max(when(col("kind") === 1, col("cc"))).as("cc0"),
+        max(when(col("kind") === 1, col("cv"))).as("cv0"),
+        max(when(col("kind") === 2, col("cc"))).as("cc1"),
+        max(when(col("kind") === 2, col("cv"))).as("cv1"))
       .withColumn("nc", col("cc1") - col("cc0"))
       .withColumn("nv", col("cv1") - col("cv0"))
       .withColumn("k", col("nc") + col("nv"))
     def share(n: Column) = round(n.cast("double") /
       col("k").cast("double"), 9).cast("decimal(20,9)")
-    val credits = per.filter(col("k") > 0)
-      .select(lit(chA).as("channel"), share(col("nc")).as("share"))
-      .union(per.filter(col("k") > 0)
-        .select(lit(chB).as("channel"), share(col("nv")).as("share")))
-      .union(per.filter(col("k") === 0)
-        .select(lit("(none)").as("channel"),
-          lit(java.math.BigDecimal.ONE).cast("decimal(20,9)").as("share")))
-    credits.groupBy(col("channel"))
-      .agg(sum(col("share")).cast("double").as("attr_convs"))
+    val one = per.agg(
+      sum(when(col("k") > 0, share(col("nc")))).as("sa"),
+      sum(when(col("k") > 0, share(col("nv")))).as("sb"),
+      count_if(col("k") > 0).as("npos"),
+      sum(when(col("k") === 0,
+        lit(java.math.BigDecimal.ONE).cast("decimal(20,9)"))).as("sn"))
+    one.select(explode(array(
+        struct(lit(chA).as("channel"), col("sa").cast("double")
+          .as("attr_convs"), (col("npos") > 0).as("keep")),
+        struct(lit(chB).as("channel"), col("sb").cast("double")
+          .as("attr_convs"), (col("npos") > 0).as("keep")),
+        struct(lit("(none)").as("channel"), col("sn").cast("double")
+          .as("attr_convs"), col("sn").isNotNull.as("keep")))).as("f"))
+      .filter(col("f.keep"))
+      .select(col("f.channel").as("channel"),
+        col("f.attr_convs").as("attr_convs"))
       .orderBy(col("channel"))
   }
 }

@@ -51,7 +51,18 @@ object SemDedup {
                       nlist: Int = 16, maxCell: Int = 0, subBits: Int = 4,
                       dim: Int = 64): DataFrame = {
     val centroids = AnnIvf.fit(embs, idCol, vecCol, nlist, iters = 0)
+    // r18 (guide §3.3): every consumer pairs this frame with itself
+    // (the cell-size rollup, nearDupPairs' self-join, kept's
+    // anti-join, the recall query's double probe join) — without
+    // materialization each side re-runs fit + assign over the corpus
+    // (PlanAudit: 6-8 embeddings scans per query). The assignment is
+    // the operator's natural once-materialized artifact (IndexedSearch
+    // persists exactly this at serve time); checkpoint it eagerly —
+    // the skew refinement below is then a broadcast join + codegen'd
+    // projection per consumer over the materialized blocks. Values
+    // unchanged.
     val a = AnnIvf.assign(embs, centroids, idCol, vecCol)
+      .localCheckpoint(true)
     if (maxCell <= 0) a.withColumn("rk", col("cid"))
     else {
       // nlist rows — broadcast by construction

@@ -62,6 +62,10 @@ object TextStats {
     val base = docs
       .select(TextAnalysis.tokens(lower(col(textCol))).as("tk"))
       .select(col("tk"), size(col("tk")).as("n"))
+    // r18 (guide §3.3): both count tables feed their own total-agg AND
+    // the scoring join — without materialization each consumer re-ran
+    // the window-pair explode / tokenize over the corpus (PlanAudit: 5
+    // scans). Both are vocab-sized; checkpoint once each.
     val pairs = base.filter(col("n") >= 2)
       .select(explode(flatten(transform(sequence(lit(1), col("n") - 1),
         i => transform(sequence(i + 1, least(i + (window - 1), col("n"))),
@@ -70,8 +74,10 @@ object TextStats {
             greatest(element_at(col("tk"), i), element_at(col("tk"), j))))))
       ).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val toks = base.select(explode(col("tk")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("tc"))
+      .localCheckpoint(true)
     val totT = toks.agg(sum(col("tc")).cast("double").as("t_tot"))
     val totP = pairs.agg(sum(col("cnt")).cast("double").as("p_tot"))
     pairs.filter(col("cnt") >= minCount)
@@ -101,7 +107,10 @@ object TextStats {
                    stratumCol: String): DataFrame = {
     val tk = docs.select(col(stratumCol).as("stratum"),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+    // r18 (guide §3.3): cst feeds ns, ct and the term join — checkpoint
+    // the vocab-sized count table once (4 tokenize passes → 1)
     val cst = tk.groupBy(col("stratum"), col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val ns = cst.groupBy(col("stratum")).agg(sum(col("c")).as("n"))
     val ct = cst.groupBy(col("token")).agg(sum(col("c")).as("ct"))
     val tot = ct.agg(sum(col("ct")).as("nt"))
@@ -168,7 +177,14 @@ object TextStats {
       .filter(size(col("tk")) >= 2)
       .select(col(idCol), explode(transform(sequence(lit(1), size(col("tk")) - 1),
         i => concat_ws(" ", slice(col("tk"), i, lit(2))))).as("bg"))
+    // r18 (guide §3.3): cb feeds BOTH the unigram-prefix rollup and
+    // the score join — without materialization each consumer re-ran
+    // the full tokenize+bigram-explode corpus pass (PlanAudit: 10
+    // documents scans in q_ppl_filter's one plan). The count table is
+    // bigram-vocab-sized (≪ corpus); one eager checkpoint makes every
+    // consumer read the materialized counts. Values unchanged.
     val cb = bg.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true)
     val cu = cb.groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
       .agg(sum(col("cb")).as("cu"))
     bg.filter(outputFilter)
