@@ -158,11 +158,19 @@ object Soak {
           .learnMerges(docBase, "text", 8).orderBy(col("rank")).collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         (n: Int) => {
-          val words = docs(n).select(col("doc_id"),
-            explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
-          graft.operators.Bpe.segment(words, "w", merges)
-            .groupBy(col("doc_id") % 1024)
-            .agg(sum(size(col("pieces")).cast("long")).as("n_pieces"))
+          // r18: mirrors q_bpe_encode's vocab-bounded shape — segment
+          // each DISTINCT word once, join piece counts back to the
+          // (group, word) count table (the interpreted HOF fold now
+          // runs on the Zipf-bounded vocab, not per token instance;
+          // result integers identical)
+          val wc = docs(n).select((col("doc_id") % 1024).as("g"),
+              explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
+            .groupBy(col("g"), col("w")).agg(count(lit(1)).as("c"))
+          val segd = graft.operators.Bpe.segment(
+              wc.select(col("w")).distinct(), "w", merges)
+            .select(col("w"), size(col("pieces")).cast("long").as("np"))
+          wc.join(segd, "w").groupBy(col("g"))
+            .agg(sum(col("np") * col("c")).as("n_pieces"))
         }
       },
       // CONSTANT-VOCAB control for bpe_encode (the r8 30×-soak
@@ -179,12 +187,18 @@ object Soak {
           .learnMerges(docBase, "text", 8).orderBy(col("rank")).collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
         (n: Int) => {
-          val words = replicate(docBase, n, Map("doc_id" -> docOff), None)
-            .select(col("doc_id"),
+          // r18: same vocab-bounded shape as bpe_encode above; with
+          // verbatim replicas the distinct-word set is constant, so
+          // this control now isolates the count+join path's row scaling
+          val wc = replicate(docBase, n, Map("doc_id" -> docOff), None)
+            .select((col("doc_id") % 1024).as("g"),
               explode(graft.functions.TextAnalysis.tokens(col("text"))).as("w"))
-          graft.operators.Bpe.segment(words, "w", merges)
-            .groupBy(col("doc_id") % 1024)
-            .agg(sum(size(col("pieces")).cast("long")).as("n_pieces"))
+            .groupBy(col("g"), col("w")).agg(count(lit(1)).as("c"))
+          val segd = graft.operators.Bpe.segment(
+              wc.select(col("w")).distinct(), "w", merges)
+            .select(col("w"), size(col("pieces")).cast("long").as("np"))
+          wc.join(segd, "w").groupBy(col("g"))
+            .agg(sum(col("np") * col("c")).as("n_pieces"))
         }
       },
       // the KMEANS ASSIGNMENT path (r7-red family): centroids fixed

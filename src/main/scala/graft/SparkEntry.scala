@@ -3017,10 +3017,14 @@ object SparkEntry {
       val wv = boundedGlobal("vocab table, |distinct tokens| rows")
         .orderBy(col("token"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // r18 (guide §3.3): vocab feeds tot, bins and the final join —
+      // checkpoint the vocab-sized table once (3 tokenize passes → 1,
+      // plus the draws pass)
       val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
         .withColumn("w", least(col("c"), lit(64L)))
         .withColumn("hi", sum(col("w")).over(wv))
         .withColumn("lo", col("hi") - col("w"))
+        .localCheckpoint(true)
       val tot = vocab.agg(sum(col("w")).as("bigW"))
       val bins = vocab.withColumn("bin",
         explode(sequence(shiftright(col("lo"), 6),
@@ -3341,8 +3345,11 @@ object SparkEntry {
     // identity, not just that two copies of one formula agree.
     "q_decode_docs" -> ((s, dir) => {
       val docs = tp(s, dir, "documents")
+      // r18 (guide §3.3): the vocab feeds both encode and decode —
+      // checkpoint the 1000-row table so build's corpus pass runs once
       val vocab = operators.Vocab.build(docs, "text", 2L)
         .filter(col("tok_id") <= 1000)
+        .localCheckpoint(true)
       val enc = operators.Vocab.encode(docs.filter(col("doc_id") < 100),
         "doc_id", "text", broadcast(vocab))
       operators.Vocab.decode(enc, "doc_id", "ids", broadcast(vocab))
@@ -3622,13 +3629,28 @@ object SparkEntry {
       val merges = operators.Bpe.learnMerges(docs, "text", 8)
         .orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      val words = docs
+      // r18 (guide §1.2 step 1 — don't compute what you can count):
+      // segment's rank-ordered merge fold is a chain of higher-order
+      // `aggregate` lambdas (interpreted per array element, not
+      // whole-stage codegen), and running it once per token INSTANCE
+      // re-folded every repeated word (5M instances at sf0.1; the 10×
+      // soak re-folded 50M). Segment each DISTINCT word once and join
+      // the piece count back to the (source, word) count table —
+      // n_words = Σc and n_pieces = Σ size(pieces)·c are the identical
+      // integers, and the fold now runs on the Zipf-bounded vocab, so
+      // 10× corpus ≈ constant segment cost. Oracle-identical.
+      val wc = docs
         .select(col("source"),
           explode(TextAnalysis.tokens(col("text"))).as("w"))
-      operators.Bpe.segment(words, "w", merges)
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val segd = operators.Bpe.segment(
+          wc.select(col("w")).distinct(), "w", merges)
+        .select(col("w"), size(col("pieces")).cast("long").as("np"))
+      wc.join(segd, "w")
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(size(col("pieces")).cast("long")).as("n_pieces"))
+        .agg(sum(col("c")).as("n_words"),
+          sum(col("np") * col("c")).as("n_pieces"))
         .select(col("source"), col("n_words"), col("n_pieces"),
           round(col("n_pieces").cast("double") /
             col("n_words").cast("double"), 9).as("fertility"))
@@ -4161,8 +4183,11 @@ object SparkEntry {
     // the bounded 7× table, and count — every shuffle is user-day-sized,
     // events are scanned once.
     "q_rolling_distinct" -> ((s, dir) => {
+      // r18 (guide §3.3): du feeds days, contrib and u1 — checkpoint
+      // the distinct user-day table once (3 scans → 1)
       val du = t(s, dir, "events")
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .localCheckpoint(true)
       val days = du.select(col("day")).distinct()
       val contrib = du
         .select(col("day"), col("user_id"),
@@ -4364,7 +4389,9 @@ object SparkEntry {
     // the 10-group rollup shuffles.
     "q_len_deciles" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      // r18 (guide §3.3): hist feeds cum and tot — checkpoint once
       val hist = d.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val w = boundedGlobal("doc-length histogram, |distinct n_chars| rows")
         .orderBy(col("n_chars"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4819,7 +4846,10 @@ object SparkEntry {
         .select(((unix_timestamp(col("p_ts")) - unix_timestamp(col("s_ts")))
           .cast("long")).as("secs"))
         .select(expr("secs div 3600").as("h"))
+      // r18 (guide §3.3): hist feeds cum and tot — checkpoint the
+      // hour histogram once (the signup⋈purchase pipeline runs once)
       val hist = lat.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val wc = boundedGlobal("hour-latency histogram, |distinct hours| rows")
         .orderBy(col("h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -4870,12 +4900,15 @@ object SparkEntry {
     // round(9) decimal-sum pattern (order-free), and the shrunk rate
     // (x+α)/(n+α+β) is one shared closed-form tree, round(6).
     "q_eb_shrinkage" -> ((s, dir) => {
+      // r18 (guide §3.3): src feeds k, the moment pass and the final
+      // shrink — checkpoint the source-sized table (3 scans → 1)
       val src = tp(s, dir, "documents")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("x"))
         .withColumn("rate",
           round(col("x").cast("double") / col("n").cast("double"), 9))
+        .localCheckpoint(true)
       val k = src.agg(count(lit(1)).as("kk"),
         sum(col("rate").cast("decimal(24,9)")).as("sr"))
       def nd(c: Column) = c.cast("double")
@@ -5138,9 +5171,12 @@ object SparkEntry {
         .select(col("user_id"), unix_date(to_date(col("ts"))).as("day"))
         .distinct()
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      // r18 (guide §3.3): flagged feeds the state rollup AND the churn
+      // pass — checkpoint the windowed frame once (2 window passes → 1)
       val flagged = da
         .withColumn("prev", lag(col("day"), 1).over(w))
         .withColumn("nxt", lead(col("day"), 1).over(w))
+        .localCheckpoint(true)
       val maxDay = da.agg(max(col("day")).as("max_day"))
       val states = flagged
         .withColumn("state", when(col("prev").isNull, lit("new"))
@@ -5268,7 +5304,9 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select(col("value").cast("decimal(18,2)").as("v"),
           (col("event_type") === "purchase").as("y"))
+      // r18 (guide §3.3): h feeds tot and the cutpoint agg — checkpoint
       val h = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val wc = boundedGlobal("2-dec value histogram, |distinct values| rows")
         .orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -5424,10 +5462,13 @@ object SparkEntry {
     // decimals — corpus scanned once, all shuffles value-domain-sized,
     // one final round(6) division.
     "q_winsorized_mean" -> ((s, dir) => {
+      // r18 (guide §3.3): h feeds cum, tot and the clamp join —
+      // checkpoint the arm histogram once (3 events scans → 1)
       val h = t(s, dir, "events")
         .select(col("event_type").as("arm"),
           col("value").cast("decimal(18,2)").as("v"))
         .groupBy(col("arm"), col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val wc = Window.partitionBy(col("arm")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = h.withColumn("cum", sum(col("c")).over(wc))
@@ -5458,10 +5499,13 @@ object SparkEntry {
     // continuity-corrected z are the only float steps, one shared
     // tree rounded once.
     "q_mann_kendall" -> ((s, dir) => {
+      // r18 (guide §3.3): d feeds both pair-join sides, nDays and the
+      // tie rollup — checkpoint the arm×day series once (4 scans → 1)
       val d = t(s, dir, "events")
         .select(col("event_type").as("arm"), to_date(col("ts")).as("day"),
           col("value").cast("decimal(18,2)").as("v"))
         .groupBy(col("arm"), col("day")).agg(sum(col("v")).as("x"))
+        .localCheckpoint(true)
       val pairs = d.select(col("arm"), col("day").as("d1"), col("x").as("x1"))
         .join(d.select(col("arm").as("arm2"), col("day").as("d2"),
           col("x").as("x2")),
@@ -5496,10 +5540,13 @@ object SparkEntry {
     // ceil(m/2) order statistic via a window over the ≤500-row pair
     // set per series — never a corpus-sized sort.
     "q_theil_sen" -> ((s, dir) => {
+      // r18 (guide §3.3): d feeds both pair-join sides — checkpoint
+      // the arm×day series once (the q_mann_kendall fix)
       val d = t(s, dir, "events")
         .select(col("event_type").as("arm"), to_date(col("ts")).as("day"),
           col("value").cast("decimal(18,2)").as("v"))
         .groupBy(col("arm"), col("day")).agg(sum(col("v")).as("x"))
+        .localCheckpoint(true)
       val pairs = d.select(col("arm"), col("day").as("d1"), col("x").as("x1"))
         .join(d.select(col("arm").as("arm2"), col("day").as("d2"),
           col("x").as("x2")),
@@ -5540,9 +5587,12 @@ object SparkEntry {
         .select(expr(
             "(coalesce(conv_s, hz) - first_s) div 86400").as("dur"),
           col("conv_s").isNull.as("censored"))
+      // r18 (guide §3.3): hd feeds tot and the at-risk windows —
+      // checkpoint the duration histogram once (users pass runs once)
       val hd = users.groupBy(col("dur"))
         .agg(count(lit(1)).as("all_n"),
           sum(when(!col("censored"), 1L).otherwise(0L)).as("d"))
+        .localCheckpoint(true)
       val tot = hd.agg(sum(col("all_n")).cast("long").as("nn"))
       val wlt = boundedGlobal("duration-day histogram, |distinct days| rows")
         .orderBy(col("dur"))
@@ -5583,9 +5633,12 @@ object SparkEntry {
         .select(col("o_totalprice").cast("decimal(18,2)").as("v"),
           when(year(col("o_orderdate")) <= 1997, lit("p")).otherwise(lit("q"))
             .as("per"))
+      // r18 (guide §3.3): baseH feeds nb and the distributed prefix
+      // sum — checkpoint the baseline histogram once (3 scans → 2)
       val baseH = o.filter(col("per") === "p")
         .groupBy(col("v")).agg(count(lit(1)).as("c"))
         .withColumn("g", lit(1))
+        .localCheckpoint(true)
       val nb = baseH.agg(sum(col("c")).cast("long").as("nbase"))
       // strictly-below cumulative from the DISTRIBUTED prefix sum
       // (GroupRank's range-repartition + offset stamp) — the baseline
@@ -5634,11 +5687,15 @@ object SparkEntry {
     // order. Output: the populated RFM cells with customer counts —
     // the segmentation report a CRM publishes.
     "q_rfm" -> ((s, dir) => {
+      // r18 (guide §3.3): ntileMany melts its input once per dimension
+      // (3 here) — checkpoint the customer rollup so the orders scan
+      // runs once
       val base = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(unix_date(to_date(col("o_orderdate")))).as("last_day"),
           count(lit(1)).as("freq"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        .localCheckpoint(true)
       val tiles = graft.operators.GroupRank.ntileMany(base, Seq("o_custkey"),
         Seq("last_day" -> "r", "freq" -> "f", "spend" -> "m"), 5)
       tiles.groupBy((col("r") * 100 + col("f") * 10 + col("m")).as("rfm"))
@@ -6808,7 +6865,9 @@ object SparkEntry {
         .select(col("event_id"),
           col("value").cast("decimal(18,2)").as("v"),
           (col("event_type") === "purchase").as("y"))
+      // r18 (guide §3.3): h feeds tot and the cutpoint agg — checkpoint
       val h = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val wc = boundedGlobal("2-dec value histogram, |distinct values| rows")
         .orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -7190,7 +7249,9 @@ object SparkEntry {
         .select(col("event_id"),
           col("value").cast("decimal(18,2)").as("v"),
           (col("event_type") === "purchase").as("y"))
+      // r18 (guide §3.3): h feeds tot and the cutpoint agg — checkpoint
       val h = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
       val wc = boundedGlobal("2-dec value histogram, |distinct values| rows")
         .orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -361,8 +361,15 @@ object Dedup {
                               numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     val all = existing.select(col(idCol), col(textCol)).withColumn("origin", lit(0))
       .unionByName(incoming.select(col(idCol), col(textCol)).withColumn("origin", lit(1)))
-    val sh = shingleDf(all, idCol, textCol, shingleN)
-      .join(all.select(col(idCol).as("id"), col("origin")), "id")
+    // r18 (guide §2.4): origin rides the shingle projection directly —
+    // the old shingleDf ∘ join(all) shape ran the union's two input
+    // scans TWICE (once per join side, PlanAudit: 4 documents scans)
+    // and paid an id-keyed exchange, for a column `all` already had.
+    // Same shingle expression, so signatures/pairs are unchanged.
+    val sh = all
+      .select(col(idCol).as("id"), col("origin"),
+        graft.functions.NativeExpressions
+          .wordNGrams(col(textCol), shingleN, distinct = true).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsPerBand = numHashes / bands
     val banded = sh
@@ -458,8 +465,13 @@ object Dedup {
         transform(sequence(lit(1), size(col("tk")) - lit(w - 1)),
           i => md5Prefix60(concat_ws(" ", slice(col("tk"), i, lit(w))))))
         .otherwise(array().cast("array<long>")).as("gh"))
+    // r18 (guide §8 step 1): the fingerprint table feeds the
+    // dup-detection agg AND the coverage join — materialize the
+    // (doc, pos, 8-byte hash) rows once instead of re-running the
+    // tokenize + rolling-gram pass per consumer
     val wins = grams.select(col("doc_id"),
       posexplode(col("gh")).as(Seq("pos", "g")))
+      .localCheckpoint(true)
     val dup = wins.groupBy(col("g"))
       .agg(count(lit(1)).as("n_occ")).filter(col("n_occ") >= 2)
       .select(col("g"))

@@ -86,9 +86,12 @@ object GroupRank {
     // Bound BEFORE materializing on the driver: count() keeps the
     // entries on the executors (one Long per partition comes back), so
     // a genuinely high-cardinality key trips the require instead of
-    // OOMing inside the collect the guard exists to prevent. The
-    // recount reuses `sorted`'s shuffle — only the cheap streaming
-    // run-length pass re-executes.
+    // OOMing inside the collect the guard exists to prevent. r18: the
+    // entries are persisted across the count → collect pair so the
+    // run-length pass streams the sorted shuffle ONCE (the recount
+    // previously re-deserialized and re-folded every row, a second
+    // full pass per prefixSum call); unpersisted before pass 2.
+    entriesRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEntries = entriesRdd.count()
     require(nEntries <= maxDriverEntries,
       s"GroupRank.prefixSum would collect $nEntries " +
@@ -98,6 +101,7 @@ object GroupRank {
         "deliberately, or rank high-cardinality groups with a window/" +
         "two-phase aggregate instead")
     val partGroupSums: Array[(Int, List[Any], Long)] = entriesRdd.collect()
+    entriesRdd.unpersist(blocking = false)
 
     // Driver: prefix-sum each group's totals in partition order.
     val offsets: Map[(Int, List[Any]), Long] = partGroupSums

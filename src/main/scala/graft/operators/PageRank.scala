@@ -57,10 +57,16 @@ object PageRank {
             .cast("decimal(28,9)").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).cast("decimal(27,9)").as("s"))
+      // r18 (the DedupCluster loop rule, guide §3.3): truncate the
+      // lineage each pass — without this iteration i's plan embeds and
+      // re-optimizes iterations 1..i−1 (the 3-iteration plan measured
+      // 122 KB of explain text, planning-bound). The rank vector is
+      // node-sized exact decimals; values unchanged.
       r = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (teleport + lit(0.85).cast("decimal(3,2)") *
             coalesce(col("s"), lit(0).cast("decimal(27,9)"))).as("rank"))
+        .localCheckpoint(true)
     }
     r.select(col("node"), round(col("rank").cast("double"), 9).as("rank"))
   }

@@ -135,9 +135,12 @@ object Sampling {
     * redistributed — one pass, no iterative water-filling). */
   def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
                      weight: Column, budget: Double = 0.3): DataFrame = {
+    // r18 (guide §3.3): stats feeds tot and thr — checkpoint the
+    // strata-sized rollup once (2 corpus scans → 1)
     val stats = df.groupBy(col(stratumCol).as("_st"))
       .agg(count(lit(1)).as("_n"),
         round(sqrt(sum(weight).cast("double")), 6).as("_w"))
+      .localCheckpoint(true)
     val tot = stats.agg(
       sum(col("_n")).as("_ntot"),
       sum(col("_w").cast("decimal(18,6)")).cast("double").as("_sw"))
@@ -192,8 +195,11 @@ object Sampling {
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         targetFilter: Column, buckets: Int = 1024): DataFrame = {
     val tk = tokenBuckets(docs, idCol, textCol, targetFilter, buckets)
+    // r18 (guide §3.3): cnts feeds tot and lrs — checkpoint the
+    // buckets-sized table once (each re-run was a tokenize pass)
     val cnts = tk.groupBy(col("b")).agg(count(lit(1)).as("rc"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
+      .localCheckpoint(true)
     val tot = cnts.agg(sum(col("rc")).as("rt"), sum(col("tc")).as("tt"))
     val bL = buckets.toLong
     val lrs = cnts.crossJoin(broadcast(tot))

@@ -55,8 +55,14 @@ object Search {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
            topK: Int = 20): DataFrame = {
+    // r18 (guide §3.3): dl feeds the corpus stats AND the score join,
+    // qtf feeds the df rollup AND the score join — each consumer
+    // re-ran its tokenize pass (PlanAudit: 4 scans). Both tables are
+    // small (doc-sized lengths / query-term postings); checkpoint each
+    // once so the corpus tokenizes twice total, not four times.
     val dl = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokenCount(lower(col(textCol))).as("dl"))
+      .localCheckpoint(true)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     val qtf = docs.select(col(idCol).as("doc_id"),
@@ -64,6 +70,7 @@ object Search {
       .select(col("doc_id"), explode(col("tk")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfT = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)) + lit(1.0))

@@ -41,7 +41,10 @@ object TextStats {
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = docs.select(col(idCol),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+    // r18 (guide §3.3): cnt feeds tot and the score join — checkpoint
+    // the vocab-sized counts once (3 tokenize passes → 2)
     val cnt = tk.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = cnt.agg(sum(col("c")).cast("double").as("tot"))
     tk.join(cnt, "token")
       .crossJoin(broadcast(tot))
@@ -485,11 +488,17 @@ object TextStats {
                    n: Int = 5, k: Int = 5, evalFold: Int = 0): DataFrame = {
     val folds = Sampling.kFold(docs.select(col(idCol)), idCol, k)
       .select(col(idCol).as("id"), col("fold"))
+    // r18 (guide §3.3, §8 step 1): the hashed-gram table feeds both
+    // the train-side distinct and the eval-side probe — checkpoint the
+    // (id, hash, fold) fingerprints once instead of shingling the
+    // corpus per consumer (the shuffle carries 8-byte hashes, never
+    // gram text)
     val g = Dedup.shingleDf(docs, idCol, textCol, n)
       .select(col("id"), explode(col("sh")).as("g5"))
       .select(col("id"),
         graft.functions.NativeExpressions.md5Prefix60(col("g5")).as("gh"))
       .join(folds, "id")
+      .localCheckpoint(true)
     val train = g.filter(col("fold") =!= evalFold)
       .select(col("gh")).distinct().withColumn("seen", lit(1))
     g.filter(col("fold") === evalFold)

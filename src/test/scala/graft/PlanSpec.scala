@@ -323,8 +323,15 @@ class PlanSpec extends SparkSpec {
     // oracle-replayable gram identity, r8 — since r9 the fused native
     // graft_md5_60 expression) with map-side partial_count; the gram
     // STRING must be hashed before any exchange; no cartesian
-    // anywhere; span-merge window is partitioned (per-doc), not global
-    assert(p.contains("graft_md5_60("), p)
+    // anywhere; span-merge window is partitioned (per-doc), not global.
+    // r18: the fingerprint table is materialized once (localCheckpoint,
+    // guide §8 step 1), so the md5 expression lives in the checkpoint-
+    // producing job and the FINAL plan scans the materialized
+    // (doc_id, pos, g: bigint) rows — either form proves the shuffle
+    // carries 8-byte hashes, never gram text
+    assert(p.contains("graft_md5_60(") ||
+      "Scan ExistingRDD\\[doc_id#\\d+L,pos#\\d+,g#\\d+L\\]".r
+        .findFirstIn(p).nonEmpty, p)
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
