@@ -4995,11 +4995,14 @@ object SparkEntry {
     "q_concurrency" -> ((s, dir) => {
       val sess = Sessionize.sessions(t(s, dir, "events"),
         "user_id", "ts", "event_id", 1800.0)
+      // r18 (guide §3.3): both sweep-event union branches consume the
+      // clipped sessions — checkpoint once (2 sessionize passes → 1)
       val clipped = sess
         .withColumn("d", explode(sequence(expr("start_s div 86400"),
           expr("end_s div 86400"))))
         .withColumn("cs", greatest(col("start_s"), col("d") * 86400L))
         .withColumn("ce", least(col("end_s"), col("d") * 86400L + 86399L))
+        .localCheckpoint(true)
       val bounds = clipped
         .select(col("d"), col("cs").as("t"), lit(1L).as("delta"))
         .union(clipped.select(col("d"), (col("ce") + 1L).as("t"),

@@ -48,12 +48,17 @@ object CurationPipeline {
       .select(col("keep_id").as(idCol))
 
   /** Stage-2 keeper ids among `exact` survivors: each near-dup
-    * component's min id (LSH pairs → connected components). */
-  private def nearDupKeepers(exact: DataFrame, idCol: String, textCol: String,
+    * component's min id (LSH pairs → connected components).
+    * `exactIds` is the materialized keeper-id table — the exact node
+    * universe of `exact` (r18, guide §3.3: passing the docs ⋈ keep1
+    * join here made components re-run that corpus join just to read
+    * the id column it already had). */
+  private def nearDupKeepers(exact: DataFrame, exactIds: DataFrame,
+                             idCol: String, textCol: String,
                              theta: Double): DataFrame = {
     val pairs = Dedup.minHashNearDups(exact, idCol, textCol, theta)
       .select(col("i"), col("j"))
-    DedupCluster.components(exact, idCol, pairs)
+    DedupCluster.components(exactIds, idCol, pairs)
       .filter(col("id") === col("cluster_id"))
       .select(col("id").as(idCol))
   }
@@ -84,7 +89,8 @@ object CurationPipeline {
     // 100 TB for one id list).
     val keep1 = exactKeepers(docs, idCol, textCol).localCheckpoint(true)
     val exact = docs.join(keep1, idCol)
-    val keep2 = nearDupKeepers(exact, idCol, textCol, config.minHashTheta)
+    val keep2 = nearDupKeepers(exact, keep1, idCol, textCol,
+      config.minHashTheta)
     // contamination is a per-doc property, but deriving it from the
     // deduped survivors (not all of `docs`) keeps the shingle explode
     // proportional to what lives past dedup — the big win at scale.
